@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions._
+
+/** Reference-parity queries (SURVEY.md §2.2) expressed DataFrame-first
+  * over the harness `documents` table, which stands in for the
+  * reference's Gutenberg corpus (FIXTURES.md §2b: key = token, document
+  * identity = doc_id).
+  *
+  * Every query here is declarative (codegen'd builtins only) so Catalyst
+  * prunes the parquet scan down to the columns used and keeps the whole
+  * pipeline inside WholeStageCodegen; the only shuffle in each is the
+  * final keyed aggregation, with map-side partial aggregation — the
+  * upgrade over the reference, which shuffles every ("word","1") pair
+  * (SURVEY.md §2.3 "no combiner anywhere").
+  */
+object CorpusQueries {
+
+  /** wc (mrapps/wc.go): token → occurrence count. */
+  def wc(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** indexer (mrapps/indexer.go): token → distinct-doc count + sorted
+    * comma-joined doc list. Doc ids are zero-padded so lexicographic
+    * order (the reference sorts strings, indexer.go:37) is also stable.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_set(padKey(col("doc_id")))), ",")
+          .as("docs"))
+
+  /** early_exit analog (mrapps/early_exit.go): docs per source "file". */
+  def fileCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** crash/nocrash analog (mrapps/crash.go:45-55): per group, the sorted
+    * space-joined value list — the holistic "sort values then join"
+    * reducer shape, relationally.
+    */
+  def kvConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        array_join(sort_array(collect_list(padKey(col("doc_id")))), " ")
+          .as("vals"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc"             -> wc _,
+    "inverted_index" -> invertedIndex _,
+    "file_count"     -> fileCount _,
+    "kv_concat"      -> kvConcat _)
+
+  val oracles: Map[String, String] = Map(
+    "wc" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word""".stripMargin,
+    "inverted_index" ->
+      """WITH wd AS (
+        |  SELECT DISTINCT word, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc
+        |  FROM (SELECT doc_id,
+        |               unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '')
+        |SELECT word, count(*) AS n_docs,
+        |       string_agg(doc, ',' ORDER BY doc) AS docs
+        |FROM wd GROUP BY word""".stripMargin,
+    "file_count" ->
+      "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+    "kv_concat" ->
+      """SELECT lang,
+        |       string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ' '
+        |                  ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS vals
+        |FROM documents GROUP BY lang""".stripMargin)
+}
