@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.CorpusQueries
+import graft.operators.{CorpusQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (CorpusQueries.queries, CorpusQueries.oracles))
+    (CorpusQueries.queries, CorpusQueries.oracles),
+    (RelationalQueries.queries, RelationalQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

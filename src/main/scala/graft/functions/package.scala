@@ -39,14 +39,21 @@ package object functions {
 
   /** Order-independent exact sum of a double expression; result is the
     * correctly-rounded double of the exact decimal sum. DuckDB twin:
-    * `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE)`.
+    * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)`.
+    *
+    * Scale 6 matters: harness money values have ≤2 true decimals, so
+    * products like price·(1−disc)·(1+tax) have ≤6 — they then sit exactly
+    * ON the decimal grid, where Spark's string-based and DuckDB's
+    * binary-based double→decimal rounding always agree. At scale 4 those
+    * products land on rounding midpoints and the engines split ties
+    * differently (observed on q1 sum_charge).
     */
   def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(28, 4))).cast("double")
+    sum(c.cast(DecimalType(30, 6))).cast("double")
 
   /** Exact average: exact decimal sum divided by count, both converted to
     * double before the (IEEE-identical) division. DuckDB twin:
-    * `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(x)`.
+    * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x)`.
     */
   def davg(c: Column): Column =
     dsum(c) / count(c)

@@ -1,0 +1,439 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions._
+
+/** Star-schema / events query catalog (SURVEY.md §7.1 layer 2: the
+  * harness-breadth extension beyond the reference's own surface —
+  * filters, multi-way joins, windows, top-k, set ops, rollup).
+  *
+  * Scale notes (the 100 TB design points):
+  *   - Dimension joins (region/nation/customer-side) are explicitly
+  *     `broadcast()` so no shuffle of the fact table happens for them.
+  *   - Fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *     aggregations that follow reuse that partitioning where possible.
+  *   - Filters are plain column predicates on the scan → parquet
+  *     PushedFilters; projections are narrow → pruned ReadSchema.
+  *   - Every double aggregate goes through `dsum`/`davg` (exact decimal)
+  *     — order-independent, so results are stable at any partition count
+  *     AND bit-identical to the DuckDB oracle.
+  *   - Every top-k has a total-order tie-break; every window has a
+  *     deterministic ORDER BY including a unique key.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 shape: full-scan grouped aggregate with partial agg. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: dim-filter → fact join → grouped top-k. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-07-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-07-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: snowflake join, revenue per nation in one region,
+    * supplier nation == customer nation.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))),
+        col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q6 shape: scalar aggregate, all predicates pushed to scan. */
+  def q6RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount") >= lit(0.02) && col("l_discount") <= lit(0.06) &&
+              col("l_quantity") < lit(24.0))
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val custNat = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Small-dim broadcast chain: customer count + balance per region. */
+  def regionCustomerStats(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("sum_acctbal"),
+           davg(col("c_acctbal")).as("avg_acctbal"))
+
+  /** Left-semi join (EXISTS): customers having orders, per segment. */
+  def semiCustomersWithOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-anti join (NOT EXISTS): customers with no 1995 orders, per
+    * segment (date-restricted so the anti side is non-empty).
+    */
+  def antiCustomersNoOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1996-01-01"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Ranking window: top-3 orders per customer by price. */
+  def windowTop3Orders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running-total window: cumulative spend per customer over time
+    * (decimal-exact inside the frame).
+    */
+  def windowRunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double"))
+      .drop("o_totalprice")
+  }
+
+  /** Top-k with fact⋈dim join: 10 parts by discounted revenue. */
+  def topPartsByRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+
+  /** Set operators: nations with customers vs nations with suppliers. */
+  def setOpsNations(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val supN = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    custN.intersect(supN).withColumn("tag", lit("both"))
+      .unionByName(custN.except(supN).withColumn("tag", lit("cust_only")))
+      .unionByName(supN.except(custN).withColumn("tag", lit("supp_only")))
+  }
+
+  /** Rollup (grouping sets): order counts/value by status ⟶ priority. */
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Time-bucketed aggregate: orders per month. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Events: hourly tumbling aggregate per event type (the batch twin of
+    * the streaming pipeline in graft.streaming).
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"),
+           davg(col("value")).as("avg_value"))
+
+  /** Events: gap-based sessionization (30 min inactivity) via windows —
+    * microsecond integer arithmetic so both engines agree exactly.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull, lit(0L))
+          .when(unix_micros(col("ts")) - col("prev_us") > lit(1800000000L),
+            lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           dsum(col("value")).as("sum_value"))
+  }
+
+  /** Events: JSON prop extraction + bucketed aggregate. */
+  def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** Per-type part stats: count / distinct / min / max / exact avg. */
+  def partStatsByType(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_parts"),
+           countDistinct(col("p_brand")).as("n_brands"),
+           min(col("p_retailprice")).as("min_price"),
+           max(col("p_retailprice")).as("max_price"),
+           davg(col("p_retailprice")).as("avg_price"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"     -> q1PricingSummary _,
+    "q3_top_orders"          -> q3TopOrders _,
+    "q5_region_revenue"      -> q5RegionRevenue _,
+    "q6_revenue_forecast"    -> q6RevenueForecast _,
+    "q10_returned_items"     -> q10ReturnedItems _,
+    "region_customer_stats"  -> regionCustomerStats _,
+    "semi_customers_with_orders" -> semiCustomersWithOrders _,
+    "anti_customers_no_orders"   -> antiCustomersNoOrders _,
+    "window_top3_orders"     -> windowTop3Orders _,
+    "window_running_revenue" -> windowRunningRevenue _,
+    "top_parts_by_revenue"   -> topPartsByRevenue _,
+    "set_ops_nations"        -> setOpsNations _,
+    "rollup_orders"          -> rollupOrders _,
+    "orders_by_month"        -> ordersByMonth _,
+    "events_hourly"          -> eventsHourly _,
+    "events_sessionize"      -> eventsSessionize _,
+    "events_json_props"      -> eventsJsonProps _,
+    "part_stats_by_type"     -> partStatsByType _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "region_customer_stats" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "semi_customers_with_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "anti_customers_no_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "window_top3_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "window_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
+    "top_parts_by_revenue" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "set_ops_nations" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' AS tag FROM (SELECT * FROM s EXCEPT SELECT * FROM c)""".stripMargin,
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "orders_by_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "events_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "part_stats_by_type" ->
+      """SELECT p_type, COUNT(*) AS n_parts,
+        |  COUNT(DISTINCT p_brand) AS n_brands,
+        |  MIN(p_retailprice) AS min_price,
+        |  MAX(p_retailprice) AS max_price,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price
+        |FROM part GROUP BY p_type""".stripMargin)
+}
