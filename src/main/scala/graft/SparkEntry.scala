@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusQueries, RelationalQueries}
+import graft.operators.{CorpusQueries, DedupQueries, EmbeddingQueries,
+  RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +21,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (CorpusQueries.queries, CorpusQueries.oracles),
-    (RelationalQueries.queries, RelationalQueries.oracles))
+    (RelationalQueries.queries, RelationalQueries.oracles),
+    (DedupQueries.queries, DedupQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles),
+    (EmbeddingQueries.queries, EmbeddingQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

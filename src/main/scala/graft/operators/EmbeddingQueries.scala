@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Numeric determinism: vectors are quantized to 1e-6 BIGINTs (`qvec`) so
+  * dot products and squared norms are exact integers (|q| ≤ ~5e5 ⇒
+  * 64-dim dot ≤ ~1.6e13 « 2^53); the only floating point is the final
+  * sqrt/divide, IEEE-identical in both engines — so cosine top-k is
+  * value-hash verifiable against DuckDB.
+  *
+  * Scale story:
+  *   - Brute force is the correctness baseline: queries are broadcast, so
+  *     the candidate side streams through one map stage and the only
+  *     shuffle is the per-query top-k (k rows per query out of each
+  *     partition after the rank filter — Spark's window TopK pushes the
+  *     limit into the sort).
+  *   - The IVF path is the 100 TB shape: cluster assignment is one
+  *     broadcast-join map pass (centroids are tiny), the index is
+  *     `(centroid_id → members)` — effectively a partition-pruned search
+  *     where each query probes `NProbe` clusters instead of the full
+  *     corpus. On a real cluster the assignment output would be written
+  *     bucketed by `centroid_id` so probes become partition-pruned scans.
+  */
+object EmbeddingQueries {
+
+  private val K       = 5
+  private val NProbe  = 2
+  private val NQuery  = 10
+  /** Deterministic "training": every 100th vector is a centroid. */
+  private val CentroidStride = 100
+
+  private def qEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+
+  /** Brute-force exact cosine top-k: each of the first `NQuery` vectors
+    * against the whole corpus (self excluded).
+    */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val q = qEmb(s, dir).filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+    val c = qEmb(s, dir)
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qcosine(col("quv"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** IVF cluster assignment: nearest centroid per vector (the "index
+    * build" pass). One broadcast join + per-partition top-1.
+    */
+  def annIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val cents = qEmb(s, dir)
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    qEmb(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        qcosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("sim"))
+  }
+
+  /** IVF search: each query probes its `NProbe` nearest centroids and
+    * ranks only the members of those clusters — the pruned-search shape
+    * (approximate: recall < 1 by design; deterministic given the pinned
+    * centroid choice, so still oracle-verifiable).
+    */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val cents = qEmb(s, dir)
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    // index: every vector assigned to its nearest centroid
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val assigned = qEmb(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        qcosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(qEmb(s, dir), "vec_id")
+    // probe lists: NProbe nearest centroids per query
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val probes = qEmb(s, dir).filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("quv"), col("centroid_id"),
+        qcosine(col("quv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("quv"), col("centroid_id"))
+    // search only the probed clusters
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(assigned, "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qcosine(col("quv"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Per-label corpus stats: count + average vector norm (norms rounded
+    * to the 1e-6 decimal grid before the order-independent exact sum).
+    */
+  def embLabelStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        sqrt(qdot(qvec(col("embedding")), qvec(col("embedding")))
+          .cast("double")).as("qnorm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+           davg(col("qnorm") / 1000000.0).as("avg_norm"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_force" -> annBruteForce _,
+    "ann_ivf_assign"  -> annIvfAssign _,
+    "ann_ivf_topk"    -> annIvfTopk _,
+    "emb_label_stats" -> embLabelStats _)
+
+  /** Shared oracle fragments (DuckDB). */
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_force" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $qvecSql AS quv
+         |           FROM embeddings WHERE vec_id < $NQuery),
+         |c AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |sims AS (
+         |  SELECT query_id, vec_id, ${cosSql("quv", "qv")} AS sim
+         |  FROM c JOIN q ON vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_ivf_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, $qvecSql AS cv
+         |               FROM embeddings WHERE vec_id % $CentroidStride = 0),
+         |v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |sims AS (
+         |  SELECT vec_id, centroid_id, ${cosSql("qv", "cv")} AS sim
+         |  FROM v CROSS JOIN cents),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM sims)
+         |SELECT vec_id, centroid_id, sim FROM ranked WHERE rn = 1""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, $qvecSql AS cv
+         |               FROM embeddings WHERE vec_id % $CentroidStride = 0),
+         |v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, centroid_id) AS rn
+         |    FROM v CROSS JOIN cents) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.qv", "cv")} DESC, centroid_id) AS rn
+         |    FROM v q CROSS JOIN cents WHERE q.vec_id < $NQuery)
+         |  WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id),
+         |sims AS (
+         |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
+         |  FROM cand c
+         |  JOIN v qc ON qc.vec_id = c.query_id
+         |  JOIN v cc ON cc.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "emb_label_stats" ->
+      s"""SELECT label, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(sqrt(${dotSql("qv", "qv")}) / 1000000.0
+         |      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+         |FROM (SELECT label, $qvecSql AS qv FROM embeddings)
+         |GROUP BY label""".stripMargin)
+}

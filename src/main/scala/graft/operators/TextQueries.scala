@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting — the per-document feature extraction stage of
+  * an LLM-data pipeline.
+  *
+  * Everything is narrow (per-row map over pruned columns, zero shuffles
+  * until the final small aggregate), built from codegen'd string/array
+  * builtins — at 100 TB these queries are pure scan-throughput, which is
+  * exactly what you want feature extraction to be. All ratios divide
+  * exact integer counts as the final step, so results are bit-identical
+  * to the DuckDB oracles.
+  */
+object TextQueries {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Order of `LangPriority` is the deterministic tie-break.
+    */
+  private val StopEn = Seq("the", "of", "and", "to", "a", "in", "is", "it",
+    "for", "on", "with", "as")
+  private val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "una",
+    "los", "las", "del", "por")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine",
+    "nicht", "mit", "den", "von", "zu")
+  private val StopFr = Seq("le", "la", "les", "de", "des", "et", "un", "une",
+    "est", "dans", "pour", "que")
+
+  private def lowToks(c: Column): Column = tokens(lower(c))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private def sqlStopHits(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(
+      "len(list_filter(toks, t -> t IN (", ", ", ")))")
+
+  /** Per-document statistics + a simple integer quality score:
+    * +1 each for (a) healthy average token length [3,12], (b) some
+    * non-trivial length (≥20 tokens), (c) moderate punctuation (<20%).
+    * The score is a deterministic integer; ratios are exact divisions.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      size(tokens(col("text"))).as("n_toks"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_toks"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")))
+        .as("n_punct"),
+      stopHits(lowToks(col("text")), StopEn).as("n_stop"))
+    d.select(
+      col("doc_id"), col("len").cast("long").as("n_chars"),
+      col("n_toks").cast("long").as("n_tokens"),
+      col("n_ws_toks").cast("long").as("n_ws_tokens"),
+      (col("len").cast("double") / col("n_toks")).as("avg_tok_len"),
+      (col("n_punct").cast("double") / col("len")).as("punct_ratio"),
+      (col("n_stop").cast("double") / col("n_toks")).as("stopword_ratio"),
+      (when(col("len").cast("double") / col("n_toks") >= 3.0 &&
+            col("len").cast("double") / col("n_toks") <= 12.0, 1)
+        .otherwise(0) +
+       when(col("n_toks") >= 20, 1).otherwise(0) +
+       when(col("n_punct").cast("double") / col("len") < 0.2, 1)
+        .otherwise(0)).cast("long").as("quality_score"))
+  }
+
+  /** Language identification by stopword-hit argmax (CJK presence short-
+    * circuits to `zh`; zero hits ⇒ `und`; ties break en>es>de>fr). The
+    * output is the lang × predicted-lang confusion matrix — small enough
+    * to collect at any scale, per-doc work is map-only.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = lowToks(col("text"))
+    val sEn = stopHits(toks, StopEn)
+    val sEs = stopHits(toks, StopEs)
+    val sDe = stopHits(toks, StopDe)
+    val sFr = stopHits(toks, StopFr)
+    val nHan = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+    val pred =
+      when(nHan > 0, "zh")
+        .when(sEn + sEs + sDe + sFr === 0, "und")
+        .when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+        .when(sEs >= sDe && sEs >= sFr, "es")
+        .when(sDe >= sFr, "de")
+        .otherwise("fr")
+    Tables.documents(s, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Token counting per source: whitespace tokens vs a BPE-ish regex
+    * tokenization (letter runs | digit runs | single other non-space) —
+    * the standard pre-tokenizer shape. Counts are exact integers.
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val bpe = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("long")
+          .as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws")).as("n_ws_tokens"),
+           sum(col("bpe")).as("n_bpe_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"  -> textStats _,
+    "lang_id"     -> langId _,
+    "token_count" -> tokenCount _)
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+         |        t -> t <> '')) AS n_toks,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_ws_toks,
+         |    length(text) - length(regexp_replace(text,
+         |        '[\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct,
+         |    len(list_filter(
+         |        list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+         |                    t -> t <> ''),
+         |        t -> t IN (${StopEn.map(w => s"'$w'").mkString(", ")})))
+         |      AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
+         |  CAST(n_toks AS BIGINT) AS n_tokens,
+         |  CAST(n_ws_toks AS BIGINT) AS n_ws_tokens,
+         |  CAST(len AS DOUBLE) / n_toks AS avg_tok_len,
+         |  CAST(n_punct AS DOUBLE) / len AS punct_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_toks AS stopword_ratio,
+         |  CAST((CASE WHEN CAST(len AS DOUBLE) / n_toks >= 3.0
+         |              AND CAST(len AS DOUBLE) / n_toks <= 12.0
+         |             THEN 1 ELSE 0 END) +
+         |       (CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN CAST(n_punct AS DOUBLE) / len < 0.2
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+         |FROM d""".stripMargin,
+    "lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${sqlStopHits(StopEn)} AS s_en,
+         |    ${sqlStopHits(StopEs)} AS s_es,
+         |    ${sqlStopHits(StopDe)} AS s_de,
+         |    ${sqlStopHits(StopFr)} AS s_fr,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS n_han
+         |  FROM (SELECT lang, text,
+         |          list_filter(regexp_split_to_array(lower(text),
+         |              '[^\\p{L}]+'), t -> t <> '') AS toks
+         |        FROM documents))
+         |SELECT lang,
+         |  CASE WHEN n_han > 0 THEN 'zh'
+         |       WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang,
+         |  COUNT(*) AS n_docs
+         |FROM scored GROUP BY 1, 2""".stripMargin,
+    "token_count" ->
+      raw"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           |    AS n_ws_tokens,
+           |  CAST(SUM(len(regexp_extract_all(text,
+           |      '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT)
+           |    AS n_bpe_tokens
+           |FROM documents GROUP BY source""".stripMargin)
+}
