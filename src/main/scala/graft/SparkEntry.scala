@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{CorpusQueries, DedupQueries, EmbeddingQueries,
-  RelationalQueries, TextQueries}
+  MultimodalQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (DedupQueries.queries, DedupQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
-    (EmbeddingQueries.queries, EmbeddingQueries.oracles))
+    (EmbeddingQueries.queries, EmbeddingQueries.oracles),
+    (MultimodalQueries.queries, MultimodalQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sanity + invariance specs for the LLM-pipeline operators (dedup,
+  * text analysis, similarity search). Exact value parity vs DuckDB is
+  * the driver's gate (tools/check_oracle.py); these specs pin the
+  * structural properties that must hold at any scale.
+  */
+class PipelineQueriesSpec extends SparkSpec {
+
+  test("all pipeline queries execute and return rows at sf0.001") {
+    val mods = Seq(DedupQueries.queries, TextQueries.queries,
+      EmbeddingQueries.queries)
+    for (qs <- mods; (name, fn) <- qs) {
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("dedup_exact: canonical ids are minimal and copies cover the corpus") {
+    val rows = DedupQueries.dedupExact(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_copies")).sum
+    assert(total === 500L)
+    assert(rows.forall(_.getAs[Long]("n_copies") >= 1L))
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs") {
+    // Pairs with true Jaccard >= 0.5 that LSH misses should be rare;
+    // with 4x4 bands, J=0.5 collides with p = 1-(1-0.5^4)^4 ~ 0.23 per
+    // pair, but every EXACT duplicate pair (J=1) must be found.
+    val lsh = DedupQueries.dedupMinhashLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.dedupNgramJaccard(spark, sf0001)
+      .filter("jaccard >= 0.9999").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed exact-duplicate pairs: ${exact -- lsh}")
+  }
+
+  test("simhash fingerprints are 32-bit strings, stable across partitions") {
+    val a = DedupQueries.dedupSimhash(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = DedupQueries.dedupSimhash(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("jaccard scores are within (0, 1]") {
+    val sims = DedupQueries.dedupNgramJaccard(spark, sf0001)
+      .collect().map(_.getAs[Double]("jaccard"))
+    assert(sims.forall(j => j > 0.0 && j <= 1.0))
+  }
+
+  test("ann_brute_force: k neighbors per query, descending similarity") {
+    val rows = EmbeddingQueries.annBruteForce(spark, sf0001).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size === 10)
+    perQ.values.foreach { ns =>
+      assert(ns.length === 5)
+      val sims = ns.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), "not sorted by sim desc")
+      assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
+    }
+  }
+
+  test("ivf top-k is the pruned subset of brute force (recall sanity)") {
+    val bf = EmbeddingQueries.annBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = EmbeddingQueries.annIvfTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe=2 of 5 clusters: expect meaningful but imperfect recall
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall > 0.2, s"IVF recall suspiciously low: $recall")
+    assert(ivf.size <= bf.size + 50)
+  }
+
+  test("lang_id confusion matrix covers every document") {
+    val n = TextQueries.langId(spark, sf0001)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(n === 500L)
+  }
+
+  test("text_stats ratios are in-range and quality score in 0..3") {
+    val rows = TextQueries.textStats(spark, sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0.0 &&
+             r.getAs[Double]("punct_ratio") <= 1.0)
+      assert(r.getAs[Double]("stopword_ratio") >= 0.0 &&
+             r.getAs[Double]("stopword_ratio") <= 1.0)
+      val q = r.getAs[Long]("quality_score")
+      assert(q >= 0L && q <= 3L)
+    }
+  }
+}
