@@ -94,15 +94,12 @@ object DedupQueries {
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    val hashed = sh.select(col("doc_id"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("h"),
-        col("shingle"))
-      .select(col("doc_id"), col("h"),
-        md5(concat(col("h").cast("string"), lit(":"), col("shingle")))
-          .as("hv"))
+    // 16 min-hashes as 16 aggregation columns over the shingle rows —
+    // no explode-by-hash-id, so the shuffle moves |shingles| rows (with
+    // map-side partial mins), not 16×|shingles|.
     val sigCols = (0 until NumHashes).map(i =>
-      min(when(col("h") === i, col("hv"))).as(s"m$i"))
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
@@ -172,9 +169,17 @@ object DedupQueries {
 
   /** Winnowing-style document fingerprint: the 5 lexicographically
     * smallest md5s of the doc's character 8-grams — a compact sketch for
-    * containment/near-dup lookup. Bounded agg state (top-5 mins).
+    * containment/near-dup lookup.
+    *
+    * Uses the native `graft_min_k` aggregate ([[graft.functions.MinKDistinct]])
+    * instead of `sort_array(collect_set(...))[1:5]`: the agg buffer is a
+    * bounded ≤5-string set with map-side partial aggregation, so the
+    * shuffle moves 5 hashes per doc per partition — not every 8-gram of
+    * every document, which is the difference between O(k) and O(doc
+    * length) shuffle bytes at 100 TB.
     */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("nt"))
       .filter(length(col("nt")) >= 8)
@@ -182,10 +187,10 @@ object DedupQueries {
         explode(transform(sequence(lit(1), length(col("nt")) - 7), i =>
           md5(substring(col("nt"), i, lit(8)))))
           .as("gh"))
-      .distinct()
       .groupBy("doc_id")
-      .agg(array_join(slice(sort_array(collect_set(col("gh"))), 1, 5), ",")
+      .agg(array_join(call_function("graft_min_k", col("gh"), lit(5)), ",")
         .as("fingerprint"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> dedupExact _,

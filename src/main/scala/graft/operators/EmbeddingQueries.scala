@@ -36,20 +36,29 @@ object EmbeddingQueries {
   /** Deterministic "training": every 100th vector is a centroid. */
   private val CentroidStride = 100
 
+  /** Quantized vectors WITH precomputed norm: `sqrt(dot(v,v))` is
+    * computed once per vector here rather than once per candidate pair
+    * inside the join (a 3x reduction in dot products; values are
+    * bit-identical because the expression tree per pair is unchanged:
+    * dot/sqrt(na)/sqrt(nb)).
+    */
   private def qEmb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
 
   /** Brute-force exact cosine top-k: each of the first `NQuery` vectors
     * against the whole corpus (self excluded).
     */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val q = qEmb(s, dir).filter(col("vec_id") < NQuery)
-      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"),
+        col("nrm").as("qnrm"))
     val c = qEmb(s, dir)
     val sims = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        qcosine(col("quv"), col("qv")).as("sim"))
+        (qdot(col("quv"), col("qv")).cast("double") / col("qnrm") /
+          col("nrm")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
@@ -64,13 +73,15 @@ object EmbeddingQueries {
   def annIvfAssign(s: SparkSession, dir: String): DataFrame = {
     val cents = qEmb(s, dir)
       .filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
     qEmb(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        qcosine(col("qv"), col("cv")).as("sim"))
+        (qdot(col("qv"), col("cv")).cast("double") / col("nrm") /
+          col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("sim"))
@@ -84,14 +95,16 @@ object EmbeddingQueries {
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val cents = qEmb(s, dir)
       .filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
     // index: every vector assigned to its nearest centroid
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
     val assigned = qEmb(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        qcosine(col("qv"), col("cv")).as("sim"))
+        (qdot(col("qv"), col("cv")).cast("double") / col("nrm") /
+          col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
@@ -100,20 +113,23 @@ object EmbeddingQueries {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
     val probes = qEmb(s, dir).filter(col("vec_id") < NQuery)
-      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"),
+        col("nrm").as("qnrm"))
       .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("quv"), col("centroid_id"),
-        qcosine(col("quv"), col("cv")).as("sim"))
+      .select(col("query_id"), col("quv"), col("qnrm"), col("centroid_id"),
+        (qdot(col("quv"), col("cv")).cast("double") / col("qnrm") /
+          col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= NProbe)
-      .select(col("query_id"), col("quv"), col("centroid_id"))
+      .select(col("query_id"), col("quv"), col("qnrm"), col("centroid_id"))
     // search only the probed clusters
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        qcosine(col("quv"), col("qv")).as("sim"))
+        (qdot(col("quv"), col("qv")).cast("double") / col("qnrm") /
+          col("nrm")).as("sim"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
