@@ -48,19 +48,22 @@ object DedupQueries {
   private val normSql =
     raw"trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g'))"
 
-  /** 3-token shingles of the normalized text (distinct per doc).
-    * `docShingles` is the shared front end of minhash / jaccard.
+  /** 3-token shingles of the normalized text; `docShingles` is the shared
+    * front end of minhash / jaccard. `dedup=false` skips the distinct
+    * shuffle for consumers whose aggregation is duplicate-insensitive
+    * (minhash: min over a larger multiset is unchanged).
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+  private def docShingles(s: SparkSession, dir: String,
+                          dedup: Boolean = true): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 3)
-    toks.select(col("doc_id"),
+    val sh = toks.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("t")) - 3), i =>
           concat_ws(" ", element_at(col("t"), i + 1),
             element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
           .as("shingle"))
-      .distinct()
+    if (dedup) sh.distinct() else sh
   }
 
   private val shinglesSql =
@@ -93,7 +96,7 @@ object DedupQueries {
     * the shingle set, and the pair stage shuffles only bucket ids.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
+    val sh = docShingles(s, dir, dedup = false)
     // 16 min-hashes as 16 aggregation columns over the shingle rows —
     // no explode-by-hash-id, so the shuffle moves |shingles| rows (with
     // map-side partial mins), not 16×|shingles|.
@@ -142,18 +145,22 @@ object DedupQueries {
     * final IEEE division. Pairs with J ≥ 0.5 survive.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-    val nonStop = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDF)
-        .select("shingle"),
-      "shingle")
-    val sizes = nonStop.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = nonStop.as("a")
-    val b = nonStop.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted-list formulation: ONE groupBy(shingle) builds the posting
+    // lists; pair generation is a relational explode over each list (the
+    // MaxDF cap bounds it at O(MaxDF²) per shingle) and per-doc sizes
+    // fall out of the same lists — so the corpus is scanned twice and the
+    // doc-shingle set shuffles once, vs the naive self-join's 6 scans.
+    val lists = docShingles(s, dir)
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= MaxDF)
+    val sizes = lists.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = lists.filter(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
