@@ -35,6 +35,8 @@ object EmbeddingQueries {
   private val NQuery  = 10
   /** Deterministic "training": every 100th vector is a centroid. */
   private val CentroidStride = 100
+  /** Near-dup cosine threshold (see [[dedupEmbedding]] note). */
+  private val DupThreshold = 0.35
 
   /** Quantized vectors WITH precomputed norm: `sqrt(dot(v,v))` is
     * computed once per vector here rather than once per candidate pair
@@ -136,6 +138,43 @@ object EmbeddingQueries {
         col("rank"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, cluster-blocked: candidate
+    * pairs come only from vectors sharing an IVF cluster (never a full
+    * cross join — the blocking is what survives 100 TB), then exact
+    * quantized cosine filters at [[DupThreshold]].
+    *
+    * Threshold note: the synthetic harness embeddings have no true
+    * near-dups (max pairwise cosine ≈ 0.48), so the threshold is set low
+    * enough to exercise the operator; production near-dup would use
+    * ~0.95 with the identical plan.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val cents = qEmb(s, dir)
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val assigned = qEmb(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"),
+        (qdot(col("qv"), col("cv")).cast("double") / col("nrm") /
+          col("cnrm")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (qdot(col("qa"), col("qb")).cast("double") / col("na") / col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= DupThreshold)
+  }
+
   /** Per-label corpus stats: count + average vector norm (norms rounded
     * to the 1e-6 decimal grid before the order-independent exact sum).
     */
@@ -152,6 +191,7 @@ object EmbeddingQueries {
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_assign"  -> annIvfAssign _,
     "ann_ivf_topk"    -> annIvfTopk _,
+    "dedup_embedding" -> dedupEmbedding _,
     "emb_label_stats" -> embLabelStats _)
 
   /** Shared oracle fragments (DuckDB). */
@@ -223,6 +263,24 @@ object EmbeddingQueries {
          |  FROM sims)
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, $qvecSql AS cv
+         |               FROM embeddings WHERE vec_id % $CentroidStride = 0),
+         |v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, centroid_id) AS rn
+         |    FROM v CROSS JOIN cents) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosSql("va.qv", "vb.qv")} AS sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= $DupThreshold""".stripMargin,
     "emb_label_stats" ->
       s"""SELECT label, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(sqrt(${dotSql("qv", "qv")}) / 1000000.0
