@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,10 +44,17 @@ object EmbeddingQueries {
     * bit-identical because the expression tree per pair is unchanged:
     * dot/sqrt(na)/sqrt(nb)).
     */
-  private def qEmb(s: SparkSession, dir: String): DataFrame =
+  /** Native codegen'd dot product (graft.functions.QDotLong) — one fused
+    * loop instead of interpreted zip_with/aggregate lambdas. */
+  private def ndot(a: Column, b: Column): Column =
+    call_function("graft_qdot", a, b)
+
+  private def qEmb(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-      .withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+      .withColumn("nrm", sqrt(ndot(col("qv"), col("qv")).cast("double")))
+  }
 
   /** Brute-force exact cosine top-k: each of the first `NQuery` vectors
     * against the whole corpus (self excluded).
@@ -59,7 +66,7 @@ object EmbeddingQueries {
     val c = qEmb(s, dir)
     val sims = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (qdot(col("quv"), col("qv")).cast("double") / col("qnrm") /
+        (ndot(col("quv"), col("qv")).cast("double") / col("qnrm") /
           col("nrm")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -82,7 +89,7 @@ object EmbeddingQueries {
     qEmb(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        (qdot(col("qv"), col("cv")).cast("double") / col("nrm") /
+        (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
           col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -105,7 +112,7 @@ object EmbeddingQueries {
     val assigned = qEmb(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        (qdot(col("qv"), col("cv")).cast("double") / col("nrm") /
+        (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
           col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
@@ -119,7 +126,7 @@ object EmbeddingQueries {
         col("nrm").as("qnrm"))
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("quv"), col("qnrm"), col("centroid_id"),
-        (qdot(col("quv"), col("cv")).cast("double") / col("qnrm") /
+        (ndot(col("quv"), col("cv")).cast("double") / col("qnrm") /
           col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= NProbe)
@@ -130,7 +137,7 @@ object EmbeddingQueries {
     probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (qdot(col("quv"), col("qv")).cast("double") / col("qnrm") /
+        (ndot(col("quv"), col("qv")).cast("double") / col("qnrm") /
           col("nrm")).as("sim"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= K)
@@ -158,7 +165,7 @@ object EmbeddingQueries {
     val assigned = qEmb(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"),
-        (qdot(col("qv"), col("cv")).cast("double") / col("nrm") /
+        (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
           col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
@@ -170,7 +177,7 @@ object EmbeddingQueries {
     a.join(b, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (qdot(col("qa"), col("qb")).cast("double") / col("na") / col("nb"))
+        (ndot(col("qa"), col("qb")).cast("double") / col("na") / col("nb"))
           .as("sim"))
       .filter(col("sim") >= DupThreshold)
   }
@@ -178,14 +185,16 @@ object EmbeddingQueries {
   /** Per-label corpus stats: count + average vector norm (norms rounded
     * to the 1e-6 decimal grid before the order-independent exact sum).
     */
-  def embLabelStats(s: SparkSession, dir: String): DataFrame =
+  def embLabelStats(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     Tables.embeddings(s, dir)
       .select(col("label"),
-        sqrt(qdot(qvec(col("embedding")), qvec(col("embedding")))
+        sqrt(ndot(qvec(col("embedding")), qvec(col("embedding")))
           .cast("double")).as("qnorm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vectors"),
            davg(col("qnorm") / 1000000.0).as("avg_norm"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> annBruteForce _,

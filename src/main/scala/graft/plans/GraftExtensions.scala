@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.MinKDistinct
+import graft.functions.{MinKDistinct, QDotLong}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -15,8 +15,10 @@ import graft.functions.MinKDistinct
   *     by the query catalog so any driver-created session works.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minKFunction)
+    ext.injectFunction(GraftExtensions.qdotFunction)
+  }
 }
 
 object GraftExtensions {
@@ -35,10 +37,22 @@ object GraftExtensions {
       MinKDistinct(children.head, k)
     })
 
+  private val qdotFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_qdot"),
+    new ExpressionInfo(classOf[QDotLong].getName, "graft_qdot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_qdot(a, b) takes 2 arguments")
+      QDotLong(children.head, children(1))
+    })
+
   /** Idempotent per-session registration (re-registering overwrites). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       minKFunction._1, minKFunction._2, minKFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      qdotFunction._1, qdotFunction._2, qdotFunction._3)
+  }
 
   /** `graft_min_k` as a Column, for DataFrame-API callers. */
   def minK(spark: SparkSession, c: Column, k: Int): Column = {
