@@ -99,10 +99,19 @@ object DedupQueries {
     val sh = docShingles(s, dir, dedup = false)
     // 16 min-hashes as 16 aggregation columns over the shingle rows —
     // no explode-by-hash-id, so the shuffle moves |shingles| rows (with
-    // map-side partial mins), not 16×|shingles|.
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // map-side partial mins), not 16×|shingles|. md5 dominates the cost
+    // (measured), so each shingle computes only NumBands md5s, carved
+    // into four 8-hex-char (32-bit) windows each: hash h = window h%4 of
+    // md5 "(h/4):shingle". Fixed-width lowercase hex ⇒ lexicographic min
+    // == numeric min, so no hex→int conversion is needed (conv() costs
+    // more than it saves — also measured).
+    val seeded = sh.select(Seq(col("doc_id")) ++ (0 until NumBands).map(j =>
+      md5(concat(lit(s"$j:"), col("shingle"))).as(s"h$j")): _*)
+    val sigCols = (0 until NumHashes).map { i =>
+      val (j, w) = (i / 4, i % 4)
+      min(substring(col(s"h$j"), w * 8 + 1, 8)).as(s"m$i")
+    }
+    val sig = seeded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
@@ -212,8 +221,10 @@ object DedupQueries {
   private val simhashBitsSql = (1 to 32).map(i =>
     s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
-  private val minhashSigSql = (0 until NumHashes).map(i =>
-    s"MIN(CASE WHEN h = $i THEN hv END) AS m$i").mkString(",\n    ")
+  private val minhashSigSql = (0 until NumHashes).map { i =>
+    val (j, w) = (i / 4, i % 4)
+    s"MIN(substr(h$j, ${w * 8 + 1}, 8)) AS m$i"
+  }.mkString(",\n    ")
   private val minhashBandSql = (0 until NumBands).map { b =>
     val cols = (0 until BandRows).map(r => s"m${b * BandRows + r}")
     s"  SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS sig FROM sig"
@@ -226,13 +237,15 @@ object DedupQueries {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$shinglesSql,
-         |hashed AS (
-         |  SELECT doc_id, h, md5(CAST(h AS VARCHAR) || ':' || shingle) AS hv
-         |  FROM sh, unnest(generate_series(0, ${NumHashes - 1})) AS hh(h)),
+         |seeded AS (
+         |  SELECT doc_id,
+         |    ${(0 until NumBands).map(j =>
+                 s"md5('$j:' || shingle) AS h$j").mkString(", ")}
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id,
          |    $minhashSigSql
-         |  FROM hashed GROUP BY doc_id),
+         |  FROM seeded GROUP BY doc_id),
          |bands AS (
          |$minhashBandSql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
