@@ -267,7 +267,22 @@ object RelationalQueries {
            max(col("p_retailprice")).as("max_price"),
            davg(col("p_retailprice")).as("avg_price"))
 
+  /** Same engine through the SQL surface: registered views + spark.sql.
+    * The statement is the DuckDB oracle verbatim — one ANSI string, two
+    * engines, hash-identical results.
+    */
+  def sqlRevenueByPriority(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlRevenueByPriority)
+  }
+
+  private val SqlRevenueByPriority =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_revenue_by_priority" -> sqlRevenueByPriority _,
     "q1_pricing_summary"     -> q1PricingSummary _,
     "q3_top_orders"          -> q3TopOrders _,
     "q5_region_revenue"      -> q5RegionRevenue _,
@@ -288,6 +303,7 @@ object RelationalQueries {
     "part_stats_by_type"     -> partStatsByType _)
 
   val oracles: Map[String, String] = Map(
+    "sql_revenue_by_priority" -> SqlRevenueByPriority,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
