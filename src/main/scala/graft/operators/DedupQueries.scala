@@ -196,13 +196,16 @@ object DedupQueries {
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
+    // the transform lambda emits the (cheap) substrings; md5 stays a
+    // top-level expression so it runs codegen'd, not interpreted
+    // per-element inside the higher-order function
     Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("nt"))
       .filter(length(col("nt")) >= 8)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), length(col("nt")) - 7), i =>
-          md5(substring(col("nt"), i, lit(8)))))
-          .as("gh"))
+          substring(col("nt"), i, lit(8)))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
       .groupBy("doc_id")
       .agg(array_join(call_function("graft_min_k", col("gh"), lit(5)), ",")
         .as("fingerprint"))
