@@ -159,9 +159,12 @@ object DedupQueries {
     // MaxDF cap bounds it at O(MaxDF²) per shingle) and per-doc sizes
     // fall out of the same lists — so the corpus is scanned twice and the
     // doc-shingle set shuffles once, vs the naive self-join's 6 scans.
-    val lists = docShingles(s, dir)
+    // collect_set subsumes the per-doc shingle dedup (its partial-agg
+    // buffer is already a set), so the raw shingles shuffle once instead
+    // of distinct-then-regroup shuffling them twice.
+    val lists = docShingles(s, dir, dedup = false)
       .groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= MaxDF)
     val sizes = lists.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
