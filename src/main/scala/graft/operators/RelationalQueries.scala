@@ -249,6 +249,78 @@ object RelationalQueries {
            dsum(col("value")).as("sum_value"))
   }
 
+  /** Events: as-of join — for each purchase, the latest view by the same
+    * user at-or-before the purchase timestamp.
+    *
+    * Spark has no ASOF JOIN operator; the naive encoding (equi-join on
+    * user + inequality on ts + argmax) explodes to |views|×|purchases|
+    * rows per user before pruning. This is the scale-correct form:
+    * union-tag both sides, one window over (user, ts) with a carry-
+    * forward `last(_, ignoreNulls)` — a single shuffle on user_id,
+    * linear scan per partition, zero intermediate blow-up. Views are
+    * first collapsed to one row per (user, ts) (max event_id) so the
+    * at-or-before winner is unique and both engines agree on ties.
+    */
+  def eventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    // side 0 sorts before side 1 at equal ts ⇒ a same-instant view is
+    // visible to the purchase (inclusive "at-or-before", matching the
+    // oracle's `purchase_ts >= view ts`)
+    val tagged = views
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("view_id"),
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(purchases.select(col("user_id"), col("ts"),
+        lit(1).as("side"), lit(null).cast("long").as("view_id"),
+        col("purchase_id")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("view_id",
+        last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  private val HourUs = 3600000000L
+
+  /** Events: range (interval) join — errors by the same user in the hour
+    * after each purchase.
+    *
+    * An inequality join in Spark falls back to BroadcastNestedLoopJoin —
+    * O(n·m) per user and a broadcast of a fact table. Bucketizing time to
+    * the window length keeps it a hash equi-join: an error in
+    * (p, p+1h] lives in hour-bucket(p) or bucket(p)+1, so each purchase
+    * probes exactly two (user, bucket) keys and the exact interval
+    * predicate filters the residue. Shuffle is on (user_id, bucket) —
+    * finer than user_id alone, so hot users spread across partitions.
+    * All comparisons are integer microseconds in both engines.
+    */
+  def eventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("err_us"))
+      .withColumn("bucket", floor(col("err_us") / HourUs))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("b0", floor(col("p_us") / HourUs))
+    purchases
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      .join(errors, Seq("user_id", "bucket"))
+      .filter(col("err_us") > col("p_us") &&
+              col("err_us") <= col("p_us") + HourUs)
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_errors"))
+  }
+
   /** Events: JSON prop extraction + bucketed aggregate. */
   def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -299,6 +371,8 @@ object RelationalQueries {
     "orders_by_month"        -> ordersByMonth _,
     "events_hourly"          -> eventsHourly _,
     "events_sessionize"      -> eventsSessionize _,
+    "events_asof_join"       -> eventsAsofJoin _,
+    "events_range_join"      -> eventsRangeJoin _,
     "events_json_props"      -> eventsJsonProps _,
     "part_stats_by_type"     -> partStatsByType _)
 
@@ -440,6 +514,23 @@ object RelationalQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "events_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, p.user_id, purchase_ts,
+        |       v.view_id, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.purchase_ts >= v.ts""".stripMargin,
+    "events_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, COUNT(*) AS n_errors
+        |FROM events p JOIN events e
+        |  ON e.user_id = p.user_id AND e.event_type = 'error'
+        | AND epoch_us(e.ts) > epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
     "events_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |  COUNT(*) AS n_events,
