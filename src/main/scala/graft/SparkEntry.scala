@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{CorpusQueries, DedupQueries, EmbeddingQueries,
-  MultimodalQueries, RelationalQueries, TextQueries}
+  MultimodalQueries, RelationalQueries, SamplingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
     (EmbeddingQueries.queries, EmbeddingQueries.oracles),
+    (SamplingQueries.queries, SamplingQueries.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -17,7 +17,8 @@ class SparkEntrySpec extends SparkSpec {
     val mods = Seq(
       operators.CorpusQueries.queries, operators.RelationalQueries.queries,
       operators.DedupQueries.queries, operators.TextQueries.queries,
-      operators.EmbeddingQueries.queries, operators.MultimodalQueries.queries)
+      operators.EmbeddingQueries.queries, operators.SamplingQueries.queries,
+      operators.MultimodalQueries.queries)
     val total = mods.map(_.size).sum
     assert(total === SparkEntry.queries.size,
       "duplicate query names across modules")
