@@ -329,6 +329,18 @@ object RelationalQueries {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
 
+  /** Equi-width histogram of order values: one groupBy on an integer
+    * bucket id (IEEE division + floor is bit-identical in both engines),
+    * partial-aggregated — histogram building at 100 TB is a pure
+    * map-side-combine scan.
+    */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / lit(50000.0)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+
   /** Per-type part stats: count / distinct / min / max / exact avg. */
   def partStatsByType(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
@@ -374,6 +386,7 @@ object RelationalQueries {
     "events_asof_join"       -> eventsAsofJoin _,
     "events_range_join"      -> eventsRangeJoin _,
     "events_json_props"      -> eventsJsonProps _,
+    "price_histogram"        -> priceHistogram _,
     "part_stats_by_type"     -> partStatsByType _)
 
   val oracles: Map[String, String] = Map(
@@ -536,6 +549,12 @@ object RelationalQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "part_stats_by_type" ->
       """SELECT p_type, COUNT(*) AS n_parts,
         |  COUNT(DISTINCT p_brand) AS n_brands,

@@ -112,10 +112,28 @@ object TextQueries {
            sum(col("bpe")).as("n_bpe_tokens"))
   }
 
+  /** Term statistics for TF-IDF: for the 50 highest-document-frequency
+    * terms, the document frequency and total term frequency. All counts
+    * are exact integers (the IDF log is left to the consumer — keeping
+    * the operator integer-only makes it engine-exact); the tf explode
+    * feeds ONE partial-aggregated groupBy(term), and top-k by (df, term)
+    * is a total order.
+    */
+  def docTermStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(lowToks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_stats"  -> textStats _,
-    "lang_id"     -> langId _,
-    "token_count" -> tokenCount _)
+    "text_stats"     -> textStats _,
+    "lang_id"        -> langId _,
+    "token_count"    -> tokenCount _,
+    "doc_term_stats" -> docTermStats _)
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -167,6 +185,18 @@ object TextQueries {
          |       ELSE 'fr' END AS pred_lang,
          |  COUNT(*) AS n_docs
          |FROM scored GROUP BY 1, 2""".stripMargin,
+    "doc_term_stats" ->
+      raw"""WITH tf AS (
+           |  SELECT term, doc_id, COUNT(*) AS tf
+           |  FROM (SELECT doc_id,
+           |          unnest(regexp_split_to_array(lower(text), '[^\p{L}]+'))
+           |            AS term
+           |        FROM documents)
+           |  WHERE term <> ''
+           |  GROUP BY term, doc_id)
+           |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+           |FROM tf GROUP BY term
+           |ORDER BY df DESC, term LIMIT 50""".stripMargin,
     "token_count" ->
       raw"""SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
