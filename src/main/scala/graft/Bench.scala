@@ -25,7 +25,10 @@ object Bench {
       val w = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
       if (new java.io.File(w).exists) w else sfDir
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names to time (iteration aid)
+    val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+                 else SparkEntry.queries
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       val t0 = System.nanoTime()

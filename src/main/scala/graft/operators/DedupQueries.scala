@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -48,22 +51,30 @@ object DedupQueries {
   private val normSql =
     raw"trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g'))"
 
-  /** 3-token shingles of the normalized text; `docShingles` is the shared
-    * front end of minhash / jaccard. `dedup=false` skips the distinct
-    * shuffle for consumers whose aggregation is duplicate-insensitive
-    * (minhash: min over a larger multiset is unchanged).
+  /** Tokenized documents for the typed (map-side) dedup kernels. The
+    * lower/split stays RELATIONAL so tokenization is Spark-exact (JVM
+    * `String.toLowerCase` applies full case mapping, e.g. ß→ss, which
+    * would diverge from Spark's and DuckDB's simple mapping); only the
+    * hash kernels below run in typed code.
     */
-  private def docShingles(s: SparkSession, dir: String,
-                          dedup: Boolean = true): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  private def docTokens(s: SparkSession, dir: String)
+      : Dataset[(Long, Array[String])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 3)
-    val sh = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 3), i =>
-          concat_ws(" ", element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
-          .as("shingle"))
-    if (dedup) sh.distinct() else sh
+      .as[(Long, Array[String])]
+  }
+
+  private def md5Hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
   }
 
   private val shinglesSql =
@@ -89,44 +100,94 @@ object DedupQueries {
 
   /** MinHash + LSH near-dup candidates.
     *
-    * Pipeline: shingles → 16 md5-min signatures per doc → 4 bands of 4 →
-    * band-bucket join → candidate pairs with the number of agreeing bands.
-    * The per-(doc,hash) min is a single conditional-aggregation pass (16
-    * `min(when(h=i))` columns), so the signature stage is one shuffle of
-    * the shingle set, and the pair stage shuffles only bucket ids.
+    * Pipeline: tokens → per-doc 16-min signature + 4 band signatures
+    * (single typed map pass, zero shuffle) → band-bucket join → candidate
+    * pairs with the number of agreeing bands. Values are bit-identical to
+    * the pure-SQL oracle: hash h = 8-hex-char window h%4 of
+    * md5("(h/4):shingle"), minimized per doc.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir, dedup = false)
-    // 16 min-hashes as 16 aggregation columns over the shingle rows —
-    // no explode-by-hash-id, so the shuffle moves |shingles| rows (with
-    // map-side partial mins), not 16×|shingles|. md5 dominates the cost
-    // (measured), so each shingle computes only NumBands md5s, carved
-    // into four 8-hex-char (32-bit) windows each: hash h = window h%4 of
-    // md5 "(h/4):shingle". Fixed-width lowercase hex ⇒ lexicographic min
-    // == numeric min, so no hex→int conversion is needed (conv() costs
-    // more than it saves — also measured).
-    val seeded = sh.select(Seq(col("doc_id")) ++ (0 until NumBands).map(j =>
-      md5(concat(lit(s"$j:"), col("shingle"))).as(s"h$j")): _*)
-    val sigCols = (0 until NumHashes).map { i =>
-      val (j, w) = (i / 4, i % 4)
-      min(substring(col(s"h$j"), w * 8 + 1, 8)).as(s"m$i")
-    }
-    val sig = seeded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|",
-            (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*))
-            .as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    import s.implicits._
+    // The whole signature stage is MAP-SIDE: one typed pass per document
+    // computes all 16 min-hashes and the 4 band signatures — no shuffle
+    // of shingle rows at all (the relational formulation shuffled
+    // |shingles| rows into a groupBy(doc_id); at 100 TB that shuffle IS
+    // the job). Hash h of a shingle = 32-bit window h%4 of
+    // md5("(h/4):shingle"), digested directly from token bytes (no
+    // shingle string is ever built); unsigned-int min == lexicographic
+    // min of the fixed-width lowercase hex the oracle takes. Only the
+    // (doc_id, band, sig) rows — 4 per doc — reach the LSH bucket join.
+    val prefixes = (0 until NumBands).map(j => s"$j:".getBytes(UTF_8)).toArray
+    val bands = docTokens(s, dir).mapPartitions { docs =>
+      val md = MessageDigest.getInstance("MD5")
+      docs.flatMap { case (docId, toks) =>
+        val tb = new Array[Array[Byte]](toks.length)
+        var t = 0
+        while (t < toks.length) { tb(t) = toks(t).getBytes(UTF_8); t += 1 }
+        val mins = Array.fill(NumHashes)(-1) // 0xffffffff = unsigned max
+        var i = 0
+        while (i + 2 < tb.length) {
+          var j = 0
+          while (j < NumBands) {
+            md.reset()
+            md.update(prefixes(j))
+            md.update(tb(i)); md.update(' '.toByte)
+            md.update(tb(i + 1)); md.update(' '.toByte)
+            md.update(tb(i + 2))
+            val d = md.digest()
+            var w = 0
+            while (w < BandRows) {
+              val v = ((d(w * 4) & 0xff) << 24) | ((d(w * 4 + 1) & 0xff) << 16) |
+                ((d(w * 4 + 2) & 0xff) << 8) | (d(w * 4 + 3) & 0xff)
+              val k = j * 4 + w
+              if (java.lang.Integer.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+              w += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        (0 until NumBands).toArray.map { b =>
+          val bandStr = (0 until BandRows)
+            .map(r => f"${mins(b * BandRows + r)}%08x").mkString("|")
+          (docId, b, md5Hex(md.digest(bandStr.getBytes(UTF_8))))
+        }
+      }
+    }.toDF("doc_id", "band", "sig")
+    // Bucket-local pair expansion instead of a bands⨝bands self-join: a
+    // self-join would recompute the typed signature subtree once per side
+    // (object-operator plans don't canonicalize for exchange reuse), and
+    // at scale a join shuffles the band rows twice. One groupBy(bucket)
+    // + in-bucket pair loop touches every band row exactly once. Within a
+    // band a doc appears once, so pair multiplicity = #agreeing bands.
+    bands
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(col("docs")).as[Array[Long]]
+      .flatMap(pairsOf)
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** All ascending (a, b) pairs of a sorted id list — the in-bucket
+    * candidate expansion shared by the LSH and Jaccard operators.
+    */
+  private def pairsOf(docs: Array[Long]): Array[(Long, Long)] = {
+    val out = new Array[(Long, Long)](docs.length * (docs.length - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < docs.length) {
+      var j = i + 1
+      while (j < docs.length) {
+        out(k) = (docs(i), docs(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** SimHash: 32-bit fingerprint from the top bit of each md5 nibble of
@@ -154,26 +215,57 @@ object DedupQueries {
     * final IEEE division. Pairs with J ≥ 0.5 survive.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // Inverted-list formulation: ONE groupBy(shingle) builds the posting
-    // lists; pair generation is a relational explode over each list (the
-    // MaxDF cap bounds it at O(MaxDF²) per shingle) and per-doc sizes
-    // fall out of the same lists — so the corpus is scanned twice and the
-    // doc-shingle set shuffles once, vs the naive self-join's 6 scans.
-    // collect_set subsumes the per-doc shingle dedup (its partial-agg
-    // buffer is already a set), so the raw shingles shuffle once instead
-    // of distinct-then-regroup shuffling them twice.
-    val lists = docShingles(s, dir, dedup = false)
+    // lists; pair generation explodes each list (the MaxDF cap bounds it
+    // at O(MaxDF²) per shingle) and per-doc sizes fall out of the same
+    // lists — so the corpus is scanned twice and the doc-shingle set
+    // shuffles once, vs the naive self-join's 6 scans. Shingle emission
+    // and pair expansion are typed kernels (a per-doc hash set / an
+    // index loop) — the relational HOF equivalents run interpreted,
+    // outside whole-stage codegen.
+    val shingleRows = docTokens(s, dir).flatMap { case (docId, toks) =>
+      val seen = new java.util.HashSet[String]()
+      val out = Seq.newBuilder[(Long, String)]
+      var i = 0
+      while (i + 2 < toks.length) {
+        val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        if (seen.add(sh)) out += ((docId, sh))
+        i += 1
+      }
+      out.result()
+    }.toDF("doc_id", "shingle")
+    val lists = shingleRows
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= MaxDF)
-    val sizes = lists.select(explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = lists.filter(size(col("docs")) >= 2)
-      .select(explode(flatten(transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Diagonal trick: ONE pass over the posting lists emits (d, d) per
+    // member plus (a, b) per ascending pair; after groupBy-count the
+    // diagonal rows ARE the per-doc sizes and the off-diagonal rows the
+    // intersections — so sizes don't need a second traversal of `lists`
+    // (object-operator subtrees don't get exchange reuse; without this
+    // the whole shingle pipeline ran once per consumer). The aggregated
+    // pair table is tiny (candidates + one diagonal row per doc), so it
+    // is eagerly localCheckpoint'ed and the final joins read the
+    // materialized blocks instead of re-running the corpus scan.
+    val pairCounts = lists
+      .select(col("docs")).as[Array[Long]]
+      .flatMap { docs =>
+        val pairs = pairsOf(docs)
+        val out = new Array[(Long, Long)](docs.length + pairs.length)
+        var i = 0
+        while (i < docs.length) { out(i) = (docs(i), docs(i)); i += 1 }
+        System.arraycopy(pairs, 0, out, docs.length, pairs.length)
+        out
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val sizes = pairCounts.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("n").as("sz"))
+    val inter = pairCounts.filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n").as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
         "doc_a")
@@ -187,31 +279,91 @@ object DedupQueries {
   }
 
   /** Winnowing-style document fingerprint: the 5 lexicographically
-    * smallest md5s of the doc's character 8-grams — a compact sketch for
-    * containment/near-dup lookup.
+    * smallest distinct md5s of the doc's character 8-grams — a compact
+    * sketch for containment/near-dup lookup.
     *
-    * Uses the native `graft_min_k` aggregate ([[graft.functions.MinKDistinct]])
-    * instead of `sort_array(collect_set(...))[1:5]`: the agg buffer is a
-    * bounded ≤5-string set with map-side partial aggregation, so the
-    * shuffle moves 5 hashes per doc per partition — not every 8-gram of
-    * every document, which is the difference between O(k) and O(doc
-    * length) shuffle bytes at 100 TB.
+    * Computed entirely MAP-SIDE: one typed pass per document keeps a
+    * bounded ≤5 set of smallest digests — the relational version
+    * exploded every 8-gram (O(doc length) rows) into a groupBy(doc_id);
+    * this one emits exactly one row per doc and shuffles nothing, which
+    * is the difference between O(k) and O(doc length) intermediate bytes
+    * at 100 TB. Gram windows are CODE-POINT based (like Spark's
+    * `substring` and DuckDB's `substr`), with an ASCII fast path that
+    * digests straight out of one shared byte array.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.register(s)
-    // the transform lambda emits the (cheap) substrings; md5 stays a
-    // top-level expression so it runs codegen'd, not interpreted
-    // per-element inside the higher-order function
+    import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("nt"))
-      .filter(length(col("nt")) >= 8)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("nt")) - 7), i =>
-          substring(col("nt"), i, lit(8)))).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
-      .groupBy("doc_id")
-      .agg(array_join(call_function("graft_min_k", col("gh"), lit(5)), ",")
-        .as("fingerprint"))
+      .as[(Long, String)]
+      .mapPartitions { docs =>
+        val md = MessageDigest.getInstance("MD5")
+        // top-5 smallest distinct 16-byte digests, ascending
+        val top = new Array[Array[Byte]](5)
+        def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+          var i = 0
+          while (i < 16) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          0
+        }
+        docs.flatMap { case (docId, nt) =>
+          var ascii = true
+          var surrogate = false
+          var ci = 0
+          while (ci < nt.length) {
+            val c = nt.charAt(ci)
+            if (c >= 128) ascii = false
+            if (Character.isHighSurrogate(c)) surrogate = true
+            ci += 1
+          }
+          // code-point count == char count unless supplementary chars
+          val nCp = if (surrogate) nt.codePointCount(0, nt.length) else nt.length
+          if (nCp < 8) Iterator.empty
+          else {
+            var n = 0 // entries used in `top`
+            def offer(d: Array[Byte]): Unit = {
+              if (n == 5 && cmp(d, top(4)) >= 0) return
+              var i = 0
+              while (i < n && cmp(top(i), d) < 0) i += 1
+              if (i < n && cmp(top(i), d) == 0) return // duplicate
+              val last = math.min(n, 4)
+              var j = last
+              while (j > i) { top(j) = top(j - 1); j -= 1 }
+              top(i) = d
+              if (n < 5) n += 1
+            }
+            if (ascii) {
+              val bytes = nt.getBytes(UTF_8)
+              var i = 0
+              while (i + 8 <= bytes.length) {
+                md.reset(); md.update(bytes, i, 8)
+                offer(md.digest())
+                i += 1
+              }
+            } else {
+              // windows over code points (Spark/DuckDB substring semantics)
+              val cps = nt.codePoints().toArray
+              var i = 0
+              while (i + 8 <= cps.length) {
+                offer(md.digest(new String(cps, i, 8).getBytes(UTF_8)))
+                i += 1
+              }
+            }
+            val sb = new java.lang.StringBuilder(5 * 33)
+            var i = 0
+            while (i < n) {
+              if (i > 0) sb.append(',')
+              sb.append(md5Hex(top(i)))
+              i += 1
+            }
+            Iterator.single((docId, sb.toString))
+          }
+        }
+      }
+      .toDF("doc_id", "fingerprint")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
