@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{CorpusQueries, DedupQueries, EmbeddingQueries,
-  MultimodalQueries, RelationalQueries, SamplingQueries, TextQueries}
+  MultimodalQueries, OlapQueries, RelationalQueries, SamplingQueries,
+  SourceQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +27,9 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (EmbeddingQueries.queries, EmbeddingQueries.oracles),
     (SamplingQueries.queries, SamplingQueries.oracles),
-    (MultimodalQueries.queries, MultimodalQueries.oracles))
+    (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (OlapQueries.queries, OlapQueries.oracles),
+    (SourceQueries.queries, SourceQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

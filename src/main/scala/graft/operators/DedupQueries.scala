@@ -366,10 +366,62 @@ object DedupQueries {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Max docs per simhash band bucket — the skew guard for the pair
+    * expansion (same role as [[MaxDF]] for Jaccard).
+    */
+  private val MaxBucket = 200L
+
+  /** SimHash near-dup pairs: candidates from 4 8-bit bands of the 32-bit
+    * fingerprint (a pair is a candidate iff some band matches — hamming
+    * distance ≤ 4 guarantees ≥1 clean band by pigeonhole, so recall is
+    * exact for the ≤4 threshold modulo the bucket cap). The simhash rides
+    * along into the bucket lists, so the exact hamming check runs inside
+    * the in-bucket pair loop (early-exit past 4) and only surviving pairs
+    * reach the final distinct — no join back to the fingerprint table,
+    * no shuffle of failed candidates.
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = dedupSimhash(s, dir).select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * 8 + 1, 8).as("sub"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.sub"))
+    bands
+      .groupBy("band", "sub")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("simhash").as("_2")))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxBucket))
+      .select(col("docs")).as[Array[(Long, String)]]
+      .flatMap { docs =>
+        val out = Seq.newBuilder[(Long, Long, Int)]
+        var i = 0
+        while (i < docs.length) {
+          var j = i + 1
+          while (j < docs.length) {
+            val (sa, sb) = (docs(i)._2, docs(j)._2)
+            var ham = 0
+            var k = 0
+            while (k < 32 && ham <= 4) {
+              if (sa.charAt(k) != sb.charAt(k)) ham += 1
+              k += 1
+            }
+            if (ham <= 4) out += ((docs(i)._1, docs(j)._1, ham))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> dedupExact _,
     "dedup_minhash_lsh"   -> dedupMinhashLsh _,
     "dedup_simhash"       -> dedupSimhash _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "doc_fingerprint"     -> docFingerprint _)
 
@@ -378,6 +430,22 @@ object DedupQueries {
     .mkString(",\n    ")
   private val simhashBitsSql = (1 to 32).map(i =>
     s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** Shared simhash CTE chain (tok → sums → sims) for the simhash and
+    * simhash-pairs oracles.
+    */
+  private lazy val simhashCteSql =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, md5(w) AS th
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> ''),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $simhashSumsSql
+       |  FROM tok GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $simhashBitsSql AS simhash FROM sums)"""
+      .stripMargin
 
   private val minhashSigSql = (0 until NumHashes).map { i =>
     val (j, w) = (i / 4, i % 4)
@@ -411,16 +479,30 @@ object DedupQueries {
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, md5(w) AS th
-         |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
-         |        FROM documents)
-         |  WHERE w <> ''),
-         |sums AS (
-         |  SELECT doc_id,
-         |    $simhashSumsSql
-         |  FROM tok GROUP BY doc_id)
-         |SELECT doc_id, $simhashBitsSql AS simhash FROM sums""".stripMargin,
+      s"WITH $simhashCteSql\nSELECT doc_id, simhash FROM sims",
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCteSql,
+         |bands AS (
+         |  SELECT doc_id, b, substr(simhash, b * 8 + 1, 8) AS sub
+         |  FROM sims, unnest([0, 1, 2, 3]) AS u(b)),
+         |buckets AS (
+         |  SELECT b, sub FROM bands GROUP BY b, sub
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN buckets k ON x.b = k.b AND x.sub = k.sub
+         |       JOIN bands y ON y.b = k.b AND y.sub = k.sub
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${(1 to 32).map(i =>
+              s"(CASE WHEN substr(sa.simhash, $i, 1) <> " +
+              s"substr(sb.simhash, $i, 1) THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS hamming
+         |  FROM pairs
+         |  JOIN sims sa ON sa.doc_id = doc_a
+         |  JOIN sims sb ON sb.doc_id = doc_b)
+         |WHERE hamming <= 4""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shinglesSql,
          |nonstop AS (

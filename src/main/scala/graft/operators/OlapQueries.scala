@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions._
+
+/** OLAP operator breadth over the star schema: multi-dimensional
+  * aggregation (CUBE, pivot), exact distribution statistics (interpolated
+  * quartiles, correlation), analytic windows (ntile, lag-gaps, grouped
+  * top-k), correlated scalar subqueries, and a skew-salted join.
+  *
+  * Determinism rules (every query is DuckDB-hash-verified, see
+  * [[graft.functions]]): money/ratio aggregates go through exact decimal
+  * sums; quartiles interpolate over integer cents so the interpolation
+  * arithmetic (ints × dyadic fractions) is exact in both engines; the
+  * correlation coefficient is assembled from exact decimal moment sums
+  * with an identically-shaped IEEE expression in both engines; every
+  * window/rank order is a total order (explicit key tie-breaks).
+  */
+object OlapQueries {
+
+  /** CUBE over (status, priority): all 2^2 grouping sets in one pass.
+    * Spark plans this as a single Expand + partial/final aggregate —
+    * one shuffle regardless of how many sets, same as at 100 TB.
+    */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Pivot: order-line counts + revenue with linestatus spread across
+    * columns. The pivot values are pinned (`Seq("O","F")`) so the output
+    * schema is static — at scale an unpinned pivot would need a separate
+    * distinct-values job before planning.
+    */
+  def pivotReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("l_extendedprice")).as("rev"))
+
+  /** Exact interpolated quartiles of part price per brand. Prices are
+    * quantized to integer cents first: `percentile` then interpolates
+    * lo + (hi−lo)·frac over exact integers with frac ∈ {0,.25,.5,.75} —
+    * every intermediate is exactly representable, so Spark and DuckDB
+    * (`quantile_cont`) agree bit-for-bit; a raw-double percentile could
+    * differ in the last ulp depending on each engine's formula shape.
+    */
+  def percentileBrandPrices(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("p_retailprice") * 100).cast("long")
+    Tables.part(s, dir)
+      .select(col("p_brand"), cents.as("cents"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+           (percentile(col("cents"), lit(0.25)) / 100.0).as("p25"),
+           (percentile(col("cents"), lit(0.5)) / 100.0).as("p50"),
+           (percentile(col("cents"), lit(0.75)) / 100.0).as("p75"))
+  }
+
+  /** Correlated scalar subquery through the SQL surface — one ANSI
+    * statement, both engines: parts priced above their type's average.
+    * Catalyst decorrelates the subquery into an aggregate + join (visible
+    * as a single shuffle on p_type), rather than per-row re-execution.
+    */
+  def sqlPartsAboveTypeAvg(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlPartsAboveTypeAvg)
+  }
+
+  private val SqlPartsAboveTypeAvg =
+    """SELECT p_partkey, p_type, p_retailprice
+      |FROM part p
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+      |           / COUNT(*)
+      |  FROM part p2 WHERE p2.p_type = p.p_type)""".stripMargin
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * assembled from EXACT INTEGER moment sums: x = quantity (integral),
+    * y = price in cents (corr is scale-invariant, so the ×100 cancels),
+    * with n·Σxy − Σx·Σy and the variance terms computed in wide exact
+    * arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT) and only then
+    * cast to double. A double-space m·s − t·u combination differs across
+    * engines by an ulp when one of them contracts it to FMA, and Spark's
+    * built-in `corr` accumulates doubles in partition order — neither is
+    * cross-engine reproducible.
+    */
+  def corrQuantityPrice(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(20,0)")
+    val y = round(col("l_extendedprice") * 100).cast("decimal(20,0)")
+    val n   = count(lit(1)).cast("decimal(20,0)")
+    val sx  = sum(x)
+    val sy  = sum(y)
+    val sxy = sum(x * y)
+    val sxx = sum(x * x)
+    val syy = sum(y * y)
+    val num  = (n * sxy - sx * sy).cast("double")
+    val varx = (n * sxx - sx * sx).cast("double")
+    val vary = (n * syy - sy * sy).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+           (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"))
+  }
+
+  /** Per-user inter-event gaps (lag over an explicit total order) —
+    * the session-feature extraction shape: one shuffle by user_id, then
+    * a per-user rollup of exact microsecond deltas.
+    */
+  def eventsUserGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           count(col("gap_us")).as("n_gaps"),
+           max(col("gap_us")).as("max_gap_us"),
+           (sum(col("gap_us")).cast("double") / count(col("gap_us")))
+             .as("avg_gap_us"))
+  }
+
+  /** ntile quartiles of account balance within each market segment —
+    * ranking shuffles once by segment; the (balance, custkey) order is
+    * total so tile boundaries are deterministic.
+    */
+  def ntileCustomers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("balance_quartile"))
+  }
+
+  /** Skew-salted repartition join: the fact side spreads each hot join
+    * key across 8 salt buckets (deterministic salt from the line number),
+    * the dim side replicates each row into all 8 — so one pathological
+    * orderkey lands on 8 reducers instead of 1. Result is provably
+    * identical to the unsalted join (the oracle IS the unsalted join).
+    * At 100 TB this is the manual fallback when AQE's skew split can't
+    * kick in (e.g. pre-shuffled bucketed inputs).
+    */
+  def saltedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber"), lit(nSalt)).as("salt"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(array((0 until nSalt).map(lit): _*)).as("salt"))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"))
+  }
+
+  /** Grouped top-k: 3 highest-value users per event type. Two-level
+    * shape: exact decimal per-(type,user) sums (one shuffle), then rank
+    * within type — the rank shuffle moves only the aggregated rows.
+    */
+  def topkUsersByType(s: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    sums.select(col("event_type"), col("user_id"), col("total_value"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_orders"             -> cubeOrders _,
+    "pivot_returns"           -> pivotReturns _,
+    "percentile_brand_prices" -> percentileBrandPrices _,
+    "sql_parts_above_type_avg" -> sqlPartsAboveTypeAvg _,
+    "corr_quantity_price"     -> corrQuantityPrice _,
+    "events_user_gaps"        -> eventsUserGaps _,
+    "ntile_customers"         -> ntileCustomers _,
+    "salted_join_revenue"     -> saltedJoinRevenue _,
+    "topk_users_by_type"      -> topkUsersByType _)
+
+  val oracles: Map[String, String] = Map(
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "pivot_returns" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (l_linestatus = 'O') AS O_n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+        |       FILTER (l_linestatus = 'O') AS DOUBLE) AS O_rev,
+        |  COUNT(*) FILTER (l_linestatus = 'F') AS F_n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+        |       FILTER (l_linestatus = 'F') AS DOUBLE) AS F_rev
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "percentile_brand_prices" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  quantile_cont(CAST(round(p_retailprice * 100) AS BIGINT), 0.25)
+        |    / 100.0 AS p25,
+        |  quantile_cont(CAST(round(p_retailprice * 100) AS BIGINT), 0.5)
+        |    / 100.0 AS p50,
+        |  quantile_cont(CAST(round(p_retailprice * 100) AS BIGINT), 0.75)
+        |    / 100.0 AS p75
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "sql_parts_above_type_avg" -> SqlPartsAboveTypeAvg,
+    "corr_quantity_price" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_lines,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_lines,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |FROM m""".stripMargin,
+    "events_user_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
+        |  max(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us
+        |FROM g GROUP BY user_id""".stripMargin,
+    "ntile_customers" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal, c_custkey) AS balance_quartile
+        |FROM customer""".stripMargin,
+    // ^ DuckDB ntile is BIGINT; Spark side casts to long to match.
+    "salted_join_revenue" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "topk_users_by_type" ->
+      """WITH sums AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, user_id, total_value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY total_value DESC, user_id) AS rnk
+        |  FROM sums)
+        |SELECT * FROM ranked WHERE rnk <= 3""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.core.Tables
+import graft.functions._
+
+/** Source/sink breadth (SURVEY.md §2.3): the reference engine reads whole
+  * text files and writes `"key value"` text lines plus JSON-lines
+  * intermediates; this module exercises the Spark-native equivalents —
+  * CSV, JSON-lines, and text round-trips through real on-disk files, and
+  * a Structured Streaming file source — each verified against a DuckDB
+  * oracle over the original parquet (a lossy round-trip would
+  * hash-mismatch, so the encode/decode fidelity itself is under test).
+  *
+  * Round-trip files land under `target/graft-io` (repo-local scratch).
+  * Timestamps are written with explicit microsecond patterns (the CSV/
+  * JSON defaults truncate to millis); doubles survive exactly because
+  * Spark emits shortest-round-trip decimal strings.
+  */
+object SourceQueries {
+
+  private def ioDir(name: String): String = {
+    val f = new java.io.File(s"target/graft-io/$name")
+    f.mkdirs()
+    f.getAbsolutePath
+  }
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** orders → CSV files → read back (explicit schema, no inference job)
+    * → aggregate. Oracle aggregates the parquet directly, so the CSV
+    * encode/decode must be value-exact.
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val path = ioDir("csv_orders")
+    orders.write.mode("overwrite")
+      .option("timestampFormat", TsFmt).csv(path)
+    s.read.schema(orders.schema)
+      .option("timestampFormat", TsFmt).csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"),
+           max(col("o_orderdate")).as("last_order"))
+  }
+
+  /** lineitem (pruned) → JSON-lines files → read back → aggregate. The
+    * reference's shuffle files were exactly this encoding
+    * (mr/worker.go:112-117); here it is a first-class source/sink.
+    */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate"))
+    val path = ioDir("json_lineitem")
+    li.write.mode("overwrite")
+      .option("timestampFormat", TsFmt).json(path)
+    s.read.schema(li.schema)
+      .option("timestampFormat", TsFmt).json(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           max(col("l_shipdate")).as("last_ship"))
+  }
+
+  /** Word count → `"word count"` text lines (the reference's output
+    * format, mr/worker.go:175) → read back → parse → re-emit. The result
+    * must equal the in-memory word count, proving the text sink+scan pair
+    * is lossless for the reference's own data shape.
+    */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("text_wc")
+    CorpusQueries.wc(s, dir)
+      .select(concat_ws(" ", col("word"), col("cnt")))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(split(col("value"), " ").as("kv"))
+      .select(element_at(col("kv"), 1).as("word"),
+        element_at(col("kv"), 2).cast("long").as("cnt"))
+  }
+
+  /** The hourly event rollup as a STRUCTURED STREAMING job: file source
+    * over the same parquet, 1-hour tumbling windows, Complete-mode memory
+    * sink, Trigger.AvailableNow (process everything, then stop) — the
+    * bounded-run harness for an unbounded pipeline. Incremental partial
+    * aggregation per micro-batch is the streaming twin of the batch
+    * partial+final agg, and the result hash-matches the same DuckDB
+    * oracle as the batch query.
+    */
+  def streamingEventsHourly(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_hourly"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source monitors a DIRECTORY; expose the single
+    // parquet file through a repo-local scratch dir (symlink, no copy)
+    val streamDir = java.nio.file.Paths.get(ioDir("stream_events"))
+      .resolve(java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rawSchema = s.read.parquet(link.toString).schema // ts = nanos long
+    val agg = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"),
+           davg(col("value")).as("avg_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(qName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qName)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_roundtrip"    -> csvRoundtrip _,
+    "source_json_roundtrip"   -> jsonRoundtrip _,
+    "source_text_roundtrip"   -> textRoundtrip _,
+    "streaming_events_hourly" -> streamingEventsHourly _)
+
+  val oracles: Map[String, String] = Map(
+    "source_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "source_json_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "source_text_roundtrip" ->
+      raw"""SELECT word, COUNT(*) AS cnt
+           |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+'))
+           |        AS word FROM documents)
+           |WHERE word <> '' GROUP BY word""".stripMargin,
+    "streaming_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value)
+        |    AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

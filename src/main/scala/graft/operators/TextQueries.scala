@@ -143,11 +143,41 @@ object TextQueries {
       .orderBy(col("df").desc, col("term"))
       .limit(50)
 
+  /** Top-50 word bigrams (with multiplicity) over lowercased letter
+    * tokens — the n-gram language-model counting shape. Bigram emission
+    * is a typed kernel (string concat per position, no interpreted HOF);
+    * one partial-aggregated groupBy(bigram) and a total-order top-k
+    * (count desc, bigram asc) follow.
+    */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(split(trim(regexp_replace(lower(col("text")), TokenSep, " ")),
+        " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .as[Array[String]]
+      .flatMap { toks =>
+        val out = new Array[String](toks.length - 1)
+        var i = 0
+        while (i < toks.length - 1) {
+          out(i) = toks(i) + " " + toks(i + 1)
+          i += 1
+        }
+        out
+      }
+      .toDF("bigram")
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"     -> textStats _,
     "lang_id"        -> langId _,
     "token_count"    -> tokenCount _,
-    "doc_term_stats" -> docTermStats _)
+    "doc_term_stats" -> docTermStats _,
+    "ngram_freq"     -> ngramFreq _)
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -211,6 +241,17 @@ object TextQueries {
            |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
            |FROM tf GROUP BY term
            |ORDER BY df DESC, term LIMIT 50""".stripMargin,
+    "ngram_freq" ->
+      raw"""WITH toks AS (
+           |  SELECT string_split(trim(regexp_replace(lower(text),
+           |    '[^\p{L}]+', ' ', 'g')), ' ') AS t
+           |  FROM documents),
+           |bg AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS bigram
+           |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2)
+           |SELECT bigram, COUNT(*) AS cnt FROM bg
+           |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
     "token_count" ->
       raw"""SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

@@ -18,7 +18,8 @@ class SparkEntrySpec extends SparkSpec {
       operators.CorpusQueries.queries, operators.RelationalQueries.queries,
       operators.DedupQueries.queries, operators.TextQueries.queries,
       operators.EmbeddingQueries.queries, operators.SamplingQueries.queries,
-      operators.MultimodalQueries.queries)
+      operators.MultimodalQueries.queries, operators.OlapQueries.queries,
+      operators.SourceQueries.queries)
     val total = mods.map(_.size).sum
     assert(total === SparkEntry.queries.size,
       "duplicate query names across modules")
