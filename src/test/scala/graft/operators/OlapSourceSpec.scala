@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structural specs for the OLAP-breadth and source/streaming modules.
+  * Exact value parity vs DuckDB is the driver's gate
+  * (tools/check_oracle.py); these pin the invariants that must hold at
+  * any scale or partitioning.
+  */
+class OlapSourceSpec extends SparkSpec {
+
+  test("all olap + source queries execute and return rows at sf0.001") {
+    for ((name, fn) <- OlapQueries.queries ++ SourceQueries.queries) {
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("salted join equals the plain unsalted join") {
+    val salted = OlapQueries.saltedJoinRevenue(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = graft.core.Tables.lineitem(spark, sf0001)
+      .join(graft.core.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+           graft.functions.dsum(col("l_extendedprice") *
+             (lit(1.0) - col("l_discount"))).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("cube: finest cells sum to the grand total in every measure") {
+    val rows = OlapQueries.cubeOrders(spark, sf0001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val finest = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(finest.map(_.getAs[Long]("n_orders")).sum ===
+      grand.head.getAs[Long]("n_orders"))
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p75 per brand") {
+    OlapQueries.percentileBrandPrices(spark, sf0001).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75, s"unordered quartiles: $r")
+    }
+  }
+
+  test("ntile quartiles are balanced within each segment") {
+    OlapQueries.ntileCustomers(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("c_mktsegment")).values.foreach { seg =>
+        val sizes = seg.groupBy(_.getAs[Long]("balance_quartile"))
+          .view.mapValues(_.length).values
+        assert(sizes.max - sizes.min <= 1, s"unbalanced tiles: $sizes")
+      }
+  }
+
+  test("corr coefficients are within [-1, 1]") {
+    OlapQueries.corrQuantityPrice(spark, sf0001).collect().foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+    }
+  }
+
+  test("per-user gap counts are one less than event counts") {
+    OlapQueries.eventsUserGaps(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_gaps") === r.getAs[Long]("n_events") - 1)
+    }
+  }
+
+  test("grouped top-k emits at most 3 ascending ranks per type") {
+    OlapQueries.topkUsersByType(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+        val ranks = g.map(_.getAs[Long]("rnk")).sorted
+        assert(ranks.length <= 3)
+        assert(ranks === (1L to ranks.length).toSeq)
+      }
+  }
+
+  test("csv and json round-trips equal direct parquet aggregation") {
+    val direct = graft.core.Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.dsum(col("o_totalprice")).as("sum_price"),
+           max(col("o_orderdate")).as("last_order"))
+      .collect().map(_.toSeq).toSet
+    val viaCsv = SourceQueries.csvRoundtrip(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(viaCsv === direct, "CSV round-trip altered values")
+    val directJson = graft.core.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+           graft.functions.dsum(col("l_quantity")).as("sum_qty"),
+           graft.functions.dsum(col("l_extendedprice")).as("sum_price"),
+           max(col("l_shipdate")).as("last_ship"))
+      .collect().map(_.toSeq).toSet
+    val viaJson = SourceQueries.jsonRoundtrip(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(viaJson === directJson, "JSON round-trip altered values")
+  }
+
+  test("text round-trip reproduces the in-memory word count") {
+    val direct = CorpusQueries.wc(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rt = SourceQueries.textRoundtrip(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rt === direct)
+  }
+
+  test("streaming hourly rollup equals the batch query, all columns") {
+    val batch = RelationalQueries.eventsHourly(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val stream = SourceQueries.streamingEventsHourly(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
+  test("simhash pairs: a < b, hamming within threshold, no duplicates") {
+    val rows = DedupQueries.queries("dedup_simhash_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall { case (a, b, h) => a < b && h >= 0 && h <= 4 })
+    assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
+  }
+
+  test("bigram top-50 is count-descending with deterministic ties") {
+    val rows = TextQueries.ngramFreq(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 50)
+    rows.sliding(2).foreach { case Array((b1, c1), (b2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && b1 < b2), s"order break: $b1/$c1 vs $b2/$c2")
+    }
+  }
+}
