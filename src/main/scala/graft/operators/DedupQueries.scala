@@ -417,12 +417,57 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Duplicate-cluster assignment: connected components over the strong
+    * LSH candidate pairs (≥2 agreeing bands), labeling every clustered
+    * doc with the smallest doc_id reachable from it — the step that turns
+    * pairwise dedup hits into keep/drop groups in a training pipeline.
+    *
+    * Iterative min-label propagation: each round joins current labels to
+    * the (symmetrized) edge list and takes the min over self + neighbor
+    * labels; `localCheckpoint` per round truncates the growing lineage
+    * (the standard large-scale CC loop — rounds ≈ log(component
+    * diameter), and near-dup components are shallow). Convergence is
+    * detected by the label-sum, which strictly decreases until fixpoint;
+    * the fixpoint (min id per component) is unique, so the result is
+    * independent of round count or partitioning. Oracle: DuckDB
+    * `WITH RECURSIVE` transitive closure over the same pairs.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).filter(col("n_bands") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // edges are consumed every round — materialize
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v"), col("src").as("label"))
+      .distinct().localCheckpoint()
+    var lastSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      val viaNeighbor = edges
+        .join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("label"))
+      val next = labels.select(col("v"), col("label")).union(viaNeighbor)
+        .groupBy("v").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextSum == lastSum
+      lastSum = nextSum
+      labels = next
+      round += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("component_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> dedupExact _,
     "dedup_minhash_lsh"   -> dedupMinhashLsh _,
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_components"    -> dedupComponents _,
     "doc_fingerprint"     -> docFingerprint _)
 
   private val simhashSumsSql = (1 to 32).map(i =>
@@ -456,28 +501,50 @@ object DedupQueries {
     s"  SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS sig FROM sig"
   }.mkString("\n  UNION ALL\n")
 
+  /** Shared CTE chain (shingles → signatures → bands → mh_pairs) for the
+    * minhash and connected-components oracles; caller prepends
+    * `WITH `/`WITH RECURSIVE `.
+    */
+  private lazy val minhashPairsBody =
+    s"""${shinglesSql.stripPrefix("WITH ")},
+       |seeded AS (
+       |  SELECT doc_id,
+       |    ${(0 until NumBands).map(j =>
+               s"md5('$j:' || shingle) AS h$j").mkString(", ")}
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minhashSigSql
+       |  FROM seeded GROUP BY doc_id),
+       |bands AS (
+       |$minhashBandSql),
+       |mh_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS text_hash,
          |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""$shinglesSql,
-         |seeded AS (
-         |  SELECT doc_id,
-         |    ${(0 until NumBands).map(j =>
-                 s"md5('$j:' || shingle) AS h$j").mkString(", ")}
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $minhashSigSql
-         |  FROM seeded GROUP BY doc_id),
-         |bands AS (
-         |$minhashBandSql)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $minhashPairsBody
+         |SELECT doc_a, doc_b, n_bands FROM mh_pairs""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsBody,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  WHERE n_bands >= 2
+         |  UNION
+         |  SELECT doc_b, doc_a FROM mh_pairs WHERE n_bands >= 2),
+         |reach AS (
+         |  SELECT DISTINCT src AS v, src AS w FROM edges
+         |  UNION
+         |  SELECT e.src, r.w FROM edges e JOIN reach r ON e.dst = r.v)
+         |SELECT v AS doc_id, MIN(w) AS component_id FROM reach
+         |GROUP BY v""".stripMargin,
     "dedup_simhash" ->
       s"WITH $simhashCteSql\nSELECT doc_id, simhash FROM sims",
     "dedup_simhash_pairs" ->

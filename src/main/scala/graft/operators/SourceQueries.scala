@@ -124,10 +124,28 @@ object SourceQueries {
     s.table(qName)
   }
 
+  /** Hive-style partitioned parquet write (`partitionBy(lang)`) + a read
+    * filtered on the partition column: the scan lists only the `lang=en`
+    * directory (partition PRUNING, visible as `PartitionFilters` in the
+    * plan), so at 100 TB the query touches 1/Nth of the data before a
+    * single row is read. Oracle aggregates the unpartitioned original.
+    */
+  def partitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("part_docs")
+    Tables.documents(s, dir).write.mode("overwrite")
+      .partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
+    "source_partitioned_prune" -> partitionedPrune _,
     "streaming_events_hourly" -> streamingEventsHourly _)
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +167,10 @@ object SourceQueries {
            |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+'))
            |        AS word FROM documents)
            |WHERE word <> '' GROUP BY word""".stripMargin,
+    "source_partitioned_prune" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
     "streaming_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS n_events,

@@ -125,6 +125,22 @@ class OlapSourceSpec extends SparkSpec {
     assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
   }
 
+  test("dedup components: labels are component minima and self-consistent") {
+    val labels = DedupQueries.dedupComponents(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every label is itself a member and labels itself (root property)
+    assert(labels.values.toSet.forall(c => labels.get(c).contains(c)))
+    // labels never exceed the member id they label (min-reachable)
+    assert(labels.forall { case (v, c) => c <= v })
+    // edges connect same-component members
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf0001)
+      .filter("n_bands >= 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"edge ($a,$b) crosses components")
+    }
+  }
+
   test("bigram top-50 is count-descending with deterministic ties") {
     val rows = TextQueries.ngramFreq(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)))
