@@ -145,6 +145,76 @@ object EmbeddingQueries {
         col("rank"), col("sim"))
   }
 
+  /** LSH tables: 4 tables × 8 random-hyperplane sign bits. Hyperplane
+    * components are ±1 derived from md5 parity (pinned hash family, so
+    * Spark and DuckDB compute identical buckets — the "randomness" is
+    * deterministic and verifiable, same discipline as the MinHash family).
+    */
+  private val LshTables = 4
+  private val LshBits   = 8
+
+  /** sign(t)(j)(i-1) for hyperplane bit j of table t, dimension i. */
+  private def lshSigns(dim: Int): Array[Array[Array[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshTables, LshBits, dim) { (t, j, i0) =>
+      val d = md.digest(s"$t:$j:${i0 + 1}".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) >= 8) 1 else -1
+    }
+  }
+
+  /** Sign-LSH approximate top-k: each vector hashes to one 8-bit bucket
+    * per table (sign of the exact integer dot with ±1 hyperplanes);
+    * candidates are the union over tables of same-bucket vectors, then
+    * exact cosine ranks them. The multi-table union is the recall knob
+    * (L tables of b bits: P[candidate] = 1−(1−cosᵇθ')ᴸ). At 100 TB the
+    * bucket table is a narrow (vec_id, table, bucket) relation bucketed
+    * by (table, bucket) — candidate generation is an equi-join, never a
+    * scan of the corpus per query.
+    */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = qEmb(s, dir)
+      .select(col("vec_id"), col("qv")).as[(Long, Array[Long])]
+      .mapPartitions { rows =>
+        var signs: Array[Array[Array[Int]]] = null
+        rows.flatMap { case (vecId, qv) =>
+          if (signs == null) signs = lshSigns(qv.length)
+          (0 until LshTables).map { t =>
+            val sb = new java.lang.StringBuilder(LshBits)
+            var j = 0
+            while (j < LshBits) {
+              var dot = 0L
+              var i = 0
+              while (i < qv.length) { dot += qv(i) * signs(t)(j)(i); i += 1 }
+              sb.append(if (dot >= 0L) '1' else '0')
+              j += 1
+            }
+            (vecId, t, sb.toString)
+          }
+        }
+      }.toDF("vec_id", "t", "bucket")
+    val q = buckets.filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val cand = q.join(buckets, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val qv = qEmb(s, dir)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .join(qv.select(col("vec_id").as("query_id"), col("qv").as("quv"),
+        col("nrm").as("qnrm")), "query_id")
+      .join(qv, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        (ndot(col("quv"), col("qv")).cast("double") / col("qnrm") /
+          col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, cluster-blocked: candidate
     * pairs come only from vectors sharing an IVF cluster (never a full
     * cross join — the blocking is what survives 100 TB), then exact
@@ -200,6 +270,7 @@ object EmbeddingQueries {
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_assign"  -> annIvfAssign _,
     "ann_ivf_topk"    -> annIvfTopk _,
+    "ann_lsh_topk"    -> annLshTopk _,
     "dedup_embedding" -> dedupEmbedding _,
     "emb_label_stats" -> embLabelStats _)
 
@@ -260,6 +331,38 @@ object EmbeddingQueries {
          |  SELECT p.query_id, a.vec_id
          |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
          |  WHERE a.vec_id <> p.query_id),
+         |sims AS (
+         |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
+         |  FROM cand c
+         |  JOIN v qc ON qc.vec_id = c.query_id
+         |  JOIN v cc ON cc.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, t, j,
+         |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)),
+         |      i -> qv[i] * (CASE WHEN substr(md5(t || ':' || j || ':' || i),
+         |                                     1, 1) >= '8'
+         |                    THEN 1 ELSE -1 END))) >= 0
+         |    THEN '1' ELSE '0' END AS bit
+         |  FROM v,
+         |       unnest(generate_series(0, ${LshTables - 1})) AS tt(t),
+         |       unnest(generate_series(0, ${LshBits - 1})) AS jj(j)),
+         |buckets AS (
+         |  SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bucket
+         |  FROM bits GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM buckets q JOIN buckets c
+         |    ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQuery),
          |sims AS (
          |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
          |  FROM cand c

@@ -148,7 +148,7 @@ object OlapQueries {
     * kick in (e.g. pre-shuffled bucketed inputs).
     */
   def saltedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
-    val nSalt = 8
+    val nSalt = 4
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
         pmod(col("l_linenumber"), lit(nSalt)).as("salt"))

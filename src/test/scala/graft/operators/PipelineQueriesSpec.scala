@@ -69,6 +69,18 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("lsh top-k neighbors are true-similarity-ranked within candidates") {
+    val rows = EmbeddingQueries.annLshTopk(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { ns =>
+      val byRank = ns.sortBy(_.getAs[Long]("rank"))
+      val sims = byRank.map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), "not sorted by sim desc")
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to byRank.length).toSeq)
+    }
+  }
+
   test("ivf top-k is the pruned subset of brute force (recall sanity)") {
     val bf = EmbeddingQueries.annBruteForce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
