@@ -164,6 +164,52 @@ object OlapQueries {
              .as("revenue"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per event type, next
+    * to the exact distinct count it estimates. The sketch state is the
+    * `graft_min_k` native aggregate — a bounded ≤k set with map-side
+    * partial aggregation, so the shuffle carries k hashes per group
+    * instead of every distinct user (THE reason sketches exist at
+    * 100 TB). Unlike HLL (`approx_count_distinct`), KMV over a pinned
+    * md5 family is deterministic and cross-engine verifiable: the k-th
+    * smallest hash is bit-identical in DuckDB, and the estimator
+    * (k−1)/u is one IEEE division. Groups with < k distinct members ARE
+    * the exact answer (the sketch degenerates losslessly).
+    */
+  def sketchDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val k = 64
+    val kth = conv(substring(element_at(col("arr"), k), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("exact_users"),
+           call_function("graft_min_k", col("h"), lit(k)).as("arr"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        when(size(col("arr")) < k, size(col("arr")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (kth / lit(4294967296.0)))
+          .as("kmv_users"))
+  }
+
+  /** TPC-H Q4 shape through the SQL surface: correlated EXISTS subquery
+    * (late-shipping orders per priority) — one ANSI statement, both
+    * engines; Catalyst plans the EXISTS as a left-semi hash join.
+    */
+  def sqlQ4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ4PriorityExists)
+  }
+
+  private val SqlQ4PriorityExists =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Grouped top-k: 3 highest-value users per event type. Two-level
     * shape: exact decimal per-(type,user) sums (one shuffle), then rank
     * within type — the rank shuffle moves only the aggregated rows.
@@ -188,7 +234,9 @@ object OlapQueries {
     "events_user_gaps"        -> eventsUserGaps _,
     "ntile_customers"         -> ntileCustomers _,
     "salted_join_revenue"     -> saltedJoinRevenue _,
-    "topk_users_by_type"      -> topkUsersByType _)
+    "topk_users_by_type"      -> topkUsersByType _,
+    "sketch_distinct_users"   -> sketchDistinctUsers _,
+    "sql_q4_priority_exists"  -> sqlQ4PriorityExists _)
 
   val oracles: Map[String, String] = Map(
     "cube_orders" ->
@@ -255,6 +303,22 @@ object OlapQueries {
         |                AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "sketch_distinct_users" ->
+      """WITH h AS (
+        |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS exact_users,
+        |    list_sort(list(DISTINCT h))[1:64] AS arr
+        |  FROM h GROUP BY event_type)
+        |SELECT event_type, n_events, exact_users,
+        |  CASE WHEN len(arr) < 64 THEN CAST(len(arr) AS DOUBLE)
+        |       ELSE 63.0 / (CAST(CAST('0x' || substr(arr[64], 1, 8)
+        |                              AS BIGINT) AS DOUBLE) / 4294967296.0)
+        |  END AS kmv_users
+        |FROM a""".stripMargin,
+    "sql_q4_priority_exists" -> SqlQ4PriorityExists,
     "topk_users_by_type" ->
       """WITH sums AS (
         |  SELECT event_type, user_id,

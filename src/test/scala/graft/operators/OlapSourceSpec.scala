@@ -125,6 +125,16 @@ class OlapSourceSpec extends SparkSpec {
     assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
   }
 
+  test("KMV sketch estimates land within 3x of the exact distinct count") {
+    // k=64 gives ~12% standard error; 3x is a loose structural bound
+    OlapQueries.sketchDistinctUsers(spark, sf0001).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val est = r.getAs[Double]("kmv_users")
+      assert(est > exact / 3 && est < exact * 3,
+        s"KMV estimate $est vs exact $exact")
+    }
+  }
+
   test("dedup components: labels are component minima and self-consistent") {
     val labels = DedupQueries.dedupComponents(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
