@@ -30,6 +30,23 @@ object SourceQueries {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** The file-stream source monitors a DIRECTORY; expose the single
+    * events parquet file through a repo-local scratch dir (symlink, no
+    * copy), one per sf dir. Also flips the nanos-as-long conf the events
+    * schema needs (see [[graft.core.Tables.events]]).
+    */
+  private def eventsStreamDir(s: SparkSession, dir: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Paths.get(ioDir("stream_events"))
+      .resolve(java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    streamDir.toString
+  }
+
   /** orders → CSV files → read back (explicit schema, no inference job)
     * → aggregate. Oracle aggregates the parquet directly, so the CSV
     * encode/decode must be value-exact.
@@ -95,18 +112,9 @@ object SourceQueries {
     val qName = "graft_streaming_hourly"
     s.streams.active.filter(q => Option(q.name).contains(qName))
       .foreach(_.stop())
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file-stream source monitors a DIRECTORY; expose the single
-    // parquet file through a repo-local scratch dir (symlink, no copy)
-    val streamDir = java.nio.file.Paths.get(ioDir("stream_events"))
-      .resolve(java.lang.Integer.toHexString(dir.hashCode))
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val rawSchema = s.read.parquet(link.toString).schema // ts = nanos long
-    val agg = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+    val streamDir = eventsStreamDir(s, dir)
+    val rawSchema = s.read.parquet(streamDir).schema // ts = nanos long
+    val agg = s.readStream.schema(rawSchema).parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -122,6 +130,50 @@ object SourceQueries {
       .start()
     q.awaitTermination()
     s.table(qName)
+  }
+
+  /** Streaming stateful dedup: watermarked `dropDuplicates(event_id)` —
+    * the exactly-once ingestion guard of a streaming pipeline (state =
+    * one entry per id inside the watermark, evicted as event time
+    * advances) — then a per-type rollup. The harness events are already
+    * unique by id, so the oracle is the plain batch rollup: the operator
+    * must pass everything through exactly once.
+    */
+  def streamingDedupEvents(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_dedup"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val streamDir = eventsStreamDir(s, dir)
+    val rawSchema = s.read.parquet(streamDir).schema
+    val agg = s.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(qName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qName)
+  }
+
+  /** part → ORC files → read back → aggregate (the third columnar
+    * format next to parquet; same explicit-schema read discipline).
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val path = ioDir("orc_part")
+    p.write.mode("overwrite").orc(path)
+    s.read.schema(p.schema).orc(path)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+           dsum(col("p_retailprice")).as("sum_price"),
+           max(col("p_size")).as("max_size"))
   }
 
   /** Hive-style partitioned parquet write (`partitionBy(lang)`) + a read
@@ -145,8 +197,10 @@ object SourceQueries {
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
+    "source_orc_roundtrip"    -> orcRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
-    "streaming_events_hourly" -> streamingEventsHourly _)
+    "streaming_events_hourly" -> streamingEventsHourly _,
+    "streaming_dedup_events"  -> streamingDedupEvents _)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -167,6 +221,16 @@ object SourceQueries {
            |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+'))
            |        AS word FROM documents)
            |WHERE word <> '' GROUP BY word""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  max(p_size) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "streaming_dedup_events" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "source_partitioned_prune" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
