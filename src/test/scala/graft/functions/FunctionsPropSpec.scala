@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based specs (SURVEY.md §5's ScalaCheck item) for the
+  * determinism primitives everything else leans on. Generators are
+  * sampled with pinned seeds (no scalatestplus bridge in the offline
+  * cache), so runs are reproducible.
+  */
+class FunctionsPropSpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(params, Seed(seed)).getOrElse(
+      throw new IllegalStateException("gen failed"))
+
+  private def cases[T](g: Gen[T], n: Int = 12): Seq[T] =
+    (1 to n).map(i => sample(g, i.toLong * 7919))
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaStr, Gen.const("don't"), Gen.const("café"),
+    Gen.const("123"), Gen.const("  "), Gen.const("!?;"),
+    Gen.const("汉字"))).map(_.mkString(" "))
+
+  test("tokens: every token is a non-empty all-letter run from the text") {
+    import spark.implicits._
+    for (texts <- cases(Gen.listOfN(8, textGen))) {
+      val toks = texts.toDF("t").select(explode(tokens(col("t"))).as("w"))
+        .as[String].collect()
+      assert(toks.forall(w => w.nonEmpty && w.forall(Character.isLetter)))
+    }
+  }
+
+  test("tokens: sum of wc counts equals total token count (SURVEY §5)") {
+    import spark.implicits._
+    for (texts <- cases(Gen.listOfN(8, textGen))) {
+      val df = texts.toDF("t").select(tokens(col("t")).as("w"))
+      val total = df.select(sum(size(col("w")))).head.getLong(0)
+      val wcSum = df.select(explode(col("w")).as("word"))
+        .groupBy("word").count()
+        .select(sum(col("count"))).head.getLong(0)
+      assert(total === wcSum)
+    }
+  }
+
+  test("dsum is invariant under repartitioning (order-independence)") {
+    import spark.implicits._
+    for ((xs, i) <- cases(Gen.listOfN(64, Gen.chooseNum(-1e6, 1e6)))
+           .zipWithIndex) {
+      val base = xs.toDF("x")
+      val parts = i % 7 + 1
+      val a = base.coalesce(1).agg(dsum(col("x"))).head.getDouble(0)
+      val b = base.repartition(parts).agg(dsum(col("x"))).head.getDouble(0)
+      // exact equality is the whole point — no epsilon
+      assert(java.lang.Double.compare(a, b) === 0, s"$a != $b at $parts")
+    }
+  }
+
+  test("qcosine: cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0))
+      .suchThat(_.exists(v => math.abs(v) > 1e-3))
+    for (vs <- cases(Gen.listOfN(4, vecGen), n = 6)) {
+      val df = vs.map(_.toArray).toDF("v")
+        .select(qcosine(qvec(col("v")), qvec(col("v"))).as("c"))
+      df.as[Double].collect().foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    }
+  }
+
+  test("padKey preserves numeric order lexicographically") {
+    import spark.implicits._
+    for (ids <- cases(Gen.listOfN(32, Gen.chooseNum(0L, 99999999L)))) {
+      val padded = ids.toDF("id").select(padKey(col("id")).as("p"))
+        .as[String].collect()
+      assert(padded.sorted.map(_.toLong).toSeq === ids.sorted)
+    }
+  }
+}
