@@ -174,6 +174,20 @@ object SourceQueries {
     s.table(qName)
   }
 
+  /** Word count → reference `mr-out` text files → read back through the
+    * custom `mrout` DataSource V2 connector ([[graft.sources.MrOutSource]]):
+    * one scan partition per output file, column pruning pushed into the
+    * reader. The result must reproduce the in-memory word count exactly.
+    */
+  def mroutRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("mrout_wc")
+    CorpusQueries.wc(s, dir)
+      .select(concat_ws(" ", col("word"), col("cnt")))
+      .write.mode("overwrite").text(path)
+    s.read.format("mrout").load(path)
+      .select(col("key").as("word"), col("value").cast("long").as("cnt"))
+  }
+
   /** part → ORC files → read back → aggregate (the third columnar
     * format next to parquet; same explicit-schema read discipline).
     */
@@ -210,6 +224,7 @@ object SourceQueries {
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
     "source_orc_roundtrip"    -> orcRoundtrip _,
+    "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _)
@@ -229,6 +244,11 @@ object SourceQueries {
         |  max(l_shipdate) AS last_ship
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "source_text_roundtrip" ->
+      raw"""SELECT word, COUNT(*) AS cnt
+           |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+'))
+           |        AS word FROM documents)
+           |WHERE word <> '' GROUP BY word""".stripMargin,
+    "source_mrout_roundtrip" ->
       raw"""SELECT word, COUNT(*) AS cnt
            |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+'))
            |        AS word FROM documents)
