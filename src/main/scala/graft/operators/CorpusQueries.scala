@@ -58,11 +58,40 @@ object CorpusQueries {
         array_join(sort_array(collect_list(padKey(col("doc_id")))), " ")
           .as("vals"))
 
+  /** The documents table as the MR engine's `(documentId, contents)`
+    * corpus shape (ids zero-padded so string sorts match numeric order).
+    */
+  private def mrCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(String, String)] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(padKey(col("doc_id")), col("text"))
+      .as[(String, String)]
+  }
+
+  /** wc through the TYPED reference-parity engine (graft.mr): the exact
+    * `flatMap → groupByKey → mapGroups` plan the reference executes,
+    * with its Go application functions transcribed — verified by the
+    * same DuckDB oracle as the relational `wc`, so the engine layer
+    * itself sits behind the value-hash gate, not just the specs.
+    */
+  def mrWc(s: SparkSession, dir: String): DataFrame =
+    graft.mr.MapReduceJob.runOnCorpus(mrCorpus(s, dir),
+      graft.mr.Apps.WordCount.map, graft.mr.Apps.WordCount.reduce).toDF()
+
+  /** Inverted index through the typed engine (mrapps/indexer.go
+    * semantics: value = `"<count> <doc1,doc2,...>"`, docs sorted). */
+  def mrInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.mr.MapReduceJob.runOnCorpus(mrCorpus(s, dir),
+      graft.mr.Apps.Indexer.map, graft.mr.Apps.Indexer.reduce).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc"             -> wc _,
     "inverted_index" -> invertedIndex _,
     "file_count"     -> fileCount _,
-    "kv_concat"      -> kvConcat _)
+    "kv_concat"      -> kvConcat _,
+    "mr_wc"          -> mrWc _,
+    "mr_inverted_index" -> mrInvertedIndex _)
 
   val oracles: Map[String, String] = Map(
     "wc" ->
@@ -80,6 +109,22 @@ object CorpusQueries {
         |  WHERE word <> '')
         |SELECT word, count(*) AS n_docs,
         |       string_agg(doc, ',' ORDER BY doc) AS docs
+        |FROM wd GROUP BY word""".stripMargin,
+    "mr_wc" ->
+      """SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word""".stripMargin,
+    "mr_inverted_index" ->
+      """WITH wd AS (
+        |  SELECT DISTINCT word, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc
+        |  FROM (SELECT doc_id,
+        |               unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '')
+        |SELECT word AS key,
+        |       count(*) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
         |FROM wd GROUP BY word""".stripMargin,
     "file_count" ->
       "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
