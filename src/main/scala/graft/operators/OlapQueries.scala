@@ -164,6 +164,31 @@ object OlapQueries {
              .as("revenue"))
   }
 
+  /** Funnel analysis: of the users who viewed, how many first-clicked
+    * after their first view, and then first-purchased after that click —
+    * the classic ordered-sequence metric. One conditional-aggregation
+    * pass builds per-user first-occurrence timestamps (exact micros),
+    * one tiny aggregate counts the stages; strict `<` comparisons make
+    * ties drop out identically in both engines.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val us = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click",
+          unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("t_purchase"))
+    us.agg(
+      count(col("t_view")).as("n_viewed"),
+      count(when(col("t_view") < col("t_click"), 1)).as("n_then_clicked"),
+      count(when(col("t_view") < col("t_click") &&
+                 col("t_click") < col("t_purchase"), 1))
+        .as("n_then_purchased"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per event type, next
     * to the exact distinct count it estimates. The sketch state is the
     * `graft_min_k` native aggregate — a bounded ≤k set with map-side
@@ -236,7 +261,8 @@ object OlapQueries {
     "salted_join_revenue"     -> saltedJoinRevenue _,
     "topk_users_by_type"      -> topkUsersByType _,
     "sketch_distinct_users"   -> sketchDistinctUsers _,
-    "sql_q4_priority_exists"  -> sqlQ4PriorityExists _)
+    "sql_q4_priority_exists"  -> sqlQ4PriorityExists _,
+    "events_funnel"           -> eventsFunnel _)
 
   val oracles: Map[String, String] = Map(
     "cube_orders" ->
@@ -303,6 +329,21 @@ object OlapQueries {
         |                AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "events_funnel" ->
+      """WITH us AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(t_view) AS n_viewed,
+        |  COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_then_clicked,
+        |  COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase
+        |        THEN 1 END) AS n_then_purchased
+        |FROM us""".stripMargin,
     "sketch_distinct_users" ->
       """WITH h AS (
         |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h

@@ -40,6 +40,33 @@ object TextQueries {
     words.map(w => s"'$w'").mkString(
       "len(list_filter(toks, t -> t IN (", ", ", ")))")
 
+  /** Per-doc language-prediction CTE chain (…, lang_pred) shared by the
+    * lang_id confusion matrix and the keep/drop pipeline oracle; caller
+    * prepends `WITH `.
+    */
+  private lazy val langPredSql =
+    s"""scored AS (
+       |  SELECT doc_id, lang,
+       |    ${sqlStopHits(StopEn)} AS s_en,
+       |    ${sqlStopHits(StopEs)} AS s_es,
+       |    ${sqlStopHits(StopDe)} AS s_de,
+       |    ${sqlStopHits(StopFr)} AS s_fr,
+       |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+       |      AS n_han
+       |  FROM (SELECT doc_id, lang, text,
+       |          list_filter(regexp_split_to_array(lower(text),
+       |              '[^\\p{L}]+'), t -> t <> '') AS toks
+       |        FROM documents)),
+       |lang_pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN n_han > 0 THEN 'zh'
+       |         WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+       |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |         WHEN s_de >= s_fr THEN 'de'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM scored)""".stripMargin
+
   /** Per-document statistics + a simple integer quality score:
     * +1 each for (a) healthy average token length [3,12], (b) some
     * non-trivial length (≥20 tokens), (c) moderate punctuation (<20%).
@@ -84,12 +111,15 @@ object TextQueries {
     * rebuilding the string with regexp_replace. ~8× faster, identical
     * values.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document language prediction (doc_id, lang, pred_lang) — the
+    * shared front end of the confusion matrix and the keep/drop filter.
+    */
+  def langPred(s: SparkSession, dir: String): DataFrame = {
     val union = (StopEn ++ StopEs ++ StopDe ++ StopFr).distinct
       .sortBy(w => (-w.length, w))
     val hitPat = union.mkString("(?<![\\p{L}])(?:", "|", ")(?![\\p{L}])")
     val withHits = Tables.documents(s, dir).select(
-      col("lang"),
+      col("doc_id"), col("lang"),
       regexp_extract_all(lower(col("text")), lit(hitPat), lit(0)).as("hits"),
       col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_han"))
     val sEn = stopHits(col("hits"), StopEn)
@@ -103,11 +133,13 @@ object TextQueries {
         .when(sEs >= sDe && sEs >= sFr, "es")
         .when(sDe >= sFr, "de")
         .otherwise("fr")
-    withHits
-      .select(col("lang"), pred.as("pred_lang"))
+    withHits.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langPred(s, dir)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Token counting per source: whitespace tokens vs a BPE-ish regex
     * tokenization (letter runs | digit runs | single other non-space) —
@@ -172,16 +204,40 @@ object TextQueries {
       .limit(50)
   }
 
+  /** The END-TO-END training-data keep/drop filter — the query the whole
+    * pipeline exists for: a document survives iff it is (a) the
+    * canonical copy of its normalized-text hash group (exact dedup),
+    * (b) quality_score ≥ 2, and (c) its predicted language matches its
+    * label. Composes the dedup, quality, and language stages as three
+    * map-only scans + one hash-group join — no stage sees another's full
+    * output, so the composition scales exactly like its parts.
+    */
+  def pipelineKeptDocs(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), TokenSep, " "))
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), md5(norm).as("h"))
+    val canon = hashed.groupBy("h").agg(min(col("doc_id")).as("canonical_id"))
+    val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
+    hashed.join(canon, "h")
+      .filter(col("doc_id") === col("canonical_id"))
+      .join(quality, "doc_id")
+      .filter(col("quality_score") >= 2)
+      .join(langPred(s, dir).select(col("doc_id"),
+        col("pred_lang")), "doc_id")
+      .filter(col("pred_lang") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"     -> textStats _,
     "lang_id"        -> langId _,
     "token_count"    -> tokenCount _,
     "doc_term_stats" -> docTermStats _,
-    "ngram_freq"     -> ngramFreq _)
+    "ngram_freq"     -> ngramFreq _,
+    "pipeline_kept_docs" -> pipelineKeptDocs _)
 
-  val oracles: Map[String, String] = Map(
-    "text_stats" ->
-      s"""WITH d AS (
+  private lazy val textStatsSql =
+    s"""WITH d AS (
          |  SELECT doc_id, length(text) AS len,
          |    len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
          |        t -> t <> '')) AS n_toks,
@@ -206,29 +262,30 @@ object TextQueries {
          |       (CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END) +
          |       (CASE WHEN CAST(n_punct AS DOUBLE) / len < 0.2
          |             THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
-         |FROM d""".stripMargin,
+         |FROM d""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "pipeline_kept_docs" ->
+      s"""WITH $langPredSql,
+         |hashed AS (
+         |  SELECT doc_id, lang,
+         |    md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')))
+         |      AS h
+         |  FROM documents),
+         |canon AS (SELECT h, MIN(doc_id) AS canonical_id
+         |          FROM hashed GROUP BY h),
+         |quality AS (SELECT doc_id, quality_score FROM ($textStatsSql))
+         |SELECT d.doc_id, d.lang, q.quality_score
+         |FROM hashed d
+         |JOIN canon c ON d.h = c.h AND d.doc_id = c.canonical_id
+         |JOIN quality q ON q.doc_id = d.doc_id
+         |JOIN lang_pred p ON p.doc_id = d.doc_id
+         |WHERE q.quality_score >= 2 AND p.pred_lang = d.lang""".stripMargin,
     "lang_id" ->
-      s"""WITH scored AS (
-         |  SELECT lang,
-         |    ${sqlStopHits(StopEn)} AS s_en,
-         |    ${sqlStopHits(StopEs)} AS s_es,
-         |    ${sqlStopHits(StopDe)} AS s_de,
-         |    ${sqlStopHits(StopFr)} AS s_fr,
-         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
-         |      AS n_han
-         |  FROM (SELECT lang, text,
-         |          list_filter(regexp_split_to_array(lower(text),
-         |              '[^\\p{L}]+'), t -> t <> '') AS toks
-         |        FROM documents))
-         |SELECT lang,
-         |  CASE WHEN n_han > 0 THEN 'zh'
-         |       WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
-         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de'
-         |       ELSE 'fr' END AS pred_lang,
-         |  COUNT(*) AS n_docs
-         |FROM scored GROUP BY 1, 2""".stripMargin,
+      s"""WITH $langPredSql
+         |SELECT lang, pred_lang, COUNT(*) AS n_docs
+         |FROM lang_pred GROUP BY 1, 2""".stripMargin,
     "doc_term_stats" ->
       raw"""WITH tf AS (
            |  SELECT term, doc_id, COUNT(*) AS tf
