@@ -112,6 +112,9 @@ object SourceQueries {
     val qName = "graft_streaming_hourly"
     s.streams.active.filter(q => Option(q.name).contains(qName))
       .foreach(_.stop())
+    // 8 state partitions for the bounded run (see streamingDedupEvents)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val streamDir = eventsStreamDir(s, dir)
     val rawSchema = s.read.parquet(streamDir).schema // ts = nanos long
     val agg = s.readStream.schema(rawSchema).parquet(streamDir)
@@ -128,7 +131,8 @@ object SourceQueries {
       .queryName(qName)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qName)
   }
 
