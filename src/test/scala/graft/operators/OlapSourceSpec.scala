@@ -18,6 +18,32 @@ class OlapSourceSpec extends SparkSpec {
     }
   }
 
+  test("query results are identical at 1 and 5 shuffle partitions") {
+    // the determinism discipline, asserted end-to-end: partition count
+    // must never leak into any catalog result (sampled across modules;
+    // streaming/IO queries pin their own partitioning internally)
+    val names = Seq("cube_orders", "corr_quantity_price", "topk_users_by_type",
+      "percentile_brand_prices", "events_funnel", "pipeline_kept_docs",
+      "dedup_minhash_lsh", "dedup_components", "sketch_distinct_users",
+      "ann_lsh_topk")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows(name: String): Seq[Seq[Any]] = {
+      val df = graft.SparkEntry.queries(name)(spark, sf0001)
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+    }
+    try {
+      for (n <- names) {
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        val a = rows(n)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val b = rows(n)
+        assert(a === b, s"$n differs across partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("salted join equals the plain unsalted join") {
     val salted = OlapQueries.saltedJoinRevenue(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
