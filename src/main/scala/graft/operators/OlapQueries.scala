@@ -164,6 +164,42 @@ object OlapQueries {
              .as("revenue"))
   }
 
+  /** ROWS-frame window: 3-event moving average of event value per user.
+    * Values are quantized to exact 1e-6 integers before the frame sum,
+    * so the average is (exact integer)/count — frame summation order
+    * can't leak engine differences.
+    */
+  def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("qv"))
+      .select(col("user_id"), col("event_id"),
+        (sum(col("qv")).over(w).cast("double") /
+          count(col("qv")).over(w) / 1e6).as("moving_avg"))
+  }
+
+  /** RANGE-frame window: per customer, each order's trailing-7-day spend
+    * (inclusive) — the time-decayed feature shape. The frame ranges over
+    * exact microsecond epochs; money sums are exact cents.
+    */
+  def windowTrailing7d(s: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t"))
+      .rangeBetween(-sevenDaysUs, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum(col("cents")).over(w).cast("double") / 100.0)
+          .as("trailing_7d_spend"),
+        count(col("cents")).over(w).as("trailing_7d_orders"))
+  }
+
   /** Funnel analysis: of the users who viewed, how many first-clicked
     * after their first view, and then first-purchased after that click —
     * the classic ordered-sequence metric. One conditional-aggregation
@@ -262,7 +298,9 @@ object OlapQueries {
     "topk_users_by_type"      -> topkUsersByType _,
     "sketch_distinct_users"   -> sketchDistinctUsers _,
     "sql_q4_priority_exists"  -> sqlQ4PriorityExists _,
-    "events_funnel"           -> eventsFunnel _)
+    "events_funnel"           -> eventsFunnel _,
+    "window_moving_avg"       -> windowMovingAvg _,
+    "window_trailing_7d"      -> windowTrailing7d _)
 
   val oracles: Map[String, String] = Map(
     "cube_orders" ->
@@ -329,6 +367,24 @@ object OlapQueries {
         |                AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "window_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(qv) OVER w AS DOUBLE) / (COUNT(qv) OVER w) / 1000000.0
+        |    AS moving_avg
+        |FROM (SELECT user_id, event_id, ts,
+        |        CAST(round(value * 1000000.0) AS BIGINT) AS qv FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "window_trailing_7d" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS trailing_7d_spend,
+        |  COUNT(cents) OVER w AS trailing_7d_orders
+        |FROM (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS t,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY t
+        |             RANGE BETWEEN 604800000000 PRECEDING
+        |               AND CURRENT ROW)""".stripMargin,
     "events_funnel" ->
       """WITH us AS (
         |  SELECT user_id,
