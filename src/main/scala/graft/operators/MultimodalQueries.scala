@@ -198,9 +198,47 @@ object MultimodalQueries {
     }.toDF()
   }
 
+  /** Exact per-image resize summary row for the verified catalog. */
+  final case class ResizeRow(doc_id: Long, out_w: Int, out_h: Int,
+                             n_sampled: Long, sum_sampled: Long)
+
+  /** Catalog entry: STUB RESIZE — nearest-neighbor 2× downsample of the
+    * payload treated as a row-major width×height byte grid (the stand-in
+    * for a real image resize; the grid walk, bounds handling, and
+    * map-stage placement are the real pipeline shape). Output is the
+    * sampled-pixel count and exact byte sum per image, so the oracle can
+    * recompute it from hex(encode(text)) byte arithmetic.
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (outW, outH) = (m.width / 2, m.height / 2)
+          var n = 0L
+          var sum = 0L
+          var j = 0
+          while (j < outH) {
+            var i = 0
+            while (i < outW) {
+              val idx = 2 * j * m.width + 2 * i
+              if (idx < m.payload.length) {
+                n += 1
+                sum += (m.payload(idx) & 0xff)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          ResizeRow(m.doc_id, outW, outH, n, sum)
+        }
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_feature_stats" -> multimodalFeatureStats _,
-    "multimodal_frame_sample"  -> multimodalFrameSample _)
+    "multimodal_frame_sample"  -> multimodalFrameSample _,
+    "multimodal_resize"        -> multimodalResize _)
 
   /** Byte b (1-based position p in payload) mod 8, recovered from the low
     * hex nibble of `hex(encode(text))` — byte = hi·16 + lo, so b mod 8 =
@@ -211,6 +249,20 @@ object MultimodalQueries {
        |      THEN ascii(substr($hexCol, 2*($pos), 1)) - 48
        |      ELSE ascii(substr($hexCol, 2*($pos), 1)) - 55 END) % 8"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** Value of one hex digit at 1-based position `p` of `hexCol`. */
+  private def sqlHexDigit(hexCol: String, p: String): String =
+    s"""(CASE WHEN substr($hexCol, $p, 1) BETWEEN '0' AND '9'
+       |      THEN ascii(substr($hexCol, $p, 1)) - 48
+       |      ELSE ascii(substr($hexCol, $p, 1)) - 55 END)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Full byte value at 0-based byte index `idx` (hex digits 2·idx+1,
+    * 2·idx+2).
+    */
+  private def sqlByteVal(hexCol: String, idx: String): String =
+    s"${sqlHexDigit(hexCol, s"2*($idx)+1")} * 16 + " +
+      sqlHexDigit(hexCol, s"2*($idx)+2")
 
   val oracles: Map[String, String] = Map(
     "multimodal_feature_stats" ->
@@ -237,6 +289,25 @@ object MultimodalQueries {
          |    CAST(SUM(n_bytes) AS DOUBLE) AS f7_rate
          |FROM media LEFT JOIN counts USING (doc_id)
          |GROUP BY kind""".stripMargin,
+    "multimodal_resize" ->
+      s"""WITH img AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    octet_length(encode(text)) AS n,
+         |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+         |    CAST(n_chars % 48 + 16 AS BIGINT) AS ht
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |px AS (
+         |  SELECT doc_id, w // 2 AS out_w, ht // 2 AS out_h, n, h,
+         |    2 * j * w + 2 * i AS idx
+         |  FROM img,
+         |       unnest(generate_series(0, ht // 2 - 1)) AS jj(j),
+         |       unnest(generate_series(0, w // 2 - 1)) AS ii(i))
+         |SELECT doc_id, CAST(out_w AS INT) AS out_w,
+         |  CAST(out_h AS INT) AS out_h,
+         |  COUNT(*) FILTER (idx < n) AS n_sampled,
+         |  CAST(COALESCE(SUM(CASE WHEN idx < n
+         |    THEN ${sqlByteVal("h", "idx")} END), 0) AS BIGINT) AS sum_sampled
+         |FROM px GROUP BY doc_id, out_w, out_h""".stripMargin,
     "multimodal_frame_sample" ->
       s"""WITH video AS (
          |  SELECT doc_id, hex(encode(text)) AS h,
