@@ -225,6 +225,31 @@ object OlapQueries {
         .as("n_then_purchased"))
   }
 
+  /** Cohort retention: users bucketed by first-signup week, counted as
+    * retained in each later week they show any activity. Two shuffles
+    * (cohort build, distinct activity), then the offset arithmetic is
+    * exact epoch-microsecond division (UTC weeks have no DST, so week
+    * deltas are exact multiples of 7 days).
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    cohort.join(activity, "user_id")
+      .select(col("cohort_week"),
+        // `/` on longs is double division in Spark SQL; the quotient is
+        // an exact small integer, so the long cast is lossless
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) /
+          lit(604800000000L)).cast("long").as("offset_weeks"))
+      .filter(col("offset_weeks") >= 0)
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per event type, next
     * to the exact distinct count it estimates. The sketch state is the
     * `graft_min_k` native aggregate — a bounded ≤k set with map-side
@@ -300,7 +325,8 @@ object OlapQueries {
     "sql_q4_priority_exists"  -> sqlQ4PriorityExists _,
     "events_funnel"           -> eventsFunnel _,
     "window_moving_avg"       -> windowMovingAvg _,
-    "window_trailing_7d"      -> windowTrailing7d _)
+    "window_trailing_7d"      -> windowTrailing7d _,
+    "events_retention"        -> eventsRetention _)
 
   val oracles: Map[String, String] = Map(
     "cube_orders" ->
@@ -367,6 +393,22 @@ object OlapQueries {
         |                AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "events_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  (epoch_us(week) - epoch_us(cohort_week)) // 604800000000
+        |    AS offset_weeks,
+        |  COUNT(*) AS n_users
+        |FROM cohort JOIN activity USING (user_id)
+        |WHERE epoch_us(week) >= epoch_us(cohort_week)
+        |GROUP BY 1, 2""".stripMargin,
     "window_moving_avg" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(qv) OVER w AS DOUBLE) / (COUNT(qv) OVER w) / 1000000.0
