@@ -44,10 +44,22 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON under ~2.5 KB for the
+    // full catalog — the driver captures only the output tail, and r01-r03
+    // all lost the line's head to truncation at full double precision.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // File copy survives any stdout truncation/interleaving.
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    // Printed after spark.stop() so no executor/log line lands between
+    // this and sbt's epilogue — keeps the JSON as close to last as possible.
+    println(line)
   }
 }

@@ -49,14 +49,43 @@ object CorpusQueries {
 
   /** crash/nocrash analog (mrapps/crash.go:45-55): per group, the sorted
     * space-joined value list — the holistic "sort values then join"
-    * reducer shape, relationally.
+    * reducer shape.
+    *
+    * Scale design: the naive `sort_array(collect_list(...))` puts EVERY
+    * value of a group into one aggregation buffer — with ~5 `lang`
+    * groups that is one task holding ~20% of the corpus, the one plan in
+    * the catalog that dies at 100×. Instead the heavy sort runs
+    * distributed (`repartitionByRange` + `sortWithinPartitions`, the
+    * classic TeraSort shape), each partition emits ONE pre-joined
+    * partial run per key, and the final reducer merges ≤ numPartitions
+    * partials in partition-id order — its buffer holds ~32 structs, not
+    * N rows. The output string is still O(group), but that is the
+    * query's output contract, not intermediate state.
     */
-  def kvConcat(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def kvConcat(s: SparkSession, dir: String): DataFrame = {
+    // RangePartitioner assigns contiguous, increasing key ranges to
+    // increasing partition ids, so (pid asc, in-partition sorted runs)
+    // concatenate to the exact global sort order the oracle demands.
+    val sorted = Tables.documents(s, dir)
+      .select(col("lang"), padKey(col("doc_id")).as("doc"))
+      .repartitionByRange(col("lang"), col("doc"))
+      .sortWithinPartitions("lang", "doc")
+      .select(col("lang"), col("doc"), spark_partition_id().as("pid"))
+    // Each (lang, pid) group lives entirely inside one source partition,
+    // so collect_list sees exactly one partial buffer filled in
+    // encounter (= sorted) order.
+    val partials = sorted
+      .groupBy("lang", "pid")
+      .agg(array_join(collect_list(col("doc")), " ").as("run"))
+    partials
       .groupBy("lang")
       .agg(
-        array_join(sort_array(collect_list(padKey(col("doc_id")))), " ")
-          .as("vals"))
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pid"), col("run")))),
+            r => r.getField("run")),
+          " ").as("vals"))
+  }
 
   /** The documents table as the MR engine's `(documentId, contents)`
     * corpus shape (ids zero-padded so string sorts match numeric order).
@@ -85,12 +114,26 @@ object CorpusQueries {
     graft.mr.MapReduceJob.runOnCorpus(mrCorpus(s, dir),
       graft.mr.Apps.Indexer.map, graft.mr.Apps.Indexer.reduce).toDF()
 
+  /** wc through the typed engine's SCALABLE path
+    * ([[graft.mr.MapReduceJob.runFoldable]]): map-side partial
+    * aggregation with O(1)/key buffers instead of the holistic
+    * full-value-list reducer — the 100 TB shape, behind the same DuckDB
+    * oracle as `mr_wc` so the bounded path is value-hash-gated too.
+    */
+  def mrWcFoldable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = graft.mr.Apps.WordCount
+    graft.mr.MapReduceJob.runFoldable(mrCorpus(s, dir), a.map,
+      a.zero, a.fold, a.merge, a.finish).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc"             -> wc _,
     "inverted_index" -> invertedIndex _,
     "file_count"     -> fileCount _,
     "kv_concat"      -> kvConcat _,
     "mr_wc"          -> mrWc _,
+    "mr_wc_foldable" -> mrWcFoldable _,
     "mr_inverted_index" -> mrInvertedIndex _)
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +154,12 @@ object CorpusQueries {
         |       string_agg(doc, ',' ORDER BY doc) AS docs
         |FROM wd GROUP BY word""".stripMargin,
     "mr_wc" ->
+      """SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word""".stripMargin,
+    "mr_wc_foldable" ->
       """SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
         |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
         |      FROM documents)

@@ -14,8 +14,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 4] = 4 threads, maxFailures 4: task retries are enabled so
+    // fault-injection specs (FaultToleranceSpec) can exercise the
+    // reference's crash-recovery contract; no-fault suites are unaffected.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
