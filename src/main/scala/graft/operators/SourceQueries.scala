@@ -178,16 +178,19 @@ object SourceQueries {
     s.table(qName)
   }
 
-  /** Word count → reference `mr-out` text files → read back through the
-    * custom `mrout` DataSource V2 connector ([[graft.sources.MrOutSource]]):
-    * one scan partition per output file, column pruning pushed into the
-    * reader. The result must reproduce the in-memory word count exactly.
+  /** Word count → reference `mr-out-<N>` files via the custom `mrout`
+    * DataSource V2 connector's WRITE path (task temp + driver rename
+    * commit, the reference's protocol) → read back through its scan
+    * (one partition per output file, column pruning pushed into the
+    * reader). The result must reproduce the in-memory word count exactly
+    * — both directions of [[graft.sources.MrOutSource]] sit behind the
+    * oracle gate.
     */
   def mroutRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = ioDir("mrout_wc")
     CorpusQueries.wc(s, dir)
-      .select(concat_ws(" ", col("word"), col("cnt")))
-      .write.mode("overwrite").text(path)
+      .select(col("word").as("key"), col("cnt").cast("string").as("value"))
+      .write.format("mrout").mode("overwrite").save(path)
     s.read.format("mrout").load(path)
       .select(col("key").as("word"), col("value").cast("long").as("cnt"))
   }

@@ -4,11 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -18,10 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `mr-out-*` text files with one `"<key> <value>"` line per record
   * (reference: mr/worker.go:175, format rule README.md:195) — so
   * artifacts produced by the original Go system (or by
-  * [[graft.mr.MapReduceJob.saveText]]) are first-class Spark tables:
+  * [[graft.mr.MapReduceJob.saveText]]) are first-class Spark tables in
+  * BOTH directions:
   *
   * {{{
-  *   spark.read.format("mrout").load(dir)   // → (key STRING, value STRING)
+  *   spark.read.format("mrout").load(dir)            // → (key, value)
+  *   df.write.format("mrout").mode("overwrite").save(dir)
+  *       // → dir/mr-out-0, dir/mr-out-1, ... (reference naming)
   * }}}
   *
   * Connector shape (the part that matters at scale):
@@ -32,11 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ([[SupportsPushDownRequiredColumns]]): a key-only projection
   *     never materializes value strings (visible as `ReadSchema` in
   *     `.explain("formatted")`);
-  *   - readers stream line-by-line — O(1) memory per task.
-  *
-  * Local-filesystem listing keeps the harness dependency-free; a
-  * production build would list via the Hadoop FileSystem API instead
-  * (same partition structure).
+  *   - readers stream line-by-line — O(1) memory per task;
+  *   - all file access goes through the Hadoop FileSystem API, so any
+  *     Hadoop-compatible store (HDFS, S3A, local file://) works, and
+  *     listing happens once on the driver;
+  *   - the write path mirrors the reference's commit protocol
+  *     (mr/worker.go:108-121): each task writes a hidden temp file and
+  *     the DRIVER renames all temps to their final `mr-out-<N>` names
+  *     only after every task has committed — output is never partially
+  *     visible, and a speculative/retried attempt's orphan temp is
+  *     swept, never renamed.
   */
 class MrOutSource extends TableProvider with DataSourceRegister {
 
@@ -55,29 +67,63 @@ object MrOutSource {
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
 
-  /** All data files under `path` (non-recursive), deterministic order. */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private[sources] def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  /** All data files under `path` (non-recursive), deterministic order —
+    * driver-side, via the Hadoop FileSystem API (object-store safe).
+    */
   private[sources] def listFiles(path: String): Array[String] = {
-    val f = new java.io.File(path)
+    val p = new Path(path)
+    val filesystem = fs(path, hadoopConf())
+    val st = filesystem.getFileStatus(p)
     val files =
-      if (f.isFile) Array(f)
-      else f.listFiles().filter(c => c.isFile && !c.getName.startsWith(".")
-        && !c.getName.startsWith("_"))
-    files.map(_.getAbsolutePath).sorted
+      if (st.isFile) Array(st)
+      else filesystem.listStatus(p).filter { c =>
+        val n = c.getPath.getName
+        c.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+    files.map(_.getPath.toString).sorted
+  }
+}
+
+/** Hadoop `Configuration` is `Writable`, not `Serializable`; this small
+  * envelope ships it to executor-side readers/writers (the standard
+  * connector pattern, e.g. Spark's own `SerializableConfiguration`).
+  */
+private class SerializableConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit =
+    conf.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    conf = new Configuration(false)
+    conf.readFields(in)
   }
 }
 
 private class MrOutTable(props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val path = props.getOrElse("path",
     throw new IllegalArgumentException("mrout: 'path' option is required"))
 
   override def name(): String = s"mrout($path)"
   override def schema(): StructType = MrOutSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MrOutScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    require(in.length == 2 && in.forall(_.dataType == StringType),
+      s"mrout sink expects exactly (key STRING, value STRING), got $in")
+    new MrOutWriteBuilder(path)
+  }
 }
 
 private class MrOutScanBuilder(path: String)
@@ -99,24 +145,27 @@ private class MrOutScan(path: String, required: StructType)
     MrOutSource.listFiles(path).map(MrOutFilePartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MrOutReaderFactory(required.fieldNames)
+    new MrOutReaderFactory(required.fieldNames,
+      new SerializableConf(MrOutSource.hadoopConf()))
 }
 
 private case class MrOutFilePartition(file: String) extends InputPartition
 
-private class MrOutReaderFactory(fields: Array[String])
+private class MrOutReaderFactory(fields: Array[String], conf: SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new MrOutReader(p.asInstanceOf[MrOutFilePartition].file, fields)
+    new MrOutReader(p.asInstanceOf[MrOutFilePartition].file, fields, conf.conf)
 }
 
 /** Streams one `mr-out` file; splits each line at the FIRST space (keys
   * never contain spaces in the reference format; values may).
   */
-private class MrOutReader(file: String, fields: Array[String])
+private class MrOutReader(file: String, fields: Array[String],
+                          conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+    MrOutSource.fs(file, conf).open(new Path(file)),
+    java.nio.charset.StandardCharsets.UTF_8))
   private val wantKey = fields.contains("key")
   private val wantValue = fields.contains("value")
   private var row: InternalRow = _
@@ -141,4 +190,104 @@ private class MrOutReader(file: String, fields: Array[String])
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------- write
+
+private class MrOutWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new MrOutBatchWrite(path, overwrite,
+        new SerializableConf(MrOutSource.hadoopConf()))
+  }
+}
+
+private case class MrOutCommit(partitionId: Int, tempFile: String)
+    extends WriterCommitMessage
+
+/** Job-level atomic commit, same protocol as the reference
+  * (mr/worker.go:108-121 writes `mr-tmp-*` then `os.Rename`s): tasks
+  * write `.mr-tmp-<partition>-<taskId>`; only the driver's `commit`
+  * renames the one committed temp per partition to `mr-out-<partition>`.
+  */
+private class MrOutBatchWrite(path: String, overwrite: Boolean,
+                              conf: SerializableConf) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new MrOutWriterFactory(path, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val filesystem = MrOutSource.fs(path, conf.conf)
+    val dir = new Path(path)
+    filesystem.mkdirs(dir)
+    // Truncate = empty the table: every visible data file goes (the
+    // table is the directory — stale part-* files from other writers
+    // would otherwise still be listed by the scan).
+    if (overwrite)
+      filesystem.listStatus(dir)
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        .foreach(s => filesystem.delete(s.getPath, false))
+    messages.foreach { case MrOutCommit(pid, temp) =>
+      filesystem.rename(new Path(temp), new Path(dir, s"mr-out-$pid"))
+    }
+    sweepTemps(filesystem, dir) // orphaned speculative/failed attempts
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val filesystem = MrOutSource.fs(path, conf.conf)
+    val dir = new Path(path)
+    if (filesystem.exists(dir)) sweepTemps(filesystem, dir)
+  }
+
+  private def sweepTemps(filesystem: FileSystem, dir: Path): Unit =
+    filesystem.listStatus(dir)
+      .filter(_.getPath.getName.startsWith(".mr-tmp-"))
+      .foreach(s => filesystem.delete(s.getPath, false))
+}
+
+private class MrOutWriterFactory(path: String, conf: SerializableConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new MrOutWriter(path, partitionId, taskId, conf.conf)
+}
+
+private class MrOutWriter(path: String, partitionId: Int, taskId: Long,
+                          conf: Configuration)
+    extends DataWriter[InternalRow] {
+  private val temp = new Path(path, s".mr-tmp-$partitionId-$taskId")
+  private val filesystem = MrOutSource.fs(path, conf)
+  // Local ChecksumFileSystem would otherwise drop .crc sidecars next to
+  // every mr-out file — the reference dir contains data files only.
+  filesystem.setWriteChecksum(false)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    filesystem.create(temp, true),
+    java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(record: InternalRow): Unit = {
+    out.write(record.getUTF8String(0).toString)
+    out.write(' ')
+    out.write(record.getUTF8String(1).toString)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    MrOutCommit(partitionId, temp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    filesystem.delete(temp, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -48,6 +48,53 @@ class MrOutSourceSpec extends SparkSpec {
     assert(spark.read.format("mrout").load(dir).count() === 3L)
   }
 
+  test("mrout write path: mr-out-<N> naming, reference line format") {
+    import spark.implicits._
+    val dir = new java.io.File("target/graft-io/mrout_spec_write")
+    val df = Seq(("apple", "3"), ("banana", "1 extra"), ("cherry", "7"))
+      .toDF("key", "value").repartition(2)
+    df.write.format("mrout").mode("overwrite").save(dir.getAbsolutePath)
+    val names = dir.listFiles().map(_.getName).sorted
+    assert(names.forall(_.startsWith("mr-out-")), names.mkString(","))
+    assert(names.length === 2)
+    // no temp droppings survive the commit
+    assert(!dir.listFiles().exists(_.getName.startsWith(".mr-tmp-")))
+    val back = spark.read.format("mrout").load(dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(("apple", "3"), ("banana", "1 extra"), ("cherry", "7")))
+  }
+
+  test("mrout write path: overwrite replaces prior mr-out files") {
+    import spark.implicits._
+    val dir = "target/graft-io/mrout_spec_ow"
+    Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4"))
+      .toDF("key", "value").repartition(4)
+      .write.format("mrout").mode("overwrite").save(dir)
+    // second write with FEWER partitions must not leave stale mr-out-3
+    Seq(("x", "9")).toDF("key", "value").repartition(1)
+      .write.format("mrout").mode("overwrite").save(dir)
+    val back = spark.read.format("mrout").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(("x", "9")))
+  }
+
+  test("mrout write path rejects inputs that don't fit (key, value)") {
+    import spark.implicits._
+    // Three columns can't resolve against the 2-column table schema;
+    // Spark's DSv2 resolution rejects it before any file is touched.
+    val dir = new java.io.File("target/graft-io/mrout_spec_bad")
+    dir.listFiles() match {
+      case null  => ()
+      case files => files.foreach(_.delete())
+    }
+    dir.delete()
+    intercept[Exception] {
+      Seq((1, "x", "y")).toDF("key", "value", "extra").write.format("mrout")
+        .mode("overwrite").save(dir.getPath)
+    }
+    assert(!dir.exists())
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
