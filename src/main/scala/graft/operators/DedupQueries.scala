@@ -429,8 +429,12 @@ object DedupQueries {
     * diameter), and near-dup components are shallow). Convergence is
     * detected by the label-sum, which strictly decreases until fixpoint;
     * the fixpoint (min id per component) is unique, so the result is
-    * independent of round count or partitioning. Oracle: DuckDB
-    * `WITH RECURSIVE` transitive closure over the same pairs.
+    * independent of round count or partitioning. The sum rides along as
+    * an `observe` metric on the SAME job that materializes the round's
+    * checkpoint — ONE Spark job per round, no separate driver-side
+    * convergence scan (at 100 TB each extra action is a full pass).
+    * Oracle: DuckDB `WITH RECURSIVE` transitive closure over the same
+    * pairs.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(s, dir).filter(col("n_bands") >= 2)
@@ -440,23 +444,30 @@ object DedupQueries {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("v"), col("src").as("label"))
-      .distinct().localCheckpoint()
-    var lastSum = labels.agg(sum(col("label"))).head.getLong(0)
+    def observedCheckpoint(df: DataFrame, obs: org.apache.spark.sql.Observation)
+        : DataFrame =
+      df.observe(obs, sum(col("label")).as("label_sum")).localCheckpoint()
+    val obs0 = org.apache.spark.sql.Observation("cc-round-0")
+    var labels = observedCheckpoint(
+      edges.select(col("src").as("v"), col("src").as("label")).distinct(),
+      obs0)
+    var lastSum = obs0.get("label_sum").asInstanceOf[Long]
     var converged = false
     var round = 0
     while (!converged && round < 50) {
+      round += 1
       val viaNeighbor = edges
         .join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("label"))
-      val next = labels.select(col("v"), col("label")).union(viaNeighbor)
-        .groupBy("v").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val obs = org.apache.spark.sql.Observation(s"cc-round-$round")
+      val next = observedCheckpoint(
+        labels.select(col("v"), col("label")).union(viaNeighbor)
+          .groupBy("v").agg(min(col("label")).as("label")),
+        obs)
+      val nextSum = obs.get("label_sum").asInstanceOf[Long]
       converged = nextSum == lastSum
       lastSum = nextSum
       labels = next
-      round += 1
     }
     labels.select(col("v").as("doc_id"), col("label").as("component_id"))
   }
