@@ -91,14 +91,21 @@ object OlapQueries {
     * cross-engine reproducible.
     */
   def corrQuantityPrice(s: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity").cast("decimal(20,0)")
-    val y = round(col("l_extendedprice") * 100).cast("decimal(20,0)")
-    val n   = count(lit(1)).cast("decimal(20,0)")
-    val sx  = sum(x)
-    val sy  = sum(y)
-    val sxy = sum(x * y)
-    val sxx = sum(x * x)
-    val syy = sum(y * y)
+    // All PER-ROW math stays in codegen'd long arithmetic (quantity
+    // ≤ 50, cents ≤ ~10^7 — every product fits a long with orders of
+    // magnitude of headroom); only the per-group accumulation widens to
+    // decimal(38,0), exact and overflow-free to 10^38. An earlier shape
+    // multiplied decimal(20,0)s per row — one BigDecimal object op per
+    // value, which dominated the wall-clock at the 10× scale run.
+    val x = round(col("l_quantity")).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val n   = count(lit(1)).cast("decimal(38,0)")
+    val sx  = dsum(x)
+    val sy  = dsum(y)
+    val sxy = dsum(x * y)
+    val sxx = dsum(x * x)
+    val syy = dsum(y * y)
     val num  = (n * sxy - sx * sy).cast("double")
     val varx = (n * sxx - sx * sx).cast("double")
     val vary = (n * syy - sy * sy).cast("double")
