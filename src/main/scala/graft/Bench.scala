@@ -21,13 +21,21 @@ object Bench {
     // whole-stage-codegen classes (a fixed JVM cost, not a property of
     // the engine at scale) so the timed run at the target SF measures
     // execution. Falls back to the target dir if sf0.001 is absent.
-    val warmDir = {
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
       val w = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
       if (new java.io.File(w).exists) w else sfDir
-    }
+    })
     // optional args = subset of query names to time (iteration aid)
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                  else SparkEntry.queries
+    // SPARK_GRAFT_EXPLAIN=1: dump each query's formatted physical plan
+    // (iteration aid for plan audits; not used by the driver)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        println(s"===== $name =====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
