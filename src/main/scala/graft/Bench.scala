@@ -13,6 +13,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-split sizing follows the same rule as a real cluster: small
+      // enough that every core gets work at the harness SF (a 10 MB table
+      // must not become one task), large enough to amortize reader open
+      // cost. At 100 TB the default 128m is right; harness inputs are
+      // ~10-250 MB, so 4m keeps all 32 cores busy on scans and file sinks.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -73,7 +73,13 @@ object SourceQueries {
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"), col("l_shipdate"))
     val path = ioDir("json_lineitem")
-    li.write.mode("overwrite")
+    // Spread the encode across the cluster regardless of how few input
+    // splits the scan produced — JSON string-encoding is CPU-bound and
+    // inherits the scan's parallelism otherwise (observed: one 10 MB
+    // parquet split = one writer task = 8 s of single-core encode).
+    // Same rule at 100 TB: size writer tasks by output, not input.
+    li.repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite")
       .option("timestampFormat", TsFmt).json(path)
     s.read.schema(li.schema)
       .option("timestampFormat", TsFmt).json(path)
@@ -178,6 +184,53 @@ object SourceQueries {
     s.table(qName)
   }
 
+  /** STREAM-STREAM interval join: clicks joined to purchases by the same
+    * user within the following 30 minutes — the attribution query — as
+    * two watermarked streams over the same file source. The 1-hour
+    * watermarks plus the two-sided time constraint let Spark bound BOTH
+    * join-state buffers: at any moment each side retains ~90 minutes of
+    * events per user-hash partition, evicted as event time advances, so
+    * state is O(arrival rate × window), independent of total history —
+    * the property that makes the join runnable forever at 100 TB/day.
+    * The oracle is the equivalent batch self-join; every matched pair
+    * must stream out exactly once (append mode).
+    */
+  def streamingClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_attrib"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val streamDir = eventsStreamDir(s, dir)
+    val rawSchema = s.read.parquet(streamDir).schema
+    def side(tpe: String) = s.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(qName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+  }
+
   /** Word count → reference `mr-out-<N>` files via the custom `mrout`
     * DataSource V2 connector's WRITE path (task temp + driver rename
     * commit, the reference's protocol) → read back through its scan
@@ -234,7 +287,8 @@ object SourceQueries {
     "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
     "streaming_events_hourly" -> streamingEventsHourly _,
-    "streaming_dedup_events"  -> streamingDedupEvents _)
+    "streaming_dedup_events"  -> streamingDedupEvents _,
+    "streaming_click_attribution" -> streamingClickAttribution _)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -266,6 +320,13 @@ object SourceQueries {
         |    AS sum_price,
         |  max(p_size) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
+    "streaming_click_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id,
+        |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "streaming_dedup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value

@@ -228,12 +228,95 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("quality_score"))
   }
 
+  /** Within-document repetition score: positional word 3-grams counted
+    * against distinct 3-grams, per document. High duplication (boiler-
+    * plate, scraper loops, degenerate generations) is a standard
+    * training-data drop signal. One map-only pass — both counts come out
+    * of a single per-doc hash set in the kernel, so the query is pure
+    * scan throughput with ZERO shuffle at any scale; only documents with
+    * internal repetition are emitted.
+    */
+  def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), TokenSep, " ")), " ")
+          .as("t"))
+      .filter(size(col("t")) >= 3)
+      .as[(Long, Array[String])]
+      .map { case (id, toks) =>
+        val seen = new java.util.HashSet[String]()
+        var n = 0L; var nd = 0L; var i = 0
+        while (i < toks.length - 2) {
+          if (seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+            nd += 1
+          n += 1
+          i += 1
+        }
+        (id, n, nd)
+      }
+      .toDF("doc_id", "n_grams", "n_distinct")
+      .filter(col("n_grams") > col("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_grams"))
+          .as("distinct_ratio"))
+  }
+
+  /** The source treated as the held-out benchmark for the contamination
+    * check — any doc from every OTHER source sharing a 4-gram with this
+    * set is flagged.
+    */
+  private val EvalSource = "src0"
+
+  /** Benchmark-contamination check: for every training document, the
+    * fraction of its distinct word 4-grams that appear anywhere in the
+    * eval set ([[EvalSource]]) — the standard n-gram decontamination
+    * pass run before training. Scale shape: eval sets are small by
+    * nature, so their gram set is BROADCAST (no shuffle of the 100 TB
+    * side); per-doc distinct grams are computed inside the flatMap
+    * kernel (map-side, no (doc, gram) dedup shuffle); the final
+    * groupBy(doc_id) partial-aggregates rows that are already
+    * doc-contiguous, so the one real shuffle carries one row per doc.
+    */
+  def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def docGrams(of: DataFrame): DataFrame = of
+      .select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), TokenSep, " ")), " ")
+          .as("t"))
+      .filter(size(col("t")) >= 4)
+      .as[(Long, Array[String])]
+      .flatMap { case (id, toks) =>
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i < toks.length - 3) {
+          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
+            toks(i + 3))
+          i += 1
+        }
+        seen.iterator.map(g => (id, g))
+      }
+      .toDF("doc_id", "g")
+    val docs = Tables.documents(s, dir)
+    val evalGrams = docGrams(docs.filter(col("source") === EvalSource))
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    docGrams(docs.filter(col("source") =!= EvalSource))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"     -> textStats _,
     "lang_id"        -> langId _,
     "token_count"    -> tokenCount _,
     "doc_term_stats" -> docTermStats _,
     "ngram_freq"     -> ngramFreq _,
+    "doc_repetition" -> docRepetition _,
+    "contamination_ngram" -> contaminationNgram _,
     "pipeline_kept_docs" -> pipelineKeptDocs _)
 
   private lazy val textStatsSql =
@@ -265,6 +348,43 @@ object TextQueries {
          |FROM d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "doc_repetition" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    string_split(trim(regexp_replace(lower(text),
+           |        '[^\p{L}]+', ' ', 'g')), ' ') AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] AS g
+           |  FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+           |  WHERE len(t) >= 3),
+           |per AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+           |  FROM g GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_distinct,
+           |  CAST(n_distinct AS DOUBLE) / n_grams AS distinct_ratio
+           |FROM per WHERE n_grams > n_distinct""".stripMargin,
+    "contamination_ngram" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    string_split(trim(regexp_replace(lower(text),
+           |        '[^\p{L}]+', ' ', 'g')), ' ') AS t
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, source,
+           |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+           |  FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+           |  WHERE len(t) >= 4),
+           |eval_g AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+           |per AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM eval_g))
+           |         AS BIGINT) AS n_hit
+           |  FROM sh WHERE source <> 'src0' GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_hit,
+           |  CAST(n_hit AS DOUBLE) / n_grams AS contamination
+           |FROM per WHERE n_hit > 0""".stripMargin,
     "text_stats" -> textStatsSql,
     "pipeline_kept_docs" ->
       s"""WITH $langPredSql,

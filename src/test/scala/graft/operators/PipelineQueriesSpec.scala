@@ -110,4 +110,44 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(q >= 0L && q <= 3L)
     }
   }
+
+  test("doc_repetition: only repetitive docs, ratio strictly inside (0,1)") {
+    val rows = TextQueries.docRepetition(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") < r.getAs[Long]("n_grams"))
+      val ratio = r.getAs[Double]("distinct_ratio")
+      assert(ratio > 0.0 && ratio < 1.0)
+    }
+  }
+
+  test("contamination: eval docs excluded; exact eval copies score 1.0") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        md5(trim(regexp_replace(lower(col("text")), "[^\\p{L}]+", " ")))
+          .as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalSources = docs.filter(_._2 == "src0")
+    val evalHashes = evalSources.map(_._3).toSet
+    val rows = TextQueries.contaminationNgram(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_grams"))
+      val c = r.getAs[Double]("contamination")
+      assert(c > 0.0 && c <= 1.0)
+    }
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("contamination")).toMap
+    // no eval-set doc may appear in the training-side report
+    assert(evalSources.map(_._1).toSet.intersect(byId.keySet).isEmpty)
+    // a training doc whose normalized text exactly equals an eval doc's
+    // shares every 4-gram with the eval set: contamination must be 1.0
+    // (no such pair exists at sf0.001 — the check arms at larger SFs)
+    docs.filter(d => d._2 != "src0" && evalHashes(d._3)).foreach {
+      case (id, _, _) =>
+        assert(byId.get(id).contains(1.0),
+          s"doc $id should be fully contaminated")
+    }
+  }
 }
