@@ -42,21 +42,35 @@ object Bench {
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => println(s"explain failed: $e") }
       }
-    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+    // Trials per query: a single trial proved too noisy to distinguish a
+    // real regression from accumulated JVM/GC state (rounds 2 and 4 both
+    // produced >2x ghosts on unchanged plans). Median-of-3 with a GC
+    // between queries bounds that noise; override for quick iteration.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    def dropLeftoverBlocks(): Unit =
       // drop checkpoint/cache blocks a query left behind (jaccard /
       // components localCheckpoints) so they don't inflate heap pressure
       // for every later query — cleanup is outside the timed window
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      dropLeftoverBlocks()
+      val times = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks()
+        dt
+      }.sorted
+      // settle heap between query groups so one query's garbage doesn't
+      // become the next query's GC pause
+      System.gc()
+      name -> times(times.length / 2)
     }
     // Millisecond precision keeps the one-line JSON under ~2.5 KB for the
     // full catalog — the driver captures only the output tail, and r01-r03

@@ -102,14 +102,22 @@ object EmbeddingQueries {
     * centroid choice, so still oracle-verifiable).
     */
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val cents = qEmb(s, dir)
+    // ONE corpus scan: the quantized+normed table is checkpointed and
+    // shared by the centroid list, the assignment build, the probe pass
+    // and the final ranking (plain multi-reference would rescan the
+    // parquet once per consumer — object-producing subtrees get no
+    // exchange reuse). This is the harness stand-in for what a real
+    // deployment persists anyway: the IVF index artifact, written
+    // bucketed by centroid_id.
+    val emb = qEmb(s, dir).localCheckpoint()
+    val cents = emb
       .filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     // index: every vector assigned to its nearest centroid
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
-    val assigned = qEmb(s, dir)
+    val assigned = emb
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
@@ -117,11 +125,11 @@ object EmbeddingQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
-      .join(qEmb(s, dir), "vec_id")
+      .join(emb, "vec_id")
     // probe lists: NProbe nearest centroids per query
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
-    val probes = qEmb(s, dir).filter(col("vec_id") < NQuery)
+    val probes = emb.filter(col("vec_id") < NQuery)
       .select(col("vec_id").as("query_id"), col("qv").as("quv"),
         col("nrm").as("qnrm"))
       .crossJoin(broadcast(cents))
@@ -226,13 +234,18 @@ object EmbeddingQueries {
     * ~0.95 with the identical plan.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val cents = qEmb(s, dir)
+    // single corpus scan shared by centroids + assignment, and a
+    // checkpointed assignment so the a/b self-join below reads the index
+    // once instead of rebuilding it per side (same rationale as
+    // [[annIvfTopk]])
+    val emb = qEmb(s, dir).localCheckpoint()
+    val cents = emb
       .filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
-    val assigned = qEmb(s, dir)
+    val assigned = emb
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"),
         (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
@@ -240,6 +253,7 @@ object EmbeddingQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"))
+      .localCheckpoint()
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),

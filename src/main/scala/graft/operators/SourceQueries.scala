@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -231,6 +233,73 @@ object SourceQueries {
     s.table(qName)
   }
 
+  /** STREAMING SESSIONIZATION under the oracle gate: the
+    * `flatMapGroupsWithState` sessionizer ([[graft.streaming.EventStreams
+    * .sessionize]]) over the events file stream, checked against the same
+    * DuckDB lag()-based batch oracle as `events_sessionize`. A bounded
+    * AvailableNow run only emits sessions the WATERMARK has closed, so the
+    * scratch dir pairs the events file with a one-row sentinel (user −1,
+    * 2 h past max ts) that drives the final watermark past every real
+    * session's gap deadline; the sentinel's own open session never emits
+    * and user −1 is excluded from the result. `session_id` is recovered
+    * as the per-user rank of `session_start` — identical to the batch
+    * oracle's running new-session count.
+    */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qName = "graft_streaming_sessions"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sessDir = java.nio.file.Paths.get(ioDir("stream_sessions"))
+      .resolve(java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(sessDir)
+    val link = sessDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sentinel = sessDir.resolve("sentinel.parquet")
+    if (!java.nio.file.Files.exists(sentinel)) {
+      val raw = s.read.parquet(link.toString)
+      val maxNanos = raw.agg(max(col("ts"))).as[Long].head()
+      val tmp = sessDir.resolve("_sentinel_tmp")
+      raw.limit(1)
+        .withColumn("ts", lit(maxNanos + 2L * 3600 * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, sentinel)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val rawSchema = s.read.parquet(sessDir.toString).schema
+    val events = s.readStream.schema(rawSchema).parquet(sessDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    val q = graft.streaming.EventStreams.sessionize(events)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(qName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+      .filter(col("user_id") >= 0)
+      .withColumn("session_id",
+        (row_number().over(
+          Window.partitionBy("user_id").orderBy("session_start")) - 1)
+          .cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"), col("sum_value"))
+  }
+
   /** Word count → reference `mr-out-<N>` files via the custom `mrout`
     * DataSource V2 connector's WRITE path (task temp + driver rename
     * commit, the reference's protocol) → read back through its scan
@@ -288,7 +357,8 @@ object SourceQueries {
     "source_partitioned_prune" -> partitionedPrune _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
-    "streaming_click_attribution" -> streamingClickAttribution _)
+    "streaming_click_attribution" -> streamingClickAttribution _,
+    "streaming_sessionize"    -> streamingSessionize _)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -335,6 +405,24 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "streaming_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "streaming_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS n_events,

@@ -73,10 +73,19 @@ object MrOutSource {
   private[sources] def fs(path: String, conf: Configuration): FileSystem =
     new Path(path).getFileSystem(conf)
 
-  /** All data files under `path` (non-recursive), deterministic order —
-    * driver-side, via the Hadoop FileSystem API (object-store safe).
+  /** Default split size for large files: Spark's own
+    * `files.maxPartitionBytes` default. Files at or below this stay one
+    * partition (the reference's `mr-out-<N>` unit of parallelism);
+    * anything bigger — e.g. a single multi-GB mr-out from an external
+    * producer — is range-split so it doesn't become one task.
     */
-  private[sources] def listFiles(path: String): Array[String] = {
+  val DefaultMaxSplitBytes: Long = 128L * 1024 * 1024
+
+  /** All data files under `path` (non-recursive) with their sizes,
+    * deterministic order — driver-side, via the Hadoop FileSystem API
+    * (object-store safe).
+    */
+  private[sources] def listFiles(path: String): Array[(String, Long)] = {
     val p = new Path(path)
     val filesystem = fs(path, hadoopConf())
     val st = filesystem.getFileStatus(p)
@@ -86,7 +95,7 @@ object MrOutSource {
         val n = c.getPath.getName
         c.isFile && !n.startsWith(".") && !n.startsWith("_")
       }
-    files.map(_.getPath.toString).sorted
+    files.map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
   }
 }
 
@@ -116,7 +125,9 @@ private class MrOutTable(props: Map[String, String])
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MrOutScanBuilder(path)
+    new MrOutScanBuilder(path,
+      Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(MrOutSource.DefaultMaxSplitBytes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
@@ -126,66 +137,100 @@ private class MrOutTable(props: Map[String, String])
   }
 }
 
-private class MrOutScanBuilder(path: String)
+private class MrOutScanBuilder(path: String, maxSplitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = MrOutSource.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MrOutScan(path, required)
+  override def build(): Scan = new MrOutScan(path, required, maxSplitBytes)
 }
 
-private class MrOutScan(path: String, required: StructType)
+private class MrOutScan(path: String, required: StructType,
+                        maxSplitBytes: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** One partition per file up to `maxSplitBytes`; bigger files get
+    * byte-range splits with line-boundary handoff in the reader (the
+    * Hadoop text-split rule: a range starting past 0 skips its leading
+    * partial line; the range owning a line's start reads it to the end,
+    * possibly past its own boundary — every line read exactly once).
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    MrOutSource.listFiles(path).map(MrOutFilePartition(_))
+    MrOutSource.listFiles(path).flatMap { case (file, len) =>
+      if (len <= maxSplitBytes) Array(MrOutFilePartition(file, 0L, len))
+      else {
+        val n = ((len + maxSplitBytes - 1) / maxSplitBytes).toInt
+        Array.tabulate(n) { i =>
+          val start = i * maxSplitBytes
+          MrOutFilePartition(file, start, math.min(maxSplitBytes, len - start))
+        }
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MrOutReaderFactory(required.fieldNames,
       new SerializableConf(MrOutSource.hadoopConf()))
 }
 
-private case class MrOutFilePartition(file: String) extends InputPartition
+private case class MrOutFilePartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 private class MrOutReaderFactory(fields: Array[String], conf: SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new MrOutReader(p.asInstanceOf[MrOutFilePartition].file, fields, conf.conf)
+    new MrOutReader(p.asInstanceOf[MrOutFilePartition], fields, conf.conf)
 }
 
-/** Streams one `mr-out` file; splits each line at the FIRST space (keys
-  * never contain spaces in the reference format; values may).
+/** Streams one byte range of an `mr-out` file; splits each line at the
+  * FIRST space (keys never contain spaces in the reference format;
+  * values may). Range semantics follow Hadoop's `LineRecordReader`:
+  * a range with `start > 0` discards its leading (possibly partial)
+  * line — the previous range reads it — and a line that starts at or
+  * before `start + length` is read to its end even if that runs past
+  * the range, so concatenating all ranges yields each line exactly once.
+  * Byte positions come from Hadoop's `LineReader` (which reports bytes
+  * consumed, unlike `BufferedReader`), with UTF-8 decode per line.
   */
-private class MrOutReader(file: String, fields: Array[String],
+private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
                           conf: Configuration)
     extends PartitionReader[InternalRow] {
-  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    MrOutSource.fs(file, conf).open(new Path(file)),
-    java.nio.charset.StandardCharsets.UTF_8))
+  private val stream = MrOutSource.fs(part.file, conf).open(new Path(part.file))
+  private val end = part.start + part.length
+  private var pos = part.start
+  private val in = {
+    stream.seek(part.start)
+    val r = new org.apache.hadoop.util.LineReader(stream, conf)
+    if (part.start > 0) pos += r.readLine(new org.apache.hadoop.io.Text())
+    r
+  }
+  private val text = new org.apache.hadoop.io.Text()
   private val wantKey = fields.contains("key")
   private val wantValue = fields.contains("value")
-  private var row: InternalRow = _
+  // field slots resolved once; one row object reused across lines (the
+  // row is copied by the scan exec's unsafe projection)
+  private val row = new GenericInternalRow(fields.length)
+  private val keySlot = fields.indexOf("key")
+  private val valueSlot = fields.indexOf("value")
 
   override def next(): Boolean = {
-    val line = in.readLine()
-    if (line == null) { row = null; false }
-    else {
+    if (pos > end) return false
+    val n = in.readLine(text)
+    if (n == 0) return false
+    pos += n
+    if (wantKey || wantValue) {
+      val line = text.toString
       val sp = line.indexOf(' ')
       val (k, v) = if (sp < 0) (line, "") else
         (line.substring(0, sp), line.substring(sp + 1))
-      val vals = fields.map {
-        case "key"   => UTF8String.fromString(k)
-        case "value" => UTF8String.fromString(v)
-      }
-      row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-      // readers must tolerate empty projections (count(*) pushes none)
-      if (!wantKey && !wantValue) row = new GenericInternalRow(Array.empty[Any])
-      true
+      if (keySlot >= 0) row.update(keySlot, UTF8String.fromString(k))
+      if (valueSlot >= 0) row.update(valueSlot, UTF8String.fromString(v))
     }
+    // empty projections (count(*) pushes no columns) still count lines
+    true
   }
 
   override def get(): InternalRow = row

@@ -37,11 +37,40 @@ object EventStreams {
                               session_end: Timestamp, n_events: Long,
                               sum_value: Double)
 
-  /** Open-session accumulator held in the state store (one per user). */
+  /** Open-session accumulator held in the state store (one per user).
+    * Times are epoch MICROSECONDS (the events table has microsecond
+    * precision; `Timestamp.getTime` would truncate to millis and shift
+    * session boundaries). `totalScaled` is the running sum of
+    * `value` as a scale-6 decimal (unscaled long) — the same exact-sum
+    * discipline as [[graft.functions.dsum]], so the emitted double equals
+    * the batch oracle's `CAST(SUM(CAST(value AS DECIMAL(30,6))) AS
+    * DOUBLE)` regardless of per-event accumulation order.
+    */
   final case class SessionState(start: Long, end: Long,
-                                n: Long, total: Double)
+                                n: Long, totalScaled: Long)
 
-  val SessionGapMs: Long = 30 * 60 * 1000L
+  val SessionGapUs: Long = 30 * 60 * 1000000L
+
+  private def toMicros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** value → scale-6 unscaled long via the double's shortest string form —
+    * Spark's own double→DecimalType(_,6) path, exact for harness values.
+    */
+  private def scaled6(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def unscale6(total: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(total), 6)
+      .doubleValue()
 
   /** Hourly tumbling counts per event type. `streaming=true` input →
     * append-mode-compatible once a watermark is set.
@@ -73,30 +102,32 @@ object EventStreams {
             // watermark passed the gap deadline: close the open session
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.total))
+            Iterator.single(SessionOut(userId, toTimestamp(s.start),
+              toTimestamp(s.end), s.n, unscale6(s.totalScaled)))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
             var open = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               open match {
-                case Some(s) if t - s.end <= SessionGapMs =>
+                case Some(s) if t - s.end <= SessionGapUs =>
                   open = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
+                    s.n + 1, s.totalScaled + scaled6(e.value)))
                 case Some(s) =>
-                  closed += SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.total)
-                  open = Some(SessionState(t, t, 1L, e.value))
+                  closed += SessionOut(userId, toTimestamp(s.start),
+                    toTimestamp(s.end), s.n, unscale6(s.totalScaled))
+                  open = Some(SessionState(t, t, 1L, scaled6(e.value)))
                 case None =>
-                  open = Some(SessionState(t, t, 1L, e.value))
+                  open = Some(SessionState(t, t, 1L, scaled6(e.value)))
               }
             }
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.end + SessionGapMs)
+                // timeout clock is millis; round the micro deadline UP so
+                // the session never closes a hair early
+                state.setTimeoutTimestamp((s.end + SessionGapUs + 999) / 1000)
               case None => state.remove()
             }
             closed.result().iterator

@@ -95,6 +95,25 @@ class MrOutSourceSpec extends SparkSpec {
     assert(!dir.exists())
   }
 
+  test("mrout: a large file splits into byte ranges, every line exactly once") {
+    val dir = new java.io.File("target/graft-io/mrout_spec_split")
+    dir.mkdirs()
+    // one file, varied line lengths (multi-byte chars included) so range
+    // boundaries land mid-line at every alignment
+    val lines = (0 until 5000).map(i => s"k$i v-${"déjà" * (i % 7)}-$i")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "mr-out-0"),
+      lines.mkString("", "\n", "\n"))
+    val whole = spark.read.format("mrout").load(dir.getAbsolutePath)
+    assert(whole.rdd.getNumPartitions === 1) // below threshold: one per file
+    val split = spark.read.format("mrout")
+      .option("maxSplitBytes", "1024").load(dir.getAbsolutePath)
+    assert(split.rdd.getNumPartitions > 1)
+    val back = split.collect().map(r => s"${r.getString(0)} ${r.getString(1)}")
+    assert(back.length === lines.length)
+    assert(back.sorted.sameElements(lines.sorted))
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
