@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -138,20 +139,49 @@ private class MrOutTable(props: Map[String, String])
 }
 
 private class MrOutScanBuilder(path: String, maxSplitBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = MrOutSource.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MrOutScan(path, required, maxSplitBytes)
+  /** Push the filter shapes a line reader can apply before building a
+    * row: equality / IN / prefix on either string column (each has
+    * identical semantics on Java strings and UTF8Strings, so the reader
+    * can evaluate them on the raw line). Ordering comparisons are NOT
+    * pushed — UTF-16 vs UTF-8 binary order diverges beyond the BMP.
+    * Everything stays residual too (Spark re-checks above the scan);
+    * the win is skipping row materialization for non-matching lines —
+    * e.g. a single-key lookup over a TB of mr-out files allocates
+    * nothing for the other keys.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def supported(f: Filter): Boolean = f match {
+      case EqualTo(_, v)           => v.isInstanceOf[String]
+      case In(_, vs)               => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith(_, _)  => true
+      case IsNotNull(_)            => true // never null: trivially true
+      case _                       => false
+    }
+    pushed = filters.filter(supported)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new MrOutScan(path, required, maxSplitBytes, pushed)
 }
 
 private class MrOutScan(path: String, required: StructType,
-                        maxSplitBytes: Long)
+                        maxSplitBytes: Long, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"mrout $path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   /** One partition per file up to `maxSplitBytes`; bigger files get
     * byte-range splits with line-boundary handoff in the reader (the
@@ -172,17 +202,20 @@ private class MrOutScan(path: String, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MrOutReaderFactory(required.fieldNames,
+    new MrOutReaderFactory(required.fieldNames, pushed,
       new SerializableConf(MrOutSource.hadoopConf()))
 }
 
 private case class MrOutFilePartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-private class MrOutReaderFactory(fields: Array[String], conf: SerializableConf)
+private class MrOutReaderFactory(fields: Array[String],
+                                 pushed: Array[Filter],
+                                 conf: SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new MrOutReader(p.asInstanceOf[MrOutFilePartition], fields, conf.conf)
+    new MrOutReader(p.asInstanceOf[MrOutFilePartition], fields, pushed,
+      conf.conf)
 }
 
 /** Streams one byte range of an `mr-out` file; splits each line at the
@@ -196,8 +229,23 @@ private class MrOutReaderFactory(fields: Array[String], conf: SerializableConf)
   * consumed, unlike `BufferedReader`), with UTF-8 decode per line.
   */
 private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
-                          conf: Configuration)
+                          pushed: Array[Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
+  // pushed filters compiled once to (key, value) => Boolean; a line
+  // failing any of them is skipped before any row/UTF8String allocation
+  private val keep: Array[(String, String) => Boolean] = pushed.map {
+    case EqualTo(a, v: String) =>
+      if (a == "key") (k: String, _: String) => k == v
+      else (_: String, v2: String) => v2 == v
+    case In(a, vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      if (a == "key") (k: String, _: String) => set.contains(k)
+      else (_: String, v2: String) => set.contains(v2)
+    case StringStartsWith(a, p) =>
+      if (a == "key") (k: String, _: String) => k.startsWith(p)
+      else (_: String, v2: String) => v2.startsWith(p)
+    case _ => (_: String, _: String) => true // IsNotNull: never null
+  }
   private val stream = MrOutSource.fs(part.file, conf).open(new Path(part.file))
   private val end = part.start + part.length
   private var pos = part.start
@@ -208,29 +256,35 @@ private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
     r
   }
   private val text = new org.apache.hadoop.io.Text()
-  private val wantKey = fields.contains("key")
-  private val wantValue = fields.contains("value")
   // field slots resolved once; one row object reused across lines (the
   // row is copied by the scan exec's unsafe projection)
   private val row = new GenericInternalRow(fields.length)
   private val keySlot = fields.indexOf("key")
   private val valueSlot = fields.indexOf("value")
+  // count(*)-style scans with no filters never need the line decoded
+  private val rawCount = keep.isEmpty && keySlot < 0 && valueSlot < 0
 
   override def next(): Boolean = {
-    if (pos > end) return false
-    val n = in.readLine(text)
-    if (n == 0) return false
-    pos += n
-    if (wantKey || wantValue) {
+    while (pos <= end) {
+      val n = in.readLine(text)
+      if (n == 0) return false
+      pos += n
+      if (rawCount) return true
       val line = text.toString
       val sp = line.indexOf(' ')
-      val (k, v) = if (sp < 0) (line, "") else
-        (line.substring(0, sp), line.substring(sp + 1))
-      if (keySlot >= 0) row.update(keySlot, UTF8String.fromString(k))
-      if (valueSlot >= 0) row.update(valueSlot, UTF8String.fromString(v))
+      val k = if (sp < 0) line else line.substring(0, sp)
+      val v = if (sp < 0) "" else line.substring(sp + 1)
+      var ok = true
+      var i = 0
+      while (ok && i < keep.length) { ok = keep(i)(k, v); i += 1 }
+      if (ok) {
+        // empty projections (count(*) pushes no columns) still count lines
+        if (keySlot >= 0) row.update(keySlot, UTF8String.fromString(k))
+        if (valueSlot >= 0) row.update(valueSlot, UTF8String.fromString(v))
+        return true
+      }
     }
-    // empty projections (count(*) pushes no columns) still count lines
-    true
+    false
   }
 
   override def get(): InternalRow = row

@@ -114,6 +114,23 @@ class MrOutSourceSpec extends SparkSpec {
     assert(back.sorted.sameElements(lines.sorted))
   }
 
+  test("mrout: equality/prefix/IN filters push into the scan") {
+    val dir = writeSample()
+    val df = spark.read.format("mrout").load(dir)
+    val eq = df.filter(col("key") === "apple")
+    // pushed filter is visible in the scan's description
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("apple"), plan)
+    assert(eq.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("apple", "3")))
+    assert(df.filter(col("key").startsWith("ba")).collect()
+      .map(_.getString(0)).toSeq === Seq("banana"))
+    assert(df.filter(col("key").isin("apple", "cherry")).count() === 2L)
+    // value-side filter (value may contain spaces — full rest-of-line)
+    assert(df.filter(col("value") === "1 extra").collect()
+      .map(_.getString(0)).toSeq === Seq("banana"))
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
