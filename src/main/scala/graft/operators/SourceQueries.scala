@@ -32,20 +32,38 @@ object SourceQueries {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  /** The file-stream source monitors a DIRECTORY; expose the single
-    * events parquet file through a repo-local scratch dir (symlink, no
-    * copy), one per sf dir. Also flips the nanos-as-long conf the events
-    * schema needs (see [[graft.core.Tables.events]]).
+  /** Symlink the events table's parquet data into `streamDir` as plain
+    * FILES: the harness sf dirs hold one `events.parquet` file, but
+    * scaled-up dirs (`tools/scale_gen.py`) hold a DIRECTORY of part
+    * files, which a file-stream source's flat listing would miss — so a
+    * directory is linked file-by-file.
+    */
+  private def linkEvents(streamDir: java.nio.file.Path, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(streamDir)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val targets =
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      else Seq(src)
+    targets.foreach { f =>
+      val link = streamDir.resolve(s"events_${f.getFileName}")
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, f)
+    }
+  }
+
+  /** The file-stream source monitors a DIRECTORY; expose the events
+    * parquet through a repo-local scratch dir (symlinks, no copy), one
+    * per sf dir. Also flips the nanos-as-long conf the events schema
+    * needs (see [[graft.core.Tables.events]]).
     */
   private def eventsStreamDir(s: SparkSession, dir: String): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Paths.get(ioDir("stream_events"))
-      .resolve(java.lang.Integer.toHexString(dir.hashCode))
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      .resolve(java.lang.Integer.toHexString(dir.hashCode) + "f")
+    linkEvents(streamDir, dir)
     streamDir.toString
   }
 
@@ -255,15 +273,11 @@ object SourceQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sessDir = java.nio.file.Paths.get(ioDir("stream_sessions"))
-      .resolve(java.lang.Integer.toHexString(dir.hashCode))
-    java.nio.file.Files.createDirectories(sessDir)
-    val link = sessDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      .resolve(java.lang.Integer.toHexString(dir.hashCode) + "f")
+    linkEvents(sessDir, dir)
     val sentinel = sessDir.resolve("sentinel.parquet")
     if (!java.nio.file.Files.exists(sentinel)) {
-      val raw = s.read.parquet(link.toString)
+      val raw = s.read.parquet(s"$dir/events.parquet")
       val maxNanos = raw.agg(max(col("ts"))).as[Long].head()
       val tmp = sessDir.resolve("_sentinel_tmp")
       raw.limit(1)
