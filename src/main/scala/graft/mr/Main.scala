@@ -47,14 +47,16 @@ object Main {
   }
 
   /** The job body, separated so tests can drive it on a shared session:
-    * whole-file scan → registry lookup → map/shuffle/reduce → mrout sink.
-    * Output files are per-partition key-sorted, like the reference's
-    * reducer output (mr/worker.go:164-175).
+    * whole-file scan → registry lookup → map/shuffle/reduce → mrout sink
+    * with the reference's nReduce=10 output layout
+    * (main/mrcoordinator.go:23) — the sink's required distribution and
+    * ordering produce exactly 10 key-clustered, key-sorted
+    * `mr-out-<N>` files.
     */
   def run(spark: SparkSession, appName: String, inputs: Seq[String],
-          outDir: String): Unit =
+          outDir: String, nReduce: Int = 10): Unit =
     MrApplications.run(appName, MapReduceJob.wholeFiles(spark, inputs))
-      .sortWithinPartitions("key")
       .toDF()
-      .write.format("mrout").mode("overwrite").save(outDir)
+      .write.format("mrout").option("nReduce", nReduce)
+      .mode("overwrite").save(outDir)
 }

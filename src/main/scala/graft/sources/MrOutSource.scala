@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -134,7 +135,8 @@ private class MrOutTable(props: Map[String, String])
     val in = info.schema()
     require(in.length == 2 && in.forall(_.dataType == StringType),
       s"mrout sink expects exactly (key STRING, value STRING), got $in")
-    new MrOutWriteBuilder(path)
+    new MrOutWriteBuilder(path,
+      Option(info.options.get("nReduce")).map(_.toInt).getOrElse(0))
   }
 }
 
@@ -293,13 +295,31 @@ private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
 
 // ---------------------------------------------------------------- write
 
-private class MrOutWriteBuilder(path: String)
+/** `nReduce > 0` reproduces the reference's reduce-side layout
+  * declaratively (main/mrcoordinator.go:23 hardcodes nReduce=10;
+  * mr/worker.go's FNV hash routes each key to one mr-out file):
+  * [[RequiresDistributionAndOrdering]] asks Spark for a key-clustered
+  * exchange into exactly nReduce partitions — the engine inserts the
+  * shuffle, AQE keeps the partition count — so every key lands wholly
+  * in one `mr-out-<N>` file. Files are key-sorted in either mode, like
+  * the reference's reducer output (mr/worker.go:164-175).
+  */
+private class MrOutWriteBuilder(path: String, nReduce: Int)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      if (nReduce > 0)
+        Distributions.clustered(Array(Expressions.identity("key")))
+      else Distributions.unspecified()
+    override def requiredNumPartitions(): Int = nReduce // 0 = caller's
+    override def requiredOrdering(): Array[SortOrder] = Array(
+      Expressions.sort(Expressions.column("key"),
+        SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
       new MrOutBatchWrite(path, overwrite,
         new SerializableConf(MrOutSource.hadoopConf()))

@@ -131,6 +131,35 @@ class MrOutSourceSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("banana"))
   }
 
+  test("mrout write: nReduce clusters keys into exactly N sorted files") {
+    import spark.implicits._
+    val dir = new java.io.File("target/graft-io/mrout_spec_nreduce")
+    val rows = (1 to 40).flatMap(i => Seq((f"k$i%02d", "a"), (f"k$i%02d", "b")))
+    rows.toDF("key", "value").repartition(7) // writer must re-cluster
+      .write.format("mrout").option("nReduce", "3")
+      .mode("overwrite").save(dir.getAbsolutePath)
+    val names = dir.listFiles().map(_.getName).sorted
+    assert(names.toSeq === Seq("mr-out-0", "mr-out-1", "mr-out-2"))
+    val perFile = names.map { n =>
+      scala.io.Source.fromFile(new java.io.File(dir, n)).getLines().toSeq
+    }
+    // KEY-sorted within each file (value order within a key is not part
+    // of the contract), and no key spans two files
+    perFile.foreach { ls =>
+      val keys = ls.map(_.split(" ")(0))
+      assert(keys === keys.sorted)
+    }
+    val fileOfKey = perFile.zipWithIndex.flatMap { case (ls, i) =>
+      ls.map(l => (l.split(" ")(0), i))
+    }
+    fileOfKey.groupBy(_._1).foreach { case (k, fs) =>
+      assert(fs.map(_._2).distinct.length === 1, s"key $k spans files")
+    }
+    val back = spark.read.format("mrout").load(dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.sorted.toSeq === rows.sorted)
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
