@@ -153,6 +153,71 @@ object EmbeddingQueries {
         col("rank"), col("sim"))
   }
 
+  private val KmeansIters = 3
+
+  /** Nearest-centroid assignment by exact-integer cosine (ties broken by
+    * centroid_id): the shared kernel of the IVF index build and the
+    * KMeans training loop. One broadcast of the centroid table per call;
+    * the corpus side streams map-only.
+    */
+  private def assignNearest(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    emb.crossJoin(broadcast(
+        cents.withColumn("cnrm",
+          sqrt(ndot(col("cv"), col("cv")).cast("double")))))
+      .select(col("vec_id"), col("qv"), col("centroid_id"),
+        (ndot(col("qv"), col("cv")).cast("double") /
+          sqrt(ndot(col("qv"), col("qv")).cast("double")) /
+          col("cnrm")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("centroid_id"))
+  }
+
+  /** DETERMINISTIC KMEANS (spherical, 3 Lloyd iterations) — the real
+    * "train the IVF index" operator behind [[annIvfTopk]]'s pinned-seed
+    * stand-in. Each iteration is one broadcast-assignment pass over the
+    * corpus plus one partial-aggregated per-dimension sum; new centroid
+    * components are the TRUNCATED integer mean `(sx - sx % n) div n` —
+    * exact in 64-bit both here and in DuckDB (component sums stay far
+    * below 2^53), so after three rounds both engines hold bit-identical
+    * centroid vectors. Empty clusters drop (no assignment row). The
+    * output is a scalar digest per surviving centroid — member count and
+    * the exact integer self-dot of the trained vector — because the
+    * driver's compare can't sort array columns; matching digests pin the
+    * whole 3-round trajectory.
+    *
+    * At 100 TB: centroids are broadcast (nlist « corpus), assignment is
+    * map-only, the per-dim sum shuffles nlist × dim rows after map-side
+    * combine, and each round's result is checkpointed (same iterative
+    * shape as [[DedupQueries]]' connected components).
+    */
+  def annKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint()
+    var cents = emb.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    for (_ <- 1 to KmeansIters) {
+      cents = assignNearest(emb, cents)
+        .select(col("centroid_id"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("(sx - sx % n) div n"))
+        .groupBy(col("centroid_id"))
+        .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+        .select(col("centroid_id"),
+          expr("transform(array_sort(pc), s -> s.c)").as("cv"))
+        .localCheckpoint()
+    }
+    assignNearest(emb, cents)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(cents.select(col("centroid_id"),
+        ndot(col("cv"), col("cv")).as("cnorm")), "centroid_id")
+      .select(col("centroid_id"), col("n_members"), col("cnorm"))
+  }
+
   /** LSH tables: 4 tables × 8 random-hyperplane sign bits. Hyperplane
     * components are ±1 derived from md5 parity (pinned hash family, so
     * Spark and DuckDB compute identical buckets — the "randomness" is
@@ -284,6 +349,7 @@ object EmbeddingQueries {
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_assign"  -> annIvfAssign _,
     "ann_ivf_topk"    -> annIvfTopk _,
+    "ann_kmeans_centroids" -> annKmeansCentroids _,
     "ann_lsh_topk"    -> annLshTopk _,
     "dedup_embedding" -> dedupEmbedding _,
     "emb_label_stats" -> embLabelStats _)
@@ -357,6 +423,39 @@ object EmbeddingQueries {
          |  FROM sims)
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_kmeans_centroids" -> {
+      // the same 3-round Lloyd trajectory as chained CTEs; all centroid
+      // arithmetic is exact 64-bit integer, so the digests must match
+      // bit-for-bit
+      val dim = 64
+      def assign(cents: String): String =
+        s"""(SELECT vec_id, qv, centroid_id FROM (
+           |  SELECT v.vec_id, v.qv, c.centroid_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.centroid_id) AS rn
+           |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      def update(a: String): String =
+        s"""(SELECT centroid_id, list(c ORDER BY pos) AS cv FROM (
+           |  SELECT centroid_id, pos, CAST((sx - sx % n) / n AS BIGINT) AS c
+           |  FROM (SELECT centroid_id, i AS pos,
+           |          CAST(sum(qv[i]) AS BIGINT) AS sx, count(*) AS n
+           |        FROM $a AS t, unnest(generate_series(1, $dim)) AS g(i)
+           |        GROUP BY centroid_id, i) )
+           | GROUP BY centroid_id)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
+         |       WHERE vec_id % $CentroidStride = 0),
+         |c1 AS ${update(assign("c0"))},
+         |c2 AS ${update(assign("c1"))},
+         |c3 AS ${update(assign("c2"))}
+         |SELECT a.centroid_id, count(*) AS n_members, cn.cnorm
+         |FROM ${assign("c3")} a
+         |JOIN (SELECT centroid_id,
+         |        CAST(list_sum(list_transform(generate_series(1, $dim),
+         |          i -> cv[i] * cv[i])) AS BIGINT) AS cnorm
+         |      FROM c3) cn USING (centroid_id)
+         |GROUP BY a.centroid_id, cn.cnorm""".stripMargin
+    },
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
          |bits AS (

@@ -92,6 +92,21 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ivf.size <= bf.size + 50)
   }
 
+  test("kmeans training: every vector assigned, digests stable per run") {
+    val rows = EmbeddingQueries.annKmeansCentroids(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.embeddings(spark, sf0001).count()
+    // every corpus vector belongs to exactly one surviving cluster
+    assert(rows.map(_.getAs[Long]("n_members")).sum === total)
+    rows.foreach(r => assert(r.getAs[Long]("cnorm") > 0L))
+    // deterministic: a second run reproduces the digests exactly
+    val again = EmbeddingQueries.annKmeansCentroids(spark, sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .sameElements(
+        again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)))
+  }
+
   test("lang_id confusion matrix covers every document") {
     val n = TextQueries.langId(spark, sf0001)
       .collect().map(_.getAs[Long]("n_docs")).sum
