@@ -309,7 +309,106 @@ object TextQueries {
         (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
   }
 
+  /** BM25 constants (k1=1.2, b=0.75) and a fixed corpus query. */
+  private val Bm25Terms = Seq("hash", "join", "vector")
+  private val Bm25K = 10
+
+  /** RANKED RETRIEVAL: top-10 documents for a term query under a
+    * BM25-family score — the "find training docs like this" primitive.
+    * Deterministic variant: the classic `ln`-based idf is replaced by
+    * its log-free rational core `(N - df + 0.5) / (df + 0.5)` (a
+    * monotone transform of it), because `ln` is not guaranteed
+    * correctly-rounded and would differ in the last ulp across engines.
+    * Every per-(doc,term) contribution is a fixed IEEE expression over
+    * exact integer inputs (tf, df, dl, N) quantized to a 1e-6 BIGINT;
+    * the per-doc score is then an order-independent integer sum — fully
+    * hash-verifiable.
+    *
+    * Plan at 100 TB: one explode of the (pruned) token arrays filtered
+    * to the query terms BEFORE the shuffle (so only matching (doc,term)
+    * rows move), df and corpus stats are broadcast scalars, and the
+    * final top-k is TakeOrderedAndProject (per-partition heap, k-row
+    * driver merge — never a global sort).
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), lowToks(col("text")).as("toks"))
+    val dls = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfs), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfc",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("contrib",
+        round(col("idf") * col("tfc") * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(col("contrib")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
+  /** Count-min sketch shape: 4 hash rows x 256 counters. */
+  private val CmsRows = 4
+  private val CmsWidth = 256
+  private val CmsTopK = 20
+
+  /** COUNT-MIN SKETCH heavy hitters over document words — the
+    * point-query counting sketch next to the KMV distinct sketch
+    * (`sketch_distinct_users`): word frequencies are folded into a
+    * 4×256 counter grid (hash family = md5 of `row:word`, pinned, so
+    * both engines bucket identically), and a word's estimate is the min
+    * of its 4 counters — ≥ the true count by construction, equal when
+    * no collision survives the min. The report lists the true top-20
+    * words with exact and estimated counts side by side, so the oracle
+    * hash pins the whole sketch content.
+    *
+    * At 100 TB: the counter grid is 1024 rows built by partial-agg from
+    * per-word counts (the raw corpus never shuffles), candidates come
+    * from TakeOrderedAndProject, and point estimates are a broadcast
+    * join against the tiny grid — the sketch answers "how often is
+    * word w" without retaining the unbounded word table.
+    */
+  def sketchHeavyWords(s: SparkSession, dir: String): DataFrame = {
+    val wcounts = Tables.documents(s, dir)
+      .select(explode(lowToks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds grid, candidates, and the estimate join
+    val rows = (0 until CmsRows).map(lit(_))
+    val hashed = wcounts
+      .select(col("word"), col("cnt"), explode(array(rows: _*)).as("r"))
+      .withColumn("c",
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("word"))), 1, 8), 16, 10).cast("long") % CmsWidth)
+    val grid = hashed.groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("counter"))
+    val top = wcounts.orderBy(col("cnt").desc, col("word")).limit(CmsTopK)
+    hashed.join(broadcast(top.select(col("word"))), "word")
+      .join(broadcast(grid), Seq("r", "c"))
+      .groupBy(col("word"))
+      .agg(min(col("counter")).as("cms_est"))
+      .join(broadcast(top), "word")
+      .select(col("word"), col("cnt").as("exact_cnt"), col("cms_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_heavy_words" -> sketchHeavyWords _,
     "text_stats"     -> textStats _,
     "lang_id"        -> langId _,
     "token_count"    -> tokenCount _,
@@ -317,6 +416,7 @@ object TextQueries {
     "ngram_freq"     -> ngramFreq _,
     "doc_repetition" -> docRepetition _,
     "contamination_ngram" -> contaminationNgram _,
+    "bm25_search"    -> bm25Search _,
     "pipeline_kept_docs" -> pipelineKeptDocs _)
 
   private lazy val textStatsSql =
@@ -348,6 +448,61 @@ object TextQueries {
          |FROM d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sketch_heavy_words" ->
+      raw"""WITH wc AS (
+           |  SELECT word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '[^\p{L}]+'),
+           |      t -> t <> '')) AS word
+           |    FROM documents)
+           |  GROUP BY word),
+           |hashed AS (
+           |  SELECT word, cnt, r,
+           |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word),
+           |                        1, 8) AS BIGINT) % 256 AS c
+           |  FROM wc, unnest(generate_series(0, 3)) AS g(r)),
+           |grid AS (
+           |  SELECT r, c, CAST(sum(cnt) AS BIGINT) AS counter
+           |  FROM hashed GROUP BY r, c),
+           |top AS (SELECT word, cnt FROM wc
+           |        ORDER BY cnt DESC, word LIMIT 20)
+           |SELECT h.word, max(t.cnt) AS exact_cnt,
+           |  CAST(min(g.counter) AS BIGINT) AS cms_est
+           |FROM hashed h
+           |JOIN top t USING (word)
+           |JOIN grid g ON g.r = h.r AND g.c = h.c
+           |GROUP BY h.word""".stripMargin,
+    "bm25_search" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+           |                t -> t <> '') AS toks
+           |  FROM documents),
+           |dls AS (SELECT doc_id, len(toks) AS dl FROM toks),
+           |stats AS (SELECT count(*) AS n_docs,
+           |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+           |  WHERE term IN ('hash', 'join', 'vector')
+           |  GROUP BY doc_id, term),
+           |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    CAST(round(
+           |      ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+           |        (CAST(df AS DOUBLE) + 0.5)) *
+           |      ((CAST(tf AS DOUBLE) * 2.2) /
+           |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+           |          (CAST(dl AS DOUBLE) /
+           |            (CAST(sum_dl AS DOUBLE) / n_docs))))) *
+           |      1000000.0) AS BIGINT) AS contrib
+           |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id),
+           |       stats)
+           |SELECT doc_id, count(*) AS n_terms,
+           |  CAST(sum(contrib) AS BIGINT) AS score_scaled
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score_scaled DESC, doc_id LIMIT 10""".stripMargin,
     "doc_repetition" ->
       raw"""WITH toks AS (
            |  SELECT doc_id,
