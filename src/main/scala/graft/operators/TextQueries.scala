@@ -333,7 +333,11 @@ object TextQueries {
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), lowToks(col("text")).as("toks"))
+    // narrow (doc_id, dl) checkpointed: corpus-stats agg and the scoring
+    // join both read these 16 bytes/doc instead of re-tokenizing the
+    // corpus (2 scans total — tf and dl — not 3)
     val dls = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      .localCheckpoint()
     val stats = dls.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val tf = toks
