@@ -193,8 +193,11 @@ object EmbeddingQueries {
     * combine, and each round's result is checkpointed (same iterative
     * shape as [[DedupQueries]]' connected components).
     */
-  def annKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
-    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint()
+  /** The 3-round Lloyd loop itself; returns the trained
+    * (centroid_id, cv) table. See [[annKmeansCentroids]] for the full
+    * determinism story.
+    */
+  private def trainKmeans(emb: DataFrame): DataFrame = {
     var cents = emb.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
     for (_ <- 1 to KmeansIters) {
@@ -210,12 +213,58 @@ object EmbeddingQueries {
           expr("transform(array_sort(pc), s -> s.c)").as("cv"))
         .localCheckpoint()
     }
+    cents
+  }
+
+  def annKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint()
+    val cents = trainKmeans(emb)
     assignNearest(emb, cents)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"))
       .join(cents.select(col("centroid_id"),
         ndot(col("cv"), col("cv")).as("cnorm")), "centroid_id")
       .select(col("centroid_id"), col("n_members"), col("cnorm"))
+  }
+
+  /** SEARCH THROUGH THE TRAINED INDEX: [[trainKmeans]] centroids used
+    * the way [[annIvfTopk]] uses the pinned-seed ones — each query
+    * probes its NProbe nearest trained centroids and ranks only those
+    * clusters' members. Train + assign + probe + rank is the complete
+    * IVF lifecycle in one verifiable query (the oracle chains the
+    * training CTEs into the probe/search SQL). Same 100 TB shape:
+    * centroids broadcast, one checkpointed corpus scan, per-query work
+    * bounded by the probed clusters.
+    */
+  def annKmeansTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint()
+    val cents = trainKmeans(emb)
+    val assigned = assignNearest(emb, cents)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val probes = emb.filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .crossJoin(broadcast(cents.withColumn("cnrm",
+        sqrt(ndot(col("cv"), col("cv")).cast("double")))))
+      .select(col("query_id"), col("quv"), col("centroid_id"),
+        (ndot(col("quv"), col("cv")).cast("double") /
+          sqrt(ndot(col("quv"), col("quv")).cast("double")) /
+          col("cnrm")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("quv"), col("centroid_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(assigned, "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (ndot(col("quv"), col("qv")).cast("double") /
+          sqrt(ndot(col("quv"), col("quv")).cast("double")) /
+          sqrt(ndot(col("qv"), col("qv")).cast("double"))).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
   }
 
   /** LSH tables: 4 tables × 8 random-hyperplane sign bits. Hyperplane
@@ -350,6 +399,7 @@ object EmbeddingQueries {
     "ann_ivf_assign"  -> annIvfAssign _,
     "ann_ivf_topk"    -> annIvfTopk _,
     "ann_kmeans_centroids" -> annKmeansCentroids _,
+    "ann_kmeans_topk" -> annKmeansTopk _,
     "ann_lsh_topk"    -> annLshTopk _,
     "dedup_embedding" -> dedupEmbedding _,
     "emb_label_stats" -> embLabelStats _)
@@ -361,6 +411,33 @@ object EmbeddingQueries {
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)"
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
+
+  /** KMeans oracle builders: the same 3-round Lloyd trajectory as
+    * chained CTEs; all centroid arithmetic is exact 64-bit integer, so
+    * both engines hold bit-identical centroids after every round.
+    */
+  private val KmDim = 64
+  private def kmAssign(cents: String): String =
+    s"""(SELECT vec_id, qv, centroid_id FROM (
+       |  SELECT v.vec_id, v.qv, c.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+  private def kmUpdate(a: String): String =
+    s"""(SELECT centroid_id, list(c ORDER BY pos) AS cv FROM (
+       |  SELECT centroid_id, pos, CAST((sx - sx % n) / n AS BIGINT) AS c
+       |  FROM (SELECT centroid_id, i AS pos,
+       |          CAST(sum(qv[i]) AS BIGINT) AS sx, count(*) AS n
+       |        FROM $a AS t, unnest(generate_series(1, $KmDim)) AS g(i)
+       |        GROUP BY centroid_id, i) )
+       | GROUP BY centroid_id)""".stripMargin
+  private lazy val kmChainSql: String =
+    s"""v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
+       |       WHERE vec_id % $CentroidStride = 0),
+       |c1 AS ${kmUpdate(kmAssign("c0"))},
+       |c2 AS ${kmUpdate(kmAssign("c1"))},
+       |c3 AS ${kmUpdate(kmAssign("c2"))}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_brute_force" ->
@@ -423,39 +500,41 @@ object EmbeddingQueries {
          |  FROM sims)
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
-    "ann_kmeans_centroids" -> {
-      // the same 3-round Lloyd trajectory as chained CTEs; all centroid
-      // arithmetic is exact 64-bit integer, so the digests must match
-      // bit-for-bit
-      val dim = 64
-      def assign(cents: String): String =
-        s"""(SELECT vec_id, qv, centroid_id FROM (
-           |  SELECT v.vec_id, v.qv, c.centroid_id,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.centroid_id) AS rn
-           |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      def update(a: String): String =
-        s"""(SELECT centroid_id, list(c ORDER BY pos) AS cv FROM (
-           |  SELECT centroid_id, pos, CAST((sx - sx % n) / n AS BIGINT) AS c
-           |  FROM (SELECT centroid_id, i AS pos,
-           |          CAST(sum(qv[i]) AS BIGINT) AS sx, count(*) AS n
-           |        FROM $a AS t, unnest(generate_series(1, $dim)) AS g(i)
-           |        GROUP BY centroid_id, i) )
-           | GROUP BY centroid_id)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-         |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
-         |       WHERE vec_id % $CentroidStride = 0),
-         |c1 AS ${update(assign("c0"))},
-         |c2 AS ${update(assign("c1"))},
-         |c3 AS ${update(assign("c2"))}
+    "ann_kmeans_centroids" ->
+      s"""WITH $kmChainSql
          |SELECT a.centroid_id, count(*) AS n_members, cn.cnorm
-         |FROM ${assign("c3")} a
+         |FROM ${kmAssign("c3")} a
          |JOIN (SELECT centroid_id,
-         |        CAST(list_sum(list_transform(generate_series(1, $dim),
+         |        CAST(list_sum(list_transform(generate_series(1, $KmDim),
          |          i -> cv[i] * cv[i])) AS BIGINT) AS cnorm
          |      FROM c3) cn USING (centroid_id)
-         |GROUP BY a.centroid_id, cn.cnorm""".stripMargin
-    },
+         |GROUP BY a.centroid_id, cn.cnorm""".stripMargin,
+    "ann_kmeans_topk" ->
+      s"""WITH $kmChainSql,
+         |a3 AS ${kmAssign("c3")},
+         |probes AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.centroid_id) AS rn
+         |    FROM v q CROSS JOIN c3 c WHERE q.vec_id < $NQuery)
+         |  WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN a3 a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id),
+         |sims AS (
+         |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
+         |  FROM cand c
+         |  JOIN v qc ON qc.vec_id = c.query_id
+         |  JOIN v cc ON cc.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
          |bits AS (
