@@ -315,6 +315,11 @@ object EmbeddingQueries {
           }
         }
       }.toDF("vec_id", "t", "bucket")
+      // narrow (vec_id, t, bucket) checkpointed: the query side and the
+      // candidate side both consume it, and an object-producing subtree
+      // gets no exchange reuse — without this the 32-dot sign kernel
+      // runs twice over the corpus
+      .localCheckpoint()
     val q = buckets.filter(col("vec_id") < NQuery)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val cand = q.join(buckets, Seq("t", "bucket"))
