@@ -188,6 +188,35 @@ object OlapQueries {
           count(col("qv")).over(w) / 1e6).as("moving_avg"))
   }
 
+  /** EXPONENTIAL moving average, exactly: α=1/2 makes every EWMA weight
+    * a dyadic 2^-k, so over the last ≤8 orders the weighted numerator
+    * and the weight total are exact BIGINTs (cents × powers of two) and
+    * the smoothed price is one IEEE division at the end — an EWMA that
+    * passes a value-hash gate, which a float-recurrence formulation
+    * never could. Truncating the tail at 8 terms bounds the lag chain;
+    * the dropped mass is ≤ 2^-8 of the weight. One shuffle (by
+    * customer), O(1) state per row — same scale shape as every window
+    * here.
+    */
+  def windowEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t"), col("o_orderkey"))
+    val num = (1 until 8).foldLeft(col("cents") * lit(128L)) { (acc, k) =>
+      acc + coalesce(lag(col("cents"), k).over(w) * lit(1L << (7 - k)),
+        lit(0L))
+    }
+    val den = (1 until 8).foldLeft(lit(128L).cast("long")) { (acc, k) =>
+      acc + when(lag(col("cents"), k).over(w).isNotNull,
+        lit(1L << (7 - k))).otherwise(lit(0L))
+    }
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (num.cast("double") / den / lit(100.0)).as("ewma_price"))
+  }
+
   /** RANGE-frame window: per customer, each order's trailing-7-day spend
     * (inclusive) — the time-decayed feature shape. The frame ranges over
     * exact microsecond epochs; money sums are exact cents.
@@ -332,6 +361,7 @@ object OlapQueries {
     "sql_q4_priority_exists"  -> sqlQ4PriorityExists _,
     "events_funnel"           -> eventsFunnel _,
     "window_moving_avg"       -> windowMovingAvg _,
+    "window_ewma"             -> windowEwma _,
     "window_trailing_7d"      -> windowTrailing7d _,
     "events_retention"        -> eventsRetention _)
 
@@ -424,6 +454,19 @@ object OlapQueries {
         |        CAST(round(value * 1000000.0) AS BIGINT) AS qv FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "window_ewma" -> {
+      val num = (1 until 8).foldLeft("cents * 128")((acc, k) =>
+        s"$acc + coalesce(lag(cents, $k) OVER w * ${1L << (7 - k)}, 0)")
+      val den = (1 until 8).foldLeft("128")((acc, k) =>
+        s"$acc + CASE WHEN lag(cents, $k) OVER w IS NOT NULL" +
+          s" THEN ${1L << (7 - k)} ELSE 0 END")
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST($num AS DOUBLE) / ($den) / 100.0 AS ewma_price
+         |FROM (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS t,
+         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |      FROM orders)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)""".stripMargin
+    },
     "window_trailing_7d" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS trailing_7d_spend,
