@@ -472,7 +472,33 @@ object DedupQueries {
     labels.select(col("v").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** The dedup ACTION: per near-duplicate component (the
+    * [[dedupComponents]] clusters), keep one canonical document — the
+    * highest [[TextQueries.textStats]] quality score, ties to the lowest
+    * doc_id — and report the cluster size. This is the step a real
+    * pipeline executes after clustering: everything upstream (LSH pairs,
+    * label propagation) is shuffle-bounded as before, and the selection
+    * itself is one rank window over the (tiny) component table joined to
+    * the per-doc quality scan.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dedupComponents(s, dir)
+    val quality = TextQueries.textStats(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    comp.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("component_id"))))
+      .filter(col("rn") === 1)
+      .select(col("component_id"), col("doc_id").as("kept_doc_id"),
+        col("quality_score").as("kept_quality"), col("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best"     -> dedupKeepBest _,
     "dedup_exact"         -> dedupExact _,
     "dedup_minhash_lsh"   -> dedupMinhashLsh _,
     "dedup_simhash"       -> dedupSimhash _,
@@ -556,6 +582,31 @@ object DedupQueries {
          |  SELECT e.src, r.w FROM edges e JOIN reach r ON e.dst = r.v)
          |SELECT v AS doc_id, MIN(w) AS component_id FROM reach
          |GROUP BY v""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsBody,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  WHERE n_bands >= 2
+         |  UNION
+         |  SELECT doc_b, doc_a FROM mh_pairs WHERE n_bands >= 2),
+         |reach AS (
+         |  SELECT DISTINCT src AS v, src AS w FROM edges
+         |  UNION
+         |  SELECT e.src, r.w FROM edges e JOIN reach r ON e.dst = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(w) AS component_id FROM reach
+         |         GROUP BY v),
+         |q AS (SELECT doc_id, quality_score
+         |      FROM (${TextQueries.textStatsSql}) t),
+         |ranked AS (
+         |  SELECT c.component_id, c.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY c.component_id
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.component_id) AS n
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT component_id, doc_id AS kept_doc_id,
+         |  CAST(quality_score AS BIGINT) AS kept_quality,
+         |  CAST(n AS BIGINT) AS n_docs
+         |FROM ranked WHERE rn = 1""".stripMargin,
     "dedup_simhash" ->
       s"WITH $simhashCteSql\nSELECT doc_id, simhash FROM sims",
     "dedup_simhash_pairs" ->

@@ -423,7 +423,7 @@ object TextQueries {
     "bm25_search"    -> bm25Search _,
     "pipeline_kept_docs" -> pipelineKeptDocs _)
 
-  private lazy val textStatsSql =
+  private[operators] lazy val textStatsSql =
     s"""WITH d AS (
          |  SELECT doc_id, length(text) AS len,
          |    len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
