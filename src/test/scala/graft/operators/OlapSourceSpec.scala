@@ -177,6 +177,47 @@ class OlapSourceSpec extends SparkSpec {
     }
   }
 
+  test("ewma: bounded by window min/max, converges to price for singletons") {
+    import org.apache.spark.sql.functions._
+    val rows = OlapQueries.windowEwma(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, e) => !e.isNaN && e > 0.0 })
+    // a customer with exactly one order: ewma == that order's price
+    val orders = graft.core.Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("p"), min(col("o_orderkey")).as("k"))
+      .filter(col("n") === 1).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("p")).toMap
+    val byOrder = rows.toMap
+    orders.foreach { case (orderKey, price) =>
+      // cents-rounded price is what the exact pipeline preserves
+      val expect = math.round(price * 100) / 100.0
+      assert(byOrder(orderKey) === expect,
+        s"singleton order $orderKey: ${byOrder(orderKey)} != $expect")
+    }
+  }
+
+  test("keep_best: kept doc is in its component with maximal quality") {
+    val comp = DedupQueries.dedupComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextQueries.textStats(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quality_score"))
+      .toMap
+    val kept = DedupQueries.dedupKeepBest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byComponent = comp.groupBy(_._2)
+    assert(kept.length === byComponent.size)
+    kept.foreach { case (cid, keptDoc, keptQ, nDocs) =>
+      val members = byComponent(cid).map(_._1)
+      assert(members.contains(keptDoc))
+      assert(nDocs === members.length.toLong)
+      assert(keptQ === quality(keptDoc))
+      assert(members.forall(m => quality(m) < keptQ ||
+        (quality(m) == keptQ && m >= keptDoc)))
+    }
+  }
+
   test("bigram top-50 is count-descending with deterministic ties") {
     val rows = TextQueries.ngramFreq(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)))
