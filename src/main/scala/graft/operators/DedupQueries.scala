@@ -165,23 +165,40 @@ object DedupQueries {
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
       .select(col("docs")).as[Array[Long]]
-      .flatMap(pairsOf)
-      .toDF("doc_a", "doc_b")
-      .groupBy("doc_a", "doc_b")
+      .flatMap(d => packedPairsOf(d, withDiagonal = false))
+      .toDF("pair")
+      .groupBy("pair")
       .agg(count(lit(1)).as("n_bands"))
+      .select(shiftright(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("n_bands"))
   }
 
   /** All ascending (a, b) pairs of a sorted id list — the in-bucket
-    * candidate expansion shared by the LSH and Jaccard operators.
+    * candidate expansion shared by the LSH and Jaccard operators —
+    * PACKED as `(a << 32) | b` primitive longs: tuple rows on this path
+    * box two longs per candidate (51 M candidates at the 10× harness)
+    * and the pack also halves the shuffled key width. Safe while ids
+    * stay under 2^31 (guarded; generators keep doc_id ≤ 1e8). With
+    * `withDiagonal`, (d, d) self-pairs lead the output — the Jaccard
+    * size rows.
     */
-  private def pairsOf(docs: Array[Long]): Array[(Long, Long)] = {
-    val out = new Array[(Long, Long)](docs.length * (docs.length - 1) / 2)
+  private def packedPairsOf(docs: Array[Long],
+                            withDiagonal: Boolean): Array[Long] = {
+    val n = docs.length
+    require(docs(n - 1) < (1L << 31), s"doc_id ${docs(n - 1)} exceeds 31 bits")
+    val diag = if (withDiagonal) n else 0
+    val out = new Array[Long](diag + n * (n - 1) / 2)
     var k = 0
+    if (withDiagonal) {
+      var d = 0
+      while (d < n) { out(k) = (docs(d) << 32) | docs(d); k += 1; d += 1 }
+    }
     var i = 0
-    while (i < docs.length) {
+    while (i < n) {
       var j = i + 1
-      while (j < docs.length) {
-        out(k) = (docs(i), docs(j))
+      while (j < n) {
+        out(k) = (docs(i) << 32) | docs(j)
         k += 1
         j += 1
       }
@@ -220,20 +237,33 @@ object DedupQueries {
     // lists; pair generation explodes each list (the MaxDF cap bounds it
     // at O(MaxDF²) per shingle) and per-doc sizes fall out of the same
     // lists — so the corpus is scanned twice and the doc-shingle set
-    // shuffles once, vs the naive self-join's 6 scans. Shingle emission
-    // and pair expansion are typed kernels (a per-doc hash set / an
-    // index loop) — the relational HOF equivalents run interpreted,
-    // outside whole-stage codegen.
-    val shingleRows = docTokens(s, dir).flatMap { case (docId, toks) =>
-      val seen = new java.util.HashSet[String]()
-      val out = Seq.newBuilder[(Long, String)]
-      var i = 0
-      while (i + 2 < toks.length) {
-        val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-        if (seen.add(sh)) out += ((docId, sh))
-        i += 1
+    // shuffles once, vs the naive self-join's 6 scans. Shingles cross
+    // the shuffle as 60-bit md5-prefix LONGS, not strings — the
+    // doc-shingle relation is the operator's bulk (33 M rows at the 10×
+    // harness), and an 8-byte key both shrinks it ~3× and turns the
+    // posting-list aggregation into long ops. The same hash is computed
+    // in the oracle, so a (cosmically unlikely, p≈n²/2⁶¹) collision
+    // would still verify. Shingle emission and pair expansion are typed
+    // kernels — the relational HOF equivalents run interpreted, outside
+    // whole-stage codegen.
+    val shingleRows = docTokens(s, dir).mapPartitions { docs =>
+      val md = MessageDigest.getInstance("MD5")
+      docs.flatMap { case (docId, toks) =>
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i + 2 < toks.length) {
+          val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+          val d = md.digest(sh.getBytes(UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          val h = v >>> 4 // == BIGINT of the first 15 md5 hex digits
+          if (seen.add(h)) out += ((docId, h))
+          i += 1
+        }
+        out.result()
       }
-      out.result()
     }.toDF("doc_id", "shingle")
     val lists = shingleRows
       .groupBy("shingle")
@@ -250,17 +280,12 @@ object DedupQueries {
     // materialized blocks instead of re-running the corpus scan.
     val pairCounts = lists
       .select(col("docs")).as[Array[Long]]
-      .flatMap { docs =>
-        val pairs = pairsOf(docs)
-        val out = new Array[(Long, Long)](docs.length + pairs.length)
-        var i = 0
-        while (i < docs.length) { out(i) = (docs(i), docs(i)); i += 1 }
-        System.arraycopy(pairs, 0, out, docs.length, pairs.length)
-        out
-      }
-      .toDF("doc_a", "doc_b")
-      .groupBy("doc_a", "doc_b")
+      .flatMap(d => packedPairsOf(d, withDiagonal = true))
+      .toDF("pair")
+      .groupBy("pair")
       .agg(count(lit(1)).as("n"))
+      .select(shiftright(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("n"))
       .localCheckpoint(eager = false)
     val sizes = pairCounts.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("n").as("sz"))
@@ -634,9 +659,13 @@ object DedupQueries {
          |WHERE hamming <= 4""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shinglesSql,
+         |shh AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+         |  FROM sh),
          |nonstop AS (
-         |  SELECT sh.doc_id, sh.shingle FROM sh
-         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |  SELECT shh.doc_id, shh.shingle FROM shh
+         |  JOIN (SELECT shingle FROM shh GROUP BY shingle
          |        HAVING COUNT(*) <= $MaxDF) ok USING (shingle)),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM nonstop GROUP BY doc_id),
          |inter AS (
