@@ -210,6 +210,62 @@ object RelationalQueries {
       .unionByName(supN.except(custN).withColumn("tag", lit("supp_only")))
   }
 
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (min / difference of per-row counts), unlike the
+    * distinct-set variants in [[setOpsNations]]. Compared over the
+    * nation keys of customers vs suppliers WITH their multiplicities —
+    * both ops are one shuffle on the compared row, same as
+    * distinct-set ops.
+    */
+  def setOpsAllNations(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey"))
+    val supN = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nationkey"))
+    custN.intersectAll(supN).withColumn("tag", lit("both_all"))
+      .unionByName(custN.exceptAll(supN)
+        .withColumn("tag", lit("cust_surplus")))
+      .groupBy(col("nationkey"), col("tag"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** FULL OUTER join: per-nation customer vs supplier account totals —
+    * nations with only one side present keep the other side NULL. Both
+    * inputs are pre-aggregated (one row per nation), so the outer join
+    * moves group rows, never base rows.
+    */
+  def fullOuterNationAccounts(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("cust_acctbal"))
+    val sup = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           dsum(col("s_acctbal")).as("supp_acctbal"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    * priority, and overall — with `grouping()` flags so all-NULL group
+    * keys are distinguishable from NULL data. One aggregation pass;
+    * Spark expands the sets with a single Expand node (rows × #sets
+    * before partial aggregation — the standard cost model).
+    */
+  def groupingSetsOrders(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |""".stripMargin)
+  }
+
   /** Rollup (grouping sets): order counts/value by status ⟶ priority. */
   def rollupOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -387,6 +443,9 @@ object RelationalQueries {
     "window_running_revenue" -> windowRunningRevenue _,
     "top_parts_by_revenue"   -> topPartsByRevenue _,
     "set_ops_nations"        -> setOpsNations _,
+    "set_ops_all_nations"    -> setOpsAllNations _,
+    "full_outer_nation_accounts" -> fullOuterNationAccounts _,
+    "grouping_sets_orders"   -> groupingSetsOrders _,
     "rollup_orders"          -> rollupOrders _,
     "orders_by_month"        -> ordersByMonth _,
     "events_hourly"          -> eventsHourly _,
@@ -398,6 +457,38 @@ object RelationalQueries {
     "part_stats_by_type"     -> partStatsByType _)
 
   val oracles: Map[String, String] = Map(
+    "set_ops_all_nations" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+        |s AS (SELECT s_nationkey AS nationkey FROM supplier),
+        |u AS (
+        |  SELECT nationkey, 'both_all' AS tag
+        |  FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+        |  UNION ALL
+        |  SELECT nationkey, 'cust_surplus' AS tag
+        |  FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s))
+        |SELECT nationkey, tag, COUNT(*) AS n_rows
+        |FROM u GROUP BY nationkey, tag""".stripMargin,
+    "full_outer_nation_accounts" ->
+      """SELECT nationkey, n_customers, cust_acctbal,
+        |       n_suppliers, supp_acctbal
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+        |        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |          AS cust_acctbal
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+        |        CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |          AS supp_acctbal
+        |      FROM supplier GROUP BY 1) s USING (nationkey)""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "sql_revenue_by_priority" -> SqlRevenueByPriority,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
