@@ -314,6 +314,44 @@ object SourceQueries {
         col("session_start"), col("session_end"), col("sum_value"))
   }
 
+  /** CORRUPT-RECORD resilience: real pipelines ingest feeds with broken
+    * rows, and the engine must quarantine rather than crash or silently
+    * drop. Documents are JSON-encoded with every 7th row deterministically
+    * mangled (garbage prefix, so the parser fails at byte 0); the read
+    * runs PERMISSIVE with a corrupt-record column and the query reports
+    * per-validity counts and the parsed-field totals. The oracle never
+    * reads the broken file — it recomputes the expected split from the
+    * clean documents table, so quarantine behavior itself is what is
+    * verified (a salvaged field or a dropped row would hash-mismatch).
+    */
+  def jsonCorruptRecords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val path = ioDir("json_corrupt")
+    docs.select(
+        when(col("doc_id") % 7 === 0,
+          concat(lit("TRUNC"),
+            to_json(struct(col("doc_id"), col("lang"), col("n_chars")))))
+          .otherwise(
+            to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite").text(path)
+    s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .select(
+        when(col("_corrupt").isNull, lit("valid")).otherwise(lit("corrupt"))
+          .as("validity"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("validity")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("doc_id")).as("n_parsed_ids"),
+           coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+  }
+
   /** Word count → reference `mr-out-<N>` files via the custom `mrout`
     * DataSource V2 connector's WRITE path (task temp + driver rename
     * commit, the reference's protocol) → read back through its scan
@@ -369,6 +407,7 @@ object SourceQueries {
     "source_orc_roundtrip"    -> orcRoundtrip _,
     "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
+    "source_json_corrupt"     -> jsonCorruptRecords _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
     "streaming_click_attribution" -> streamingClickAttribution _,
@@ -419,6 +458,19 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "source_json_corrupt" ->
+      """SELECT validity, COUNT(*) AS n_rows,
+        |  COUNT(doc_id2) AS n_parsed_ids,
+        |  COALESCE(CAST(SUM(n_chars2) AS BIGINT), 0) AS sum_chars
+        |FROM (SELECT
+        |        CASE WHEN doc_id % 7 = 0 THEN 'corrupt' ELSE 'valid' END
+        |          AS validity,
+        |        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END
+        |          AS doc_id2,
+        |        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END
+        |          AS n_chars2
+        |      FROM documents)
+        |GROUP BY validity""".stripMargin,
     "streaming_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
