@@ -46,7 +46,8 @@ object Bench {
     // real regression from accumulated JVM/GC state (rounds 2 and 4 both
     // produced >2x ghosts on unchanged plans). Median-of-3 with a GC
     // between queries bounds that noise; override for quick iteration.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     def dropLeftoverBlocks(): Unit =
       // drop checkpoint/cache blocks a query left behind (jaccard /
       // components localCheckpoints) so they don't inflate heap pressure
@@ -70,7 +71,9 @@ object Bench {
       // settle heap between query groups so one query's garbage doesn't
       // become the next query's GC pause
       System.gc()
-      name -> times(times.length / 2)
+      // lower median: exact median for odd trial counts; for even counts
+      // the lower middle (times(len/2) would report the MAX of 2 trials)
+      name -> times((times.length - 1) / 2)
     }
     // Millisecond precision keeps the one-line JSON under ~2.5 KB for the
     // full catalog — the driver captures only the output tail, and r01-r03

@@ -186,7 +186,12 @@ object DedupQueries {
   private def packedPairsOf(docs: Array[Long],
                             withDiagonal: Boolean): Array[Long] = {
     val n = docs.length
-    require(docs(n - 1) < (1L << 31), s"doc_id ${docs(n - 1)} exceeds 31 bits")
+    // docs is sorted ascending: first/last bound the id range. Negative
+    // or >31-bit ids would pack to garbage silently, so both ends are
+    // checked.
+    require(n > 0, "empty posting list")
+    require(docs(0) >= 0 && docs(n - 1) < (1L << 31),
+      s"doc_id range [${docs(0)}, ${docs(n - 1)}] not packable in 31 bits")
     val diag = if (withDiagonal) n else 0
     val out = new Array[Long](diag + n * (n - 1) / 2)
     var k = 0

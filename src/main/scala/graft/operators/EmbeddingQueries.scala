@@ -109,7 +109,7 @@ object EmbeddingQueries {
     // exchange reuse). This is the harness stand-in for what a real
     // deployment persists anyway: the IVF index artifact, written
     // bucketed by centroid_id.
-    val emb = qEmb(s, dir).localCheckpoint()
+    val emb = qEmb(s, dir).localCheckpoint(eager = false)
     val cents = emb
       .filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
@@ -211,13 +211,13 @@ object EmbeddingQueries {
         .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
         .select(col("centroid_id"),
           expr("transform(array_sort(pc), s -> s.c)").as("cv"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cents
   }
 
   def annKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
-    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint()
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint(eager = false)
     val cents = trainKmeans(emb)
     assignNearest(emb, cents)
       .groupBy(col("centroid_id"))
@@ -237,7 +237,7 @@ object EmbeddingQueries {
     * bounded by the probed clusters.
     */
   def annKmeansTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint()
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint(eager = false)
     val cents = trainKmeans(emb)
     val assigned = assignNearest(emb, cents)
     val wProbe = Window.partitionBy(col("query_id"))
@@ -319,7 +319,7 @@ object EmbeddingQueries {
       // candidate side both consume it, and an object-producing subtree
       // gets no exchange reuse — without this the 32-dot sign kernel
       // runs twice over the corpus
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val q = buckets.filter(col("vec_id") < NQuery)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val cand = q.join(buckets, Seq("t", "bucket"))
@@ -357,7 +357,7 @@ object EmbeddingQueries {
     // checkpointed assignment so the a/b self-join below reads the index
     // once instead of rebuilding it per side (same rationale as
     // [[annIvfTopk]])
-    val emb = qEmb(s, dir).localCheckpoint()
+    val emb = qEmb(s, dir).localCheckpoint(eager = false)
     val cents = emb
       .filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
@@ -372,7 +372,7 @@ object EmbeddingQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),

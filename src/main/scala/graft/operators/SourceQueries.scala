@@ -38,13 +38,27 @@ object SourceQueries {
     * files, which a file-stream source's flat listing would miss — so a
     * directory is linked file-by-file.
     */
+  /** List a directory's entries eagerly, closing the stream (Files.list
+    * holds an open directory fd until closed).
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(p)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
   private def linkEvents(streamDir: java.nio.file.Path, dir: String): Unit = {
     java.nio.file.Files.createDirectories(streamDir)
+    // a regenerated source dir renames its part files — prune symlinks
+    // whose target vanished so the stream never lists dangling entries
+    listDir(streamDir).foreach { e =>
+      if (java.nio.file.Files.isSymbolicLink(e) &&
+          !java.nio.file.Files.exists(e))
+        java.nio.file.Files.delete(e)
+    }
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val targets =
       if (java.nio.file.Files.isDirectory(src))
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        listDir(src).filter(_.getFileName.toString.endsWith(".parquet"))
       else Seq(src)
     targets.foreach { f =>
       val link = streamDir.resolve(s"events_${f.getFileName}")
@@ -138,27 +152,29 @@ object SourceQueries {
     val qName = "graft_streaming_hourly"
     s.streams.active.filter(q => Option(q.name).contains(qName))
       .foreach(_.stop())
-    // 8 state partitions for the bounded run (see streamingDedupEvents)
+    // 8 state partitions for the bounded run (see streamingDedupEvents);
+    // try covers setup too so a throw can't leak the 8-partition conf
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val streamDir = eventsStreamDir(s, dir)
-    val rawSchema = s.read.parquet(streamDir).schema // ts = nanos long
-    val agg = s.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           dsum(col("value")).as("sum_value"),
-           davg(col("value")).as("avg_value"))
-      .select(col("w.start").as("hour"), col("event_type"),
-        col("n_events"), col("sum_value"), col("avg_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(qName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      val streamDir = eventsStreamDir(s, dir)
+      val rawSchema = s.read.parquet(streamDir).schema // ts = nanos long
+      val agg = s.readStream.schema(rawSchema).parquet(streamDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             dsum(col("value")).as("sum_value"),
+             davg(col("value")).as("avg_value"))
+        .select(col("w.start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"), col("avg_value"))
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qName)
   }
 
@@ -183,24 +199,25 @@ object SourceQueries {
     // sizes this to the cluster; the setting is pinned at query start)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val streamDir = eventsStreamDir(s, dir)
-    val rawSchema = s.read.parquet(streamDir).schema
-    val agg = s.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .filter(col("user_id") % 10 === 0)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           dsum(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(qName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      val streamDir = eventsStreamDir(s, dir)
+      val rawSchema = s.read.parquet(streamDir).schema
+      val agg = s.readStream.schema(rawSchema).parquet(streamDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("user_id") % 10 === 0)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             dsum(col("value")).as("sum_value"))
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qName)
   }
 
@@ -221,33 +238,34 @@ object SourceQueries {
       .foreach(_.stop())
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val streamDir = eventsStreamDir(s, dir)
-    val rawSchema = s.read.parquet(streamDir).schema
-    def side(tpe: String) = s.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .filter(col("event_type") === tpe)
-    val clicks = side("click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = side("purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(qName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      val streamDir = eventsStreamDir(s, dir)
+      val rawSchema = s.read.parquet(streamDir).schema
+      def side(tpe: String) = s.readStream.schema(rawSchema).parquet(streamDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+      val clicks = side("click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qName)
   }
 
@@ -271,39 +289,50 @@ object SourceQueries {
       .foreach(_.stop())
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sessDir = java.nio.file.Paths.get(ioDir("stream_sessions"))
-      .resolve(java.lang.Integer.toHexString(dir.hashCode) + "f")
-    linkEvents(sessDir, dir)
-    val sentinel = sessDir.resolve("sentinel.parquet")
-    if (!java.nio.file.Files.exists(sentinel)) {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val maxNanos = raw.agg(max(col("ts"))).as[Long].head()
-      val tmp = sessDir.resolve("_sentinel_tmp")
-      raw.limit(1)
-        .withColumn("ts", lit(maxNanos + 2L * 3600 * 1000000000L))
-        .withColumn("user_id", lit(-1L))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).next()
-      java.nio.file.Files.move(part, sentinel)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    }
-    val rawSchema = s.read.parquet(sessDir.toString).schema
-    val events = s.readStream.schema(rawSchema).parquet(sessDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .as[graft.streaming.EventStreams.Event]
-    val q = graft.streaming.EventStreams.sessionize(events)
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(qName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // everything below may throw — the finally must restore the session
+    // conf regardless, or all later queries in the run inherit 8
+    // shuffle partitions
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sessDir = java.nio.file.Paths.get(ioDir("stream_sessions"))
+        .resolve(java.lang.Integer.toHexString(dir.hashCode) + "f")
+      linkEvents(sessDir, dir)
+      val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val sentinel = sessDir.resolve("sentinel.parquet")
+      // the sentinel must outrun max(ts) of the CURRENT data —
+      // regenerate it whenever the source is newer than the cached copy
+      val stale = java.nio.file.Files.exists(sentinel) &&
+        java.nio.file.Files.getLastModifiedTime(sentinel)
+          .compareTo(java.nio.file.Files.getLastModifiedTime(srcPath)) < 0
+      if (stale) java.nio.file.Files.delete(sentinel)
+      if (!java.nio.file.Files.exists(sentinel)) {
+        val raw = s.read.parquet(srcPath.toString)
+        val maxNanos = raw.agg(max(col("ts"))).as[Long].head()
+        val tmp = sessDir.resolve("_sentinel_tmp")
+        raw.limit(1)
+          .withColumn("ts", lit(maxNanos + 2L * 3600 * 1000000000L))
+          .withColumn("user_id", lit(-1L))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = listDir(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        java.nio.file.Files.move(part, sentinel)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val rawSchema = s.read.parquet(sessDir.toString).schema
+      val events = s.readStream.schema(rawSchema).parquet(sessDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val q = graft.streaming.EventStreams.sessionize(events)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qName)
       .filter(col("user_id") >= 0)
       .withColumn("session_id",
@@ -318,11 +347,14 @@ object SourceQueries {
     * rows, and the engine must quarantine rather than crash or silently
     * drop. Documents are JSON-encoded with every 7th row deterministically
     * mangled (garbage prefix, so the parser fails at byte 0); the read
-    * runs PERMISSIVE with a corrupt-record column and the query reports
-    * per-validity counts and the parsed-field totals. The oracle never
-    * reads the broken file — it recomputes the expected split from the
-    * clean documents table, so quarantine behavior itself is what is
-    * verified (a salvaged field or a dropped row would hash-mismatch).
+    * reads lines through `from_json` (the robust-ingestion shape — the
+    * JSON datasource refuses plans that touch only its internal corrupt
+    * column, e.g. a bare count, so text + parse is the form that
+    * composes) and reports per-validity counts and parsed-field totals.
+    * The oracle never reads the broken file — it recomputes the
+    * expected split from the clean documents table, so quarantine
+    * behavior itself is what is verified (a salvaged field or a dropped
+    * row would hash-mismatch).
     */
   def jsonCorruptRecords(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -337,15 +369,14 @@ object SourceQueries {
           .as("value"))
       .repartition(s.sparkContext.defaultParallelism)
       .write.mode("overwrite").text(path)
-    s.read
-      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
+    s.read.text(path)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id LONG, lang STRING, n_chars LONG")).as("j"))
       .select(
-        when(col("_corrupt").isNull, lit("valid")).otherwise(lit("corrupt"))
+        when(col("j.doc_id").isNotNull, lit("valid")).otherwise(lit("corrupt"))
           .as("validity"),
-        col("doc_id"), col("n_chars"))
+        col("j.doc_id").as("doc_id"), col("j.n_chars").as("n_chars"))
       .groupBy("validity")
       .agg(count(lit(1)).as("n_rows"),
            count(col("doc_id")).as("n_parsed_ids"),

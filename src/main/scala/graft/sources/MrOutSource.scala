@@ -135,7 +135,10 @@ private class MrOutTable(props: Map[String, String])
     val in = info.schema()
     require(in.length == 2 && in.forall(_.dataType == StringType),
       s"mrout sink expects exactly (key STRING, value STRING), got $in")
-    new MrOutWriteBuilder(path,
+    // the key column is POSITIONAL (first of the two) — sort/cluster
+    // requirements must name whatever the caller called it, not assume
+    // a literal "key"
+    new MrOutWriteBuilder(path, in.fields(0).name,
       Option(info.options.get("nReduce")).map(_.toInt).getOrElse(0))
   }
 }
@@ -304,7 +307,7 @@ private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
   * in one `mr-out-<N>` file. Files are key-sorted in either mode, like
   * the reference's reducer output (mr/worker.go:164-175).
   */
-private class MrOutWriteBuilder(path: String, nReduce: Int)
+private class MrOutWriteBuilder(path: String, keyCol: String, nReduce: Int)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -314,11 +317,11 @@ private class MrOutWriteBuilder(path: String, nReduce: Int)
       with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
       if (nReduce > 0)
-        Distributions.clustered(Array(Expressions.identity("key")))
+        Distributions.clustered(Array(Expressions.identity(keyCol)))
       else Distributions.unspecified()
     override def requiredNumPartitions(): Int = nReduce // 0 = caller's
     override def requiredOrdering(): Array[SortOrder] = Array(
-      Expressions.sort(Expressions.column("key"),
+      Expressions.sort(Expressions.column(keyCol),
         SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
       new MrOutBatchWrite(path, overwrite,

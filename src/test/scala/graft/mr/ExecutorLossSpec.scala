@@ -14,6 +14,11 @@ class ExecutorLossSpec extends AnyFunSuite {
 
   test("executor JVM killed mid-job: lost shuffle output is recomputed, " +
        "result exact") {
+    // local-cluster executors launch through a Spark distribution;
+    // cancel (not fail) where none is installed
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    assume(new java.io.File(s"$sparkHome/jars").isDirectory,
+      s"no Spark distribution at $sparkHome")
     val out = java.nio.file.Files.createTempFile("graft-exloss-out", ".txt")
     val marker = java.nio.file.Files.createTempFile("graft-exloss-marker", "")
     java.nio.file.Files.delete(out)
@@ -35,8 +40,10 @@ class ExecutorLossSpec extends AnyFunSuite {
     // the standalone worker resolves executor launch paths via SPARK_HOME;
     // the launcher can't infer the scala version from a jars-only layout
     // ("Cannot find any build directories"), so pin it
-    pb.environment().put("SPARK_HOME", "/opt/spark")
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.environment().put("SPARK_HOME", sparkHome)
+    pb.environment().put("SPARK_SCALA_VERSION",
+      scala.util.Properties.versionNumberString.split("\\.").take(2)
+        .mkString("."))
     pb.redirectErrorStream(true)
     val log = java.nio.file.Files.createTempFile("graft-exloss-log", ".txt")
     pb.redirectOutput(log.toFile)
