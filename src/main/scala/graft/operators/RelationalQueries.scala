@@ -210,6 +210,38 @@ object RelationalQueries {
       .unionByName(supN.except(custN).withColumn("tag", lit("supp_only")))
   }
 
+  /** BUCKETED co-located join — the mechanism SCALE.md's design notes
+    * lean on for fact⋈fact at 100 TB, exercised for real: orders and
+    * lineitem are written once as 8-bucket tables hashed on the order
+    * key (`bucketBy` + sorted buckets), and the join + per-key rollup
+    * then run with ZERO exchanges — bucket metadata satisfies both the
+    * join's and the aggregation's required distribution, so nothing
+    * shuffles at any scale (`BucketedJoinSpec` pins the no-Exchange
+    * plan; the oracle pins the values). Tables are registered once per
+    * sf dir in the session catalog (warehouse under target/).
+    */
+  def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val ordersTbl = s"graft_bkt_orders_$suffix"
+    val liTbl     = s"graft_bkt_lineitem_$suffix"
+    if (!s.catalog.tableExists(ordersTbl)) {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordersTbl)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liTbl)
+    }
+    s.table(ordersTbl)
+      .join(s.table(liTbl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("revenue"))
+  }
+
   /** Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
     * multiplicity (min / difference of per-row counts), unlike the
     * distinct-set variants in [[setOpsNations]]. Compared over the
@@ -444,6 +476,7 @@ object RelationalQueries {
     "top_parts_by_revenue"   -> topPartsByRevenue _,
     "set_ops_nations"        -> setOpsNations _,
     "set_ops_all_nations"    -> setOpsAllNations _,
+    "bucketed_join_revenue"  -> bucketedJoinRevenue _,
     "full_outer_nation_accounts" -> fullOuterNationAccounts _,
     "grouping_sets_orders"   -> groupingSetsOrders _,
     "rollup_orders"          -> rollupOrders _,
@@ -457,6 +490,13 @@ object RelationalQueries {
     "part_stats_by_type"     -> partStatsByType _)
 
   val oracles: Map[String, String] = Map(
+    "bucketed_join_revenue" ->
+      """SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
     "set_ops_all_nations" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
         |s AS (SELECT s_nationkey AS nationkey FROM supplier),
