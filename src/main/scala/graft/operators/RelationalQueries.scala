@@ -225,6 +225,14 @@ object RelationalQueries {
     val ordersTbl = s"graft_bkt_orders_$suffix"
     val liTbl     = s"graft_bkt_lineitem_$suffix"
     if (!s.catalog.tableExists(ordersTbl)) {
+      // the warehouse DIRECTORY outlives the in-memory catalog across
+      // JVMs; a fresh session must clear the stale location or CTAS
+      // refuses with LOCATION_ALREADY_EXISTS
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
+      Seq(ordersTbl, liTbl).foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
