@@ -36,18 +36,28 @@ object Bench {
                  else SparkEntry.queries
     // SPARK_GRAFT_EXPLAIN=1: dump each query's formatted physical plan
     // (iteration aid for plan audits; not used by the driver)
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      // plan dumps must not execute workloads (lazy checkpoints)
+      spark.conf.set(graft.core.Checkpoint.LazyConf, "true")
       wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         println(s"===== $name =====")
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => println(s"explain failed: $e") }
       }
+      spark.conf.set(graft.core.Checkpoint.LazyConf, "false")
+    }
     // Trials per query: a single trial proved too noisy to distinguish a
     // real regression from accumulated JVM/GC state (rounds 2 and 4 both
     // produced >2x ghosts on unchanged plans). Median-of-3 with a GC
     // between queries bounds that noise; override for quick iteration.
-    val trials = sys.env.get("SPARK_GRAFT_TRIALS")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS") match {
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(
+          s"[bench] ignoring invalid SPARK_GRAFT_TRIALS='$v'; using 3")
+        3
+      }
+      case None => 3
+    }
     def dropLeftoverBlocks(): Unit =
       // drop checkpoint/cache blocks a query left behind (jaccard /
       // components localCheckpoints) so they don't inflate heap pressure
@@ -58,10 +68,12 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       dropLeftoverBlocks()
+      var failed = false
       val times = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -71,9 +83,13 @@ object Bench {
       // settle heap between query groups so one query's garbage doesn't
       // become the next query's GC pause
       System.gc()
+      // A failed query must not report its time-to-failure as a timing —
+      // a fast crash would otherwise IMPROVE the total and invert the
+      // regression signal. -1 marks it broken and is excluded from the
+      // total below.
       // lower median: exact median for odd trial counts; for even counts
-      // the lower middle (times(len/2) would report the MAX of 2 trials)
-      name -> times((times.length - 1) / 2)
+      // times(len/2) would report the MAX of 2 trials
+      name -> (if (failed) -1.0 else times((times.length - 1) / 2))
     }
     // Millisecond precision keeps the one-line JSON under ~2.5 KB for the
     // full catalog — the driver captures only the output tail, and r01-r03
@@ -81,7 +97,7 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // File copy survives any stdout truncation/interleaving.

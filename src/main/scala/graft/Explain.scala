@@ -20,6 +20,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan inspection must not execute workloads: shared-subtree
+    // checkpoints become lazy under this conf (graft.core.Checkpoint)
+    spark.conf.set(graft.core.Checkpoint.LazyConf, "true")
     for (n <- names) {
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

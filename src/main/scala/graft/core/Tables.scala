@@ -19,6 +19,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Stable per-dataset key for scratch dirs / table-name suffixes,
+    * shared by every site that caches per-sf-dir artifacts. Keyed on the
+    * ABSOLUTE path so relative and absolute spellings of the same data
+    * map to the same cache.
+    */
+  def dirKey(dir: String): String =
+    java.lang.Integer.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

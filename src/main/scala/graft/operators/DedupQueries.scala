@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoint.CheckpointOps
 import graft.functions._
 
 /** Deduplication operators over the `documents` table — the LLM-training-
@@ -281,7 +282,7 @@ object DedupQueries {
     // (object-operator subtrees don't get exchange reuse; without this
     // the whole shingle pipeline ran once per consumer). The aggregated
     // pair table is tiny (candidates + one diagonal row per doc), so it
-    // is eagerly localCheckpoint'ed and the final joins read the
+    // is checkpointed (eager by default — see graft.core.Checkpoint) and the final joins read the
     // materialized blocks instead of re-running the corpus scan.
     val pairCounts = lists
       .select(col("docs")).as[Array[Long]]
@@ -291,7 +292,7 @@ object DedupQueries {
       .agg(count(lit(1)).as("n"))
       .select(shiftright(col("pair"), 32).as("doc_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("n"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val sizes = pairCounts.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("n").as("sz"))
     val inter = pairCounts.filter(col("doc_a") < col("doc_b"))

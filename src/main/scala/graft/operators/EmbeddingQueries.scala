@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoint.CheckpointOps
 import graft.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -109,7 +110,7 @@ object EmbeddingQueries {
     // exchange reuse). This is the harness stand-in for what a real
     // deployment persists anyway: the IVF index artifact, written
     // bucketed by centroid_id.
-    val emb = qEmb(s, dir).localCheckpoint(eager = false)
+    val emb = qEmb(s, dir).sharedCheckpoint()
     val cents = emb
       .filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
@@ -211,13 +212,13 @@ object EmbeddingQueries {
         .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
         .select(col("centroid_id"),
           expr("transform(array_sort(pc), s -> s.c)").as("cv"))
-        .localCheckpoint(eager = false)
+        .sharedCheckpoint()
     }
     cents
   }
 
   def annKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
-    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint(eager = false)
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
     val cents = trainKmeans(emb)
     assignNearest(emb, cents)
       .groupBy(col("centroid_id"))
@@ -237,7 +238,7 @@ object EmbeddingQueries {
     * bounded by the probed clusters.
     */
   def annKmeansTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).localCheckpoint(eager = false)
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
     val cents = trainKmeans(emb)
     val assigned = assignNearest(emb, cents)
     val wProbe = Window.partitionBy(col("query_id"))
@@ -319,7 +320,7 @@ object EmbeddingQueries {
       // candidate side both consume it, and an object-producing subtree
       // gets no exchange reuse — without this the 32-dot sign kernel
       // runs twice over the corpus
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val q = buckets.filter(col("vec_id") < NQuery)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val cand = q.join(buckets, Seq("t", "bucket"))
@@ -357,7 +358,7 @@ object EmbeddingQueries {
     // checkpointed assignment so the a/b self-join below reads the index
     // once instead of rebuilding it per side (same rationale as
     // [[annIvfTopk]])
-    val emb = qEmb(s, dir).localCheckpoint(eager = false)
+    val emb = qEmb(s, dir).sharedCheckpoint()
     val cents = emb
       .filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
@@ -372,7 +373,7 @@ object EmbeddingQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),

@@ -221,18 +221,22 @@ object RelationalQueries {
     * sf dir in the session catalog (warehouse under target/).
     */
   def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val suffix = Tables.dirKey(dir)
     val ordersTbl = s"graft_bkt_orders_$suffix"
     val liTbl     = s"graft_bkt_lineitem_$suffix"
-    if (!s.catalog.tableExists(ordersTbl)) {
-      // the warehouse DIRECTORY outlives the in-memory catalog across
-      // JVMs; a fresh session must clear the stale location or CTAS
-      // refuses with LOCATION_ALREADY_EXISTS
+    // BOTH tables must exist — checking one would wedge the session if
+    // a previous attempt died between the two writes
+    if (!s.catalog.tableExists(ordersTbl) || !s.catalog.tableExists(liTbl)) {
+      // drop any half-created registration, then clear stale warehouse
+      // locations: the directory outlives the in-memory catalog across
+      // JVMs and CTAS refuses with LOCATION_ALREADY_EXISTS otherwise
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
-      Seq(ordersTbl, liTbl).foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
+      Seq(ordersTbl, liTbl).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -76,7 +76,7 @@ object SourceQueries {
   private def eventsStreamDir(s: SparkSession, dir: String): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Paths.get(ioDir("stream_events"))
-      .resolve(java.lang.Integer.toHexString(dir.hashCode) + "f")
+      .resolve(Tables.dirKey(dir) + "f")
     linkEvents(streamDir, dir)
     streamDir.toString
   }
@@ -295,7 +295,7 @@ object SourceQueries {
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sessDir = java.nio.file.Paths.get(ioDir("stream_sessions"))
-        .resolve(java.lang.Integer.toHexString(dir.hashCode) + "f")
+        .resolve(Tables.dirKey(dir) + "f")
       linkEvents(sessDir, dir)
       val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
       val sentinel = sessDir.resolve("sentinel.parquet")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoint.CheckpointOps
 import graft.functions._
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -337,7 +338,7 @@ object TextQueries {
     // join both read these 16 bytes/doc instead of re-tokenizing the
     // corpus (2 scans total — tf and dl — not 3)
     val dls = toks.select(col("doc_id"), size(col("toks")).as("dl"))
-      .localCheckpoint(eager = false)
+      .sharedCheckpoint()
     val stats = dls.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val tf = toks
@@ -393,7 +394,7 @@ object TextQueries {
     val wcounts = Tables.documents(s, dir)
       .select(explode(lowToks(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false) // feeds grid, candidates, and the estimate join
+      .sharedCheckpoint() // feeds grid, candidates, and the estimate join
     val rows = (0 until CmsRows).map(lit(_))
     val hashed = wcounts
       .select(col("word"), col("cnt"), explode(array(rows: _*)).as("r"))
