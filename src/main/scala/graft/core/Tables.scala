@@ -19,14 +19,42 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Stable per-dataset key for scratch dirs / table-name suffixes,
     * shared by every site that caches per-sf-dir artifacts. Keyed on the
     * ABSOLUTE path so relative and absolute spellings of the same data
-    * map to the same cache.
+    * map to the same cache; 64 bits of md5 (not `String.hashCode`'s 32)
+    * so two different dirs can't collide and serve each other's cache.
     */
   def dirKey(dir: String): String =
-    java.lang.Integer.toHexString(
-      new java.io.File(dir).getAbsolutePath.hashCode)
+    md5hex(java.nio.file.Paths.get(dir)
+      .toAbsolutePath.normalize.toString).take(16)
+
+  /** Content fingerprint of one or more dataset paths: every data
+    * file's (name, length, mtime) folded into one md5. Regenerating a
+    * dataset in place changes the fingerprint, so cache keys that embed
+    * it can never serve stale data — the cache keyed on the old
+    * fingerprint simply misses. A path may be a single file or a
+    * directory of part files (only one level deep — Spark writes flat
+    * output dirs).
+    */
+  def dataFingerprint(paths: String*): String = {
+    val sb = new StringBuilder
+    paths.foreach { p =>
+      val f = new java.io.File(p)
+      val files =
+        if (f.isDirectory)
+          f.listFiles().filter(_.isFile).sortBy(_.getName)
+        else Array(f)
+      files.foreach(x => sb.append(x.getName).append('|')
+        .append(x.length).append('|').append(x.lastModified).append('\n'))
+    }
+    md5hex(sb.toString).take(12)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

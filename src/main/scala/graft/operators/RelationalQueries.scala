@@ -221,22 +221,35 @@ object RelationalQueries {
     * sf dir in the session catalog (warehouse under target/).
     */
   def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    // the table names embed a fingerprint of the SOURCE DATA, so a
+    // dataset regenerated in place (same dir, new bytes) can never be
+    // served from the old bucketed tables — the stale name simply
+    // misses and the current generation is built fresh
     val suffix = Tables.dirKey(dir)
-    val ordersTbl = s"graft_bkt_orders_$suffix"
-    val liTbl     = s"graft_bkt_lineitem_$suffix"
+    val fp = Tables.dataFingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    val ordersPrefix = s"graft_bkt_orders_${suffix}_"
+    val liPrefix     = s"graft_bkt_lineitem_${suffix}_"
+    val ordersTbl = s"$ordersPrefix$fp"
+    val liTbl     = s"$liPrefix$fp"
     // BOTH tables must exist — checking one would wedge the session if
     // a previous attempt died between the two writes
     if (!s.catalog.tableExists(ordersTbl) || !s.catalog.tableExists(liTbl)) {
-      // drop any half-created registration, then clear stale warehouse
-      // locations: the directory outlives the in-memory catalog across
-      // JVMs and CTAS refuses with LOCATION_ALREADY_EXISTS otherwise
+      // sweep EVERY generation for this dir: registrations from this
+      // session (stale fingerprints, half-created pairs) and warehouse
+      // directories left by earlier JVMs — the directory outlives the
+      // in-memory catalog and CTAS refuses with LOCATION_ALREADY_EXISTS
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
-      Seq(ordersTbl, liTbl).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
-      }
+      val prefixes = Seq(ordersPrefix, liPrefix)
+      s.catalog.listTables().collect().map(_.name)
+        .filter(n => prefixes.exists(n.startsWith))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      if (fs.exists(wh))
+        fs.listStatus(wh)
+          .filter(st => prefixes.exists(st.getPath.getName.startsWith))
+          .foreach(st => fs.delete(st.getPath, true))
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -48,18 +48,22 @@ object SourceQueries {
 
   private def linkEvents(streamDir: java.nio.file.Path, dir: String): Unit = {
     java.nio.file.Files.createDirectories(streamDir)
-    // a regenerated source dir renames its part files — prune symlinks
-    // whose target vanished so the stream never lists dangling entries
-    listDir(streamDir).foreach { e =>
-      if (java.nio.file.Files.isSymbolicLink(e) &&
-          !java.nio.file.Files.exists(e))
-        java.nio.file.Files.delete(e)
-    }
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val targets =
       if (java.nio.file.Files.isDirectory(src))
         listDir(src).filter(_.getFileName.toString.endsWith(".parquet"))
       else Seq(src)
+    // the link set is defined by the CURRENT source layout: any events_*
+    // entry outside it goes — that covers dangling links (renamed part
+    // files) AND links whose target still exists but is no longer part
+    // of the source (e.g. events.parquet switched file ↔ directory, so
+    // the old link now points at a directory or a superseded file)
+    val expected = targets.map(f => s"events_${f.getFileName}").toSet
+    listDir(streamDir).foreach { e =>
+      val n = e.getFileName.toString
+      if (n.startsWith("events_") && !expected.contains(n))
+        java.nio.file.Files.deleteIfExists(e)
+    }
     targets.foreach { f =>
       val link = streamDir.resolve(s"events_${f.getFileName}")
       if (!java.nio.file.Files.exists(link,
@@ -300,10 +304,22 @@ object SourceQueries {
       val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
       val sentinel = sessDir.resolve("sentinel.parquet")
       // the sentinel must outrun max(ts) of the CURRENT data —
-      // regenerate it whenever the source is newer than the cached copy
+      // regenerate it whenever the source is newer than the cached copy.
+      // For a directory-shaped source, "newer" means the NEWEST PART
+      // FILE: rewriting parts in place doesn't touch the directory
+      // entry's own mtime, so comparing against the directory would keep
+      // a stale, too-early sentinel and silently lose tail sessions.
+      val srcMtime = {
+        val own = java.nio.file.Files.getLastModifiedTime(srcPath)
+        if (!java.nio.file.Files.isDirectory(srcPath)) own
+        else listDir(srcPath)
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.getLastModifiedTime(_))
+          .foldLeft(own)((a, b) => if (a.compareTo(b) >= 0) a else b)
+      }
       val stale = java.nio.file.Files.exists(sentinel) &&
         java.nio.file.Files.getLastModifiedTime(sentinel)
-          .compareTo(java.nio.file.Files.getLastModifiedTime(srcPath)) < 0
+          .compareTo(srcMtime) < 0
       if (stale) java.nio.file.Files.delete(sentinel)
       if (!java.nio.file.Files.exists(sentinel)) {
         val raw = s.read.parquet(srcPath.toString)

@@ -128,8 +128,14 @@ private class MrOutTable(props: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MrOutScanBuilder(path,
-      Option(options.get("maxSplitBytes")).map(_.toLong)
-        .getOrElse(MrOutSource.DefaultMaxSplitBytes))
+      Option(options.get("maxSplitBytes")).map { v =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"mrout: maxSplitBytes must be a positive long, got '$v'")
+        }
+        require(n > 0, s"mrout: maxSplitBytes must be > 0, got $n")
+        n
+      }.getOrElse(MrOutSource.DefaultMaxSplitBytes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
@@ -153,14 +159,18 @@ private class MrOutScanBuilder(path: String, maxSplitBytes: Long)
     required = requiredSchema
 
   /** Push the filter shapes a line reader can apply before building a
-    * row: equality / IN / prefix on either string column (each has
-    * identical semantics on Java strings and UTF8Strings, so the reader
-    * can evaluate them on the raw line). Ordering comparisons are NOT
-    * pushed — UTF-16 vs UTF-8 binary order diverges beyond the BMP.
-    * Everything stays residual too (Spark re-checks above the scan);
-    * the win is skipping row materialization for non-matching lines —
-    * e.g. a single-key lookup over a TB of mr-out files allocates
-    * nothing for the other keys.
+    * row: equality / IN / prefix on either string column. The reader
+    * evaluates them on `UTF8String` — the SAME representation and
+    * semantics Spark's residual filter uses above the scan — so the
+    * pushed pre-filter is exactly the residual predicate, never a
+    * narrower one (Java `String` UTF-16 comparisons can diverge on
+    * unpaired surrogates, and a pre-filter that drops a row the
+    * residual would keep is unrecoverable). Ordering comparisons are
+    * NOT pushed — UTF-16 vs UTF-8 binary order diverges beyond the
+    * BMP. Everything stays residual too (Spark re-checks above the
+    * scan); the win is skipping row materialization for non-matching
+    * lines — e.g. a single-key lookup over a TB of mr-out files
+    * allocates no rows for the other keys.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def supported(f: Filter): Boolean = f match {
@@ -198,9 +208,12 @@ private class MrOutScan(path: String, required: StructType,
     MrOutSource.listFiles(path).flatMap { case (file, len) =>
       if (len <= maxSplitBytes) Array(MrOutFilePartition(file, 0L, len))
       else {
-        val n = ((len + maxSplitBytes - 1) / maxSplitBytes).toInt
-        Array.tabulate(n) { i =>
-          val start = i * maxSplitBytes
+        val n = (len + maxSplitBytes - 1) / maxSplitBytes // Long: no overflow
+        require(n <= Int.MaxValue,
+          s"mrout: $file ($len bytes / $maxSplitBytes-byte splits) would " +
+            s"need $n partitions; raise maxSplitBytes")
+        Array.tabulate(n.toInt) { i =>
+          val start = i.toLong * maxSplitBytes
           MrOutFilePartition(file, start, math.min(maxSplitBytes, len - start))
         }
       }
@@ -236,21 +249,32 @@ private class MrOutReaderFactory(fields: Array[String],
 private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
                           pushed: Array[Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
-  // pushed filters compiled once to (key, value) => Boolean; a line
-  // failing any of them is skipped before any row/UTF8String allocation
-  private val keep: Array[(String, String) => Boolean] = pushed.map {
+  // pushed filters compiled once to (key, value) => Boolean over
+  // UTF8String — byte-identical to the residual filter's semantics (a
+  // Java-String prefix test can disagree on unpaired surrogates, and a
+  // pushed pre-filter must never be narrower than the residual). A
+  // column is only converted when a filter or the projection needs it,
+  // so a filtered-out line still skips row construction.
+  private val keep: Array[(UTF8String, UTF8String) => Boolean] = pushed.map {
     case EqualTo(a, v: String) =>
-      if (a == "key") (k: String, _: String) => k == v
-      else (_: String, v2: String) => v2 == v
+      val u = UTF8String.fromString(v)
+      if (a == "key") (k: UTF8String, _: UTF8String) => k.equals(u)
+      else (_: UTF8String, v2: UTF8String) => v2.equals(u)
     case In(a, vs) =>
-      val set = vs.collect { case s: String => s }.toSet
-      if (a == "key") (k: String, _: String) => set.contains(k)
-      else (_: String, v2: String) => set.contains(v2)
+      val set = vs.collect { case s: String => UTF8String.fromString(s) }.toSet
+      if (a == "key") (k: UTF8String, _: UTF8String) => set.contains(k)
+      else (_: UTF8String, v2: UTF8String) => set.contains(v2)
     case StringStartsWith(a, p) =>
-      if (a == "key") (k: String, _: String) => k.startsWith(p)
-      else (_: String, v2: String) => v2.startsWith(p)
-    case _ => (_: String, _: String) => true // IsNotNull: never null
+      val u = UTF8String.fromString(p)
+      if (a == "key") (k: UTF8String, _: UTF8String) => k.startsWith(u)
+      else (_: UTF8String, v2: UTF8String) => v2.startsWith(u)
+    case _ =>
+      (_: UTF8String, _: UTF8String) => true // IsNotNull: never null
   }
+  private val needKey =
+    pushed.exists(_.references.contains("key"))
+  private val needValue =
+    pushed.exists(_.references.contains("value"))
   private val stream = MrOutSource.fs(part.file, conf).open(new Path(part.file))
   private val end = part.start + part.length
   private var pos = part.start
@@ -279,13 +303,18 @@ private class MrOutReader(part: MrOutFilePartition, fields: Array[String],
       val sp = line.indexOf(' ')
       val k = if (sp < 0) line else line.substring(0, sp)
       val v = if (sp < 0) "" else line.substring(sp + 1)
+      // convert only the columns some filter or the projection touches —
+      // a key-only lookup never materializes value bytes
+      val uk = if (keySlot >= 0 || needKey) UTF8String.fromString(k) else null
+      val uv = if (valueSlot >= 0 || needValue) UTF8String.fromString(v)
+               else null
       var ok = true
       var i = 0
-      while (ok && i < keep.length) { ok = keep(i)(k, v); i += 1 }
+      while (ok && i < keep.length) { ok = keep(i)(uk, uv); i += 1 }
       if (ok) {
         // empty projections (count(*) pushes no columns) still count lines
-        if (keySlot >= 0) row.update(keySlot, UTF8String.fromString(k))
-        if (valueSlot >= 0) row.update(valueSlot, UTF8String.fromString(v))
+        if (keySlot >= 0) row.update(keySlot, uk)
+        if (valueSlot >= 0) row.update(valueSlot, uv)
         return true
       }
     }

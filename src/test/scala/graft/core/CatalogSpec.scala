@@ -55,6 +55,29 @@ class CatalogSpec extends SparkSpec {
       Seq("0", "1", "10", "100"))
   }
 
+  test("dirKey: 64-bit, path-keyed, spelling-insensitive") {
+    val k = Tables.dirKey(sf0001)
+    assert(k.matches("[0-9a-f]{16}"), k)
+    assert(Tables.dirKey(sf0001 + "/../" + new java.io.File(sf0001).getName)
+      === k) // same dir, different spelling
+    assert(Tables.dirKey("/root/testdata/sf0.01") !== k)
+  }
+
+  test("dataFingerprint tracks in-place regeneration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp")
+    val f = dir.resolve("part-0.parquet")
+    java.nio.file.Files.writeString(f, "aaaa")
+    val fp1 = Tables.dataFingerprint(dir.toString)
+    assert(fp1.matches("[0-9a-f]{12}"), fp1)
+    assert(Tables.dataFingerprint(dir.toString) === fp1) // stable
+    // same size, same name, newer mtime — the in-place rewrite case
+    java.nio.file.Files.writeString(f, "bbbb")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 5000))
+    assert(Tables.dataFingerprint(dir.toString) !== fp1)
+  }
+
   test("extensions class injects functions via SparkSessionExtensions") {
     // the class route is what spark.sql.extensions uses; exercise apply()
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -114,6 +114,40 @@ class MrOutSourceSpec extends SparkSpec {
     assert(back.sorted.sameElements(lines.sorted))
   }
 
+  test("mrout: maxSplitBytes must be a positive long") {
+    val dir = writeSample()
+    for (bad <- Seq("0", "-5", "nope")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("mrout").option("maxSplitBytes", bad).load(dir)
+          .count()
+      }
+      assert(e.getMessage.contains("maxSplitBytes"), e.getMessage)
+    }
+  }
+
+  test("mrout: pushed prefix filter matches residual UTF8String semantics") {
+    // a prefix ending in a lone HIGH surrogate: UTF8String encodes the
+    // unpaired surrogate as a replacement, and the pushed pre-filter
+    // must agree with the residual filter (keep the row) rather than
+    // dropping it at the scan with Java UTF-16 semantics
+    val dir = new java.io.File("target/graft-io/mrout_spec_surrogate")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "mr-out-0"),
+      "plain😀tail 1\nother 2\n")
+    val df = spark.read.format("mrout").load(dir.getAbsolutePath)
+    val lonePrefix = "plain\uD83D" // emoji's high surrogate, unpaired
+    val viaScan = df.filter(col("key").startsWith(lonePrefix))
+      .collect().map(_.getString(0)).toSeq
+    // ground truth: the same predicate evaluated WITHOUT pushdown
+    val noPush = df.collect().map(_.getString(0))
+      .filter(k => org.apache.spark.unsafe.types.UTF8String.fromString(k)
+        .startsWith(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lonePrefix)))
+      .toSeq
+    assert(viaScan === noPush)
+  }
+
   test("mrout: equality/prefix/IN filters push into the scan") {
     val dir = writeSample()
     val df = spark.read.format("mrout").load(dir)
