@@ -347,7 +347,54 @@ object OlapQueries {
       .filter(col("rnk") <= 3)
   }
 
+  /** TPC-H Q14-shaped promo revenue share: lineitem ⋈ broadcast part,
+    * CONDITIONAL exact-decimal sums (promo vs total) in ONE pass — no
+    * second scan, no self-join — and a single double division at the
+    * very end. The conditional-aggregate shape is how any "share of X"
+    * metric should run at 100 TB: the ratio costs nothing beyond the
+    * one aggregation.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+             .as("promo_revenue"),
+           dsum(rev).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** TPC-H Q18-shaped large-order report: per-order quantity rollup,
+    * HAVING-filter, then join back to orders and customer. The
+    * aggregate runs FIRST so the joins move only the few surviving
+    * orders — and neither join side is hardcoded broadcast: customer
+    * scales with the data (a 100 TB run has billions), while the
+    * filtered order list is runtime-small, so AQE's size-based flip to
+    * broadcast-hash picks the right side per run instead of a
+    * hardwired guess.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 180.0)
+    big
+      .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo_revenue"       -> q14PromoRevenue _,
+    "q18_large_orders"        -> q18LargeOrders _,
     "cube_orders"             -> cubeOrders _,
     "pivot_returns"           -> pivotReturns _,
     "percentile_brand_prices" -> percentileBrandPrices _,
@@ -366,6 +413,31 @@ object OlapQueries {
     "events_retention"        -> eventsRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q14_promo_revenue" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |        AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT n_lines, promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM a""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    > 180.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)

@@ -225,6 +225,45 @@ object SourceQueries {
     s.table(qName)
   }
 
+  /** STREAM-STATIC enrichment join: the events file stream joined to the
+    * (bounded, batch) customer dimension, then rolled up per (market
+    * segment, event type). The static side re-plans per micro-batch as
+    * an ordinary BROADCAST-hash join under the streaming plan — no join
+    * state store at all, unlike stream-stream — which is why dimension
+    * enrichment should always be stream-static: join state stays ZERO no
+    * matter how long the stream runs, and a dimension update is picked
+    * up at the next micro-batch. Aggregation state is bounded by
+    * |segments| × |event types|, independent of throughput.
+    */
+  def streamingEnrichJoin(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_enrich"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val streamDir = eventsStreamDir(s, dir)
+      val rawSchema = s.read.parquet(streamDir).schema
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = s.readStream.schema(rawSchema).parquet(streamDir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("event_type"),
+          col("value"))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             dsum(col("value")).as("sum_value"))
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+  }
+
   /** STREAM-STREAM interval join: clicks joined to purchases by the same
     * user within the following 30 minutes — the attribution query — as
     * two watermarked streams over the same file source. The 1-hour
@@ -458,6 +497,7 @@ object SourceQueries {
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
     "streaming_click_attribution" -> streamingClickAttribution _,
+    "streaming_enrich_join"   -> streamingEnrichJoin _,
     "streaming_sessionize"    -> streamingSessionize _)
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +537,11 @@ object SourceQueries {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "streaming_enrich_join" ->
+      """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "streaming_dedup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value

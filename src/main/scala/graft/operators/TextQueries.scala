@@ -412,7 +412,53 @@ object TextQueries {
       .select(col("word"), col("cnt").as("exact_cnt"), col("cms_est"))
   }
 
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhoneRe = "\\d{3}-\\d{4}"
+
+  /** PII detection + redaction — the scrub pass a pretraining corpus
+    * runs before tokenization: find emails/phone numbers, count them,
+    * and measure what redaction removes. The harness corpus contains no
+    * natural PII, so every 11th document gets a deterministic synthetic
+    * email + phone appended first (the `source_json_corrupt` trick: the
+    * INJECTION is part of the query and the oracle recomputes the
+    * expectation from the clean table, so the detection and redaction
+    * behavior is itself what's verified — a missed or over-eager match
+    * hash-mismatches). Map-only regex passes (codegen'd builtins) until
+    * the final per-source rollup: at 100 TB this is pure scan
+    * throughput, the right shape for a scrub stage. Both regexes stay
+    * in the ASCII subset where Java and RE2 semantics coincide.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 11 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), injected.as("text2"))
+      .select(col("source"),
+        length(col("text2")).as("len_raw"),
+        size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(scrubbed).as("len_scrubbed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_emails") + col("n_phones") > 0, 1L)
+             .otherwise(0L)).as("n_pii_docs"),
+           sum(col("n_emails")).as("n_emails"),
+           sum(col("n_phones")).as("n_phones"),
+           sum((col("len_raw") - col("len_scrubbed")).cast("long"))
+             .as("chars_redacted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub"      -> piiScrub _,
     "sketch_heavy_words" -> sketchHeavyWords _,
     "text_stats"     -> textStats _,
     "lang_id"        -> langId _,
@@ -453,6 +499,31 @@ object TextQueries {
          |FROM d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pii_scrub" ->
+      raw"""WITH inj AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 11 = 0 THEN
+           |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |        || '@mail.example.com or call 555-'
+           |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |    ELSE text END AS text2
+           |  FROM documents),
+           |f AS (
+           |  SELECT source, length(text2) AS len_raw,
+           |    len(regexp_extract_all(text2,
+           |        '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+           |    len(regexp_extract_all(text2, '\d{3}-\d{4}')) AS n_phones,
+           |    length(regexp_replace(regexp_replace(text2,
+           |        '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+           |        '\d{3}-\d{4}', '<PHONE>', 'g')) AS len_scrubbed
+           |  FROM inj)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_pii_docs,
+           |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           |  CAST(SUM(len_raw - len_scrubbed) AS BIGINT) AS chars_redacted
+           |FROM f GROUP BY source""".stripMargin,
     "sketch_heavy_words" ->
       raw"""WITH wc AS (
            |  SELECT word, count(*) AS cnt FROM (

@@ -42,4 +42,20 @@ class BucketedJoinSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed tables track in-place data regeneration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_stale")
+      .toString
+    def regen(name: String, filter: String): Unit =
+      spark.read.parquet(s"$sf0001/$name.parquet").where(filter)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    regen("orders", "true")
+    regen("lineitem", "true")
+    val r1 = RelationalQueries.bucketedJoinRevenue(spark, dir).count()
+    // regenerate the dataset IN PLACE — same dir, different rows; a
+    // cache keyed only on the dir would silently serve the old tables
+    regen("orders", "o_orderkey % 2 = 0")
+    val r2 = RelationalQueries.bucketedJoinRevenue(spark, dir).count()
+    assert(r2 > 0 && r2 < r1, s"stale bucketed cache: r1=$r1 r2=$r2")
+  }
 }
