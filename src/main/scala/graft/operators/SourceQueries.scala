@@ -398,6 +398,51 @@ object SourceQueries {
         col("session_start"), col("session_end"), col("sum_value"))
   }
 
+  /** STREAMING WRITE through the custom `mrout` DSv2 sink: the events
+    * stream drains (AvailableNow) into reference-format text files via
+    * the sink's EPOCH commit protocol — per micro-batch task temps +
+    * driver rename to `mr-out-<epoch>-<partition>`, so output is never
+    * partially visible and an epoch replay is idempotent. The files are
+    * then read back through the `mrout` SCAN and rolled up; the oracle
+    * aggregates the original parquet, so the whole streaming
+    * encode→commit→decode path must be lossless and exactly-once (a
+    * dropped or doubled epoch would change the counts).
+    */
+  def streamingMroutSink(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_mrout"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val outRoot = java.nio.file.Paths.get(ioDir("mrout_stream"))
+      .resolve(Tables.dirKey(dir) + "f")
+    // fresh run every time: Append across reruns would double the data
+    org.apache.commons.io.FileUtils.deleteDirectory(outRoot.toFile)
+    val outPath = outRoot.resolve("data").toString
+    try {
+      val streamDir = eventsStreamDir(s, dir)
+      val rawSchema = s.read.parquet(streamDir).schema
+      s.readStream.schema(rawSchema).parquet(streamDir)
+        .select(col("event_id").cast("string").as("key"),
+          concat_ws(" ", col("event_type"), col("user_id")).as("value"))
+        .writeStream
+        .format("mrout")
+        .outputMode(OutputMode.Append())
+        .queryName(qName)
+        .option("checkpointLocation", outRoot.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .start(outPath)
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.format("mrout").load(outPath)
+      .select(split(col("value"), " ").as("kv"))
+      .select(element_at(col("kv"), 1).as("event_type"),
+        element_at(col("kv"), 2).cast("long").as("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** CORRUPT-RECORD resilience: real pipelines ingest feeds with broken
     * rows, and the engine must quarantine rather than crash or silently
     * drop. Documents are JSON-encoded with every 7th row deterministically
@@ -498,6 +543,7 @@ object SourceQueries {
     "streaming_dedup_events"  -> streamingDedupEvents _,
     "streaming_click_attribution" -> streamingClickAttribution _,
     "streaming_enrich_join"   -> streamingEnrichJoin _,
+    "streaming_mrout_sink"    -> streamingMroutSink _,
     "streaming_sessionize"    -> streamingSessionize _)
 
   val oracles: Map[String, String] = Map(
@@ -537,6 +583,10 @@ object SourceQueries {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "streaming_mrout_sink" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "streaming_enrich_join" ->
       """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value

@@ -457,7 +457,44 @@ object TextQueries {
              .as("chars_redacted"))
   }
 
+  /** Corpus-mixing allocation: split a fixed training-token budget
+    * (1M here) across sources proportionally to their token mass using
+    * the LARGEST-REMAINDER (Hamilton) method, entirely in exact integer
+    * arithmetic: floor(B·nᵢ/N) per source, then one extra token to the
+    * (B − Σfloor) largest remainders, ties broken by source name —
+    * Σalloc == B exactly, bit-identical in both engines. Wide products
+    * ride decimal(38,0) (HUGEINT in the oracle): at 100 TB, B·nᵢ
+    * overflows a long. Shape: one narrow scan + per-source aggregate;
+    * the unpartitioned windows are safe BECAUSE they run
+    * post-aggregation over ≤ dozens of source rows at any data scale.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bpe = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+    val all = Window.partitionBy(lit(1))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+          .cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("prod",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"))
+      .withColumn("floor_alloc",
+        expr("CAST(prod div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("rem", expr("prod % CAST(total AS DECIMAL(38,0))"))
+      .withColumn("deficit", lit(1000000L) - sum(col("floor_alloc")).over(all))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("floor_alloc") +
+          when(col("rnk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix"     -> corpusMix _,
     "pii_scrub"      -> piiScrub _,
     "sketch_heavy_words" -> sketchHeavyWords _,
     "text_stats"     -> textStats _,
@@ -499,6 +536,31 @@ object TextQueries {
          |FROM d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_mix" ->
+      raw"""WITH t AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(len(regexp_extract_all(text,
+           |        '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT)
+           |      AS n_tokens
+           |  FROM documents GROUP BY source),
+           |a AS (
+           |  SELECT source, n_docs, n_tokens,
+           |    CAST(1000000 AS HUGEINT) * CAST(n_tokens AS HUGEINT) AS prod,
+           |    SUM(CAST(n_tokens AS HUGEINT)) OVER () AS total
+           |  FROM t),
+           |b AS (
+           |  SELECT source, n_docs, n_tokens,
+           |    CAST(prod // total AS BIGINT) AS floor_alloc,
+           |    prod % total AS rem
+           |  FROM a),
+           |c AS (
+           |  SELECT *, 1000000 - SUM(floor_alloc) OVER () AS deficit,
+           |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+           |  FROM b)
+           |SELECT source, n_docs, n_tokens,
+           |  CAST(floor_alloc + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END
+           |    AS BIGINT) AS alloc_tokens
+           |FROM c""".stripMargin,
     "pii_scrub" ->
       raw"""WITH inj AS (
            |  SELECT doc_id, source,

@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -99,6 +100,14 @@ object MrOutSource {
       }
     files.map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
   }
+
+  /** Delete uncommitted task temps (speculative/failed/aborted
+    * attempts) — shared by the batch and streaming commit paths.
+    */
+  private[sources] def sweepTemps(filesystem: FileSystem, dir: Path): Unit =
+    filesystem.listStatus(dir)
+      .filter(_.getPath.getName.startsWith(".mr-tmp-"))
+      .foreach(s => filesystem.delete(s.getPath, false))
 }
 
 /** Hadoop `Configuration` is `Writable`, not `Serializable`; this small
@@ -124,7 +133,7 @@ private class MrOutTable(props: Map[String, String])
   override def schema(): StructType = MrOutSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MrOutScanBuilder(path,
@@ -355,6 +364,9 @@ private class MrOutWriteBuilder(path: String, keyCol: String, nReduce: Int)
     override def toBatch: BatchWrite =
       new MrOutBatchWrite(path, overwrite,
         new SerializableConf(MrOutSource.hadoopConf()))
+    override def toStreaming: StreamingWrite =
+      new MrOutStreamingWrite(path,
+        new SerializableConf(MrOutSource.hadoopConf()))
   }
 }
 
@@ -389,32 +401,73 @@ private class MrOutBatchWrite(path: String, overwrite: Boolean,
     messages.foreach { case MrOutCommit(pid, temp) =>
       filesystem.rename(new Path(temp), new Path(dir, s"mr-out-$pid"))
     }
-    sweepTemps(filesystem, dir) // orphaned speculative/failed attempts
+    MrOutSource.sweepTemps(filesystem, dir) // orphaned failed attempts
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val filesystem = MrOutSource.fs(path, conf.conf)
     val dir = new Path(path)
-    if (filesystem.exists(dir)) sweepTemps(filesystem, dir)
+    if (filesystem.exists(dir)) MrOutSource.sweepTemps(filesystem, dir)
   }
-
-  private def sweepTemps(filesystem: FileSystem, dir: Path): Unit =
-    filesystem.listStatus(dir)
-      .filter(_.getPath.getName.startsWith(".mr-tmp-"))
-      .foreach(s => filesystem.delete(s.getPath, false))
 }
 
 private class MrOutWriterFactory(path: String, conf: SerializableConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new MrOutWriter(path, partitionId, taskId, conf.conf)
+    new MrOutWriter(path, partitionId, s".mr-tmp-$partitionId-$taskId",
+      conf.conf)
 }
 
-private class MrOutWriter(path: String, partitionId: Int, taskId: Long,
+/** Streaming flavor of the same commit protocol, per EPOCH: each
+  * micro-batch's tasks write hidden temps, and `commit(epochId, …)`
+  * renames them to `mr-out-<epochId>-<partitionId>` — the reference's
+  * per-reducer naming extended with the epoch, so a bounded stream
+  * drains to files the `mrout` scan reads like any other output dir.
+  * Exactly-once visibility per epoch: a replayed epoch re-renames over
+  * its own files (delete-then-rename is idempotent), and an aborted
+  * epoch's temps are swept, never renamed.
+  */
+private class MrOutStreamingWrite(path: String, conf: SerializableConf)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = new MrOutStreamingWriterFactory(path, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val filesystem = MrOutSource.fs(path, conf.conf)
+    val dir = new Path(path)
+    filesystem.mkdirs(dir)
+    messages.foreach { case MrOutCommit(pid, temp) =>
+      val dst = new Path(dir, s"mr-out-$epochId-$pid")
+      filesystem.delete(dst, false) // epoch replay: idempotent overwrite
+      filesystem.rename(new Path(temp), dst)
+    }
+    MrOutSource.sweepTemps(filesystem, dir)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val filesystem = MrOutSource.fs(path, conf.conf)
+    val dir = new Path(path)
+    if (filesystem.exists(dir)) MrOutSource.sweepTemps(filesystem, dir)
+  }
+}
+
+private class MrOutStreamingWriterFactory(path: String,
+                                          conf: SerializableConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new MrOutWriter(path, partitionId,
+      s".mr-tmp-$epochId-$partitionId-$taskId", conf.conf)
+}
+
+private class MrOutWriter(path: String, partitionId: Int, tempName: String,
                           conf: Configuration)
     extends DataWriter[InternalRow] {
-  private val temp = new Path(path, s".mr-tmp-$partitionId-$taskId")
+  private val temp = new Path(path, tempName)
   private val filesystem = MrOutSource.fs(path, conf)
   // Local ChecksumFileSystem would otherwise drop .crc sidecars next to
   // every mr-out file — the reference dir contains data files only.

@@ -194,6 +194,33 @@ class MrOutSourceSpec extends SparkSpec {
     assert(back.sorted.toSeq === rows.sorted)
   }
 
+  test("mrout streaming sink: epoch-named files, no temps, lossless") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = new java.io.File("target/graft-io/mrout_spec_stream")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir.getAbsolutePath + "_chk"))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    in.addData(("apple", "3"), ("banana", "1 extra"))
+    in.addData(("cherry", "7"))
+    val q = in.toDF().toDF("key", "value")
+      .writeStream.format("mrout")
+      .option("checkpointLocation", dir.getAbsolutePath + "_chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir.getAbsolutePath)
+    q.awaitTermination()
+    val names = dir.listFiles().map(_.getName)
+    assert(names.nonEmpty && names.forall(_.matches("mr-out-\\d+-\\d+")),
+      names.mkString(","))
+    assert(!names.exists(_.startsWith(".mr-tmp-")))
+    val back = spark.read.format("mrout").load(dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(("apple", "3"), ("banana", "1 extra"), ("cherry", "7")))
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
