@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The full catalog compiles hundreds of whole-stage-codegen classes in
+  // one JVM; the JDK default 240m code cache fills mid-run and the JIT
+  // flushes/stops compiling, which shows up as multi-x timing ghosts on
+  // unchanged plans (rounds 2/4). Headroom makes bench timings stable.
+  "-XX:ReservedCodeCacheSize=512m",
 )
