@@ -500,6 +500,40 @@ object SourceQueries {
       .select(col("key").as("word"), col("value").cast("long").as("cnt"))
   }
 
+  /** customer → embedded Derby over JDBC → PARTITIONED parallel read
+    * back → aggregate. The read declares `partitionColumn/lowerBound/
+    * upperBound/numPartitions`, so Spark issues N range-predicate
+    * queries concurrently — the shape that matters against a real
+    * sharded RDBMS at scale (bounds only split the key space; rows
+    * outside them still land in the edge partitions, so the read is
+    * complete by construction). The aggregate itself is pushed to the
+    * scan as column pruning; the oracle aggregates the original
+    * parquet, so JDBC type round-tripping (BIGINT/INT/DOUBLE/VARCHAR)
+    * must be value-exact.
+    */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // quarantine Derby's chatter next to the db, not the repo root
+    System.setProperty("derby.stream.error.file",
+      ioDir("jdbc_db") + "/derby.log")
+    val url = s"jdbc:derby:${ioDir("jdbc_db")}/${Tables.dirKey(dir)};create=true"
+    val c = Tables.customer(s, dir)
+    val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
+    // a handful of writer connections is plenty for a dimension-sized
+    // table; row-at-a-time INSERT throughput is the DB's business
+    c.coalesce(4).write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "customer").save()
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "customer")
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", "0").option("upperBound", (maxKey + 1).toString)
+      .option("numPartitions", "8")
+      .load()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("sum_acctbal"),
+           max(col("c_custkey")).as("max_key"))
+  }
+
   /** part → ORC files → read back → aggregate (the third columnar
     * format next to parquet; same explicit-schema read discipline).
     */
@@ -536,6 +570,7 @@ object SourceQueries {
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
     "source_orc_roundtrip"    -> orcRoundtrip _,
+    "source_jdbc_roundtrip"   -> jdbcRoundtrip _,
     "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
     "source_json_corrupt"     -> jsonCorruptRecords _,
@@ -570,6 +605,12 @@ object SourceQueries {
            |FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+'))
            |        AS word FROM documents)
            |WHERE word <> '' GROUP BY word""".stripMargin,
+    "source_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_acctbal,
+        |  max(c_custkey) AS max_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "source_orc_roundtrip" ->
       """SELECT p_brand, COUNT(*) AS n_parts,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)

@@ -221,6 +221,47 @@ class MrOutSourceSpec extends SparkSpec {
     assert(back === Set(("apple", "3"), ("banana", "1 extra"), ("cherry", "7")))
   }
 
+  test("mrout streaming sink: restart from checkpoint is exactly-once") {
+    import spark.implicits._
+    val root = new java.io.File("target/graft-io/mrout_spec_restart")
+    org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val chk = new java.io.File(root, "chk").getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("key STRING, value STRING")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("mrout")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    def snapshot(): Map[String, String] =
+      new java.io.File(out).listFiles().map(f =>
+        f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    Seq(("a", "1"), ("b", "2")).toDF("key", "value").coalesce(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val after1 = snapshot()
+    // restart over the SAME checkpoint with no new data: the commit log
+    // says everything is processed — no new epochs, nothing rewritten
+    drain()
+    assert(snapshot() === after1)
+    // new data after a restart: ONLY the delta appears, in new epoch
+    // files; the first run's files are untouched
+    Seq(("c", "3")).toDF("key", "value").coalesce(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val after3 = snapshot()
+    after1.foreach { case (n, content) => assert(after3(n) === content) }
+    val rows = spark.read.format("mrout").load(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("a", "1"), ("b", "2"), ("c", "3")))
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
