@@ -18,6 +18,35 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix: allocations sum to the budget exactly") {
+    val rows = TextQueries.corpusMix(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum === 1000000L)
+    // proportionality: every allocation within 1 of its exact quota
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    rows.foreach { r =>
+      val quota = 1000000L * r.getAs[Long]("n_tokens") / totTok
+      val alloc = r.getAs[Long]("alloc_tokens").toDouble
+      assert(math.abs(alloc - quota) <= 1.0,
+        s"${r.getAs[String]("source")}: alloc=$alloc quota=$quota")
+    }
+  }
+
+  test("pii_scrub: every injected doc is detected, nothing else fires") {
+    val rows = TextQueries.piiScrub(spark, sf0001).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nPii = rows.map(_.getAs[Long]("n_pii_docs")).sum
+    val nEmails = rows.map(_.getAs[Long]("n_emails")).sum
+    val nPhones = rows.map(_.getAs[Long]("n_phones")).sum
+    // injection hits doc_id % 11 == 0; the corpus has no natural PII,
+    // so detection must equal injection exactly — one email + one
+    // phone per injected doc
+    val injected = graft.core.Tables.documents(spark, sf0001)
+      .filter("doc_id % 11 = 0").count()
+    assert(nDocs === 500L)
+    assert(nPii === injected)
+    assert(nEmails === injected && nPhones === injected)
+  }
+
   test("dedup_exact: canonical ids are minimal and copies cover the corpus") {
     val rows = DedupQueries.dedupExact(spark, sf0001).collect()
     val total = rows.map(_.getAs[Long]("n_copies")).sum
