@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     // Per-query warmup at the smallest SF: compiles each query's
     // whole-stage-codegen classes (a fixed JVM cost, not a property of
     // the engine at scale) so the timed run at the target SF measures

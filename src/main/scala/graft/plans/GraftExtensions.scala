@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinKDistinct, QDotLong}
+import graft.functions.{CountMatches, MinKDistinct, QDotLong}
 
-/** Engine extension point: registers graft's native Catalyst functions.
+/** Engine extension point: registers graft's native Catalyst functions
+  * and optimizer rules.
   *
   * Two registration paths, both supported:
   *   - cluster-wide: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -18,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minKFunction)
     ext.injectFunction(GraftExtensions.qdotFunction)
+    ext.injectFunction(GraftExtensions.countMatchesFunction)
+    ext.injectOptimizerRule(_ => RewriteCountMatches)
   }
 }
 
@@ -46,12 +49,30 @@ object GraftExtensions {
       QDotLong(children.head, children(1))
     })
 
+  private val countMatchesFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_count_matches"),
+    new ExpressionInfo(classOf[CountMatches].getName, "graft_count_matches"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_count_matches(str, regex) takes 2 arguments")
+      CountMatches(children.head, children(1))
+    })
+
   /** Idempotent per-session registration (re-registering overwrites). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       minKFunction._1, minKFunction._2, minKFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       qdotFunction._1, qdotFunction._2, qdotFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      countMatchesFunction._1, countMatchesFunction._2,
+      countMatchesFunction._3)
+    // optimizer rule for already-built sessions (the extensions class
+    // handles spark.sql.extensions-configured ones)
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(RewriteCountMatches))
+      em.extraOptimizations = em.extraOptimizations :+ RewriteCountMatches
   }
 
   /** `graft_min_k` as a Column, for DataFrame-API callers. */

@@ -27,6 +27,49 @@ class FunctionsPropSpec extends SparkSpec {
     Gen.const("123"), Gen.const("  "), Gen.const("!?;"),
     Gen.const("汉字"))).map(_.mkString(" "))
 
+  test("graft_count_matches equals the length of regexp_extract_all") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val regexes = Seq("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]",
+      "\\d+", "[a-z]+", "汉")
+    for (texts <- cases(Gen.listOfN(8, textGen)); re <- regexes) {
+      val df = texts.toDF("t")
+      // expected: the raw array collected (no Size node, so the rewrite
+      // can't touch it) and measured driver-side
+      val expected = df.select(
+          regexp_extract_all(col("t"), lit(re), lit(0)).as("a"))
+        .as[Seq[String]].collect().map(_.length)
+      val got = df.selectExpr(s"graft_count_matches(t, '${re.replace("\\", "\\\\")}') AS c")
+        .as[Int].collect()
+      assert(got.toSeq === expected.toSeq, s"regex $re")
+    }
+  }
+
+  test("RewriteCountMatches: size(regexp_extract_all) plans the fused count") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // a parquet-backed input: literal rows constant-fold to a
+    // LocalRelation before the rewrite could be observed
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val df = docs
+      .select(size(regexp_extract_all(col("text"), lit("\\d+"), lit(0)))
+        .as("n"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_count_matches"), opt)
+    assert(!opt.toLowerCase.contains("regexp_extract_all"), opt)
+    // and the fused plan computes the same totals as the raw arrays
+    val expected = docs
+      .select(regexp_extract_all(col("text"), lit("\\d+"), lit(0)).as("a"))
+      .as[Seq[String]].collect().map(_.length.toLong).sum
+    assert(df.as[Int].collect().map(_.toLong).sum === expected)
+    // group index != 0 must NOT be rewritten (group counts can differ)
+    val grp = docs
+      .select(size(regexp_extract_all(col("text"), lit("(\\d)"), lit(1)))
+        .as("n"))
+    assert(!grp.queryExecution.optimizedPlan.toString
+      .contains("graft_count_matches"))
+  }
+
   test("tokens: every token is a non-empty all-letter run from the text") {
     import spark.implicits._
     for (texts <- cases(Gen.listOfN(8, textGen))) {
