@@ -65,6 +65,16 @@ object Bench {
       // for every later query — cleanup is outside the timed window
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    // SPARK_GRAFT_DETAILS=1: after each query's timed trials, run one
+    // extra pass bracketed by task-metric snapshots and dump per-query
+    // {input, shuffle write/read, spilled} bytes to
+    // target/bench_details.json — measured evidence for SCALE.md's
+    // shuffle claims (e.g. "dedup_exact shuffles ~40 bytes/doc").
+    // Diagnostics only; the driver-facing JSON line is unchanged.
+    val details = sys.env.contains("SPARK_GRAFT_DETAILS")
+    val metrics = new BenchTaskMetrics
+    if (details) spark.sparkContext.addSparkListener(metrics)
+    val detailRows = scala.collection.mutable.ArrayBuffer[String]()
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -84,6 +94,19 @@ object Bench {
       // settle heap between query groups so one query's garbage doesn't
       // become the next query's GC pause
       System.gc()
+      if (details && !failed) {
+        // listener delivery is async; the settle sleeps bound the error
+        Thread.sleep(300)
+        val before = metrics.snapshot()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        Thread.sleep(300)
+        val after = metrics.snapshot()
+        val d = after.zip(before).map { case (a, b) => a - b }
+        detailRows += s"""  "$name": {"input":${d(0)},"shuffle_write":${
+          d(1)},"shuffle_read":${d(2)},"spilled":${d(3)}}"""
+        dropLeftoverBlocks()
+      }
       // A failed query must not report its time-to-failure as a timing —
       // a fast crash would otherwise IMPROVE the total and invert the
       // regression signal. -1 marks it broken and is excluded from the
@@ -105,9 +128,32 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    if (details)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target", "bench_details.json"),
+        detailRows.mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
     spark.stop()
     // Printed after spark.stop() so no executor/log line lands between
     // this and sbt's epilogue — keeps the JSON as close to last as possible.
     println(line)
   }
+}
+
+/** Byte-level task metrics accumulator for the SPARK_GRAFT_DETAILS
+  * mode: [input read, shuffle write, shuffle read, disk spilled].
+  */
+private class BenchTaskMetrics
+    extends org.apache.spark.scheduler.SparkListener {
+  private val sums = Array.fill(4)(new java.util.concurrent.atomic.AtomicLong)
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      sums(0).addAndGet(m.inputMetrics.bytesRead)
+      sums(1).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      sums(2).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      sums(3).addAndGet(m.diskBytesSpilled)
+    }
+  }
+  def snapshot(): Array[Long] = sums.map(_.get())
 }
