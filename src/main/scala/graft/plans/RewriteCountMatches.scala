@@ -25,7 +25,11 @@ import graft.functions.CountMatches
   *   - `size` is in non-legacy mode (`legacySizeOfNull = false`): null
   *     subject → null on both sides. Legacy `size` returns −1 for null,
   *     which CountMatches does not reproduce, so legacy plans are left
-  *     untouched.
+  *     untouched;
+  *   - the subject is the DEFAULT-collation string type — a collated
+  *     string could give its regexp operators different matching
+  *     semantics, which the fused plain-`Pattern` loop would not
+  *     reproduce.
   */
 object RewriteCountMatches extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -33,7 +37,7 @@ object RewriteCountMatches extends Rule[LogicalPlan] {
       case Size(rea: RegExpExtractAll, false)
           if rea.regexp.foldable && rea.idx.foldable &&
              rea.idx.eval() == 0 && rea.regexp.eval() != null &&
-             rea.subject.dataType.isInstanceOf[StringType] =>
+             rea.subject.dataType == StringType =>
         CountMatches(rea.subject, rea.regexp)
     }
 }
