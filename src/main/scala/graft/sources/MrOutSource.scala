@@ -399,7 +399,11 @@ private class MrOutBatchWrite(path: String, overwrite: Boolean,
         }
         .foreach(s => filesystem.delete(s.getPath, false))
     messages.foreach { case MrOutCommit(pid, temp) =>
-      filesystem.rename(new Path(temp), new Path(dir, s"mr-out-$pid"))
+      val dst = new Path(dir, s"mr-out-$pid")
+      // Hadoop rename reports failure as `false`, not an exception — a
+      // silently missing output file must fail the JOB, not the reader
+      require(filesystem.rename(new Path(temp), dst),
+        s"mrout commit: rename $temp -> $dst failed")
     }
     MrOutSource.sweepTemps(filesystem, dir) // orphaned failed attempts
   }
@@ -442,7 +446,8 @@ private class MrOutStreamingWrite(path: String, conf: SerializableConf)
     messages.foreach { case MrOutCommit(pid, temp) =>
       val dst = new Path(dir, s"mr-out-$epochId-$pid")
       filesystem.delete(dst, false) // epoch replay: idempotent overwrite
-      filesystem.rename(new Path(temp), dst)
+      require(filesystem.rename(new Path(temp), dst),
+        s"mrout epoch commit: rename $temp -> $dst failed")
     }
     MrOutSource.sweepTemps(filesystem, dir)
   }
