@@ -225,6 +225,47 @@ object SourceQueries {
     s.table(qName)
   }
 
+  /** Streaming dedup with `dropDuplicatesWithinWatermark` — the
+    * BOUNDED-RETRY ingestion guard: where plain `dropDuplicates` keys
+    * state on event time exactly (a duplicate with a jittered timestamp
+    * slips through), this operator deduplicates any two occurrences of
+    * a key whose event times fall within the watermark delay of each
+    * other, and evicts each key once the watermark passes its first
+    * sighting + delay. State is O(keys seen per watermark window) —
+    * the operator of choice when an at-least-once feed retries with
+    * drifting timestamps. Harness events are unique per id, so the
+    * batch rollup oracle pins pass-through-exactly-once; the distinct
+    * operator (vs `streaming_dedup_events`) is visible in the plan as
+    * `DropDuplicatesWithinWatermark`.
+    */
+  def streamingDedupWithinWm(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_dedup_wm"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val streamDir = eventsStreamDir(s, dir)
+      val rawSchema = s.read.parquet(streamDir).schema
+      val agg = s.readStream.schema(rawSchema).parquet(streamDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("user_id") % 10 === 3)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             dsum(col("value")).as("sum_value"))
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+  }
+
   /** STREAM-STATIC enrichment join: the events file stream joined to the
     * (bounded, batch) customer dimension, then rolled up per (market
     * segment, event type). The static side re-plans per micro-batch as
@@ -576,6 +617,7 @@ object SourceQueries {
     "source_json_corrupt"     -> jsonCorruptRecords _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
+    "streaming_dedup_within_wm" -> streamingDedupWithinWm _,
     "streaming_click_attribution" -> streamingClickAttribution _,
     "streaming_enrich_join"   -> streamingEnrichJoin _,
     "streaming_mrout_sink"    -> streamingMroutSink _,
@@ -637,6 +679,10 @@ object SourceQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events WHERE user_id % 10 = 0 GROUP BY event_type""".stripMargin,
+    "streaming_dedup_within_wm" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 10 = 3 GROUP BY event_type""".stripMargin,
     "source_partitioned_prune" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -40,6 +40,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark catches a retry with jittered time") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same event_id delivered twice with a 10-minute timestamp drift —
+      // the at-least-once-with-retry shape. Keying on (id, ts) would
+      // pass both; within-watermark dedup must emit exactly one.
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(5), 2, "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to flush append-mode output
+      in.addData(Event(99, ts(600), 9, "click", 0.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_test").collect()
+        .map(_.getAs[Long]("event_id")).filter(_ != 99L).sorted.toSeq
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; watermark closes the last one") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
