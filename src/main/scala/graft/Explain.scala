@@ -20,6 +20,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftExtensions.register(spark)
     // plan inspection must not execute workloads: shared-subtree
     // checkpoints become lazy under this conf (graft.core.Checkpoint)
     spark.conf.set(graft.core.Checkpoint.LazyConf, "true")
