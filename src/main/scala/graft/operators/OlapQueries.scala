@@ -392,7 +392,38 @@ object OlapQueries {
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
   }
 
+  /** TPC-H Q19-shaped disjunctive predicate: revenue from an OR of
+    * brand/size/quantity conjunctions across the lineitem ⋈ part join.
+    * The per-side conjuncts (quantity ranges on lineitem, brand/size on
+    * part) are extracted by Catalyst's CNF conversion and pushed to
+    * BOTH scans as data filters (`PushedFilters` shows the ORs), so
+    * each side reads only rows that can satisfy SOME branch before the
+    * join evaluates the full disjunction — the difference between
+    * joining two filtered slivers and joining two full tables at
+    * 100 TB.
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"),
+      col("p_size"))
+    val pred =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q14_promo_revenue"       -> q14PromoRevenue _,
     "q18_large_orders"        -> q18LargeOrders _,
     "cube_orders"             -> cubeOrders _,
@@ -413,6 +444,17 @@ object OlapQueries {
     "events_retention"        -> eventsRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q19_disjunctive_revenue" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q14_promo_revenue" ->
       """WITH a AS (
         |  SELECT COUNT(*) AS n_lines,
