@@ -11,6 +11,24 @@ import graft.SparkSpec
   */
 class OlapSourceSpec extends SparkSpec {
 
+  test("jdbc read is range-partitioned into parallel scans") {
+    import org.apache.spark.sql.functions._
+    val url = "jdbc:derby:target/graft-io/jdbc_db/spec_parallel;create=true"
+    graft.core.Tables.customer(spark, sf0001).coalesce(2)
+      .write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "customer").save()
+    val read = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "customer")
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", "0").option("upperBound", "150")
+      .option("numPartitions", "8").load()
+    assert(read.rdd.getNumPartitions === 8)
+    // bounds only split the key space — rows outside them must still
+    // arrive via the unbounded edge partitions
+    assert(read.count() === 150L)
+    assert(read.agg(max(col("c_custkey"))).head.getLong(0) === 149L)
+  }
+
   test("all olap + source queries execute and return rows at sf0.001") {
     for ((name, fn) <- OlapQueries.queries ++ SourceQueries.queries) {
       val n = fn(spark, sf0001).count()
