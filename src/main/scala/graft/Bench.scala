@@ -98,13 +98,20 @@ object Bench {
         // listener delivery is async; the settle sleeps bound the error
         Thread.sleep(300)
         val before = metrics.snapshot()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // a crash mid-pass must not record its partial byte deltas as a
+        // measurement (same rule as the -1 timing below)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite")
+                  .save(); true }
+          catch { case _: Throwable => false }
         Thread.sleep(300)
         val after = metrics.snapshot()
         val d = after.zip(before).map { case (a, b) => a - b }
-        detailRows += s"""  "$name": {"input":${d(0)},"shuffle_write":${
-          d(1)},"shuffle_read":${d(2)},"spilled":${d(3)}}"""
+        if (ok)
+          detailRows += s"""  "$name": {"input":${d(0)},"shuffle_write":${
+            d(1)},"shuffle_read":${d(2)},"spilled":${d(3)}}"""
+        else
+          detailRows += s"""  "$name": {"failed":true}"""
         dropLeftoverBlocks()
       }
       // A failed query must not report its time-to-failure as a timing —

@@ -61,6 +61,10 @@ case class CountMatches(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
+    // a foldable NULL regex makes the whole expression null for every
+    // row (the interpreted path's null-intolerance) — forcing `pattern`
+    // here would instead crash the query at codegen time
+    if (right.eval(null) == null) return ExprCode.forNullValue(dataType)
     val patRef =
       ctx.addReferenceObj("graftCountPattern", pattern,
         classOf[Pattern].getName)

@@ -45,6 +45,14 @@ class FunctionsPropSpec extends SparkSpec {
     }
   }
 
+  test("graft_count_matches with a foldable NULL regex is NULL, not a crash") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_count_matches('abc', CAST(NULL AS STRING)) AS c")
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+
   test("RewriteCountMatches: size(regexp_extract_all) plans the fused count") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
