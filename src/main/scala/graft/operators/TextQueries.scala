@@ -78,7 +78,11 @@ object TextQueries {
       col("doc_id"),
       length(col("text")).as("len"),
       size(tokens(col("text"))).as("n_toks"),
-      size(split(trim(col("text")), "\\s+")).as("n_ws_toks"),
+      // pieces = separator matches + 1 exactly (`\s+` can never match
+      // empty, and a trimmed string has no edge separators), so the
+      // fused counter replaces the split ARRAY the builtin would build
+      (graft.plans.GraftExtensions
+        .countMatches(s, trim(col("text")), "\\s+") + 1).as("n_ws_toks"),
       (length(col("text")) -
         length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")))
         .as("n_punct"),
@@ -150,7 +154,10 @@ object TextQueries {
     val bpe = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"
     Tables.documents(s, dir)
       .select(col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+        // matches + 1, not a split array — see textStats' n_ws_toks
+        (graft.plans.GraftExtensions
+          .countMatches(s, trim(col("text")), "\\s+") + 1)
+          .cast("long").as("ws"),
         size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("long")
           .as("bpe"))
       .groupBy("source")

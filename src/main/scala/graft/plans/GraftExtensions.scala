@@ -81,4 +81,11 @@ object GraftExtensions {
     org.apache.spark.sql.functions.call_function("graft_min_k", c,
       org.apache.spark.sql.functions.lit(k))
   }
+
+  /** `graft_count_matches` as a Column, for DataFrame-API callers. */
+  def countMatches(spark: SparkSession, c: Column, re: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_count_matches", c,
+      org.apache.spark.sql.functions.lit(re))
+  }
 }
