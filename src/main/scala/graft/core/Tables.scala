@@ -35,23 +35,39 @@ object Tables {
       .toAbsolutePath.normalize.toString).take(16)
 
   /** Content fingerprint of one or more dataset paths: every data
-    * file's (name, length, mtime) folded into one md5. Regenerating a
-    * dataset in place changes the fingerprint, so cache keys that embed
-    * it can never serve stale data — the cache keyed on the old
-    * fingerprint simply misses. A path may be a single file or a
-    * directory of part files (only one level deep — Spark writes flat
-    * output dirs).
+    * file's (name, length, mtime, tail bytes) folded into one md5.
+    * Regenerating a dataset in place changes the fingerprint, so cache
+    * keys that embed it can never serve stale data — the cache keyed on
+    * the old fingerprint simply misses. The 64-byte tail sample covers
+    * the case a (length, mtime) key can't: a same-size in-place rewrite
+    * within the filesystem's mtime granularity (1 s on some filesystems)
+    * — for parquet/ORC the tail holds the footer metadata, which shifts
+    * with any content change. A path may be a single file or a directory
+    * of part files (only one level deep — Spark writes flat output dirs).
     */
   def dataFingerprint(paths: String*): String = {
     val sb = new StringBuilder
     paths.foreach { p =>
       val f = new java.io.File(p)
-      val files =
-        if (f.isDirectory)
-          f.listFiles().filter(_.isFile).sortBy(_.getName)
-        else Array(f)
-      files.foreach(x => sb.append(x.getName).append('|')
-        .append(x.length).append('|').append(x.lastModified).append('\n'))
+      val listed = if (f.isDirectory) f.listFiles() else Array(f)
+      require(listed != null && (f.isDirectory || f.exists),
+        s"dataFingerprint: no such dataset (or unreadable): $p")
+      val files = listed.filter(_.isFile).sortBy(_.getName)
+      files.foreach { x =>
+        sb.append(x.getName).append('|')
+          .append(x.length).append('|').append(x.lastModified).append('|')
+        val n = math.min(64L, x.length).toInt
+        if (n > 0) {
+          val in = new java.io.RandomAccessFile(x, "r")
+          try {
+            in.seek(x.length - n)
+            val buf = new Array[Byte](n)
+            in.readFully(buf)
+            buf.foreach(b => sb.append("%02x".format(b)))
+          } finally in.close()
+        }
+        sb.append('\n')
+      }
     }
     md5hex(sb.toString).take(12)
   }

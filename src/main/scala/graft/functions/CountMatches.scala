@@ -37,12 +37,17 @@ case class CountMatches(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def str(t: DataType): Boolean = t.isInstanceOf[StringType]
+    // exact default-collation StringType, not any StringType instance: a
+    // collated subject (e.g. UTF8_LCASE) would otherwise type-check here
+    // but match with a case-sensitive java.util.regex.Pattern — the same
+    // mismatch RewriteCountMatches guards against with `== StringType`
+    def str(t: DataType): Boolean = t == StringType
     if (str(left.dataType) && str(right.dataType) && right.foldable)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_count_matches(str, regex) requires a STRING subject and a " +
-        s"foldable STRING regex, got ${left.dataType.simpleString} and " +
+      "graft_count_matches(str, regex) requires a default-collation " +
+        "STRING subject and a foldable STRING regex, got " +
+        s"${left.dataType.simpleString} and " +
         s"${right.dataType.simpleString} (foldable=${right.foldable})")
   }
 

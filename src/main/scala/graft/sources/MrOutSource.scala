@@ -443,6 +443,22 @@ private class MrOutStreamingWrite(path: String, conf: SerializableConf)
     val filesystem = MrOutSource.fs(path, conf.conf)
     val dir = new Path(path)
     filesystem.mkdirs(dir)
+    // Epoch-scoped sweep BEFORE renaming: a prior attempt of this epoch
+    // may have crashed after renaming some partitions but before Spark's
+    // commit-log write; if the replay produces FEWER writer partitions,
+    // the earlier attempt's extra mr-out-<epoch>-<pid> files would
+    // survive the per-name delete-then-rename below and double-count on
+    // read-back. Deleting every file of this epoch not named by the
+    // current message set makes replay idempotent regardless of
+    // partition-count drift.
+    val current = messages.map { case MrOutCommit(pid, _) =>
+      s"mr-out-$epochId-$pid" }.toSet
+    filesystem.listStatus(dir)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith(s"mr-out-$epochId-") && !current.contains(n)
+      }
+      .foreach(s => filesystem.delete(s.getPath, false))
     messages.foreach { case MrOutCommit(pid, temp) =>
       val dst = new Path(dir, s"mr-out-$epochId-$pid")
       filesystem.delete(dst, false) // epoch replay: idempotent overwrite

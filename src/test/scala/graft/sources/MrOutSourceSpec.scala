@@ -262,6 +262,36 @@ class MrOutSourceSpec extends SparkSpec {
     assert(rows === Set(("a", "1"), ("b", "2"), ("c", "3")))
   }
 
+  test("mrout streaming commit: epoch replay with fewer partitions sweeps " +
+       "the stale extras") {
+    // A prior attempt of epoch 7 renamed 2 partitions, then crashed
+    // BEFORE Spark wrote its commit log. The replay produces only 1
+    // writer partition (partition-count drift). The commit must delete
+    // the earlier attempt's extra mr-out-7-1 — a per-name
+    // delete-then-rename alone would leave it to double-count on read.
+    val dir = new java.io.File("target/graft-io/mrout_spec_epoch_sweep")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir.getPath, name), content)
+    put("mr-out-7-0", "stale 0\n")      // prior attempt, will be replaced
+    put("mr-out-7-1", "stale 1\n")      // prior attempt, must be swept
+    put("mr-out-6-0", "other 6\n")      // other epoch, must be untouched
+    put("mr-out-70-0", "other 70\n")    // prefix trap: epoch 70 != epoch 7
+    put(".mr-tmp-7-0-42", "fresh 0\n")  // the replay's single written temp
+    val write = new MrOutStreamingWrite(dir.getAbsolutePath,
+      new SerializableConf(spark.sparkContext.hadoopConfiguration))
+    write.commit(7L, Array(MrOutCommit(0,
+      new java.io.File(dir, ".mr-tmp-7-0-42").getAbsolutePath)))
+    val state = dir.listFiles().map(f =>
+      f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    assert(state === Map(
+      "mr-out-7-0"  -> "fresh 0\n",
+      "mr-out-6-0"  -> "other 6\n",
+      "mr-out-70-0" -> "other 70\n"), state)
+  }
+
   test("mrout round-trips MapReduceJob.saveText output") {
     import spark.implicits._
     val out = graft.mr.MapReduceJob.runOnCorpus(
