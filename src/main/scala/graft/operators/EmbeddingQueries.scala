@@ -34,8 +34,24 @@ object EmbeddingQueries {
   private val K       = 5
   private val NProbe  = 2
   private val NQuery  = 10
-  /** Deterministic "training": every 100th vector is a centroid. */
+  /** Deterministic "training": every 100th vector is a centroid.
+    *
+    * SCALE CAVEAT (kept deliberately, see [[annKmeansFixedNlist]]): a
+    * FIXED stride ties nlist to corpus size — nlist = N/100, so the
+    * broadcast-assignment pass costs O(N²/100) dot products and the
+    * "tiny broadcast" assumption dies (measured 154× at 100× data in
+    * SCALE.md). The strided variant stays only because five existing
+    * oracle entries pin their trajectories to it at toy scale; the
+    * scale-correct parameterization is [[TargetNlist]].
+    */
   private val CentroidStride = 100
+  /** Scale-correct training parameterization: a CONSTANT centroid
+    * count. Seed stride = ceil(N / TargetNlist) is derived from the
+    * corpus count inside the plan, so at any corpus size the centroid
+    * table stays TargetNlist rows — broadcast stays tiny, assignment
+    * stays O(N · nlist) with nlist constant, i.e. linear in N.
+    */
+  private val TargetNlist = 8
   /** Near-dup cosine threshold (see [[dedupEmbedding]] note). */
   private val DupThreshold = 0.35
 
@@ -198,9 +214,14 @@ object EmbeddingQueries {
     * (centroid_id, cv) table. See [[annKmeansCentroids]] for the full
     * determinism story.
     */
-  private def trainKmeans(emb: DataFrame): DataFrame = {
-    var cents = emb.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+  private def trainKmeans(emb: DataFrame): DataFrame =
+    trainKmeansFrom(emb,
+      emb.filter(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("centroid_id"), col("qv").as("cv")))
+
+  /** The Lloyd loop over an arbitrary deterministic seed table. */
+  private def trainKmeansFrom(emb: DataFrame, seeds: DataFrame): DataFrame = {
+    var cents = seeds
     for (_ <- 1 to KmeansIters) {
       cents = assignNearest(emb, cents)
         .select(col("centroid_id"),
@@ -220,6 +241,31 @@ object EmbeddingQueries {
   def annKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
     val cents = trainKmeans(emb)
+    assignNearest(emb, cents)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(cents.select(col("centroid_id"),
+        ndot(col("cv"), col("cv")).as("cnorm")), "centroid_id")
+      .select(col("centroid_id"), col("n_members"), col("cnorm"))
+  }
+
+  /** KMeans training with a CONSTANT centroid count ([[TargetNlist]]) —
+    * the fix for the strided variant's O(N²/100) scale-killer. The seed
+    * stride ceil(N / TargetNlist) comes from a broadcast scalar count
+    * computed IN the plan (no driver action), then the identical 3-round
+    * Lloyd loop and digest as [[annKmeansCentroids]]. At 100× data the
+    * centroid table is still TargetNlist rows: the broadcast stays
+    * bytes-sized and assignment work grows linearly with the corpus
+    * instead of quadratically.
+    */
+  def annKmeansFixedNlist(s: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
+    val k = emb.agg(
+      ceil(count(lit(1)).cast("double") / TargetNlist).cast("long").as("k"))
+    val seeds = emb.crossJoin(broadcast(k))
+      .filter(col("vec_id") % col("k") === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    val cents = trainKmeansFrom(emb, seeds)
     assignNearest(emb, cents)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"))
@@ -405,6 +451,7 @@ object EmbeddingQueries {
     "ann_ivf_assign"  -> annIvfAssign _,
     "ann_ivf_topk"    -> annIvfTopk _,
     "ann_kmeans_centroids" -> annKmeansCentroids _,
+    "ann_kmeans_fixed_nlist" -> annKmeansFixedNlist _,
     "ann_kmeans_topk" -> annKmeansTopk _,
     "ann_lsh_topk"    -> annLshTopk _,
     "dedup_embedding" -> dedupEmbedding _,
@@ -437,13 +484,20 @@ object EmbeddingQueries {
        |        FROM $a AS t, unnest(generate_series(1, $KmDim)) AS g(i)
        |        GROUP BY centroid_id, i) )
        | GROUP BY centroid_id)""".stripMargin
-  private lazy val kmChainSql: String =
+  private def kmChainFrom(c0Where: String): String =
     s"""v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
        |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
-       |       WHERE vec_id % $CentroidStride = 0),
+       |       WHERE $c0Where),
        |c1 AS ${kmUpdate(kmAssign("c0"))},
        |c2 AS ${kmUpdate(kmAssign("c1"))},
        |c3 AS ${kmUpdate(kmAssign("c2"))}""".stripMargin
+  private lazy val kmChainSql: String =
+    kmChainFrom(s"vec_id % $CentroidStride = 0")
+  /** Fixed-nlist seeds: stride = ceil(N / TargetNlist), same in-plan
+    * scalar as the Spark side. */
+  private lazy val kmFixedChainSql: String =
+    kmChainFrom(s"vec_id % (SELECT CAST(ceil(count(*) / $TargetNlist.0)" +
+      " AS BIGINT) FROM v) = 0")
 
   val oracles: Map[String, String] = Map(
     "ann_brute_force" ->
@@ -508,6 +562,15 @@ object EmbeddingQueries {
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_kmeans_centroids" ->
       s"""WITH $kmChainSql
+         |SELECT a.centroid_id, count(*) AS n_members, cn.cnorm
+         |FROM ${kmAssign("c3")} a
+         |JOIN (SELECT centroid_id,
+         |        CAST(list_sum(list_transform(generate_series(1, $KmDim),
+         |          i -> cv[i] * cv[i])) AS BIGINT) AS cnorm
+         |      FROM c3) cn USING (centroid_id)
+         |GROUP BY a.centroid_id, cn.cnorm""".stripMargin,
+    "ann_kmeans_fixed_nlist" ->
+      s"""WITH $kmFixedChainSql
          |SELECT a.centroid_id, count(*) AS n_members, cn.cnorm
          |FROM ${kmAssign("c3")} a
          |JOIN (SELECT centroid_id,
