@@ -219,6 +219,17 @@ object RelationalQueries {
     * shuffles at any scale (`BucketedJoinSpec` pins the no-Exchange
     * plan; the oracle pins the values). Tables are registered once per
     * sf dir in the session catalog (warehouse under target/).
+    *
+    * The bucket count is CHOSEN FOR THE TARGET SCALE, not fixed: the
+    * next power of two of max(cluster parallelism, input bytes/256 MB),
+    * clamped to [8, 4096]. Parallelism is the floor because a bucketed
+    * scan runs one task per bucket — fewer buckets than cores caps the
+    * whole downstream pipeline (the round-6 sweep measured exactly that:
+    * a fixed 8 capped the 10× run at 8 tasks on 32 cores). Bytes/256 MB
+    * is the scale term — at 100 TB it dominates and buckets stay
+    * scan-sized; the 4096 clamp bounds small-file and metadata pressure,
+    * trading bucket size upward instead (25 GB buckets at 100 TB, read
+    * by multiple row groups per task).
     */
   def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
     // the table names embed a fingerprint of the SOURCE DATA, so a
@@ -228,10 +239,21 @@ object RelationalQueries {
     val suffix = Tables.dirKey(dir)
     val fp = Tables.dataFingerprint(
       s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    val inputBytes = Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+      .map(p => org.apache.commons.io.FileUtils.sizeOf(new java.io.File(p)))
+      .sum
+    val nBuckets = {
+      val target = math.max(s.sparkContext.defaultParallelism.toLong,
+        inputBytes / (256L << 20) + 1)
+      val p2 = java.lang.Long.highestOneBit(math.max(1L, target))
+      (if (p2 < target) p2 * 2 else p2).max(8L).min(4096L).toInt
+    }
+    // table names embed the bucket count too: a layout built under a
+    // different parallelism/size regime must miss, not get reused
     val ordersPrefix = s"graft_bkt_orders_${suffix}_"
     val liPrefix     = s"graft_bkt_lineitem_${suffix}_"
-    val ordersTbl = s"$ordersPrefix$fp"
-    val liTbl     = s"$liPrefix$fp"
+    val ordersTbl = s"$ordersPrefix${fp}_b$nBuckets"
+    val liTbl     = s"$liPrefix${fp}_b$nBuckets"
     // BOTH tables must exist — checking one would wedge the session if
     // a previous attempt died between the two writes
     if (!s.catalog.tableExists(ordersTbl) || !s.catalog.tableExists(liTbl)) {
@@ -252,11 +274,11 @@ object RelationalQueries {
           .foreach(st => fs.delete(st.getPath, true))
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ordersTbl)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liTbl)
     }
     s.table(ordersTbl)
