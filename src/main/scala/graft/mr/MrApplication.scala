@@ -14,6 +14,14 @@ import org.apache.spark.sql.Dataset
   * entry, and [[MrApplications.discover]] finds it by name at runtime —
   * no recompilation of the engine, same late-binding contract as the
   * reference's plugin flag (`mrworker xxx.so`).
+  *
+  * Delivery of the jar to a RUNNING engine: `spark.addArtifact(jar)`
+  * (NOT `sparkContext.addJar` — Spark 4's per-session artifact
+  * isolation means SQL task binaries deserialize through the session's
+  * isolated classloader, which addJar never feeds) plus a context
+  * classloader holding the jar for driver-side discovery. Exercised
+  * end to end by `graft.mr.DynamicAppJarSpec`, which compiles a plugin
+  * out-of-build, jars it, and runs it by name through [[graft.mr.Main]].
   */
 trait MrApplication {
   /** CLI-style name, the analog of the reference's plugin filename. */
