@@ -48,7 +48,13 @@ object SourceQueries {
 
   private def linkEvents(streamDir: java.nio.file.Path, dir: String): Unit = {
     java.nio.file.Files.createDirectories(streamDir)
+    // ABSOLUTE target: a symlink stores its target string verbatim and
+    // resolves it relative to the LINK's directory — linking a relative
+    // sf dir (e.g. target/scale10) would create links that dangle from
+    // inside the scratch dir and fail the whole streaming family with
+    // UNABLE_TO_INFER_SCHEMA
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize
     val targets =
       if (java.nio.file.Files.isDirectory(src))
         listDir(src).filter(_.getFileName.toString.endsWith(".parquet"))
@@ -58,14 +64,19 @@ object SourceQueries {
     // files) AND links whose target still exists but is no longer part
     // of the source (e.g. events.parquet switched file ↔ directory, so
     // the old link now points at a directory or a superseded file)
-    val expected = targets.map(f => s"events_${f.getFileName}").toSet
+    val expected = targets.map(f => s"events_${f.getFileName}" -> f).toMap
     listDir(streamDir).foreach { e =>
       val n = e.getFileName.toString
-      if (n.startsWith("events_") && !expected.contains(n))
+      // drop anything not in the expected set AND any surviving link
+      // whose stored target differs (e.g. a relative target from before
+      // the absolutization above)
+      if (n.startsWith("events_") && (!expected.contains(n) ||
+          (java.nio.file.Files.isSymbolicLink(e) &&
+           java.nio.file.Files.readSymbolicLink(e) != expected(n))))
         java.nio.file.Files.deleteIfExists(e)
     }
-    targets.foreach { f =>
-      val link = streamDir.resolve(s"events_${f.getFileName}")
+    expected.foreach { case (name, f) =>
+      val link = streamDir.resolve(name)
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
         java.nio.file.Files.createSymbolicLink(link, f)

@@ -244,4 +244,18 @@ class OlapSourceSpec extends SparkSpec {
       assert(c1 > c2 || (c1 == c2 && b1 < b2), s"order break: $b1/$c1 vs $b2/$c2")
     }
   }
+
+  test("events stream scratch survives a RELATIVE sf dir (symlink targets " +
+       "must be absolute)") {
+    // A symlink stores its target string verbatim and resolves it against
+    // the LINK's directory: linking a relative sf dir used to create
+    // dangling events_* links and fail the whole streaming family with
+    // UNABLE_TO_INFER_SCHEMA (found by the round-7 10x sweep, which
+    // passed target/scale10 relative).
+    val rel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(java.nio.file.Paths.get(sf0001)).toString
+    assert(!java.nio.file.Paths.get(rel).isAbsolute, rel)
+    val out = SourceQueries.streamingEventsHourly(spark, rel)
+    assert(out.count() > 0)
+  }
 }
