@@ -74,10 +74,87 @@ object SamplingQueries {
       .drop("h")
   }
 
+  /** DISTRIBUTED PREFIX SUM, the pattern behind both training-data
+    * layout operators below: a global running aggregate computed WITHOUT
+    * a global single-task window. Phase 1 groups rows into deterministic
+    * coarse buckets (a pure function of the data, never physical
+    * partitions) and aggregates one total per bucket; phase 2 prefix-sums
+    * the tiny bucket-total table (its window is one task over N/width
+    * rows — at larger scale the same recursion applies again); phase 3
+    * joins the broadcast offsets back and finishes with an in-bucket
+    * window, which partitions by bucket and therefore parallelizes.
+    * Every phase is partition-count- and order-independent, so the
+    * result is engine-exact and sits behind the DuckDB oracle (whose
+    * twin is the naive one-big-window SQL).
+    */
+  private def bucketOffsets(bucketed: DataFrame, value: Column): DataFrame =
+    bucketed.groupBy(col("bucket")).agg(sum(value).as("btotal"))
+      .withColumn("boffset",
+        coalesce(sum(col("btotal")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+
+  /** SEQUENCE PACKING: assign documents (in stable doc_id order) to
+    * fixed token-budget training sequences — the "pack the corpus into
+    * 4096-token rows" stage every LLM data pipeline runs before
+    * tokenizer sharding. A document's sequence is determined by its
+    * GLOBAL starting token offset (running sum of whitespace-token
+    * counts over all earlier docs) divided by the budget — computed with
+    * the distributed prefix sum above (buckets of 1000 doc_ids), never a
+    * corpus-wide single-task window. Output is one row per packed
+    * sequence with its doc count, token load, and id range.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4096
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        // matches(\s+)+1 == whitespace token count (see TextQueries)
+        (graft.plans.GraftExtensions
+          .countMatches(s, trim(col("text")), "\\s+") + 1)
+          .cast("long").as("toks"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(bucketOffsets(toks, col("toks"))), "bucket")
+      .withColumn("start_tok",
+        col("boffset") + coalesce(sum(col("toks")).over(wIn), lit(0L)))
+      .withColumn("seq_id", expr(s"start_tok div $budget"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"),
+           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** DETERMINISTIC GLOBAL SHUFFLE: a reproducible random permutation of
+    * the corpus — every doc gets a unique position 1..N in pinned-hash
+    * order (md5 of doc_id + seed; ties impossible beyond hash collisions,
+    * which doc_id breaks). Training pipelines need exactly this before
+    * epoch sharding, and at 100 TB it must not be `row_number() OVER
+    * (ORDER BY hash)` — a corpus-wide window is one task. Because the
+    * bucket is a PREFIX of the sort key, bucket order aligns with hash
+    * order, so bucket-count offsets + an in-bucket rank compose to the
+    * exact global rank (256 hash-space buckets here; a longer prefix at
+    * real scale).
+    */
+  def shufflePositions(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("hkey"))
+      .withColumn("bucket", substring(col("hkey"), 1, 2))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+    keyed.join(broadcast(bucketOffsets(keyed, lit(1L))), "bucket")
+      .withColumn("position",
+        col("boffset") + row_number().over(wIn).cast("long"))
+      .select(col("position"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_assign"      -> splitAssign _,
     "sample_hash"       -> sampleHash _,
-    "sample_stratified" -> sampleStratified _)
+    "sample_stratified" -> sampleStratified _,
+    "pack_sequences"    -> packSequences _,
+    "shuffle_positions" -> shufflePositions _)
 
   val oracles: Map[String, String] = Map(
     "split_assign" ->
@@ -102,5 +179,26 @@ object SamplingQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
         |      AS rank
         |  FROM documents)
-        |WHERE rank <= 10""".stripMargin)
+        |WHERE rank <= 10""".stripMargin,
+    "pack_sequences" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           |      AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, toks,
+           |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS start_tok
+           |  FROM t)
+           |SELECT CAST(start_tok // 4096 AS BIGINT) AS seq_id,
+           |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM p GROUP BY 1""".stripMargin,
+    "shuffle_positions" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+        |  AS BIGINT) AS position, doc_id
+        |FROM documents""".stripMargin)
 }
