@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoint.CheckpointOps
 
 /** Deterministic sampling / dataset-splitting operators over `documents`
   * — the "carve the corpus" stage of an LLM-data pipeline (train/val/
@@ -107,6 +108,9 @@ object SamplingQueries {
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val budget = 4096
+    // checkpointed: the bucket-totals branch and the per-doc branch both
+    // consume it, and without the checkpoint each would re-tokenize the
+    // whole corpus (countMatches over text is the dominant per-doc cost)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         // matches(\s+)+1 == whitespace token count (see TextQueries)
@@ -114,6 +118,7 @@ object SamplingQueries {
           .countMatches(s, trim(col("text")), "\\s+") + 1)
           .cast("long").as("toks"))
       .withColumn("bucket", expr("doc_id div 1000"))
+      .sharedCheckpoint()
     val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks.join(broadcast(bucketOffsets(toks, col("toks"))), "bucket")
