@@ -285,7 +285,27 @@ object EmbeddingQueries {
     */
   def annKmeansTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
-    val cents = trainKmeans(emb)
+    annTopkThrough(emb, trainKmeans(emb))
+  }
+
+  /** The complete fixed-nlist IVF lifecycle: constant-centroid-count
+    * training ([[annKmeansFixedNlist]]'s loop) AND the probe/search pass
+    * through that index — so the linear-at-scale parameterization covers
+    * both halves of the operator, not just the training.
+    */
+  def annIvfFixedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
+    val k = emb.agg(
+      ceil(count(lit(1)).cast("double") / TargetNlist).cast("long").as("k"))
+    val seeds = emb.crossJoin(broadcast(k))
+      .filter(col("vec_id") % col("k") === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    annTopkThrough(emb, trainKmeansFrom(emb, seeds))
+  }
+
+  /** Probe + pruned search through a trained centroid table (shared by
+    * the strided and fixed-nlist lifecycles). */
+  private def annTopkThrough(emb: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = assignNearest(emb, cents)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
@@ -452,6 +472,7 @@ object EmbeddingQueries {
     "ann_ivf_topk"    -> annIvfTopk _,
     "ann_kmeans_centroids" -> annKmeansCentroids _,
     "ann_kmeans_fixed_nlist" -> annKmeansFixedNlist _,
+    "ann_ivf_fixed_topk" -> annIvfFixedTopk _,
     "ann_kmeans_topk" -> annKmeansTopk _,
     "ann_lsh_topk"    -> annLshTopk _,
     "dedup_embedding" -> dedupEmbedding _,
@@ -578,6 +599,32 @@ object EmbeddingQueries {
          |          i -> cv[i] * cv[i])) AS BIGINT) AS cnorm
          |      FROM c3) cn USING (centroid_id)
          |GROUP BY a.centroid_id, cn.cnorm""".stripMargin,
+    "ann_ivf_fixed_topk" ->
+      s"""WITH $kmFixedChainSql,
+         |a3 AS ${kmAssign("c3")},
+         |probes AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.centroid_id) AS rn
+         |    FROM v q CROSS JOIN c3 c WHERE q.vec_id < $NQuery)
+         |  WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN a3 a ON p.centroid_id = a.centroid_id
+         |  WHERE a.vec_id <> p.query_id),
+         |sims AS (
+         |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
+         |  FROM cand c
+         |  JOIN v qc ON qc.vec_id = c.query_id
+         |  JOIN v cc ON cc.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_kmeans_topk" ->
       s"""WITH $kmChainSql,
          |a3 AS ${kmAssign("c3")},
