@@ -79,7 +79,12 @@ object SourceQueries {
       val link = streamDir.resolve(name)
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        java.nio.file.Files.createSymbolicLink(link, f)
+        // two sessions/suites may link the same scratch concurrently
+        // (dirKey dedupes relative/absolute spellings into one dir) —
+        // losing the check-then-create race is fine, the winner's link
+        // is the identical target
+        try java.nio.file.Files.createSymbolicLink(link, f)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
   }
 
