@@ -397,6 +397,37 @@ object DedupQueries {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Winnowing-fingerprint candidate pairing — the step
+    * [[docFingerprint]]'s digests exist FOR: two docs are near-dup
+    * candidates iff they share ≥2 of their top-5 window digests (the
+    * MOSS/winnowing rule). Candidates come from an inverted list per
+    * digest (never a cross join); digests appearing in more than
+    * [[MaxDF]] docs are boilerplate stop-digests and are dropped before
+    * expansion — the same O(MaxDF²)-per-key bound as the Jaccard
+    * operator. The digest table is 5 rows/doc, so the self-join moves
+    * O(5N) narrow rows, and the fingerprint kernel (an object-producing
+    * mapPartitions with no exchange reuse) is checkpointed so both join
+    * sides read it once.
+    */
+  def fingerprintPairs(s: SparkSession, dir: String): DataFrame = {
+    val grams = docFingerprint(s, dir)
+      .select(col("doc_id"), explode(split(col("fingerprint"), ","))
+        .as("gh"))
+      .sharedCheckpoint()
+    val capped = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= MaxDF)
+      .select(col("gh"))
+    val g = grams.join(capped, "gh")
+    val a = g.select(col("gh"), col("doc_id").as("doc_a"))
+    val b = g.select(col("gh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+  }
+
   /** Max docs per simhash band bucket — the skew guard for the pair
     * expansion (same role as [[MaxDF]] for Jaccard).
     */
@@ -536,7 +567,8 @@ object DedupQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_components"    -> dedupComponents _,
-    "doc_fingerprint"     -> docFingerprint _)
+    "doc_fingerprint"     -> docFingerprint _,
+    "fingerprint_pairs"   -> fingerprintPairs _)
 
   private val simhashSumsSql = (1 to 32).map(i =>
     s"SUM(CASE WHEN substr(th, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
@@ -696,5 +728,26 @@ object DedupQueries {
          |SELECT doc_id,
          |  array_to_string(list_sort(list(DISTINCT gh))[1:5], ',')
          |    AS fingerprint
-         |FROM grams GROUP BY doc_id""".stripMargin)
+         |FROM grams GROUP BY doc_id""".stripMargin,
+    "fingerprint_pairs" ->
+      s"""WITH grams0 AS (
+         |  SELECT DISTINCT doc_id, md5(substr(nt, i, 8)) AS gh
+         |  FROM (SELECT doc_id, $normSql AS nt FROM documents)
+         |       t, unnest(generate_series(1, len(nt) - 7)) AS u(i)
+         |  WHERE len(nt) >= 8),
+         |fpl AS (
+         |  SELECT doc_id, list_sort(list(DISTINCT gh))[1:5] AS ghs
+         |  FROM grams0 GROUP BY doc_id),
+         |fp AS (SELECT doc_id, unnest(ghs) AS gh FROM fpl),
+         |capped AS (
+         |  SELECT gh FROM fp GROUP BY gh
+         |  HAVING COUNT(*) BETWEEN 2 AND 100),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS shared
+         |  FROM fp a
+         |  JOIN capped c ON a.gh = c.gh
+         |  JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 2""".stripMargin)
 }
