@@ -16,9 +16,14 @@ import graft.SparkSpec
   * partition sizes.
   */
 class AqeSkewJoinSpec extends SparkSpec {
-  import spark.implicits._
 
   test("AQE splits the skewed partition of a shuffle join; result exact") {
+    // ISOLATED session (shared context, own SQLConf): this test disables
+    // broadcast joins and rewires AQE thresholds — leaking that into the
+    // suite-global session would warp plans under concurrently-running
+    // plan-asserting specs (zero-exchange bucketing, WindowGroupLimit)
+    val s = spark.newSession()
+    import s.implicits._
     val confs = Map(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
@@ -34,18 +39,18 @@ class AqeSkewJoinSpec extends SparkSpec {
     // conf.get can return literal null (adaptive.autoBroadcastJoinThreshold
     // defaults to it) — flatten that to "restore by unsetting"
     val prev = confs.keys.map(k =>
-      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      k -> scala.util.Try(Option(s.conf.get(k))).toOption.flatten).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       // key 0 carries 100k ~60B rows (~6 MB pre-shuffle); 50 cold keys
       // carry 100 rows each — with 4 shuffle partitions the hot
       // partition dwarfs the median by far more than the 2x factor
-      val left = spark.range(0, 100000).select(
+      val left = s.range(0, 100000).select(
           lit(0L).as("k"), concat(lit("payload-"), col("id")).as("payload"))
-        .unionAll(spark.range(0, 5000).select(
+        .unionAll(s.range(0, 5000).select(
           (col("id") % 50 + 1).as("k"),
           concat(lit("cold-"), col("id")).as("payload")))
-      val right = spark.range(0, 51).select(
+      val right = s.range(0, 51).select(
         col("id").as("k"), concat(lit("dim-"), col("id")).as("attr"))
       val joined = left.join(right, "k")
         .groupBy(col("k"))
@@ -58,13 +63,13 @@ class AqeSkewJoinSpec extends SparkSpec {
       assert(plan.contains("skew=true"),
         s"AQE never split the skewed partition:\n$plan")
       // semantics unchanged: AQE-off run must match exactly
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       val expected = joined.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
       assert(got === expected)
     } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
     }
   }
 }
