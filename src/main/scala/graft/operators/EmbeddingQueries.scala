@@ -34,24 +34,25 @@ object EmbeddingQueries {
   private val K       = 5
   private val NProbe  = 2
   private val NQuery  = 10
-  /** Deterministic "training": every 100th vector is a centroid.
-    *
-    * SCALE CAVEAT (kept deliberately, see [[annKmeansFixedNlist]]): a
-    * FIXED stride ties nlist to corpus size — nlist = N/100, so the
-    * broadcast-assignment pass costs O(N²/100) dot products and the
-    * "tiny broadcast" assumption dies (measured 154× at 100× data in
-    * SCALE.md). The strided variant stays only because five existing
-    * oracle entries pin their trajectories to it at toy scale; the
-    * scale-correct parameterization is [[TargetNlist]].
-    */
-  private val CentroidStride = 100
   /** Scale-correct training parameterization: a CONSTANT centroid
     * count. Seed stride = ceil(N / TargetNlist) is derived from the
     * corpus count inside the plan, so at any corpus size the centroid
     * table stays TargetNlist rows — broadcast stays tiny, assignment
     * stays O(N · nlist) with nlist constant, i.e. linear in N.
+    *
+    * (The r7-era STRIDED parameterization — every 100th vector a
+    * centroid, nlist = N/100, assignment O(N²/100), measured 94× at
+    * 100× data — is gone: every catalog entry now derives its seed
+    * stride from an in-plan count. Two granularities are exercised:
+    * [[TargetNlist]] and [[TargetNlistWide]].)
     */
   private val TargetNlist = 8
+  /** Second, finer index granularity (nlist = 16): the legacy
+    * pinned-seed IVF entries train/probe through this one, so the
+    * catalog covers the nlist tuning axis with two distinct trained
+    * trajectories — both constant-count, both linear at scale.
+    */
+  private val TargetNlistWide = 16
   /** Near-dup cosine threshold (see [[dedupEmbedding]] note). */
   private val DupThreshold = 0.35
 
@@ -71,6 +72,22 @@ object EmbeddingQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(ndot(col("qv"), col("qv")).cast("double")))
+  }
+
+  /** Deterministic fixed-count seed rows: stride ceil(N / nlist) comes
+    * from a broadcast scalar count computed IN the plan (no driver
+    * action), so the seed count stays `nlist` at ANY corpus size — the
+    * one-row count side is the lone intentional broadcast-nested-loop
+    * join in this file (PlanLintSpec pins the exemption structurally:
+    * the broadcast side must be a grouping-free aggregate). Returns
+    * `emb`'s columns filtered to the seeds; callers rename.
+    */
+  private def fixedSeeds(emb: DataFrame, nlist: Int): DataFrame = {
+    val k = emb.agg(
+      ceil(count(lit(1)).cast("double") / nlist).cast("long").as("k"))
+    emb.crossJoin(broadcast(k))
+      .filter(col("vec_id") % col("k") === 0)
+      .drop("k")
   }
 
   /** Brute-force exact cosine top-k: each of the first `NQuery` vectors
@@ -94,16 +111,19 @@ object EmbeddingQueries {
   }
 
   /** IVF cluster assignment: nearest centroid per vector (the "index
-    * build" pass). One broadcast join + per-partition top-1.
+    * build" pass). One broadcast join + per-partition top-1. Seeds are
+    * the in-plan fixed-count stride ([[fixedSeeds]] at
+    * [[TargetNlistWide]]): assignment is O(N · nlist) with nlist
+    * constant — linear in the corpus.
     */
   def annIvfAssign(s: SparkSession, dir: String): DataFrame = {
-    val cents = qEmb(s, dir)
-      .filter(col("vec_id") % CentroidStride === 0)
+    val emb = qEmb(s, dir).sharedCheckpoint()
+    val cents = fixedSeeds(emb, TargetNlistWide)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
-    qEmb(s, dir)
+    emb
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
@@ -127,8 +147,7 @@ object EmbeddingQueries {
     // deployment persists anyway: the IVF index artifact, written
     // bucketed by centroid_id.
     val emb = qEmb(s, dir).sharedCheckpoint()
-    val cents = emb
-      .filter(col("vec_id") % CentroidStride === 0)
+    val cents = fixedSeeds(emb, TargetNlistWide)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     // index: every vector assigned to its nearest centroid
@@ -216,7 +235,7 @@ object EmbeddingQueries {
     */
   private def trainKmeans(emb: DataFrame): DataFrame =
     trainKmeansFrom(emb,
-      emb.filter(col("vec_id") % CentroidStride === 0)
+      fixedSeeds(emb, TargetNlistWide)
         .select(col("vec_id").as("centroid_id"), col("qv").as("cv")))
 
   /** The Lloyd loop over an arbitrary deterministic seed table. */
@@ -260,10 +279,7 @@ object EmbeddingQueries {
     */
   def annKmeansFixedNlist(s: SparkSession, dir: String): DataFrame = {
     val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
-    val k = emb.agg(
-      ceil(count(lit(1)).cast("double") / TargetNlist).cast("long").as("k"))
-    val seeds = emb.crossJoin(broadcast(k))
-      .filter(col("vec_id") % col("k") === 0)
+    val seeds = fixedSeeds(emb, TargetNlist)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
     val cents = trainKmeansFrom(emb, seeds)
     assignNearest(emb, cents)
@@ -295,10 +311,7 @@ object EmbeddingQueries {
     */
   def annIvfFixedTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = qEmb(s, dir).select(col("vec_id"), col("qv")).sharedCheckpoint()
-    val k = emb.agg(
-      ceil(count(lit(1)).cast("double") / TargetNlist).cast("long").as("k"))
-    val seeds = emb.crossJoin(broadcast(k))
-      .filter(col("vec_id") % col("k") === 0)
+    val seeds = fixedSeeds(emb, TargetNlist)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
     annTopkThrough(emb, trainKmeansFrom(emb, seeds))
   }
@@ -360,10 +373,19 @@ object EmbeddingQueries {
     * by (table, bucket) — candidate generation is an equi-join, never a
     * scan of the corpus per query.
     */
-  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The narrow (vec_id, t, bucket) LSH bucket table over `emb`,
+    * checkpointed: every consumer is a join side, and an
+    * object-producing subtree gets no exchange reuse — without the
+    * checkpoint the 32-dot sign kernel runs once per consumer. Shared by
+    * [[annLshTopk]] (search) and [[dedupEmbedding]] (near-dup blocking).
+    * Map-only and O(N · tables · bits): unlike centroid assignment, the
+    * bucket-space size is FREE — at 100 TB you widen `LshBits` with
+    * log(N) to hold bucket occupancy constant without the hash pass
+    * costing a dot more.
+    */
+  private def lshBuckets(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    val buckets = qEmb(s, dir)
-      .select(col("vec_id"), col("qv")).as[(Long, Array[Long])]
+    emb.select(col("vec_id"), col("qv")).as[(Long, Array[Long])]
       .mapPartitions { rows =>
         var signs: Array[Array[Array[Int]]] = null
         rows.flatMap { case (vecId, qv) =>
@@ -382,11 +404,11 @@ object EmbeddingQueries {
           }
         }
       }.toDF("vec_id", "t", "bucket")
-      // narrow (vec_id, t, bucket) checkpointed: the query side and the
-      // candidate side both consume it, and an object-producing subtree
-      // gets no exchange reuse — without this the 32-dot sign kernel
-      // runs twice over the corpus
       .sharedCheckpoint()
+  }
+
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(s, qEmb(s, dir))
     val q = buckets.filter(col("vec_id") < NQuery)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val cand = q.join(buckets, Seq("t", "bucket"))
@@ -409,43 +431,55 @@ object EmbeddingQueries {
         col("rank"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, cluster-blocked: candidate
-    * pairs come only from vectors sharing an IVF cluster (never a full
-    * cross join — the blocking is what survives 100 TB), then exact
-    * quantized cosine filters at [[DupThreshold]].
+  /** Max vectors per (table, bucket) admitted to pair expansion — the
+    * skew guard (same role as the simhash band cap): a degenerate
+    * bucket never produces O(bucket²) pairs. Deterministic semantics:
+    * the cap is on bucket SIZE, not on a selection within the bucket,
+    * so both engines drop exactly the same (whole) buckets.
+    */
+  private val MaxLshBucket = 200L
+
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked: candidate
+    * pairs come only from vectors sharing a sign-LSH bucket in some
+    * table (never a full cross join), then exact quantized cosine
+    * filters at [[DupThreshold]].
+    *
+    * Why LSH and not IVF blocking (the r7 shape): near-dup blocking
+    * needs block COUNT to grow with N so block SIZE stays constant —
+    * with centroid blocking that forces nlist ∝ N and the assignment
+    * pass back to O(N · nlist) = O(N²/·), the exact scale-killer the
+    * ANN entries just removed. The sign-LSH bucket space costs nothing
+    * to widen ([[lshBuckets]]): hashing stays O(N · tables · bits) while
+    * 2^bits tracks N, so BOTH the blocking and the assignment are
+    * linear. Recall is the standard multi-table OR (pairs above the
+    * threshold collide in ≥1 of 4 tables with high probability).
     *
     * Threshold note: the synthetic harness embeddings have no true
     * near-dups (max pairwise cosine ≈ 0.48), so the threshold is set low
     * enough to exercise the operator; production near-dup would use
-    * ~0.95 with the identical plan.
+    * ~0.95 with the identical plan (and higher-sim pairs collide MORE).
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    // single corpus scan shared by centroids + assignment, and a
-    // checkpointed assignment so the a/b self-join below reads the index
-    // once instead of rebuilding it per side (same rationale as
-    // [[annIvfTopk]])
     val emb = qEmb(s, dir).sharedCheckpoint()
-    val cents = emb
-      .filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
-        col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    val assigned = emb
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"),
-        (ndot(col("qv"), col("cv")).cast("double") / col("nrm") /
-          col("cnrm")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("nrm"), col("centroid_id"))
-      .sharedCheckpoint()
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
-      col("qv").as("qa"), col("nrm").as("na"))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),
-      col("qv").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("centroid_id"))
+    val buckets = lshBuckets(s, emb)
+    val admitted = buckets.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2L, MaxLshBucket))
+      .select(col("t"), col("bucket"))
+    val inBucket = buckets.join(admitted, Seq("t", "bucket"))
+    val a = inBucket.select(col("t"), col("bucket"),
+      col("vec_id").as("vec_a"))
+    val b = inBucket.select(col("t"), col("bucket"),
+      col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("t", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (ndot(col("qa"), col("qb")).cast("double") / col("na") / col("nb"))
           .as("sim"))
@@ -512,13 +546,35 @@ object EmbeddingQueries {
        |c1 AS ${kmUpdate(kmAssign("c0"))},
        |c2 AS ${kmUpdate(kmAssign("c1"))},
        |c3 AS ${kmUpdate(kmAssign("c2"))}""".stripMargin
-  private lazy val kmChainSql: String =
-    kmChainFrom(s"vec_id % $CentroidStride = 0")
-  /** Fixed-nlist seeds: stride = ceil(N / TargetNlist), same in-plan
-    * scalar as the Spark side. */
+  /** Fixed-nlist seeds: stride = ceil(N / nlist), same in-plan scalar
+    * as the Spark side's [[fixedSeeds]]. */
+  private def fixedStrideSql(nlist: Int): String =
+    s"vec_id % (SELECT CAST(ceil(count(*) / $nlist.0)" +
+      " AS BIGINT) FROM v) = 0"
   private lazy val kmFixedChainSql: String =
-    kmChainFrom(s"vec_id % (SELECT CAST(ceil(count(*) / $TargetNlist.0)" +
-      " AS BIGINT) FROM v) = 0")
+    kmChainFrom(fixedStrideSql(TargetNlist))
+  private lazy val kmWideChainSql: String =
+    kmChainFrom(fixedStrideSql(TargetNlistWide))
+
+  /** The sign-LSH bucket table as CTEs (v, bits, buckets) — the DuckDB
+    * twin of [[lshBuckets]]'s pinned md5 hyperplane family; shared by
+    * the `ann_lsh_topk` and `dedup_embedding` oracles.
+    */
+  private lazy val lshChainSql: String =
+    s"""v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, t, j,
+       |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)),
+       |      i -> qv[i] * (CASE WHEN substr(md5(t || ':' || j || ':' || i),
+       |                                     1, 1) >= '8'
+       |                    THEN 1 ELSE -1 END))) >= 0
+       |    THEN '1' ELSE '0' END AS bit
+       |  FROM v,
+       |       unnest(generate_series(0, ${LshTables - 1})) AS tt(t),
+       |       unnest(generate_series(0, ${LshBits - 1})) AS jj(j)),
+       |buckets AS (
+       |  SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bucket
+       |  FROM bits GROUP BY vec_id, t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_brute_force" ->
@@ -536,9 +592,9 @@ object EmbeddingQueries {
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_ivf_assign" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, $qvecSql AS cv
-         |               FROM embeddings WHERE vec_id % $CentroidStride = 0),
-         |v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, qv AS cv
+         |          FROM v WHERE ${fixedStrideSql(TargetNlistWide)}),
          |sims AS (
          |  SELECT vec_id, centroid_id, ${cosSql("qv", "cv")} AS sim
          |  FROM v CROSS JOIN cents),
@@ -549,9 +605,9 @@ object EmbeddingQueries {
          |  FROM sims)
          |SELECT vec_id, centroid_id, sim FROM ranked WHERE rn = 1""".stripMargin,
     "ann_ivf_topk" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, $qvecSql AS cv
-         |               FROM embeddings WHERE vec_id % $CentroidStride = 0),
-         |v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, qv AS cv
+         |          FROM v WHERE ${fixedStrideSql(TargetNlistWide)}),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT vec_id, centroid_id,
@@ -582,7 +638,7 @@ object EmbeddingQueries {
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_kmeans_centroids" ->
-      s"""WITH $kmChainSql
+      s"""WITH $kmWideChainSql
          |SELECT a.centroid_id, count(*) AS n_members, cn.cnorm
          |FROM ${kmAssign("c3")} a
          |JOIN (SELECT centroid_id,
@@ -626,7 +682,7 @@ object EmbeddingQueries {
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_kmeans_topk" ->
-      s"""WITH $kmChainSql,
+      s"""WITH $kmWideChainSql,
          |a3 AS ${kmAssign("c3")},
          |probes AS (
          |  SELECT query_id, centroid_id FROM (
@@ -652,20 +708,7 @@ object EmbeddingQueries {
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-         |bits AS (
-         |  SELECT vec_id, t, j,
-         |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)),
-         |      i -> qv[i] * (CASE WHEN substr(md5(t || ':' || j || ':' || i),
-         |                                     1, 1) >= '8'
-         |                    THEN 1 ELSE -1 END))) >= 0
-         |    THEN '1' ELSE '0' END AS bit
-         |  FROM v,
-         |       unnest(generate_series(0, ${LshTables - 1})) AS tt(t),
-         |       unnest(generate_series(0, ${LshBits - 1})) AS jj(j)),
-         |buckets AS (
-         |  SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bucket
-         |  FROM bits GROUP BY vec_id, t),
+      s"""WITH $lshChainSql,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
          |  FROM buckets q JOIN buckets c
@@ -684,22 +727,21 @@ object EmbeddingQueries {
          |SELECT query_id, vec_id AS neighbor_id, rank, sim
          |FROM ranked WHERE rank <= $K""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, $qvecSql AS cv
-         |               FROM embeddings WHERE vec_id % $CentroidStride = 0),
-         |v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY ${cosSql("qv", "cv")} DESC, centroid_id) AS rn
-         |    FROM v CROSS JOIN cents) WHERE rn = 1),
+      s"""WITH $lshChainSql,
+         |admitted AS (
+         |  SELECT t, bucket FROM buckets GROUP BY t, bucket
+         |  HAVING count(*) BETWEEN 2 AND $MaxLshBucket),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a
+         |  JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  JOIN admitted s ON s.t = a.t AND s.bucket = a.bucket),
          |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${cosSql("va.qv", "vb.qv")} AS sim
-         |  FROM assigned a JOIN assigned b
-         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |  JOIN v va ON va.vec_id = a.vec_id
-         |  JOIN v vb ON vb.vec_id = b.vec_id)
+         |  SELECT vec_a, vec_b, ${cosSql("va.qv", "vb.qv")} AS sim
+         |  FROM cand
+         |  JOIN v va ON va.vec_id = vec_a
+         |  JOIN v vb ON vb.vec_id = vec_b)
          |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= $DupThreshold""".stripMargin,
     "emb_label_stats" ->
       s"""SELECT label, COUNT(*) AS n_vectors,
