@@ -81,17 +81,26 @@ class DynamicAppJarSpec extends SparkSpec {
       java.nio.file.Files.writeString(inDir.resolve(s"doc$i.txt"), t) }
     val outDir = root.resolve("out").toString
 
-    // session artifact: executors resolve the lambda's capturing class
-    // through the session's isolated classloader (see scaladoc)
-    spark.addArtifact(jar.toString)
+    // Session artifact on a DISPOSABLE child session: executors resolve
+    // the lambda's capturing class through the session's isolated
+    // classloader (see scaladoc), and because artifacts are
+    // session-scoped (SPARK-44146), registering on `newSession()` keeps
+    // the throwaway jar out of the shared suite session's task artifact
+    // sets — an artifact added there is attached forever and its backing
+    // stream can vanish mid-run, failing UNRELATED later suites' tasks
+    // with "Stream '/artifacts/<uuid>/...' was not found".
+    val child = spark.newSession()
+    child.addArtifact(jar.toString)
     val loader = new java.net.URLClassLoader(
       Array(jar.toUri.toURL), getClass.getClassLoader)
     val prev = Thread.currentThread.getContextClassLoader
     Thread.currentThread.setContextClassLoader(loader)
-    try Main.run(spark, "vowels",
+    try Main.run(child, "vowels",
       texts.indices.map(i => inDir.resolve(s"doc$i.txt").toString), outDir)
     finally Thread.currentThread.setContextClassLoader(prev)
 
+    // the read-back needs no plugin classes: use the shared session to
+    // prove the output is plain mrout data, independent of the artifact
     val got = spark.read.format("mrout").load(outDir)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val expected = texts.flatMap(_.filter(c => "aeiou".contains(c)))
