@@ -638,7 +638,14 @@ object SourceQueries {
     c.limit(0).write.mode("overwrite").format("jdbc")
       .option("url", url).option("dbtable", "customer_bulk").save()
     val csvDir = ioDir("jdbc_bulk_csv")
+    // Null semantics PINNED, not incidental: a SQL NULL spills as a bare
+    // empty field (Derby's import reads that as NULL for every type) and
+    // a real empty string spills QUOTED (imports as ''), so the bulk
+    // door agrees with the INSERT path on any nullable source column —
+    // TPC-H customer has none today, but the contract must not depend
+    // on that.
     c.coalesce(1).write.mode("overwrite").option("header", "false")
+      .option("nullValue", "").option("emptyValue", "\"\"")
       .csv(csvDir)
     val part = new java.io.File(csvDir).listFiles()
       .filter(_.getName.startsWith("part-")).head

@@ -44,27 +44,38 @@ class AqeSkewJoinSpec extends SparkSpec {
     try {
       // key 0 carries 100k ~60B rows (~6 MB pre-shuffle); 50 cold keys
       // carry 100 rows each — with 4 shuffle partitions the hot
-      // partition dwarfs the median by far more than the 2x factor
-      val left = s.range(0, 100000).select(
-          lit(0L).as("k"), concat(lit("payload-"), col("id")).as("payload"))
-        .unionAll(s.range(0, 5000).select(
-          (col("id") % 50 + 1).as("k"),
-          concat(lit("cold-"), col("id")).as("payload")))
-      val right = s.range(0, 51).select(
-        col("id").as("k"), concat(lit("dim-"), col("id")).as("attr"))
-      val joined = left.join(right, "k")
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), max(col("payload")).as("max_payload"),
-          max(col("attr")).as("attr"))
+      // partition dwarfs the median by far more than the 2x factor.
+      // Built FRESH per run: a Dataset memoizes its QueryExecution, so
+      // re-collecting one frame after flipping adaptive.enabled would
+      // re-execute the SAME adaptive plan and verify nothing.
+      def buildJoined() = {
+        val left = s.range(0, 100000).select(
+            lit(0L).as("k"), concat(lit("payload-"), col("id")).as("payload"))
+          .unionAll(s.range(0, 5000).select(
+            (col("id") % 50 + 1).as("k"),
+            concat(lit("cold-"), col("id")).as("payload")))
+        val right = s.range(0, 51).select(
+          col("id").as("k"), concat(lit("dim-"), col("id")).as("attr"))
+        left.join(right, "k")
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), max(col("payload")).as("max_payload"),
+            max(col("attr")).as("attr"))
+      }
+      val joined = buildJoined()
       val got = joined.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
       // the FINAL adaptive plan (after execution) must mark the join skewed
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE never split the skewed partition:\n$plan")
-      // semantics unchanged: AQE-off run must match exactly
+      // semantics unchanged: a NON-adaptive run of a freshly-built plan
+      // must match exactly
       s.conf.set("spark.sql.adaptive.enabled", "false")
-      val expected = joined.collect().map(r =>
+      val offJoined = buildJoined()
+      val offPlan = offJoined.queryExecution.executedPlan.toString
+      assert(!offPlan.contains("AdaptiveSparkPlan"),
+        s"AQE-off control still compiled adaptively:\n$offPlan")
+      val expected = offJoined.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
       assert(got === expected)
     } finally prev.foreach {
