@@ -231,11 +231,33 @@ object DedupQueries {
         when(col(s"s$i") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** Candidate-pair budget for [[dedupNgramJaccard]]'s exact
+    * inverted-list expansion (`spark.graft.jaccard.pairBudget` to
+    * override). The projected pair count Σ n·(n−1)/2 over the capped
+    * posting lists rides the SAME job that materializes the lists (an
+    * `observe` metric — no extra pass); past budget the operator falls
+    * back to MinHash-LSH candidate generation with exact Jaccard
+    * re-scoring of only those candidates. Why: the per-shingle MaxDF
+    * cap bounds each list, but DUPLICATE DENSITY multiplies how many
+    * lists sit just under the cap — measured on the 10× replicated-text
+    * harness the candidate set grows 40.8× (51.6 M pairs) while natural
+    * sf0.1 density is 1.27 M, so the exact path's cost is density-, not
+    * size-, controlled. The default budget (8 M) clears every natural
+    * harness density with 6× headroom and trips on the replicated one.
+    */
+  val JaccardPairBudgetConf = "spark.graft.jaccard.pairBudget"
+  val JaccardPairBudgetDefault = 8000000L
+
   /** N-gram Jaccard: exact similarity for every pair of docs sharing at
     * least one non-stop shingle. Inverted-list self-join (never a cross
     * join): |A∩B| from the shingle join, |A|,|B| from per-doc counts,
     * then J = inter/(|A|+|B|−inter) in exact integer arithmetic until the
-    * final IEEE division. Pairs with J ≥ 0.5 survive.
+    * final IEEE division. Pairs with J ≥ 0.5 survive. Candidate
+    * expansion is budgeted — see [[JaccardPairBudgetConf]]: past budget,
+    * candidates come from the MinHash-LSH bands instead (recall < 1 by
+    * design there; every returned pair still carries its EXACT Jaccard
+    * and the ≥ 0.5 filter, so the fallback is a candidate-set change,
+    * never a score change).
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -271,33 +293,26 @@ object DedupQueries {
         out.result()
       }
     }.toDF("doc_id", "shingle")
+    // The posting lists are ALWAYS materialized here (eager
+    // localCheckpoint, even under the lazy-checkpoint plan-inspection
+    // conf — the budget decision below needs the observed scalar NOW,
+    // same always-eager precedent as dedupComponents' convergence
+    // metric), and the projected candidate count rides that same job as
+    // an observe metric: zero extra passes to know whether the exact
+    // expansion is affordable BEFORE paying for it.
+    val obs = org.apache.spark.sql.Observation()
     val lists = shingleRows
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= MaxDF)
-    // Diagonal trick: ONE pass over the posting lists emits (d, d) per
-    // member plus (a, b) per ascending pair; after groupBy-count the
-    // diagonal rows ARE the per-doc sizes and the off-diagonal rows the
-    // intersections — so sizes don't need a second traversal of `lists`
-    // (object-operator subtrees don't get exchange reuse; without this
-    // the whole shingle pipeline ran once per consumer). The aggregated
-    // pair table is tiny (candidates + one diagonal row per doc), so it
-    // is checkpointed (eager by default — see graft.core.Checkpoint) and the final joins read the
-    // materialized blocks instead of re-running the corpus scan.
-    val pairCounts = lists
-      .select(col("docs")).as[Array[Long]]
-      .flatMap(d => packedPairsOf(d, withDiagonal = true))
-      .toDF("pair")
-      .groupBy("pair")
-      .agg(count(lit(1)).as("n"))
-      .select(shiftright(col("pair"), 32).as("doc_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("n"))
-      .sharedCheckpoint()
-    val sizes = pairCounts.filter(col("doc_a") === col("doc_b"))
-      .select(col("doc_a").as("doc_id"), col("n").as("sz"))
-    val inter = pairCounts.filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n").as("inter"))
-    inter
+      .observe(obs, coalesce(sum(
+        expr("CAST(size(docs) AS BIGINT) * (size(docs) - 1) DIV 2")),
+        lit(0L)).as("projected_pairs"))
+      .localCheckpoint()
+    val projected = obs.get("projected_pairs").asInstanceOf[Long]
+    val budget = s.conf.get(JaccardPairBudgetConf,
+      JaccardPairBudgetDefault.toString).toLong
+    val jaccardOf = (inter: DataFrame, sizes: DataFrame) => inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
@@ -307,6 +322,57 @@ object DedupQueries {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    if (projected <= budget) {
+      // Diagonal trick: ONE pass over the posting lists emits (d, d) per
+      // member plus (a, b) per ascending pair; after groupBy-count the
+      // diagonal rows ARE the per-doc sizes and the off-diagonal rows the
+      // intersections — so sizes don't need a second traversal of `lists`
+      // (object-operator subtrees don't get exchange reuse; without this
+      // the whole shingle pipeline ran once per consumer). The aggregated
+      // pair table is tiny (candidates + one diagonal row per doc), so it
+      // is checkpointed (eager by default — see graft.core.Checkpoint)
+      // and the final joins read the materialized blocks instead of
+      // re-running the corpus scan.
+      val pairCounts = lists
+        .select(col("docs")).as[Array[Long]]
+        .flatMap(d => packedPairsOf(d, withDiagonal = true))
+        .toDF("pair")
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .select(shiftright(col("pair"), 32).as("doc_a"),
+          col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("n"))
+        .sharedCheckpoint()
+      val sizes = pairCounts.filter(col("doc_a") === col("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("n").as("sz"))
+      val inter = pairCounts.filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n").as("inter"))
+      jaccardOf(inter, sizes)
+    } else {
+      // PAST BUDGET — duplicate-dense corpus. Candidates now come from
+      // the MinHash-LSH bands (already the intended high-density path:
+      // banded buckets find high-Jaccard pairs by construction, and the
+      // per-bucket expansion is bounded by band collisions, not by
+      // posting-list density). The exact Jaccard of each candidate is
+      // then recomputed from the SAME capped posting lists, so scores
+      // and the ≥ 0.5 filter are identical to the exact path — only
+      // recall changes (a pair the LSH misses is lost; at ≥ 0.5 Jaccard
+      // the 4×4 banding's miss probability is ≤ (1−J⁴)⁴ ≈ 6% at the
+      // 0.5 boundary and vanishes above it).
+      val nonstop = lists
+        .select(explode(col("docs")).as("doc_id"), col("shingle"))
+      val sizes = nonstop.groupBy("doc_id")
+        .agg(count(lit(1)).as("sz"))
+      val cand = dedupMinhashLsh(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val inter = cand
+        .join(nonstop.select(col("doc_id").as("doc_a"), col("shingle")),
+          "doc_a")
+        .join(nonstop.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      jaccardOf(inter, sizes)
+    }
   }
 
   /** Winnowing-style document fingerprint: the 5 lexicographically
