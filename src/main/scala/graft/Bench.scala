@@ -114,9 +114,31 @@ object Bench {
       // 64M-term sum (~3e13) far from ANSI Long-overflow territory
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce() // codegen warmup — not a measurement
-    var canaryBase = (1 to 3).map(_ => canaryOnce()).min
+    // Warm the canary to its true floor before fixing the baseline: the
+    // first probes are JIT/codegen-cold and an inflated base lets early
+    // gates pass at up to 2× the REAL floor — which then reads as a
+    // loaded box (worst/base > 2) once the base ratchets down mid-run.
+    // Warm until the running min stops improving 5% across 3 probes (or
+    // 10 probes, ~1 s, whichever first); the base is that floor.
+    var canaryBase = canaryOnce()
+    locally {
+      var sinceImproved = 0
+      var probes = 1
+      while (sinceImproved < 3 && probes < 10) {
+        val t = canaryOnce()
+        probes += 1
+        if (t < canaryBase * 0.95) sinceImproved = 0
+        else sinceImproved += 1
+        canaryBase = math.min(canaryBase, t)
+      }
+    }
     var canaryWorst = canaryBase
+    // worst canary probe that actually ADMITTED a timed trial. `worst`
+    // above includes probes the gate rejected-and-retried — i.e. noise
+    // the bench deliberately waited out, which never touched a recorded
+    // number. worstAccepted/base is the quietness bound on the numbers
+    // themselves; worst/retries document how noisy the box was overall.
+    var canaryWorstAccepted = canaryBase
     var canaryRetries = 0
     // Runs the canary until the box looks quiet (≤2× best-known time) or
     // retries are exhausted; returns whether it ended quiet. The base
@@ -133,7 +155,9 @@ object Bench {
       }
       canaryBase = math.min(canaryBase, t)
       canaryWorst = math.max(canaryWorst, t)
-      t <= 2 * canaryBase
+      val quiet = t <= 2 * canaryBase
+      if (quiet) canaryWorstAccepted = math.max(canaryWorstAccepted, t)
+      quiet
     }
 
     case class Trial(wall: Double, runMs: Long, cpuMs: Long, gcMs: Long)
@@ -241,7 +265,8 @@ object Bench {
       .mkString("{", ",", "}")
     val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = s"""{"base":${fmt(canaryBase)},"worst":${
-      fmt(canaryWorst)},"retries":$canaryRetries}"""
+      fmt(canaryWorst)},"worst_accepted":${
+      fmt(canaryWorstAccepted)},"retries":$canaryRetries}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"ratios":$ratios,"queries":$qs,"contaminated":$contamJson,""" +

@@ -316,13 +316,60 @@ object EmbeddingQueries {
     annTopkThrough(emb, trainKmeansFrom(emb, seeds))
   }
 
+  /** The PERSISTED IVF index: train once, store the index as catalog
+    * tables — centroids plain, the corpus assignment BUCKETED on
+    * `centroid_id` — and serve the probe/search pass from those tables.
+    * This is the shape an ANN store actually runs at 100 TB: training
+    * cost is paid once per corpus generation (the table names embed a
+    * content fingerprint, [[graft.core.Warehouse]], so a regenerated
+    * corpus rebuilds instead of serving stale clusters), and each query
+    * batch reads ONLY the probed clusters — the bucketed layout turns
+    * the probe→candidate join into a bucket-local read with no shuffle
+    * of the corpus side, and bucket count scales with corpus bytes
+    * ([[graft.core.Warehouse.bucketCount]]). The oracle is the same
+    * chained train+probe+search SQL as `ann_ivf_fixed_topk`: persistence
+    * must be semantically invisible.
+    */
+  def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val suffix = Tables.dirKey(dir)
+    val fp = Tables.dataFingerprint(s"$dir/embeddings.parquet")
+    val bytes = org.apache.commons.io.FileUtils.sizeOf(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    val nBuckets = graft.core.Warehouse.bucketCount(s, bytes)
+    val centPrefix   = s"graft_ivf_cents_${suffix}_"
+    val assignPrefix = s"graft_ivf_assign_${suffix}_"
+    val centTbl   = s"$centPrefix${fp}_b$nBuckets"
+    val assignTbl = s"$assignPrefix${fp}_b$nBuckets"
+    graft.core.Warehouse.ensure(s, Seq(centPrefix, assignPrefix),
+        Seq(centTbl, assignTbl)) {
+      val emb = qEmb(s, dir).select(col("vec_id"), col("qv"))
+        .sharedCheckpoint()
+      val seeds = fixedSeeds(emb, TargetNlist)
+        .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+      val cents = trainKmeansFrom(emb, seeds)
+      cents.write.mode("overwrite").saveAsTable(centTbl)
+      assignNearest(emb, s.table(centTbl))
+        .write.bucketBy(nBuckets, "centroid_id")
+        .mode("overwrite").saveAsTable(assignTbl)
+    }
+    annTopkOver(s.table(assignTbl), s.table(centTbl))
+  }
+
   /** Probe + pruned search through a trained centroid table (shared by
     * the strided and fixed-nlist lifecycles). */
-  private def annTopkThrough(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = assignNearest(emb, cents)
+  private def annTopkThrough(emb: DataFrame, cents: DataFrame): DataFrame =
+    annTopkOver(assignNearest(emb, cents), cents)
+
+  /** Probe + pruned search over an ALREADY-ASSIGNED corpus
+    * (vec_id, qv, centroid_id) — the serve path of
+    * [[annIvfPersisted]], where assignment comes from a persisted
+    * index table rather than being recomputed. Queries are drawn from
+    * the assigned table itself (assignment is 1:1 with the corpus).
+    */
+  private def annTopkOver(assigned: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
-    val probes = emb.filter(col("vec_id") < NQuery)
+    val probes = assigned.filter(col("vec_id") < NQuery)
       .select(col("vec_id").as("query_id"), col("qv").as("quv"))
       .crossJoin(broadcast(cents.withColumn("cnrm",
         sqrt(ndot(col("cv"), col("cv")).cast("double")))))
@@ -507,6 +554,7 @@ object EmbeddingQueries {
     "ann_kmeans_centroids" -> annKmeansCentroids _,
     "ann_kmeans_fixed_nlist" -> annKmeansFixedNlist _,
     "ann_ivf_fixed_topk" -> annIvfFixedTopk _,
+    "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_kmeans_topk" -> annKmeansTopk _,
     "ann_lsh_topk"    -> annLshTopk _,
     "dedup_embedding" -> dedupEmbedding _,
@@ -575,6 +623,37 @@ object EmbeddingQueries {
        |buckets AS (
        |  SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bucket
        |  FROM bits GROUP BY vec_id, t)""".stripMargin
+
+  /** The fixed-nlist train+probe+search chain — shared verbatim by the
+    * inline (`ann_ivf_fixed_topk`) and persisted (`ann_ivf_persisted`)
+    * lifecycles.
+    */
+  private lazy val ivfFixedTopkSql: String =
+    s"""WITH $kmFixedChainSql,
+       |a3 AS ${kmAssign("c3")},
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.centroid_id) AS rn
+       |    FROM v q CROSS JOIN c3 c WHERE q.vec_id < $NQuery)
+       |  WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN a3 a ON p.centroid_id = a.centroid_id
+       |  WHERE a.vec_id <> p.query_id),
+       |sims AS (
+       |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
+       |  FROM cand c
+       |  JOIN v qc ON qc.vec_id = c.query_id
+       |  JOIN v cc ON cc.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, vec_id AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= $K""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_brute_force" ->
@@ -655,32 +734,10 @@ object EmbeddingQueries {
          |          i -> cv[i] * cv[i])) AS BIGINT) AS cnorm
          |      FROM c3) cn USING (centroid_id)
          |GROUP BY a.centroid_id, cn.cnorm""".stripMargin,
-    "ann_ivf_fixed_topk" ->
-      s"""WITH $kmFixedChainSql,
-         |a3 AS ${kmAssign("c3")},
-         |probes AS (
-         |  SELECT query_id, centroid_id FROM (
-         |    SELECT q.vec_id AS query_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.centroid_id) AS rn
-         |    FROM v q CROSS JOIN c3 c WHERE q.vec_id < $NQuery)
-         |  WHERE rn <= $NProbe),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id
-         |  FROM probes p JOIN a3 a ON p.centroid_id = a.centroid_id
-         |  WHERE a.vec_id <> p.query_id),
-         |sims AS (
-         |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
-         |  FROM cand c
-         |  JOIN v qc ON qc.vec_id = c.query_id
-         |  JOIN v cc ON cc.vec_id = c.vec_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
-         |  FROM sims)
-         |SELECT query_id, vec_id AS neighbor_id, rank, sim
-         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_ivf_fixed_topk" -> ivfFixedTopkSql,
+    // persistence must be semantically invisible: the stored index
+    // serves EXACTLY what the inline lifecycle computes
+    "ann_ivf_persisted" -> ivfFixedTopkSql,
     "ann_kmeans_topk" ->
       s"""WITH $kmWideChainSql,
          |a3 AS ${kmAssign("c3")},

@@ -422,7 +422,49 @@ object OlapQueries {
              .as("revenue"))
   }
 
+  /** TPC-H Q7-shaped "volume shipping": bilateral trade revenue between
+    * two nations by ship year. The scale-critical move is WHERE the
+    * nation filter lands: joining the 2-row nation slice to supplier and
+    * customer FIRST shrinks both to 2/25ths before they ever meet
+    * lineitem, so the big join's build sides carry only in-scope keys
+    * (at 100 TB that is the difference between shuffling 8% of customer
+    * and shuffling all of it). Nation itself is the only explicit
+    * broadcast — supplier/customer slices stay shuffle joins, because at
+    * warehouse scale 2/25 of a billion-row table is not broadcastable
+    * (AQE upgrades them to broadcast at harness scale on its own). The
+    * shipdate window reaches the lineitem scan as a pushed filter.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between("1995-01-01", "1996-12-31"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      // directional pair filter: A→B and B→A stay, A→A / B→B go
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+              (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping"      -> q7VolumeShipping _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q14_promo_revenue"       -> q14PromoRevenue _,
     "q18_large_orders"        -> q18LargeOrders _,
@@ -444,6 +486,26 @@ object OlapQueries {
     "events_retention"        -> eventsRetention _)
 
   val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM supplier
+        |    JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |) shipping
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

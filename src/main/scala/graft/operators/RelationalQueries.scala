@@ -220,58 +220,29 @@ object RelationalQueries {
     * plan; the oracle pins the values). Tables are registered once per
     * sf dir in the session catalog (warehouse under target/).
     *
-    * The bucket count is CHOSEN FOR THE TARGET SCALE, not fixed: the
-    * next power of two of max(cluster parallelism, input bytes/256 MB),
-    * clamped to [8, 4096]. Parallelism is the floor because a bucketed
-    * scan runs one task per bucket — fewer buckets than cores caps the
-    * whole downstream pipeline (the round-6 sweep measured exactly that:
-    * a fixed 8 capped the 10× run at 8 tasks on 32 cores). Bytes/256 MB
-    * is the scale term — at 100 TB it dominates and buckets stay
-    * scan-sized; the 4096 clamp bounds small-file and metadata pressure,
-    * trading bucket size upward instead (25 GB buckets at 100 TB, read
-    * by multiple row groups per task).
+    * The bucket count is CHOSEN FOR THE TARGET SCALE, not fixed —
+    * [[graft.core.Warehouse.bucketCount]] (the round-6 sweep measured
+    * what a fixed 8 costs: the 10× run capped at 8 tasks on 32 cores).
+    * Stale-generation sweep and fingerprint discipline live in
+    * [[graft.core.Warehouse.ensure]], shared with the persisted IVF
+    * index.
     */
   def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
-    // the table names embed a fingerprint of the SOURCE DATA, so a
-    // dataset regenerated in place (same dir, new bytes) can never be
-    // served from the old bucketed tables — the stale name simply
-    // misses and the current generation is built fresh
     val suffix = Tables.dirKey(dir)
     val fp = Tables.dataFingerprint(
       s"$dir/orders.parquet", s"$dir/lineitem.parquet")
     val inputBytes = Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")
       .map(p => org.apache.commons.io.FileUtils.sizeOf(new java.io.File(p)))
       .sum
-    val nBuckets = {
-      val target = math.max(s.sparkContext.defaultParallelism.toLong,
-        inputBytes / (256L << 20) + 1)
-      val p2 = java.lang.Long.highestOneBit(math.max(1L, target))
-      (if (p2 < target) p2 * 2 else p2).max(8L).min(4096L).toInt
-    }
+    val nBuckets = graft.core.Warehouse.bucketCount(s, inputBytes)
     // table names embed the bucket count too: a layout built under a
     // different parallelism/size regime must miss, not get reused
     val ordersPrefix = s"graft_bkt_orders_${suffix}_"
     val liPrefix     = s"graft_bkt_lineitem_${suffix}_"
     val ordersTbl = s"$ordersPrefix${fp}_b$nBuckets"
     val liTbl     = s"$liPrefix${fp}_b$nBuckets"
-    // BOTH tables must exist — checking one would wedge the session if
-    // a previous attempt died between the two writes
-    if (!s.catalog.tableExists(ordersTbl) || !s.catalog.tableExists(liTbl)) {
-      // sweep EVERY generation for this dir: registrations from this
-      // session (stale fingerprints, half-created pairs) and warehouse
-      // directories left by earlier JVMs — the directory outlives the
-      // in-memory catalog and CTAS refuses with LOCATION_ALREADY_EXISTS
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
-      val prefixes = Seq(ordersPrefix, liPrefix)
-      s.catalog.listTables().collect().map(_.name)
-        .filter(n => prefixes.exists(n.startsWith))
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-      if (fs.exists(wh))
-        fs.listStatus(wh)
-          .filter(st => prefixes.exists(st.getPath.getName.startsWith))
-          .foreach(st => fs.delete(st.getPath, true))
+    graft.core.Warehouse.ensure(s, Seq(ordersPrefix, liPrefix),
+        Seq(ordersTbl, liTbl)) {
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")

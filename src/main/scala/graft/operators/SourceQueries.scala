@@ -613,19 +613,18 @@ object SourceQueries {
     System.setProperty("derby.storage.logBufferSize", "8388608")
   }
 
-  /** The DIALECT BULK PATH: customer → one CSV spill → Derby's native
-    * `SYSCS_UTIL.SYSCS_IMPORT_TABLE` → partitioned parallel read back.
-    * Every serious RDBMS has a bulk door that beats INSERT forever —
-    * Postgres `COPY`, MySQL `LOAD DATA`, Derby `SYSCS_IMPORT_TABLE` —
-    * and at warehouse scale the sink should spill columnar output and
-    * call it rather than stream INSERTs. Measured at 100× (1.5 M rows,
-    * embedded Derby): batched INSERTs 13 s (single writer, batchsize
-    * 5000, best case) vs 9 s for spill+import cold — and the import is
-    * the DB-side floor (~215 k rows/s), i.e. this sink ingests exactly
-    * as fast as the target engine can accept rows, which is the
-    * strongest claim a JDBC sink can make. Schema DDL still comes from
-    * Spark's JDBC writer (a `limit(0)` write), so type mapping stays the
-    * library's, not hand-rolled.
+  /** The DIALECT BULK PATH: customer → the URL's bulk-ingest door
+    * ([[graft.sources.BulkLoad]] — here Derby's `SYSCS_IMPORT_TABLE`
+    * via one CSV spill) → partitioned parallel read back. The dialect
+    * trait keeps the engine-specific ingest step swappable (Postgres
+    * `COPY`, MySQL `LOAD DATA`, …) with a batched-INSERT fallback for
+    * engines with no door; `JdbcBulkLoadSpec` diffs both doors on a
+    * nullable frame. Measured at 100× (1.5 M rows, embedded Derby):
+    * batched INSERTs 13 s (single writer, batchsize 5000, best case)
+    * vs 9 s for spill+import cold — and the import is the DB-side
+    * floor (~215 k rows/s), i.e. this sink ingests exactly as fast as
+    * the target engine can accept rows, which is the strongest claim a
+    * JDBC sink can make.
     */
   def jdbcBulkLoad(s: SparkSession, dir: String): DataFrame = {
     jdbcScratchTuning()
@@ -634,29 +633,8 @@ object SourceQueries {
     val url = s"jdbc:derby:${ioDir("jdbc_db")}/${Tables.dirKey(dir)};create=true"
     val c = Tables.customer(s, dir)
     val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
-    // DDL via the standard writer (empty frame = schema only, no rows)
-    c.limit(0).write.mode("overwrite").format("jdbc")
-      .option("url", url).option("dbtable", "customer_bulk").save()
-    val csvDir = ioDir("jdbc_bulk_csv")
-    // Null semantics PINNED, not incidental: a SQL NULL spills as a bare
-    // empty field (Derby's import reads that as NULL for every type) and
-    // a real empty string spills QUOTED (imports as ''), so the bulk
-    // door agrees with the INSERT path on any nullable source column —
-    // TPC-H customer has none today, but the contract must not depend
-    // on that.
-    c.coalesce(1).write.mode("overwrite").option("header", "false")
-      .option("nullValue", "").option("emptyValue", "\"\"")
-      .csv(csvDir)
-    val part = new java.io.File(csvDir).listFiles()
-      .filter(_.getName.startsWith("part-")).head
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val cs = conn.prepareCall(
-        "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(null,?,?,null,null,'UTF-8',1)")
-      cs.setString(1, "CUSTOMER_BULK")
-      cs.setString(2, part.getAbsolutePath)
-      cs.execute()
-    } finally conn.close()
+    graft.sources.BulkLoad.load(c, url, "customer_bulk",
+      new java.io.File(ioDir("jdbc_bulk_csv")))
     s.read.format("jdbc")
       .option("url", url).option("dbtable", "customer_bulk")
       .option("partitionColumn", "c_custkey")
