@@ -133,30 +133,38 @@ object Bench {
       }
     }
     var canaryWorst = canaryBase
-    // worst canary probe that actually ADMITTED a timed trial. `worst`
-    // above includes probes the gate rejected-and-retried — i.e. noise
-    // the bench deliberately waited out, which never touched a recorded
-    // number. worstAccepted/base is the quietness bound on the numbers
-    // themselves; worst/retries document how noisy the box was overall.
-    var canaryWorstAccepted = canaryBase
+    // Worst ACCEPT-TIME ratio (t / base-at-accept) of a canary probe
+    // that admitted a timed trial. `worst` includes probes the gate
+    // rejected-and-retried — noise the bench deliberately waited out,
+    // which never touched a recorded number — and raw times can only be
+    // judged against the END-of-run base, which ratchets DOWN after the
+    // accept and would make an honestly-passed gate look >2× in the
+    // artifact. The ratio is the actual gate decision, recorded as made.
+    var canaryWorstAcceptedRatio = 1.0
     var canaryRetries = 0
     // Runs the canary until the box looks quiet (≤2× best-known time) or
     // retries are exhausted; returns whether it ended quiet. The base
     // ratchets DOWN over the whole run, so a loaded start can't inflate
-    // the baseline for good.
+    // the baseline for good. Retry backoff grows 0.5 s per attempt (8
+    // attempts, ~18 s total): the r8 sf0.1 run flagged a query whose
+    // trials were clean because the gate before it landed inside the
+    // bench's OWN between-query System.gc() concurrent cycle and five
+    // fixed 0.5 s sleeps weren't enough to ride it out.
     def canaryGate(): Boolean = {
       var t = canaryOnce()
       var tries = 0
-      while (t > 2 * canaryBase && tries < 5) {
+      while (t > 2 * canaryBase && tries < 8) {
         canaryRetries += 1
         tries += 1
-        Thread.sleep(500)
+        Thread.sleep(500L * tries)
         t = canaryOnce()
       }
-      canaryBase = math.min(canaryBase, t)
       canaryWorst = math.max(canaryWorst, t)
       val quiet = t <= 2 * canaryBase
-      if (quiet) canaryWorstAccepted = math.max(canaryWorstAccepted, t)
+      if (quiet)
+        canaryWorstAcceptedRatio =
+          math.max(canaryWorstAcceptedRatio, t / canaryBase)
+      canaryBase = math.min(canaryBase, t)
       quiet
     }
 
@@ -207,8 +215,11 @@ object Bench {
         runTrial().foreach(ts += _)
       }
       // settle heap between query groups so one query's garbage doesn't
-      // become the next query's GC pause
+      // become the next query's GC pause; the brief sleep lets the
+      // concurrent cycle finish so the NEXT query's canary doesn't read
+      // our own collector as external load
       System.gc()
+      Thread.sleep(200)
       if (details && !failed) {
         drain()
         val before = metrics.snapshot()
@@ -265,8 +276,8 @@ object Bench {
       .mkString("{", ",", "}")
     val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = s"""{"base":${fmt(canaryBase)},"worst":${
-      fmt(canaryWorst)},"worst_accepted":${
-      fmt(canaryWorstAccepted)},"retries":$canaryRetries}"""
+      fmt(canaryWorst)},"worst_accepted_ratio":${
+      fmt(canaryWorstAcceptedRatio)},"retries":$canaryRetries}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"ratios":$ratios,"queries":$qs,"contaminated":$contamJson,""" +

@@ -109,19 +109,46 @@ object DedupQueries {
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // The whole signature stage is MAP-SIDE: one typed pass per document
-    // computes all 16 min-hashes and the 4 band signatures — no shuffle
-    // of shingle rows at all (the relational formulation shuffled
-    // |shingles| rows into a groupBy(doc_id); at 100 TB that shuffle IS
-    // the job). Hash h of a shingle = 32-bit window h%4 of
-    // md5("(h/4):shingle"), digested directly from token bytes (no
-    // shingle string is ever built); unsigned-int min == lexicographic
-    // min of the fixed-width lowercase hex the oracle takes. Only the
-    // (doc_id, band, sig) rows — 4 per doc — reach the LSH bucket join.
+    val bands = bandRows(docTokens(s, dir))
+    // Bucket-local pair expansion instead of a bands⨝bands self-join: a
+    // self-join would recompute the typed signature subtree once per side
+    // (object-operator plans don't canonicalize for exchange reuse), and
+    // at scale a join shuffles the band rows twice. One groupBy(bucket)
+    // + in-bucket pair loop touches every band row exactly once. Within a
+    // band a doc appears once, so pair multiplicity = #agreeing bands.
+    bands
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(col("docs")).as[Array[Long]]
+      .flatMap(d => packedPairsOf(d, withDiagonal = false))
+      .toDF("pair")
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_bands"))
+      .select(shiftright(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("n_bands"))
+  }
+
+  /** (doc_id, band, sig) MinHash band-signature rows — the map-side
+    * kernel shared by the full-corpus LSH pairing and the incremental
+    * index. The whole signature stage is MAP-SIDE: one typed pass per
+    * document computes all 16 min-hashes and the 4 band signatures — no
+    * shuffle of shingle rows at all (the relational formulation shuffled
+    * |shingles| rows into a groupBy(doc_id); at 100 TB that shuffle IS
+    * the job). Hash h of a shingle = 32-bit window h%4 of
+    * md5("(h/4):shingle"), digested directly from token bytes (no
+    * shingle string is ever built); unsigned-int min == lexicographic
+    * min of the fixed-width lowercase hex the oracle takes. Only the
+    * (doc_id, band, sig) rows — 4 per doc — leave the map stage.
+    */
+  private def bandRows(docs: Dataset[(Long, Array[String])]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val prefixes = (0 until NumBands).map(j => s"$j:".getBytes(UTF_8)).toArray
-    val bands = docTokens(s, dir).mapPartitions { docs =>
+    docs.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      docs.flatMap { case (docId, toks) =>
+      it.flatMap { case (docId, toks) =>
         val tb = new Array[Array[Byte]](toks.length)
         var t = 0
         while (t < toks.length) { tb(t) = toks(t).getBytes(UTF_8); t += 1 }
@@ -155,24 +182,54 @@ object DedupQueries {
         }
       }
     }.toDF("doc_id", "band", "sig")
-    // Bucket-local pair expansion instead of a bands⨝bands self-join: a
-    // self-join would recompute the typed signature subtree once per side
-    // (object-operator plans don't canonicalize for exchange reuse), and
-    // at scale a join shuffles the band rows twice. One groupBy(bucket)
-    // + in-bucket pair loop touches every band row exactly once. Within a
-    // band a doc appears once, so pair multiplicity = #agreeing bands.
-    bands
-      .groupBy("band", "sig")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) >= 2)
-      .select(col("docs")).as[Array[Long]]
-      .flatMap(d => packedPairsOf(d, withDiagonal = false))
-      .toDF("pair")
-      .groupBy("pair")
+  }
+
+  /** Batch slice for [[dedupIncremental]]: every 5th doc_id plays
+    * "today's arrivals"; the rest are the already-indexed corpus.
+    */
+  private val BatchMod = 5L
+
+  /** INCREMENTAL near-dup: dedup a new document batch against a
+    * PERSISTED corpus signature index instead of recomputing the corpus.
+    *
+    * At 100 TB the dominant dedup cost is not one batch's signatures —
+    * it is re-reading the whole corpus every time new data arrives. This
+    * operator stores the base corpus's (doc_id, band, sig) MinHash band
+    * rows ONCE per corpus generation as a warehouse table bucketed on
+    * the join key (band, sig) (fingerprint-keyed via
+    * [[graft.core.Warehouse]], so a regenerated corpus rebuilds instead
+    * of serving stale signatures; bucket count scales with corpus bytes
+    * via [[graft.core.Warehouse.bucketCount]]). A new batch then
+    * computes signatures only for its OWN documents and equi-joins the
+    * stored index: the bucketed base side is read pre-partitioned with
+    * zero shuffle, so incremental dedup moves O(|batch|) rows, not
+    * O(|corpus|). Output: (doc_new, doc_base, n_bands) — each batch doc
+    * with the base docs it near-duplicates and the band-agreement count.
+    *
+    * Persistence is semantically invisible: the oracle recomputes both
+    * sides from scratch in SQL and must hash-match exactly.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val suffix = Tables.dirKey(dir)
+    val fp = Tables.dataFingerprint(s"$dir/documents.parquet")
+    val bytes = org.apache.commons.io.FileUtils.sizeOf(
+      new java.io.File(s"$dir/documents.parquet"))
+    val nBuckets = graft.core.Warehouse.bucketCount(s, bytes)
+    val prefix = s"graft_mh_bands_${suffix}_"
+    val tbl = s"$prefix${fp}_b$nBuckets"
+    graft.core.Warehouse.ensure(s, Seq(prefix), Seq(tbl)) {
+      bandRows(docTokens(s, dir).filter(col("doc_id") % BatchMod =!= 0))
+        .write.bucketBy(nBuckets, "band", "sig")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    val batch = bandRows(docTokens(s, dir)
+        .filter(col("doc_id") % BatchMod === 0))
+      .withColumnRenamed("doc_id", "doc_new")
+    batch
+      .join(s.table(tbl).withColumnRenamed("doc_id", "doc_base"),
+        Seq("band", "sig"))
+      .groupBy("doc_new", "doc_base")
       .agg(count(lit(1)).as("n_bands"))
-      .select(shiftright(col("pair"), 32).as("doc_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
-        col("n_bands"))
   }
 
   /** All ascending (a, b) pairs of a sorted id list — the in-bucket
@@ -629,6 +686,7 @@ object DedupQueries {
     "dedup_keep_best"     -> dedupKeepBest _,
     "dedup_exact"         -> dedupExact _,
     "dedup_minhash_lsh"   -> dedupMinhashLsh _,
+    "dedup_incremental"   -> dedupIncremental _,
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -667,11 +725,10 @@ object DedupQueries {
     s"  SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS sig FROM sig"
   }.mkString("\n  UNION ALL\n")
 
-  /** Shared CTE chain (shingles → signatures → bands → mh_pairs) for the
-    * minhash and connected-components oracles; caller prepends
-    * `WITH `/`WITH RECURSIVE `.
+  /** Shared CTE chain (shingles → signatures → bands) for every
+    * minhash-family oracle; caller prepends `WITH `/`WITH RECURSIVE `.
     */
-  private lazy val minhashPairsBody =
+  private lazy val minhashBandsBody =
     s"""${shinglesSql.stripPrefix("WITH ")},
        |seeded AS (
        |  SELECT doc_id,
@@ -683,7 +740,12 @@ object DedupQueries {
        |    $minhashSigSql
        |  FROM seeded GROUP BY doc_id),
        |bands AS (
-       |$minhashBandSql),
+       |$minhashBandSql)""".stripMargin
+
+  /** [[minhashBandsBody]] extended with the full-corpus candidate-pair
+    * join (the minhash / connected-components oracles). */
+  private lazy val minhashPairsBody =
+    s"""$minhashBandsBody,
        |mh_pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
        |  FROM bands a JOIN bands b
@@ -698,6 +760,14 @@ object DedupQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsBody
          |SELECT doc_a, doc_b, n_bands FROM mh_pairs""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashBandsBody
+         |SELECT b.doc_id AS doc_new, a.doc_id AS doc_base,
+         |  COUNT(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig
+         |WHERE b.doc_id % $BatchMod = 0 AND a.doc_id % $BatchMod <> 0
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashPairsBody,
          |edges AS (

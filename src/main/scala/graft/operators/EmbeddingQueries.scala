@@ -394,6 +394,70 @@ object EmbeddingQueries {
         col("rank"), col("sim"))
   }
 
+  /** Int8 coarse-quantization parameters for [[annInt8Rerank]]: qv is
+    * 1e-6-quantized with |qv| < 2^20 (unit-ish vectors), so
+    * `(qv + 2^20) >> 13` is an exact non-negative floor division by 8192
+    * in BOTH engines (arithmetic shift == floor division only for
+    * non-negative operands — the offset, 128·8192, guarantees that),
+    * yielding a [-128, 127] code that fits a physical TINYINT.
+    */
+  private val CoarseOffset = 1L << 20
+  private val CoarseShiftBits = 13
+  /** Coarse candidates per query handed to the exact rerank. */
+  private val NCoarse = 50
+
+  /** Two-tier quantized search: int8 coarse scan + exact rerank.
+    *
+    * The 100 TB shape for brute-force-quality ANN when an IVF index is
+    * not available (or recall must be near-exact): materialize a COARSE
+    * copy of the corpus at 1 byte/dim (8× narrower than the exact
+    * BIGINT vectors, 4× narrower than float32), scan THAT for every
+    * query's integer dot-product top-`NCoarse`, and fetch full-precision
+    * vectors only for the ~NCoarse·|queries| survivors. The expensive
+    * full-width scan is replaced by a cheap narrow one: at 100 TB the
+    * coarse pass reads ~12 TB, and the exact pass reads a few MB by
+    * vec_id. Quantization is deterministic (fixed offset + shift — no
+    * data-dependent scale factor), so coarse scores, tie-breaks, and the
+    * final ranks are bit-identical to the DuckDB oracle.
+    */
+  def annInt8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val full = qEmb(s, dir)
+    // the int8 tier: checkpointed once, 1 byte/dim at rest
+    val coarse = full.select(col("vec_id"),
+      transform(col("qv"), x =>
+        (shiftright(x + CoarseOffset, CoarseShiftBits) - lit(128L))
+          .cast("tinyint")).as("c8"))
+      .sharedCheckpoint()
+    val q8 = coarse.filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("query_id"), col("c8").as("q8"))
+    // coarse pass: queries broadcast, the narrow corpus streams; the
+    // native dot runs on the widened codes (the cast is per-batch CPU,
+    // the 8× byte saving is in the scan/checkpoint layer where it counts)
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("vec_id"))
+    val cands = coarse.join(broadcast(q8), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        ndot(col("c8").cast("array<bigint>"), col("q8").cast("array<bigint>"))
+          .as("cscore"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= NCoarse)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank: full-precision vectors fetched ONLY for candidates
+    val qFull = full.filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"),
+        col("nrm").as("qnrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands.join(full, "vec_id").join(broadcast(qFull), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (ndot(col("quv"), col("qv")).cast("double") / col("qnrm") /
+          col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** LSH tables: 4 tables × 8 random-hyperplane sign bits. Hyperplane
     * components are ±1 derived from md5 parity (pinned hash family, so
     * Spark and DuckDB compute identical buckets — the "randomness" is
@@ -557,6 +621,7 @@ object EmbeddingQueries {
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_kmeans_topk" -> annKmeansTopk _,
     "ann_lsh_topk"    -> annLshTopk _,
+    "ann_int8_rerank" -> annInt8Rerank _,
     "dedup_embedding" -> dedupEmbedding _,
     "emb_label_stats" -> embLabelStats _)
 
@@ -663,6 +728,38 @@ object EmbeddingQueries {
          |sims AS (
          |  SELECT query_id, vec_id, ${cosSql("quv", "qv")} AS sim
          |  FROM c JOIN q ON vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_int8_rerank" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |c8 AS (SELECT vec_id,
+         |  list_transform(qv, x ->
+         |    ((x + $CoarseOffset) >> $CoarseShiftBits) - 128) AS c8
+         |  FROM v),
+         |q8 AS (SELECT vec_id AS query_id, c8 AS q8
+         |       FROM c8 WHERE vec_id < $NQuery),
+         |cand AS (
+         |  SELECT query_id, c.vec_id AS vec_id,
+         |    list_sum(list_transform(generate_series(1, len(c.c8)),
+         |      i -> c.c8[i] * q8[i])) AS cscore
+         |  FROM c8 c JOIN q8 ON c.vec_id <> query_id),
+         |top AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cscore DESC, vec_id) AS crank
+         |    FROM cand) WHERE crank <= $NCoarse),
+         |q AS (SELECT vec_id AS query_id, qv AS quv
+         |      FROM v WHERE vec_id < $NQuery),
+         |sims AS (
+         |  SELECT t.query_id, t.vec_id, ${cosSql("quv", "qv")} AS sim
+         |  FROM top t JOIN v ON v.vec_id = t.vec_id
+         |    JOIN q ON q.query_id = t.query_id),
          |ranked AS (
          |  SELECT query_id, vec_id, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id

@@ -72,6 +72,7 @@ class PlanLintSpec extends SparkSpec {
     */
   private val constantBnljAllow = Set(
     "ann_brute_force",           // broadcast(q): NQuery rows
+    "ann_int8_rerank",           // broadcast(q8): NQuery rows (coarse pass)
     "ann_ivf_assign", "ann_ivf_topk",            // broadcast(cents)
     "ann_kmeans_centroids", "ann_kmeans_topk",
     "ann_kmeans_fixed_nlist", "ann_ivf_fixed_topk",

@@ -18,6 +18,53 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental equals the cross-slice subset of the LSH pairs") {
+    // The persisted-index incremental path must agree exactly with the
+    // from-scratch full-corpus pairing restricted to batch×base pairs:
+    // persistence and the bucketed join are semantically invisible.
+    val inc = DedupQueries.queries("dedup_incremental")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_base"),
+        r.getAs[Long]("n_bands"))).toSet
+    val expected = DedupQueries.queries("dedup_minhash_lsh")(spark, sf0001)
+      .collect().flatMap { r =>
+        val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+        val n = r.getAs[Long]("n_bands")
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((a, b, n))
+          case (false, true) => Some((b, a, n))
+          case _             => None
+        }
+      }.toSet
+    assert(inc === expected)
+    assert(inc.nonEmpty)
+  }
+
+  test("ann_int8_rerank: sims are exact cosines, ranks ordered, recall high") {
+    val res = EmbeddingQueries.queries("ann_int8_rerank")(spark, sf0001)
+      .collect()
+    val bf = EmbeddingQueries.queries("ann_brute_force")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("sim")).toMap
+    // the rerank is EXACT on its candidates: any (query, neighbor) the
+    // exact brute force also returned must carry a bit-identical sim
+    var overlap = 0
+    res.foreach { r =>
+      bf.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .foreach { s =>
+          assert(s === r.getAs[Double]("sim")); overlap += 1
+        }
+    }
+    // deterministic recall@5 of the coarse int8 tier vs exact search
+    assert(overlap >= bf.size * 4 / 5, s"recall too low: $overlap/${bf.size}")
+    // per-query ranks follow sim descending
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("corpus_mix: allocations sum to the budget exactly") {
     val rows = TextQueries.corpusMix(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("alloc_tokens")).sum === 1000000L)
