@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every catalog query at $SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results go through the `noop` sink so the full
@@ -169,11 +169,12 @@ object Bench {
     }
 
     case class Trial(wall: Double, runMs: Long, cpuMs: Long, gcMs: Long)
-    val contaminated = scala.collection.mutable.ArrayBuffer[String]()
-    val ratioRows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    val diagRows = scala.collection.mutable.ArrayBuffer[String]()
+    case class Meas(wall: Double, runCpu: Double, flagged: Boolean,
+                    diag: String)
+    val detailDone = scala.collection.mutable.Set[String]()
 
-    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def measure(name: String, fn: (SparkSession, String) => DataFrame,
+                pass: Int): Meas = {
       val canaryClean = canaryGate()
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -220,7 +221,8 @@ object Bench {
       // our own collector as external load
       System.gc()
       Thread.sleep(200)
-      if (details && !failed) {
+      if (details && !failed && !detailDone.contains(name)) {
+        detailDone += name
         drain()
         val before = metrics.snapshot()
         // a crash mid-pass must not record its partial byte deltas as a
@@ -243,13 +245,13 @@ object Bench {
       // a fast crash would otherwise IMPROVE the total and invert the
       // regression signal. -1 marks it broken and is excluded from the
       // total below.
-      if (failed) name -> -1.0
+      if (failed) Meas(-1.0, 0.0, flagged = false, diag = "")
       else {
         val cs = clean.sortBy(_.wall)
         val discarded = ts.length - cs.length
         // flagged = the bench could not obtain `trials` clean trials on a
         // quiet box for this query; its number is NOT load-immune
-        if (cs.length < trials || !canaryClean) contaminated += name
+        val flagged = cs.length < trials || !canaryClean
         // lower median of the clean trials (exact median for odd counts;
         // for even counts the upper variant would report the max of 2)
         val med = cs((cs.length - 1) / 2)
@@ -258,14 +260,37 @@ object Bench {
         // I/O-heavy queries sit naturally above 1, so judge it against
         // the same query's prior rounds, not an absolute bar.
         val runCpu = med.runMs.toDouble / math.max(med.cpuMs, 1L)
-        ratioRows += name -> runCpu
-        diagRows +=
+        val diag =
           s"""  "$name": {"wall":${f"${med.wall}%.3f"},"run_ms":${
             med.runMs},"cpu_ms":${med.cpuMs},"gc_ms":${med.gcMs},"run_cpu":${
-            f"$runCpu%.2f"},"trials":${ts.length},"discarded":$discarded,"canary_clean":$canaryClean}"""
-        name -> med.wall
+            f"$runCpu%.2f"},"trials":${ts.length},"discarded":$discarded,"canary_clean":$canaryClean,"pass":$pass}"""
+        Meas(med.wall, runCpu, flagged, diag)
       }
     }
+
+    val meas = scala.collection.mutable.LinkedHashMap[String, Meas]()
+    wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      meas(name) = measure(name, fn, pass = 1)
+    }
+    // Deferred second chance: a query flagged in pass 1 was measured
+    // while the box was loaded IN ITS OWN WINDOW (the r8 sf0.1 run had a
+    // multi-minute external I/O stall that inflated exactly the three
+    // state-store-heavy streaming queries it overlapped — their trials
+    // were self-consistent, so only the canary knew). Re-measure each
+    // flagged query once at the END of the run and replace the result
+    // only if the re-measure is fully clean (quiet canary + `trials`
+    // clean trials); a query that is STILL dirty keeps its original
+    // number and stays flagged.
+    meas.collect { case (n, m) if m.flagged => n }.foreach { name =>
+      val again = measure(name, wanted(name), pass = 2)
+      if (!again.flagged && again.wall >= 0) meas(name) = again
+    }
+    val results = meas.toSeq.map { case (n, m) => n -> m.wall }
+    val contaminated = meas.collect { case (n, m) if m.flagged => n }.toSeq
+    val ratioRows = meas.toSeq.collect {
+      case (n, m) if m.wall >= 0 => n -> m.runCpu }
+    val diagRows = meas.values.collect {
+      case m if m.diag.nonEmpty => m.diag }.toSeq
     // Millisecond precision keeps the per-query maps compact — the driver
     // captures only the output tail (~2 KB), so field ORDER matters more
     // than size: diagnostics first (truncatable), summary last.

@@ -186,8 +186,43 @@ object DedupQueries {
 
   /** Batch slice for [[dedupIncremental]]: every 5th doc_id plays
     * "today's arrivals"; the rest are the already-indexed corpus.
+    * Shared with the streaming twin in [[SourceQueries]].
     */
-  private val BatchMod = 5L
+  private[operators] val BatchMod = 5L
+
+  /** Build (or reuse) the persisted base-corpus band index for `dir`
+    * and return its table name — the warehouse half of
+    * [[dedupIncremental]], shared by the streaming twin.
+    */
+  private[operators] def ensureBandIndex(s: SparkSession,
+                                         dir: String): String = {
+    val suffix = Tables.dirKey(dir)
+    val fp = Tables.dataFingerprint(s"$dir/documents.parquet")
+    val bytes = org.apache.commons.io.FileUtils.sizeOf(
+      new java.io.File(s"$dir/documents.parquet"))
+    val nBuckets = graft.core.Warehouse.bucketCount(s, bytes)
+    val prefix = s"graft_mh_bands_${suffix}_"
+    val tbl = s"$prefix${fp}_b$nBuckets"
+    graft.core.Warehouse.ensure(s, Seq(prefix), Seq(tbl)) {
+      bandRows(docTokens(s, dir).filter(col("doc_id") % BatchMod =!= 0))
+        .write.bucketBy(nBuckets, "band", "sig")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** Band-signature rows of the batch slice — the arrival side of the
+    * incremental join, shared by the batch and streaming twins. Works
+    * on any documents frame (batch or streaming) with (doc_id, text).
+    */
+  private[operators] def batchBandRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    bandRows(docs
+      .filter(col("doc_id") % BatchMod === 0)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .as[(Long, Array[String])])
+  }
 
   /** INCREMENTAL near-dup: dedup a new document batch against a
     * PERSISTED corpus signature index instead of recomputing the corpus.
@@ -210,20 +245,8 @@ object DedupQueries {
     * sides from scratch in SQL and must hash-match exactly.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val suffix = Tables.dirKey(dir)
-    val fp = Tables.dataFingerprint(s"$dir/documents.parquet")
-    val bytes = org.apache.commons.io.FileUtils.sizeOf(
-      new java.io.File(s"$dir/documents.parquet"))
-    val nBuckets = graft.core.Warehouse.bucketCount(s, bytes)
-    val prefix = s"graft_mh_bands_${suffix}_"
-    val tbl = s"$prefix${fp}_b$nBuckets"
-    graft.core.Warehouse.ensure(s, Seq(prefix), Seq(tbl)) {
-      bandRows(docTokens(s, dir).filter(col("doc_id") % BatchMod =!= 0))
-        .write.bucketBy(nBuckets, "band", "sig")
-        .mode("overwrite").saveAsTable(tbl)
-    }
-    val batch = bandRows(docTokens(s, dir)
-        .filter(col("doc_id") % BatchMod === 0))
+    val tbl = ensureBandIndex(s, dir)
+    val batch = batchBandRows(Tables.documents(s, dir))
       .withColumnRenamed("doc_id", "doc_new")
     batch
       .join(s.table(tbl).withColumnRenamed("doc_id", "doc_base"),

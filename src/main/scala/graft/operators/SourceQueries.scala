@@ -46,31 +46,35 @@ object SourceQueries {
     try st.iterator().asScala.toList finally st.close()
   }
 
-  private def linkEvents(streamDir: java.nio.file.Path, dir: String): Unit = {
+  private def linkEvents(streamDir: java.nio.file.Path, dir: String): Unit =
+    linkTable(streamDir, dir, "events")
+
+  private def linkTable(streamDir: java.nio.file.Path, dir: String,
+                        table: String): Unit = {
     java.nio.file.Files.createDirectories(streamDir)
     // ABSOLUTE target: a symlink stores its target string verbatim and
     // resolves it relative to the LINK's directory — linking a relative
     // sf dir (e.g. target/scale10) would create links that dangle from
     // inside the scratch dir and fail the whole streaming family with
     // UNABLE_TO_INFER_SCHEMA
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
       .toAbsolutePath.normalize
     val targets =
       if (java.nio.file.Files.isDirectory(src))
         listDir(src).filter(_.getFileName.toString.endsWith(".parquet"))
       else Seq(src)
-    // the link set is defined by the CURRENT source layout: any events_*
+    // the link set is defined by the CURRENT source layout: any <table>_*
     // entry outside it goes — that covers dangling links (renamed part
     // files) AND links whose target still exists but is no longer part
-    // of the source (e.g. events.parquet switched file ↔ directory, so
+    // of the source (e.g. the parquet switched file ↔ directory, so
     // the old link now points at a directory or a superseded file)
-    val expected = targets.map(f => s"events_${f.getFileName}" -> f).toMap
+    val expected = targets.map(f => s"${table}_${f.getFileName}" -> f).toMap
     listDir(streamDir).foreach { e =>
       val n = e.getFileName.toString
       // drop anything not in the expected set AND any surviving link
       // whose stored target differs (e.g. a relative target from before
       // the absolutization above)
-      if (n.startsWith("events_") && (!expected.contains(n) ||
+      if (n.startsWith(s"${table}_") && (!expected.contains(n) ||
           (java.nio.file.Files.isSymbolicLink(e) &&
            java.nio.file.Files.readSymbolicLink(e) != expected(n))))
         java.nio.file.Files.deleteIfExists(e)
@@ -98,6 +102,15 @@ object SourceQueries {
     val streamDir = java.nio.file.Paths.get(ioDir("stream_events"))
       .resolve(Tables.dirKey(dir) + "f")
     linkEvents(streamDir, dir)
+    streamDir.toString
+  }
+
+  /** Same scratch-dir exposure for the documents table (the incremental
+    * dedup stream). */
+  private def docsStreamDir(dir: String): String = {
+    val streamDir = java.nio.file.Paths.get(ioDir("stream_docs"))
+      .resolve(Tables.dirKey(dir) + "f")
+    linkTable(streamDir, dir, "documents")
     streamDir.toString
   }
 
@@ -310,6 +323,49 @@ object SourceQueries {
         .groupBy(col("segment"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
              dsum(col("value")).as("sum_value"))
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+  }
+
+  /** STREAMING incremental dedup: the arrival-time twin of
+    * [[DedupQueries.dedupIncremental]]. The batch slice of documents
+    * arrives as a file STREAM; each micro-batch computes MinHash band
+    * signatures only for its OWN rows (the same map-side kernel as the
+    * batch twin) and stream-static joins the persisted base-corpus band
+    * index. The static side re-plans per micro-batch from the bucketed
+    * warehouse table — no join state store at all (unlike
+    * stream-stream), and each micro-batch shuffles O(its own rows)
+    * while the corpus index is read pre-partitioned. This is online
+    * dedup-at-ingest: documents are checked against a 100 TB corpus
+    * index as they land, at per-arrival cost, and an index refresh is
+    * picked up at the next micro-batch. The oracle is the SAME SQL as
+    * the batch twin: arrival order and micro-batch boundaries must be
+    * invisible in the result.
+    */
+  def streamingIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_incdedup"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val tbl = DedupQueries.ensureBandIndex(s, dir)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val streamDir = docsStreamDir(dir)
+      val rawSchema = s.read.parquet(streamDir).schema
+      val agg = DedupQueries
+        .batchBandRows(s.readStream.schema(rawSchema).parquet(streamDir))
+        .withColumnRenamed("doc_id", "doc_new")
+        .join(s.table(tbl).withColumnRenamed("doc_id", "doc_base"),
+          Seq("band", "sig"))
+        .groupBy("doc_new", "doc_base")
+        .agg(count(lit(1)).as("n_bands"))
       agg.writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
@@ -693,6 +749,7 @@ object SourceQueries {
     "streaming_dedup_within_wm" -> streamingDedupWithinWm _,
     "streaming_click_attribution" -> streamingClickAttribution _,
     "streaming_enrich_join"   -> streamingEnrichJoin _,
+    "streaming_incremental_dedup" -> streamingIncrementalDedup _,
     "streaming_mrout_sink"    -> streamingMroutSink _,
     "streaming_sessionize"    -> streamingSessionize _)
 
@@ -754,6 +811,10 @@ object SourceQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    // identical result contract to the batch twin: arrival order and
+    // micro-batch boundaries must be invisible
+    "streaming_incremental_dedup" ->
+      DedupQueries.oracles("dedup_incremental"),
     "streaming_dedup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value

@@ -40,6 +40,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("streaming_incremental_dedup equals the batch twin exactly") {
+    // arrival order and micro-batch boundaries must be invisible: the
+    // streamed batch slice joined to the persisted index must produce
+    // the same (doc_new, doc_base, n_bands) set as the batch operator
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_base"),
+        r.getAs[Long]("n_bands"))).toSet
+    val streamed =
+      rows(SourceQueries.queries("streaming_incremental_dedup")(spark, sf0001))
+    val batch = rows(DedupQueries.queries("dedup_incremental")(spark, sf0001))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ann_int8_rerank: sims are exact cosines, ranks ordered, recall high") {
     val res = EmbeddingQueries.queries("ann_int8_rerank")(spark, sf0001)
       .collect()
