@@ -463,8 +463,65 @@ object OlapQueries {
              .as("revenue"))
   }
 
+  /** TPC-H Q9-shaped product profit: revenue from parts whose name
+    * contains a token, by supplier nation and order year. (The harness
+    * schema has no partsupp/ps_supplycost, so "profit" is
+    * `l_extendedprice·(1−l_discount)` — the join/filter SHAPE is Q9's:
+    * a selective LIKE dimension filter driving a 5-way star join.)
+    * Scale: the p_name filter lands on the part scan and the filtered
+    * part table joins lineitem FIRST, so the selective dimension prunes
+    * fact rows before the wider orders join; nation is the only
+    * explicit broadcast (supplier and filtered part stay shuffle joins
+    * — at warehouse scale neither is broadcastable; AQE upgrades them
+    * at harness scale on its own).
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("profit"))
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join
+    * customer→orders (zero-order customers must appear, counted at 0),
+    * orders per customer, then customers per order-count — the
+    * double-aggregation histogram shape. Scale: the left join and the
+    * first count share ONE customer-key shuffle (partial-aggregated);
+    * the second aggregation shuffles |distinct counts| rows — nothing.
+    * Q13's "not special requests" filter maps to excluding one priority
+    * class, pushed to the orders scan.
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume_shipping"      -> q7VolumeShipping _,
+    "q9_product_profit"       -> q9ProductProfit _,
+    "q13_customer_distribution" -> q13CustomerDistribution _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q14_promo_revenue"       -> q14PromoRevenue _,
     "q18_large_orders"        -> q18LargeOrders _,
@@ -506,6 +563,30 @@ object OlapQueries {
         |    AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
         |) shipping
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT nation, o_year, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%') profit
+        |GROUP BY 1, 2""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS n_custs FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) counts
+        |GROUP BY 1""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
