@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -734,6 +734,88 @@ object SourceQueries {
            sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Morton (Z-order) address of two 16-bit-scaled dimensions: bit i of
+    * `a` lands at bit 2i, bit i of `b` at 2i+1. Pure `Column`
+    * composition over shift/and/or — whole-stage-codegen'd, no UDF.
+    * Inputs must already be scaled to [0, 65535].
+    */
+  private[operators] def zvalue16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Rewrite lineitem Z-ORDERED on (ship day, partkey): scale both dims
+    * to 16 bits, interleave, `repartitionByRange` on the z-address (each
+    * output FILE covers a contiguous z-range = a small set of compact
+    * 2-D boxes), sort within files so row groups nest the same way.
+    * File count follows `Warehouse.bucketCount` (parallelism floor,
+    * bytes/256 MB scale term) — at 100 TB the layout is a one-time
+    * cluster job producing scan-sized files, amortized over every
+    * multi-dimensional query that follows, exactly like the bucketed
+    * warehouse. Returns (path, partkey cutoff for the demo predicate).
+    *
+    * The min/max layout bounds are one-row scalars fetched driver-side
+    * (same precedent as the JDBC partition bounds); they parameterize
+    * the WRITE job, not the returned query plan.
+    */
+  private[operators] def zorderLayout(s: SparkSession, dir: String)
+      : (String, Long) = {
+    val path = ioDir("zorder_lineitem")
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      // normalize the all-midnight NTZ timestamp to DATE: parquet
+      // min/max stats on TIMESTAMP_NTZ are pushed but not usable by the
+      // reader-side row-group filter (measured: zero pruning), while
+      // DATE stats prune; for this data the cast is value-lossless
+      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+      .withColumn("ship_day",
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long"))
+    val b = base.agg(min(col("ship_day")), max(col("ship_day")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (dLo, dHi) = (b.getLong(0), b.getLong(1))
+    val (pLo, pHi) = (b.getLong(2), b.getLong(3))
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)) * lit(65535L) / lit(math.max(1L, hi - lo)))
+        .cast("long")
+    val nFiles = graft.core.Warehouse.bucketCount(s,
+      org.apache.commons.io.FileUtils.sizeOf(
+        new java.io.File(s"$dir/lineitem.parquet")))
+    base
+      .withColumn("zval", zvalue16(scaled(col("ship_day"), dLo, dHi),
+        scaled(col("l_partkey"), pLo, pHi)))
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval", "ship_day")
+      .write.mode("overwrite").parquet(path)
+    (path, pHi / 8)
+  }
+
+  /** Multi-dimensional data skipping through the Z-ordered copy: a
+    * wide-date + narrow-partkey predicate. A date-sorted layout prunes
+    * row groups on the date dim only — every file spans the full
+    * partkey range, so the 1/8 partkey cut reads everything in the date
+    * window; the Z-layout's files cover compact (day, partkey) boxes,
+    * so parquet min/max stats prune on BOTH dims and the scan emits ~the
+    * predicate's area fraction (`ZorderLayoutSpec` pins z-scan rows <
+    * date-sorted-scan rows on identical data+predicate). The layout is
+    * semantically transparent: the oracle aggregates the ORIGINAL
+    * lineitem under the same predicate.
+    */
+  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val (path, cutoff) = zorderLayout(s, dir)
+    s.read.parquet(path)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_partkey") <= lit(cutoff))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
@@ -743,6 +825,7 @@ object SourceQueries {
     "source_jdbc_bulk_load"   -> jdbcBulkLoad _,
     "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
+    "source_zorder_prune"     -> zorderPrune _,
     "source_json_corrupt"     -> jsonCorruptRecords _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
@@ -827,6 +910,15 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "source_zorder_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_partkey <= (SELECT MAX(l_partkey) // 8 FROM lineitem)
+        |GROUP BY 1""".stripMargin,
     "source_json_corrupt" ->
       """SELECT validity, COUNT(*) AS n_rows,
         |  COUNT(doc_id2) AS n_parsed_ids,
