@@ -465,6 +465,58 @@ object RelationalQueries {
            max(col("p_retailprice")).as("max_price"),
            davg(col("p_retailprice")).as("avg_price"))
 
+  /** Runtime BLOOM-FILTER semi-join reduction (Spark's
+    * InjectRuntimeFilter): a selective dimension-side filter (urgent
+    * orders in one quarter, ~0.75% of orders) joins the lineitem fact
+    * table on orderkey. With the fact side too big to broadcast, Spark
+    * builds a bloom filter from the filtered orders keys and applies
+    * `might_contain` to lineitem BEFORE its shuffle — at 100 TB this is
+    * the difference between shuffling the whole fact table and
+    * shuffling the ~1% that can possibly match (`RuntimeFilterJoinSpec`
+    * measures the filter passing ~1% of scanned rows and pins
+    * exactness vs the filter-disabled join).
+    *
+    * Runs on a CHILD session (inheriting the caller's runtime conf)
+    * because the injection thresholds are session-wide: the
+    * application-side floor drops to toy scale and auto-broadcast is
+    * off so the join keeps the shuffle shape it would have at
+    * warehouse scale — mutating the caller's session would leak those
+    * into unrelated queries.
+    */
+  def runtimeFilterJoin(s0: SparkSession, dir: String): DataFrame =
+    runtimeFilterJoin(s0, dir, inject = true)
+
+  /** `inject = false` is the spec's control arm: identical thresholds
+    * and join shape, no bloom filter.
+    */
+  private[operators] def runtimeFilterJoin(s0: SparkSession, dir: String,
+                                           inject: Boolean): DataFrame = {
+    val s = s0.newSession()
+    s0.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v))  // static confs refuse; skip them
+    }
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      inject.toString)
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "64MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sel = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
   /** Same engine through the SQL surface: registered views + spark.sql.
     * The statement is the DuckDB oracle verbatim — one ANSI string, two
     * engines, hash-identical results.
@@ -505,9 +557,20 @@ object RelationalQueries {
     "events_range_join"      -> eventsRangeJoin _,
     "events_json_props"      -> eventsJsonProps _,
     "price_histogram"        -> priceHistogram _,
+    "runtime_filter_join"    -> runtimeFilterJoin _,
     "part_stats_by_type"     -> partStatsByType _)
 
   val oracles: Map[String, String] = Map(
+    "runtime_filter_join" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1""".stripMargin,
     "bucketed_join_revenue" ->
       """SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
