@@ -734,6 +734,75 @@ object SourceQueries {
            sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Copy-on-write MERGE (upsert) into a month-partitioned parquet
+    * warehouse table — the Delta-less incremental-ingest primitive:
+    *
+    *  1. the delta's months define the TOUCHED partitions (a tiny
+    *     driver-side distinct — partition metadata, not data);
+    *  2. only touched partitions are read back (partition pruning),
+    *     anti-joined against the delta's keys (delta is broadcast — a
+    *     merge batch is always small next to the table) and unioned
+    *     with the delta;
+    *  3. the rewritten partitions land in a temp dir and swap in via
+    *     per-partition delete+rename (the MrOutSource temp+rename
+    *     commit discipline — readers never see a half-written
+    *     partition file set).
+    *
+    * Cost is O(touched partitions) I/O + O(delta) shuffle regardless of
+    * table size — at 100 TB a daily merge rewrites the handful of
+    * month partitions the delta touches, never the table. Updates must
+    * keep their partition key (a cross-partition move is
+    * delete+insert, the same primitive twice).
+    */
+  private[operators] def mergeInto(s: SparkSession, basePath: String,
+                                   tmpPath: String, delta: DataFrame)
+      : Unit = {
+    val touched = delta.select("o_ym").distinct().collect()
+      .map(_.getString(0))
+    val kept = s.read.parquet(basePath)
+      .filter(col("o_ym").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(delta.select(col("o_orderkey").as("d_key"))),
+        col("o_orderkey") === col("d_key"), "left_anti")
+    kept.unionByName(delta)
+      .write.mode("overwrite").partitionBy("o_ym").parquet(tmpPath)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
+    touched.foreach { ym =>
+      val dst = new org.apache.hadoop.fs.Path(s"$basePath/o_ym=$ym")
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmpPath/o_ym=$ym"), dst)
+    }
+  }
+
+  /** The catalog entry: build the month-partitioned base from orders
+    * (the FIXTURE — a real warehouse table already exists), merge a
+    * deterministic delta (10%-price updates for keys ≡ 0 mod 97;
+    * inserts re-keyed negative for keys ≡ 0 mod 1013 — guaranteed
+    * absent), and aggregate the post-merge table. The oracle computes
+    * the same merge relationally over the original orders, so
+    * duplicate inserts, lost updates, or a half-swapped partition all
+    * hash-mismatch (`n_keys` counts distinct keys explicitly).
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(ioDir("merge_orders"))
+      .resolve(Tables.dirKey(dir))
+    val basePath = root.resolve("base").toString
+    val tmpPath = root.resolve("delta_out").toString
+    val orders = Tables.orders(s, dir)
+      .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.mode("overwrite").partitionBy("o_ym").parquet(basePath)
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    mergeInto(s, basePath, tmpPath, updates.unionByName(inserts))
+    s.read.parquet(basePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** Morton (Z-order) address of two 16-bit-scaled dimensions: bit i of
     * `a` lands at bit 2i, bit i of `b` at 2i+1. Pure `Column`
     * composition over shift/and/or — whole-stage-codegen'd, no UDF.
@@ -826,6 +895,7 @@ object SourceQueries {
     "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
     "source_zorder_prune"     -> zorderPrune _,
+    "source_merge_upsert"     -> mergeUpsert _,
     "source_json_corrupt"     -> jsonCorruptRecords _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
@@ -910,6 +980,26 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "source_merge_upsert" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM up
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin,
     "source_zorder_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
