@@ -17,15 +17,41 @@ import graft.functions._
   * oracle over the original parquet (a lossy round-trip would
   * hash-mismatch, so the encode/decode fidelity itself is under test).
   *
-  * Round-trip files land under `target/graft-io` (repo-local scratch).
+  * Round-trip files land under `target/graft-io/jvm-<pid>` (repo-local
+  * scratch, private per JVM — see [[scratchRoot]]).
   * Timestamps are written with explicit microsecond patterns (the CSV/
   * JSON defaults truncate to millis); doubles survive exactly because
   * Spark emits shortest-round-trip decimal strings.
   */
 object SourceQueries {
 
+  /** Per-JVM scratch root. Round-trip entries rewrite their scratch on
+    * every call, so two JVMs sharing a path race: observed — a
+    * concurrently-running plan-lint JVM overwrote `text_wc` mid-read
+    * and a Verify catalog dump landed silently empty. Keying the root
+    * by pid makes each JVM's scratch private (it also keeps embedded
+    * Derby's single-JVM db lock uncontended). Roots of DEAD JVMs are
+    * swept at first use — /proc/<pid> liveness, valid on this Linux
+    * harness — so scratch doesn't accumulate across runs.
+    */
+  private lazy val scratchRoot: java.io.File = {
+    val base = new java.io.File("target/graft-io")
+    base.mkdirs()
+    val pid = ProcessHandle.current().pid()
+    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("jvm-") && n != s"jvm-$pid" &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get("/proc", n.stripPrefix("jvm-"))))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+    val mine = new java.io.File(base, s"jvm-$pid")
+    mine.mkdirs()
+    mine
+  }
+
   private def ioDir(name: String): String = {
-    val f = new java.io.File(s"target/graft-io/$name")
+    val f = new java.io.File(scratchRoot, name)
     f.mkdirs()
     f.getAbsolutePath
   }

@@ -25,10 +25,19 @@ def main(out_dir: str, sf_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    import glob
     import os
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dumped = sorted(d for d in os.listdir(out_dir)
+                    if os.path.isdir(os.path.join(out_dir, d)))
+    # every oracle key must have a non-empty dump: a failed/raced Verify
+    # write otherwise vanishes silently from the comparison
+    names = sorted(set(dumped) | set(oracles))
     for name in names:
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            print(f"[FAIL] {name}: no dump written (Verify failed or "
+                  f"raced another JVM?)")
+            failures += 1
+            continue
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         if name not in oracles:
