@@ -781,7 +781,8 @@ object SourceQueries {
     * delete+insert, the same primitive twice).
     */
   private[operators] def mergeInto(s: SparkSession, basePath: String,
-                                   tmpPath: String, delta: DataFrame)
+                                   tmpPath: String, delta: DataFrame,
+                                   insertDelta: Boolean = true)
       : Unit = {
     val touched = delta.select("o_ym").distinct().collect()
       .map(_.getString(0))
@@ -789,7 +790,9 @@ object SourceQueries {
       .filter(col("o_ym").isin(touched.toIndexedSeq: _*))
       .join(broadcast(delta.select(col("o_orderkey").as("d_key"))),
         col("o_orderkey") === col("d_key"), "left_anti")
-    kept.unionByName(delta)
+    // insertDelta = false is DELETE: drop matching keys, re-insert
+    // nothing — same touched-partition scoping and commit path
+    (if (insertDelta) kept.unionByName(delta) else kept)
       .write.mode("overwrite").partitionBy("o_ym").parquet(tmpPath)
     val conf = s.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
@@ -827,6 +830,69 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Partition-scoped DELETE — the takedown / right-to-be-forgotten
+    * primitive a training-data warehouse runs daily: remove a key list
+    * from the month-partitioned table through the SAME touched-
+    * partition copy-on-write path as the merge (`insertDelta = false`),
+    * so cost is O(partitions containing the keys), not O(table). The
+    * key list here is deterministic (keys ≡ 0 mod 131); real deletes
+    * arrive as a table of (key, partition) — carrying the partition
+    * key in the delete request is what makes partition scoping
+    * possible at 100 TB (a keys-only delete must touch every
+    * partition). Oracle: the complement filter over the original.
+    */
+  def deleteKeys(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(ioDir("delete_orders"))
+      .resolve(Tables.dirKey(dir))
+    val basePath = root.resolve("base").toString
+    val tmpPath = root.resolve("delta_out").toString
+    val orders = Tables.orders(s, dir)
+      .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.mode("overwrite").partitionBy("o_ym").parquet(basePath)
+    val doomed = orders.filter(col("o_orderkey") % 131 === 0)
+    mergeInto(s, basePath, tmpPath, doomed, insertDelta = false)
+    s.read.parquet(basePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Clustering-preserving small-file COMPACTION — the other daily
+    * housekeeping job: a streaming ingest leaves hundreds of tiny
+    * files per partition (here: a 256-way write of the lineitem
+    * slice), and every query then pays per-file open/footer/schedule
+    * cost. Compaction rewrites to `Warehouse.bucketCount`-derived
+    * scan-sized files — but NOT with `coalesce` (which would glue
+    * random small files together and destroy min/max locality):
+    * `repartitionByRange` + in-file sort on the query dimension, so
+    * the compacted table keeps (here: regains) the sorted layout's
+    * row-group pruning. `CompactFilesSpec` pins file count, content
+    * equality, and that a range predicate prunes better on the
+    * compacted copy than the fragmented one.
+    */
+  def compactFiles(s: SparkSession, dir: String): DataFrame = {
+    val fragPath = ioDir("compact_fragmented")
+    val compactPath = ioDir("compact_out")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+    li.repartition(256).write.mode("overwrite").parquet(fragPath)
+    val frag = s.read.parquet(fragPath)
+    val nFiles = graft.core.Warehouse.bucketCount(s,
+      org.apache.commons.io.FileUtils.sizeOf(new java.io.File(fragPath)))
+    frag.repartitionByRange(nFiles, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(compactPath)
+    s.read.parquet(compactPath)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
   }
 
   /** Morton (Z-order) address of two 16-bit-scaled dimensions: bit i of
@@ -922,6 +988,8 @@ object SourceQueries {
     "source_partitioned_prune" -> partitionedPrune _,
     "source_zorder_prune"     -> zorderPrune _,
     "source_merge_upsert"     -> mergeUpsert _,
+    "source_delete_keys"      -> deleteKeys _,
+    "source_compact_files"    -> compactFiles _,
     "source_json_corrupt"     -> jsonCorruptRecords _,
     "streaming_events_hourly" -> streamingEventsHourly _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
@@ -1026,6 +1094,22 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
+    "source_delete_keys" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 131 <> 0
+        |GROUP BY 1""".stripMargin,
+    "source_compact_files" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1""".stripMargin,
     "source_zorder_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

@@ -62,5 +62,22 @@ class MergeUpsertSpec extends SparkSpec {
     val restWant = orders.filter(col("o_ym") =!= month)
       .agg(count(lit(1)), graft.functions.dsum(col("o_totalprice"))).head()
     assert(restGot === restWant)
+
+    // DELETE arm (insertDelta = false): same scoping, rows removed
+    val beforeDel = snapshot(new File(basePath))
+    val doomed = merged.filter(col("o_ym") === month &&
+      col("o_orderkey") % 2 === 0)
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0)
+    SourceQueries.mergeInto(spark, basePath, tmpPath, doomed,
+      insertDelta = false)
+    val afterDel = snapshot(new File(basePath))
+    val delChanged = beforeDel.keySet.filter(k => beforeDel(k) != afterDel(k))
+    assert(delChanged === Set(s"o_ym=$month"),
+      s"delete rewrote more than the touched partition: $delChanged")
+    val left = spark.read.parquet(basePath)
+    assert(left.count() === orders.count() - nDoomed)
+    assert(left.filter(col("o_ym") === month &&
+      col("o_orderkey") % 2 === 0).count() === 0)
   }
 }

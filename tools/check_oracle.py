@@ -30,8 +30,11 @@ def main(out_dir: str, sf_dir: str) -> int:
     dumped = sorted(d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d)))
     # every oracle key must have a non-empty dump: a failed/raced Verify
-    # write otherwise vanishes silently from the comparison
-    names = sorted(set(dumped) | set(oracles))
+    # write otherwise vanishes silently from the comparison. (A dump dir
+    # holding under half the catalog is a deliberate subset run —
+    # `runMain graft.Verify <sf> <out> q1 q2` — check only what's there.)
+    subset = len(dumped) < len(oracles) / 2
+    names = sorted(dumped if subset else set(dumped) | set(oracles))
     for name in names:
         if not glob.glob(f"{out_dir}/{name}/*.parquet"):
             print(f"[FAIL] {name}: no dump written (Verify failed or "
