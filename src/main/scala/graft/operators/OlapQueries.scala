@@ -286,6 +286,42 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ANALYZE-style column profile of `orders`: one row per profiled
+    * column carrying table row count, non-null count, exact NDV, and
+    * string-rendered min/max — the stats-collection pass every
+    * warehouse runs before planning (and every training-data pipeline
+    * runs to detect drift/nulls before a run). All four columns
+    * profile in ONE scan: Catalyst plans the multi-distinct aggregate
+    * as a single Expand (×4 rows, map-side) feeding partial/final
+    * aggregates, so exactly one shuffle moves only aggregate state,
+    * never the table. min/max/null counts combine map-side for free.
+    * At 100 TB the exact-NDV Expand is the knob to trade first: the
+    * KMV door ([[sketchDistinctUsers]]'s `graft_min_k`) profiles NDV
+    * with bounded ≤k state and no row multiplication. Long-form
+    * output is `stack` over the single aggregate row — driver-sized,
+    * no second scan. Only int/string columns are profiled so the
+    * string rendering of min/max is engine-portable.
+    */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val one = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profiled
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    one.select(
+        expr(s"stack(${profiled.length}, $stackArgs)" +
+          " AS (col_name, n_nonnull, n_distinct, min_val, max_val)"),
+        col("n_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per event type, next
     * to the exact distinct count it estimates. The sketch state is the
     * `graft_min_k` native aggregate — a bounded ≤k set with map-side
@@ -535,6 +571,7 @@ object OlapQueries {
     "salted_join_revenue"     -> saltedJoinRevenue _,
     "topk_users_by_type"      -> topkUsersByType _,
     "sketch_distinct_users"   -> sketchDistinctUsers _,
+    "profile_table"           -> profileTable _,
     "sql_q4_priority_exists"  -> sqlQ4PriorityExists _,
     "events_funnel"           -> eventsFunnel _,
     "window_moving_avg"       -> windowMovingAvg _,
@@ -749,6 +786,30 @@ object OlapQueries {
         |  COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase
         |        THEN 1 END) AS n_then_purchased
         |FROM us""".stripMargin,
+    "profile_table" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |    COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |    COUNT(o_orderstatus) AS nn3,
+        |    COUNT(DISTINCT o_orderstatus) AS nd3,
+        |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+        |    COUNT(o_orderpriority) AS nn4,
+        |    COUNT(DISTINCT o_orderpriority) AS nd4,
+        |    MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nonnull,
+        |  nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM s
+        |UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM s
+        |UNION ALL
+        |SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM s
+        |UNION ALL
+        |SELECT 'o_orderpriority', n_rows, nn4, nd4, mn4, mx4
+        |FROM s""".stripMargin,
     "sketch_distinct_users" ->
       """WITH h AS (
         |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h

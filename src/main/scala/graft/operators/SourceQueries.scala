@@ -977,8 +977,40 @@ object SourceQueries {
           .as("revenue"))
   }
 
+  /** Schema-drift ingestion: batch 1 of the corpus predates the `lang`
+    * column (an early crawl), batch 2 carries it; the union is read
+    * back with parquet `mergeSchema`, so old files surface `lang` as
+    * NULL instead of failing the read — the append-only schema
+    * evolution every long-lived ingest pipeline needs. The aggregate
+    * pins BOTH halves of the contract: `n_with_lang` counts only
+    * batch-2 rows (NULL back-fill is real), `sum_chars` proves no row
+    * of either vintage was dropped or duplicated. At 100 TB footing
+    * identical: schema merge happens at FILE-FOOTER level during
+    * planning (per-file schemas reconciled driver-side, cost ∝ file
+    * count, cacheable in the metastore) — data files are never
+    * rewritten, and scans of new-schema batches still prune/push down
+    * normally.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = ioDir("schema_evolution")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .drop("lang")
+      .write.mode("overwrite").parquet(s"$root/evo_v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$root/evo_v2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$root/evo_v1", s"$root/evo_v2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_with_lang"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip"    -> csvRoundtrip _,
+    "source_schema_evolution" -> schemaEvolution _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
     "source_orc_roundtrip"    -> orcRoundtrip _,
@@ -1074,6 +1106,16 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "source_schema_evolution" ->
+      """WITH evolved AS (
+        |  SELECT source, CAST(NULL AS VARCHAR) AS lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT source, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(lang) AS n_with_lang,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM evolved GROUP BY source""".stripMargin,
     "source_merge_upsert" ->
       """WITH up AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
