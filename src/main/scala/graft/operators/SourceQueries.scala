@@ -1008,9 +1008,182 @@ object SourceQueries {
         sum(col("n_chars")).cast("bigint").as("sum_chars"))
   }
 
+  // ---- Manifest-based snapshot store (time travel + changefeed) ----
+  //
+  // The missing lakehouse piece after MERGE/DELETE/COMPACT: those entries
+  // swap rewritten partitions IN PLACE, so history is gone the moment a
+  // commit lands. Here every commit instead writes NEW partition dirs and
+  // publishes an immutable manifest (version -> {month -> dir}); old data
+  // files are never touched, so any past version stays readable forever —
+  // the reproducibility contract a training run needs ("the corpus as of
+  // snapshot v1"), and the diff of two manifests IS the changefeed. This
+  // is the core idea of Iceberg/Delta snapshot isolation, reduced to its
+  // Spark-native minimum: metadata cost is O(partitions) lines per
+  // version, commit atomicity is the same temp+rename discipline as
+  // `MrOutSource`, and storage growth is O(touched partitions) per
+  // commit, reclaimable by dropping manifests older than a retention
+  // horizon and sweeping unreferenced dirs.
+
+  /** Atomically publish `version -> entries` (month -> data dir). */
+  private[operators] def writeManifest(root: java.nio.file.Path, version: Int,
+                                       entries: Map[String, String]): Unit = {
+    val mdir = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    val lines = entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
+    val tmp = mdir.resolve(s"v$version.tmp")
+    java.nio.file.Files.write(tmp, lines.asJava)
+    java.nio.file.Files.move(tmp, mdir.resolve(s"v$version.manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[operators] def readManifest(root: java.nio.file.Path,
+                                      version: Int): Map[String, String] =
+    java.nio.file.Files
+      .readAllLines(root.resolve("manifests").resolve(s"v$version.manifest"))
+      .asScala.map { l =>
+        val Array(ym, p) = l.split('\t'); ym -> p
+      }.toMap
+
+  /** Read one snapshot: the union of its manifest's partition dirs. The
+    * month lives IN the data (`o_ym`); the `o_ym_p=` dir name is layout
+    * only, so leaf dirs from different commit roots mix freely.
+    */
+  private[operators] def snapshotRead(s: SparkSession,
+      root: java.nio.file.Path, version: Int): DataFrame =
+    s.read.parquet(readManifest(root, version).values.toSeq.sorted: _*)
+
+  /** Copy-on-write snapshot commit: anti-join the delta's keys out of
+    * the TOUCHED months only (read via the parent manifest), write the
+    * rewritten months under a fresh `d<toV>` root, publish manifest
+    * `toV` = parent entries with touched months repointed (months left
+    * with zero rows drop out). Untouched months keep their exact parent
+    * dirs — shared, never rewritten, which is both the scale property
+    * (a daily commit costs O(touched), not O(table)) and what makes
+    * time travel free. Cross-version isolation needs no locking beyond
+    * the manifest rename: data dirs are write-once.
+    */
+  private[operators] def snapshotCommit(s: SparkSession,
+      root: java.nio.file.Path, fromV: Int, toV: Int, delta: DataFrame,
+      insertDelta: Boolean): Unit = {
+    val parent = readManifest(root, fromV)
+    val touched = delta.select("o_ym").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+    val kept = s.read.parquet(touched.map(parent): _*)
+      .join(broadcast(delta.select(col("o_orderkey").as("d_key"))),
+        col("o_orderkey") === col("d_key"), "left_anti")
+    val out = root.resolve(s"d$toV").toString
+    (if (insertDelta) kept.unionByName(delta) else kept)
+      .withColumn("o_ym_p", col("o_ym"))
+      .write.mode("overwrite").partitionBy("o_ym_p").parquet(out)
+    val (present, emptied) = touched.partition(ym =>
+      new java.io.File(s"$out/o_ym_p=$ym").isDirectory)
+    writeManifest(root, toV,
+      (parent -- emptied) ++ present.map(ym => ym -> s"$out/o_ym_p=$ym"))
+  }
+
+  /** Three-version fixture over orders: v1 = the base table; v2 = MERGE
+    * (10% price bump for keys ≡ 0 mod 97, re-keyed-negative inserts for
+    * keys ≡ 0 mod 1013); v3 = DELETE of keys ≡ 0 mod 131 — the same
+    * deterministic deltas as `source_merge_upsert`/`source_delete_keys`,
+    * but committed through the manifest store so all three versions
+    * coexist on disk.
+    */
+  private val snapshotRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private[operators] def snapshotFixture(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    snapshotRoots.getOrElseUpdate(Tables.dirKey(dir),
+      buildSnapshotFixture(s, dir))
+
+  private def buildSnapshotFixture(s: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(ioDir("snapshot_orders"))
+      .resolve(Tables.dirKey(dir))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    val d1 = root.resolve("d1").toString
+    orders.withColumn("o_ym_p", col("o_ym"))
+      .write.mode("overwrite").partitionBy("o_ym_p").parquet(d1)
+    val months = Option(new java.io.File(d1).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("o_ym_p="))
+      .map(f => f.getName.stripPrefix("o_ym_p=") -> f.getAbsolutePath)
+    writeManifest(root, 1, months.toMap)
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    snapshotCommit(s, root, 1, 2, updates.unionByName(inserts),
+      insertDelta = true)
+    val doomed = orders.filter(col("o_orderkey") % 131 === 0)
+    snapshotCommit(s, root, 2, 3, doomed, insertDelta = false)
+    root
+  }
+
+  /** Time travel: after the v2 merge and v3 delete have committed, read
+    * snapshots v1 AND v3 side by side — identical per-status aggregates
+    * for both versions, tagged by a `version` column. v1's correctness
+    * proves old versions survive later commits untouched (in-place
+    * swaps would have destroyed it); v3's proves the manifest chain
+    * composes commits correctly. At 100 TB a snapshot read costs
+    * exactly a normal table scan plus one manifest file.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    def versionAgg(v: Int): DataFrame = snapshotRead(s, root, v)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("version", lit(s"v$v"))
+    versionAgg(1).unionByName(versionAgg(3))
+      .select(col("version"), col("o_orderstatus"), col("n_orders"),
+        col("n_keys"), col("sum_price"))
+  }
+
+  /** Changefeed (CDC) between two snapshots, partition-scoped by the
+    * MANIFEST diff: months whose dir pointer didn't move are shared
+    * files and provably identical, so only repointed months are read —
+    * at 100 TB the diff of two adjacent daily versions scans the
+    * handful of touched partitions, never the table. Within those, a
+    * full-outer join on the key classifies every difference as
+    * insert / delete / update (price drift); the aggregate returns per
+    * change type the key count and a key checksum, so a missed or
+    * phantom change hash-mismatches the relationally-computed oracle.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    val m1 = readManifest(root, 1)
+    val m3 = readManifest(root, 3)
+    val changed = (m1.keySet ++ m3.keySet).toSeq.sorted
+      .filter(ym => m1.get(ym) != m3.get(ym))
+    val oldSide = s.read.parquet(changed.flatMap(m1.get): _*)
+      .select(col("o_orderkey").as("old_key"),
+        col("o_totalprice").as("old_price"))
+    val newSide = s.read.parquet(changed.flatMap(m3.get): _*)
+      .select(col("o_orderkey").as("new_key"),
+        col("o_totalprice").as("new_price"))
+    oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
+      .filter(col("old_key").isNull || col("new_key").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(
+        when(col("old_key").isNull, lit("insert"))
+          .when(col("new_key").isNull, lit("delete"))
+          .otherwise(lit("update")).as("change_type"),
+        coalesce(col("old_key"), col("new_key")).as("k"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("k")).cast("bigint").as("key_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_schema_evolution" -> schemaEvolution _,
+    "source_time_travel"      -> timeTravel _,
+    "source_table_diff"       -> tableDiff _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
     "source_orc_roundtrip"    -> orcRoundtrip _,
@@ -1136,6 +1309,62 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
+    "source_time_travel" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+        |SELECT 'v1' AS version, o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v3' AS version, o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3 GROUP BY 1, 2""".stripMargin,
+    "source_table_diff" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0),
+        |d AS (
+        |  SELECT v1.o_orderkey AS k1, v1.o_totalprice AS p1,
+        |    v3.o_orderkey AS k3, v3.o_totalprice AS p3
+        |  FROM orders v1 FULL OUTER JOIN v3
+        |    ON v1.o_orderkey = v3.o_orderkey
+        |  WHERE v1.o_orderkey IS NULL OR v3.o_orderkey IS NULL
+        |    OR p1 <> p3)
+        |SELECT CASE WHEN k1 IS NULL THEN 'insert'
+        |            WHEN k3 IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |  COUNT(*) AS n_keys,
+        |  CAST(SUM(COALESCE(k1, k3)) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1""".stripMargin,
     "source_delete_keys" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
