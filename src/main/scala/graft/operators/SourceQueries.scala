@@ -1179,11 +1179,83 @@ object SourceQueries {
         sum(col("k")).cast("bigint").as("key_sum"))
   }
 
+  /** Retention sweep for the snapshot store: drop every manifest not
+    * in `keep`, then delete each leaf partition dir referenced by NO
+    * kept manifest. Order makes it safe — the referenced set is
+    * computed from the kept manifests first, and data dirs are
+    * write-once, so a concurrent reader of a kept version never loses
+    * a file. Storage returns to O(live versions' touched partitions);
+    * the sweep itself is metadata-only work (list + delete),
+    * proportional to partition count, not data size. Returns the
+    * number of leaf dirs removed.
+    */
+  private[operators] def snapshotVacuum(root: java.nio.file.Path,
+                                        keep: Set[Int]): Int = {
+    def canon(p: String): String = new java.io.File(p).getCanonicalPath
+    val mdir = root.resolve("manifests")
+    val versions = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq
+    val referenced = versions.filter(keep)
+      .flatMap(v => readManifest(root, v).values).map(canon).toSet
+    var removed = 0
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+      .foreach { droot =>
+        Option(droot.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).foreach { leaf =>
+            if (!referenced.contains(canon(leaf.getAbsolutePath))) {
+              org.apache.commons.io.FileUtils.deleteQuietly(leaf)
+              removed += 1
+            }
+          }
+      }
+    versions.filterNot(keep).foreach { v =>
+      java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.manifest"))
+    }
+    removed
+  }
+
+  /** Incremental materialized-view refresh, scoped by the manifest
+    * diff. The MV is the per-(month, status) aggregate; bringing it
+    * from v1 to v3 re-aggregates ONLY repointed months (their new
+    * dirs, partition-pruned reads) and carries every other month's MV
+    * row over verbatim — valid because an unmoved manifest pointer
+    * means the same data files, hence the same aggregate. Months
+    * emptied by the commit drop out (their carry is excluded and they
+    * have no v3 dirs to re-aggregate). Refresh cost is
+    * O(changed partitions + MV), independent of table size — a daily
+    * refresh at 100 TB touches the day's partitions, never the table.
+    * The oracle recomputes the WHOLE MV from v3 relationally, so a
+    * stale carried row or a missed month hash-mismatches.
+    */
+  def mvIncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    val m1 = readManifest(root, 1)
+    val m3 = readManifest(root, 3)
+    def monthAgg(df: DataFrame): DataFrame = df
+      .groupBy(col("o_ym"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+    // the MV as it stood at v1 (a real warehouse stores this table;
+    // here it is recomputed because the fixture is built per run)
+    val mv1 = monthAgg(snapshotRead(s, root, 1))
+    val changed = (m1.keySet ++ m3.keySet)
+      .filter(ym => m1.get(ym) != m3.get(ym)).toSeq.sorted
+    val carried = mv1.filter(!col("o_ym").isin(changed: _*))
+    val refreshed = monthAgg(
+      s.read.parquet(changed.flatMap(m3.get): _*))
+    carried.unionByName(refreshed)
+      .select(col("o_ym"), col("o_orderstatus"), col("n_orders"),
+        col("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_schema_evolution" -> schemaEvolution _,
     "source_time_travel"      -> timeTravel _,
     "source_table_diff"       -> tableDiff _,
+    "source_mv_refresh"       -> mvIncrementalRefresh _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
     "source_orc_roundtrip"    -> orcRoundtrip _,
@@ -1334,6 +1406,29 @@ object SourceQueries {
         |UNION ALL
         |SELECT 'v3' AS version, o_orderstatus, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3 GROUP BY 1, 2""".stripMargin,
+    "source_mv_refresh" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |    o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_orderdate, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, o_orderstatus,
+        |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v3 GROUP BY 1, 2""".stripMargin,

@@ -81,4 +81,43 @@ class SnapshotStoreSpec extends SparkSpec {
       .agg(graft.functions.dsum(col("o_totalprice"))).head().getDouble(0)
     assert(gotMonth === wantMonth)
   }
+
+  test("vacuum removes only unreferenced dirs; kept version reads exact") {
+    val root = Paths.get("target/graft-io/snapshot_vacuum_spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    val d1 = root.resolve("d1").toString
+    orders.withColumn("o_ym_p", col("o_ym"))
+      .write.partitionBy("o_ym_p").parquet(d1)
+    val months = new File(d1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_ym_p="))
+      .map(f => f.getName.stripPrefix("o_ym_p=") -> f.getAbsolutePath)
+      .toMap
+    SourceQueries.writeManifest(root, 1, months)
+    val month = "1996-03"
+    val delta = orders.filter(col("o_ym") === month)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    SourceQueries.snapshotCommit(spark, root, 1, 2, delta,
+      insertDelta = true)
+
+    val v2Before = SourceQueries.snapshotRead(spark, root, 2)
+      .agg(count(lit(1)), graft.functions.dsum(col("o_totalprice"))).head()
+
+    // v1-only data = the repointed month's ORIGINAL dir; everything
+    // else is shared with v2 and must survive
+    val removed = SourceQueries.snapshotVacuum(root, keep = Set(2))
+    assert(removed === 1, s"expected exactly the old $month dir, got $removed")
+    assert(!new File(months(month)).exists(), "v1-only dir not swept")
+    (months - month).values.foreach { p =>
+      assert(new File(p).exists(), s"shared dir swept: $p")
+    }
+    assert(!root.resolve("manifests").resolve("v1.manifest").toFile.exists())
+
+    val v2After = SourceQueries.snapshotRead(spark, root, 2)
+      .agg(count(lit(1)), graft.functions.dsum(col("o_totalprice"))).head()
+    assert(v2After === v2Before)
+  }
 }
