@@ -1179,6 +1179,80 @@ object SourceQueries {
         sum(col("k")).cast("bigint").as("key_sum"))
   }
 
+  // ---- Per-file hash-signature (Bloom-style) point-lookup index ----
+  //
+  // The data-skipping case min/max stats and the Z-order layout CANNOT
+  // serve: fetching a handful of doc_ids from a corpus whose files are
+  // clustered by (source, length) — every file's doc_id min/max spans
+  // the whole key range, so stats prune nothing and a point lookup
+  // scans 100 TB. The index maps file -> sorted distinct
+  // `hash(doc_id) mod 2^20` buckets (a one-hash Bloom filter stored
+  // sparse: O(rows-per-file) ints of metadata per file, false-positive
+  // rate rows_per_file / 2^20). A lookup equi-joins the key set's
+  // buckets against the exploded signatures (broadcast hash join — no
+  // nested loop), collects the matching file list (metadata-sized, the
+  // same class of driver work as a manifest read), and scans ONLY
+  // those files with the exact key predicate re-applied. At 100 TB the
+  // index build is one map-side pass amortized over the table's life;
+  // a real deployment re-sizes the modulus with rows-per-file to hold
+  // the false-positive rate.
+
+  private val BloomSigBuckets = 1 << 20
+
+  private val bloomIndexRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Layout + index job, once per sf dir per JVM: documents re-written
+    * range-clustered by (source, n_chars) — deliberately uncorrelated
+    * with doc_id — plus the per-file signature table.
+    */
+  private[operators] def bloomIndexLayout(s: SparkSession, dir: String)
+      : String =
+    bloomIndexRoots.getOrElseUpdate(Tables.dirKey(dir), {
+      val root = new java.io.File(ioDir("bloom_index"), Tables.dirKey(dir))
+        .getAbsolutePath
+      val nFiles = graft.core.Warehouse.bucketCount(s,
+        org.apache.commons.io.FileUtils.sizeOf(
+          new java.io.File(s"$dir/documents.parquet")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .repartitionByRange(nFiles, col("source"), col("n_chars"))
+        .sortWithinPartitions(col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/data")
+      s.read.parquet(s"$root/data")
+        .select(col("_metadata.file_path").as("file"), col("doc_id"))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_set(
+          pmod(hash(col("doc_id")), lit(BloomSigBuckets)))).as("sig"))
+        .write.mode("overwrite").parquet(s"$root/index")
+      root
+    })
+
+  /** Point lookup through the index: prune the file list via the
+    * signature join, then scan only surviving files. The exact key
+    * predicate is re-applied after the scan, so Bloom false positives
+    * cost I/O, never correctness — the oracle filters the base table
+    * relationally. `BloomIndexSpec` pins the pruning (matched files a
+    * strict subset) and exactness vs the direct scan.
+    */
+  def bloomIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomIndexLayout(s, dir)
+    val keyPred = col("doc_id") % 97 === 0
+    // in production the key list arrives as a parameter; deriving it
+    // from the table keeps the fixture self-contained (the ann_*
+    // entries' query-vector convention)
+    val keyBuckets = Tables.documents(s, dir).filter(keyPred)
+      .select(pmod(hash(col("doc_id")), lit(BloomSigBuckets)).as("bucket"))
+      .distinct()
+    val matched = s.read.parquet(s"$root/index")
+      .select(col("file"), explode(col("sig")).as("bucket"))
+      .join(broadcast(keyBuckets), "bucket")
+      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+    s.read.parquet(matched.toIndexedSeq: _*)
+      .filter(keyPred)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** Retention sweep for the snapshot store: drop every manifest not
     * in `keep`, then delete each leaf partition dir referenced by NO
     * kept manifest. Order makes it safe — the referenced set is
@@ -1256,6 +1330,7 @@ object SourceQueries {
     "source_time_travel"      -> timeTravel _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
+    "source_bloom_lookup"     -> bloomIndexLookup _,
     "source_json_roundtrip"   -> jsonRoundtrip _,
     "source_text_roundtrip"   -> textRoundtrip _,
     "source_orc_roundtrip"    -> orcRoundtrip _,
@@ -1409,6 +1484,9 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v3 GROUP BY 1, 2""".stripMargin,
+    "source_bloom_lookup" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id % 97 = 0""".stripMargin,
     "source_mv_refresh" ->
       """WITH up AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderdate,
