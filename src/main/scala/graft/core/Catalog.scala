@@ -18,7 +18,7 @@ object Catalog {
   def register(spark: SparkSession, dir: String): Unit = {
     GraftExtensions.register(spark)
     Tables.all.foreach { name =>
-      // events needs its nanos→micros timestamp normalization, so go
+      // events needs its ts-vintage normalization (normalizeEventTs), so go
       // through the typed loaders, not the raw parquet read
       val df = name match {
         case "events" => Tables.events(spark, dir)

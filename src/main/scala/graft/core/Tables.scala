@@ -79,18 +79,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read the nanos as a long (legacy conf) and
-    * convert with exact integer division to a microsecond timestamp —
-    * matching DuckDB, which reads the same column as µs TIMESTAMP.
-    * (No value in the data has sub-µs precision, so this is lossless.)
+  /** Normalize the events `ts` column to a session-TZ µs TIMESTAMP
+    * regardless of which physical parquet type the generator used.
+    * Generations of the harness data have shipped `ts` as
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader only admits as a
+    * long, via `spark.sql.legacy.parquet.nanosAsLong`) and as plain
+    * `timestamp[us]` (which Spark reads as TIMESTAMP_NTZ). Dispatch on
+    * the OBSERVED column type so both vintages — and a re-generated
+    * dataset mid-round — produce the identical downstream schema:
+    *   - LongType (nanos-as-long): exact `div 1000` → µs timestamp.
+    *     Lossless: no value in the data has sub-µs precision.
+    *   - TIMESTAMP_NTZ: cast to TIMESTAMP. The session TZ is pinned to
+    *     UTC everywhere (Verify/Bench/specs), so the cast is
+    *     value-preserving, and DuckDB reads the same column as a naive
+    *     µs TIMESTAMP with the same field values.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** See [[normalizeEventTs]] for the `ts` schema dance. The legacy
+    * nanos-as-long conf is still flipped so a TIMESTAMP(NANOS) vintage of
+    * the data remains readable at all (without it the scan throws).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -217,9 +217,9 @@ object SourceQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val streamDir = eventsStreamDir(s, dir)
-      val rawSchema = s.read.parquet(streamDir).schema // ts = nanos long
+      val rawSchema = s.read.parquet(streamDir).schema // ts vintage varies
       val agg = s.readStream.schema(rawSchema).parquet(streamDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
              dsum(col("value")).as("sum_value"),
@@ -262,7 +262,7 @@ object SourceQueries {
       val streamDir = eventsStreamDir(s, dir)
       val rawSchema = s.read.parquet(streamDir).schema
       val agg = s.readStream.schema(rawSchema).parquet(streamDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .filter(col("user_id") % 10 === 0)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
@@ -303,7 +303,7 @@ object SourceQueries {
       val streamDir = eventsStreamDir(s, dir)
       val rawSchema = s.read.parquet(streamDir).schema
       val agg = s.readStream.schema(rawSchema).parquet(streamDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .filter(col("user_id") % 10 === 3)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -424,7 +424,7 @@ object SourceQueries {
       val streamDir = eventsStreamDir(s, dir)
       val rawSchema = s.read.parquet(streamDir).schema
       def side(tpe: String) = s.readStream.schema(rawSchema).parquet(streamDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .filter(col("event_type") === tpe)
       val clicks = side("click")
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -501,10 +501,18 @@ object SourceQueries {
       if (stale) java.nio.file.Files.delete(sentinel)
       if (!java.nio.file.Files.exists(sentinel)) {
         val raw = s.read.parquet(srcPath.toString)
-        val maxNanos = raw.agg(max(col("ts"))).as[Long].head()
         val tmp = sessDir.resolve("_sentinel_tmp")
-        raw.limit(1)
-          .withColumn("ts", lit(maxNanos + 2L * 3600 * 1000000000L))
+        // bump 2 h past max(ts) in the source's OWN type (long nanos vs
+        // µs timestamp vintages — see Tables.normalizeEventTs), so the
+        // sentinel part file carries the same parquet schema as the
+        // linked data files and the merged directory read stays uniform
+        val bump: Column => Column =
+          if (raw.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
+            _ + lit(2L * 3600 * 1000000000L)
+          else _ + expr("INTERVAL 2 HOURS")
+        raw.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", bump(col("ts")))
           .withColumn("user_id", lit(-1L))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = listDir(tmp)
@@ -514,7 +522,7 @@ object SourceQueries {
       }
       val rawSchema = s.read.parquet(sessDir.toString).schema
       val events = s.readStream.schema(rawSchema).parquet(sessDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
