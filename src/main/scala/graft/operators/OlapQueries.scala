@@ -554,7 +554,33 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_custs"))
   }
 
+  /** Frequency-ranked dictionary encoding of a categorical column — the
+    * "build a label vocabulary, then encode the fact table" step of a
+    * feature pipeline. The dictionary is a groupBy(event_type) aggregate
+    * (rows = DISTINCT types, independent of corpus size) ranked by
+    * (freq DESC, type ASC) — a total order, so code assignment is
+    * deterministic in both engines; the unpartitioned `row_number`
+    * window runs over that CARDINALITY-sized aggregate, never the fact
+    * table (the corpus_mix exemption class in PlanLintSpec). Encoding is
+    * a broadcast hash join of the fact side against the tiny dictionary;
+    * the output re-aggregates per code to prove the mapping end to end
+    * without dumping the fact table.
+    */
+  def dictEncodeTypes(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dict = ev.groupBy("event_type").agg(count(lit(1)).as("freq"))
+      .withColumn("code",
+        row_number().over(
+          Window.orderBy(col("freq").desc, col("event_type"))).cast("long"))
+      .select("event_type", "code")
+    ev.join(broadcast(dict), "event_type")
+      .groupBy(col("code"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select("code", "event_type", "n_events", "sum_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dict_encode_types"       -> dictEncodeTypes _,
     "q7_volume_shipping"      -> q7VolumeShipping _,
     "q9_product_profit"       -> q9ProductProfit _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
@@ -580,6 +606,19 @@ object OlapQueries {
     "events_retention"        -> eventsRetention _)
 
   val oracles: Map[String, String] = Map(
+    "dict_encode_types" ->
+      """WITH freq AS (
+        |  SELECT event_type, COUNT(*) AS freq FROM events
+        |  GROUP BY event_type),
+        |dict AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, event_type)
+        |      AS BIGINT) AS code
+        |  FROM freq)
+        |SELECT d.code, e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dict d ON e.event_type = d.event_type
+        |GROUP BY d.code, e.event_type""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  COUNT(*) AS n_lines,

@@ -451,30 +451,17 @@ object SourceQueries {
     s.table(qName)
   }
 
-  /** STREAMING SESSIONIZATION under the oracle gate: the
-    * `flatMapGroupsWithState` sessionizer ([[graft.streaming.EventStreams
-    * .sessionize]]) over the events file stream, checked against the same
-    * DuckDB lag()-based batch oracle as `events_sessionize`. A bounded
-    * AvailableNow run only emits sessions the WATERMARK has closed, so the
-    * scratch dir pairs the events file with a one-row sentinel (user −1,
-    * 2 h past max ts) that drives the final watermark past every real
-    * session's gap deadline; the sentinel's own open session never emits
-    * and user −1 is excluded from the result. `session_id` is recovered
-    * as the per-user rank of `session_start` — identical to the batch
-    * oracle's running new-session count.
+  /** Sentinel'd streaming events source shared by the session queries:
+    * the events parquet exposed through a scratch dir (symlinks) PLUS a
+    * single sentinel row 2 h past max(ts), so an event-time watermark
+    * provably passes every real session's close and append-mode output
+    * is complete under `Trigger.AvailableNow`. Returns the normalized
+    * streaming DataFrame; callers must filter the sentinel's
+    * `user_id = -1` out of their RESULT (not the input — the sentinel
+    * has to reach the watermark node to advance it).
     */
-  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val qName = "graft_streaming_sessions"
-    s.streams.active.filter(q => Option(q.name).contains(qName))
-      .foreach(_.stop())
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    // everything below may throw — the finally must restore the session
-    // conf regardless, or all later queries in the run inherit 8
-    // shuffle partitions
-    try {
+  private def sessionEventsStream(s: SparkSession, dir: String)
+      : DataFrame = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sessDir = java.nio.file.Paths.get(ioDir("stream_sessions"))
         .resolve(Tables.dirKey(dir) + "f")
@@ -521,10 +508,37 @@ object SourceQueries {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
       val rawSchema = s.read.parquet(sessDir.toString).schema
-      val events = s.readStream.schema(rawSchema).parquet(sessDir.toString)
+      s.readStream.schema(rawSchema).parquet(sessDir.toString)
         .transform(Tables.normalizeEventTs)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
+  }
+
+  /** STREAMING SESSIONIZATION under the oracle gate: the
+    * `flatMapGroupsWithState` sessionizer ([[graft.streaming.EventStreams
+    * .sessionize]]) over the events file stream, checked against the same
+    * DuckDB lag()-based batch oracle as `events_sessionize`. A bounded
+    * AvailableNow run only emits sessions the WATERMARK has closed, so the
+    * scratch dir pairs the events file with a one-row sentinel (user −1,
+    * 2 h past max ts) that drives the final watermark past every real
+    * session's gap deadline; the sentinel's own open session never emits
+    * and user −1 is excluded from the result. `session_id` is recovered
+    * as the per-user rank of `session_start` — identical to the batch
+    * oracle's running new-session count.
+    */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qName = "graft_streaming_sessions"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // everything below may throw — the finally must restore the session
+    // conf regardless, or all later queries in the run inherit 8
+    // shuffle partitions
+    try {
+      val events = sessionEventsStream(s, dir)
         .as[graft.streaming.EventStreams.Event]
       val q = graft.streaming.EventStreams.sessionize(events)
         .writeStream
@@ -543,6 +557,49 @@ object SourceQueries {
           .cast("long"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start"), col("session_end"), col("sum_value"))
+  }
+
+  /** NATIVE SESSION WINDOWS: the declarative twin of
+    * [[streamingSessionize]] — `groupBy(session_window(ts, gap))` lets
+    * Spark's built-in session-window aggregation do the state tracking
+    * and window merging that the flatMapGroupsWithState version codes by
+    * hand, with full partial-aggregation and watermark-driven state
+    * eviction for free. Same sentinel'd bounded stream; same 30-min gap.
+    *
+    * Boundary semantics differ from the hand-rolled sessionizer, and the
+    * oracle pins them: built-in session windows merge events whose gap
+    * is STRICTLY LESS than the gap duration (each event claims
+    * [ts, ts+gap) and windows merge on overlap), so an exactly-30-min
+    * gap SPLITS here (`>=` in the oracle's new-session flag) while
+    * `EventStreams.sessionize` keeps it (`>`). `session_end` is the
+    * merged window's end — last event ts + gap — not the last event ts.
+    */
+  def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_session_window"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessionEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName).filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end",
+        "n_events", "sum_value")
   }
 
   /** STREAMING WRITE through the custom `mrout` DSv2 sink: the events
@@ -1358,7 +1415,8 @@ object SourceQueries {
     "streaming_enrich_join"   -> streamingEnrichJoin _,
     "streaming_incremental_dedup" -> streamingIncrementalDedup _,
     "streaming_mrout_sink"    -> streamingMroutSink _,
-    "streaming_sessionize"    -> streamingSessionize _)
+    "streaming_sessionize"    -> streamingSessionize _,
+    "streaming_session_window" -> streamingSessionWindow _)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -1602,6 +1660,26 @@ object SourceQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    // session_window semantics: an exactly-gap-sized gap SPLITS (>=),
+    // and session_end = last ts + gap — see streamingSessionWindow
+    "streaming_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
     "streaming_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS n_events,

@@ -500,7 +500,68 @@ object TextQueries {
           .as("alloc_tokens"))
   }
 
+  /** Vocabulary-coverage audit: build the top-[[VocabSize]] token
+    * vocabulary by global frequency (ties broken lexicographically, so
+    * the cut is total-ordered and deterministic in both engines), then
+    * measure each source's out-of-vocabulary token rate — the standard
+    * "how much of this corpus does my tokenizer's vocab cover" check
+    * before committing to a training mix.
+    *
+    * Scale: token explode is narrow; the vocab is a groupBy(token)
+    * aggregate (bounded by vocabulary size, not corpus size) topped by
+    * `TakeOrderedAndProject` (per-partition top-k, never a global sort),
+    * and the OOV probe is a broadcast LEFT ANTI join against that
+    * constant-sized vocab — the corpus-sized side never shuffles on
+    * token.
+    */
+  private val VocabSize = 16
+  def vocabOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(VocabSize)
+      .select("tok")
+    val perSrc = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_oov"))
+    perSrc.join(oov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("oov_rate"))
+  }
+
+  /** Equi-depth length histogram without a global sort: pass 1 computes
+    * the 7 octile boundaries of `n_chars` in ONE grouping-free aggregate
+    * (Spark's exact interpolated `percentile`; fractions k/8 are dyadic,
+    * so `lo + (hi−lo)·frac` over integer lengths is exactly
+    * representable and bit-identical to DuckDB's `quantile_cont` — the
+    * `percentile_brand_prices` determinism argument, see
+    * OlapQueries.scala), pass 2 broadcasts that 1-row boundary array and
+    * bins every document with a strict `boundary < n_chars` count. The
+    * naive equi-depth shape — `ntile(8) OVER (ORDER BY n_chars)` — is a
+    * corpus-sized unpartitioned window, exactly what PlanLintSpec
+    * forbids; this two-scan form keeps both passes full-parallel at any
+    * corpus size (the percentile buffer is bounded by DISTINCT lengths,
+    * not rows).
+    */
+  def lengthOctiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("n_chars"))
+    val bounds = docs.agg(percentile(col("n_chars"),
+      lit((1 to 7).map(_ / 8.0).toArray)).as("qs"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        size(filter(col("qs"), q => q < col("n_chars").cast("double")))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+           min("n_chars").as("min_chars"),
+           max("n_chars").as("max_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_oov_rate" -> vocabOovRate _,
+    "length_octiles" -> lengthOctiles _,
     "corpus_mix"     -> corpusMix _,
     "pii_scrub"      -> piiScrub _,
     "sketch_heavy_words" -> sketchHeavyWords _,
@@ -543,6 +604,41 @@ object TextQueries {
          |FROM d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vocab_oov_rate" ->
+      raw"""WITH toks AS (
+           |  SELECT source,
+           |    unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS tok
+           |  FROM documents),
+           |t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+           |vocab AS (
+           |  SELECT tok FROM (
+           |    SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok)
+           |  ORDER BY freq DESC, tok LIMIT 16),
+           |tot AS (SELECT source, COUNT(*) AS n_tokens FROM t
+           |        GROUP BY source),
+           |oov AS (SELECT source, COUNT(*) AS n_oov FROM t
+           |        WHERE tok NOT IN (SELECT tok FROM vocab)
+           |        GROUP BY source)
+           |SELECT tot.source, tot.n_tokens,
+           |  COALESCE(oov.n_oov, 0) AS n_oov,
+           |  CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) / tot.n_tokens
+           |    AS oov_rate
+           |FROM tot LEFT JOIN oov ON tot.source = oov.source""".stripMargin,
+    "length_octiles" ->
+      """WITH qs AS (
+        |  SELECT [quantile_cont(n_chars, 0.125),
+        |          quantile_cont(n_chars, 0.25),
+        |          quantile_cont(n_chars, 0.375),
+        |          quantile_cont(n_chars, 0.5),
+        |          quantile_cont(n_chars, 0.625),
+        |          quantile_cont(n_chars, 0.75),
+        |          quantile_cont(n_chars, 0.875)] AS qs
+        |  FROM documents)
+        |SELECT CAST(len(list_filter(qs.qs, x -> x < d.n_chars)) AS BIGINT)
+        |    AS bin,
+        |  COUNT(*) AS n_docs, MIN(d.n_chars) AS min_chars,
+        |  MAX(d.n_chars) AS max_chars
+        |FROM documents d, qs GROUP BY 1""".stripMargin,
     "corpus_mix" ->
       raw"""WITH t AS (
            |  SELECT source, COUNT(*) AS n_docs,

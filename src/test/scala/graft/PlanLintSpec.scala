@@ -52,14 +52,19 @@ class PlanLintSpec extends SparkSpec {
     // AGGREGATE (≤ dozens of rows at any corpus size; the
     // Window.partitionBy(lit(1)) constant is folded away, leaving an
     // empty partitionSpec) — see TextQueries.corpusMix scaladoc
-    "corpus_mix")
+    "corpus_mix",
+    // dictionary ranking window over the groupBy(event_type) AGGREGATE
+    // (rows = distinct categorical values, not corpus size) — see
+    // OlapQueries.dictEncodeTypes scaladoc
+    "dict_encode_types")
 
   /** Queries whose BNLJ broadcast side is a grouping-free aggregate
     * (structurally ≤1 row; verified per-node below).
     */
   private val scalarBnljAllow = Set(
     "bm25_search",               // corpus-stats scalar (TextQueries)
-    "ann_ivf_assign", "ann_ivf_topk")            // seed-stride k scalar
+    "ann_ivf_assign", "ann_ivf_topk",            // seed-stride k scalar
+    "length_octiles")  // 1-row octile-boundary array (TextQueries)
   // (The kmeans-trained entries ALSO build seeds from the scalar k, but
   // their seed join sits below the training rounds' checkpoints, so the
   // visible plan shows only the constant-bounded centroid BNLJ.)
