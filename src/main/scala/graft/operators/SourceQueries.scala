@@ -566,13 +566,12 @@ object SourceQueries {
     * hand, with full partial-aggregation and watermark-driven state
     * eviction for free. Same sentinel'd bounded stream; same 30-min gap.
     *
-    * Boundary semantics differ from the hand-rolled sessionizer, and the
-    * oracle pins them: built-in session windows merge events whose gap
-    * is STRICTLY LESS than the gap duration (each event claims
-    * [ts, ts+gap) and windows merge on overlap), so an exactly-30-min
-    * gap SPLITS here (`>=` in the oracle's new-session flag) while
-    * `EventStreams.sessionize` keeps it (`>`). `session_end` is the
-    * merged window's end — last event ts + gap — not the last event ts.
+    * Boundary semantics, pinned by the EventStreamsSpec boundary test:
+    * built-in session windows merge events whose windows TOUCH — each
+    * event claims [ts, ts+gap] and an exactly-gap-sized gap still
+    * merges — matching the hand-rolled sessionizer's `<=` keep rule, so
+    * both oracles split on strict `>`. `session_end` is the merged
+    * window's end — last event ts + gap — not the last event ts.
     */
   def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = {
     val qName = "graft_streaming_session_window"
@@ -1660,13 +1659,15 @@ object SourceQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
-    // session_window semantics: an exactly-gap-sized gap SPLITS (>=),
-    // and session_end = last ts + gap — see streamingSessionWindow
+    // session_window semantics: an exactly-gap-sized gap MERGES (the
+    // per-event windows [ts, ts+gap] touch — pinned by the
+    // EventStreamsSpec boundary test), so the split flag is strict `>`;
+    // session_end = last ts + gap — see streamingSessionWindow
     "streaming_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
-        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

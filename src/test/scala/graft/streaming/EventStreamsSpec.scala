@@ -95,6 +95,62 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boundary pin: an exactly-gap-sized gap MERGES under BOTH the " +
+       "native session_window and the hand-rolled sessionizer") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two events exactly 30:00.000 apart. The native session_window
+    // merges them (per-event windows [ts, ts+gap] TOUCH), matching the
+    // sessionizer's `<=` keep rule — both catalog oracles therefore
+    // split on strict `>`. This pin keeps that shared boundary
+    // convention from silently drifting with a Spark upgrade (a change
+    // to >= on either side would make the oracles subtly wrong while
+    // real data almost never lands exactly on the boundary).
+    val boundary = Seq(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(30), 7, "click", 1.0))
+    val flush = Event(99, ts(600), 8, "click", 0.0)
+
+    val in1 = MemoryStream[Event]
+    val q1 = in1.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("swin_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in1.addData(boundary: _*)
+      q1.processAllAvailable()
+      in1.addData(flush)
+      q1.processAllAvailable()
+      val native = spark.table("swin_boundary")
+        .filter("user_id = 7").collect()
+      assert(native.length === 1 &&
+             native.head.getAs[Long]("n_events") === 2L,
+        s"session_window must MERGE an exactly-gap gap, got: " +
+          s"${native.mkString(", ")}")
+    } finally q1.stop()
+
+    val in2 = MemoryStream[Event]
+    val q2 = EventStreams.sessionize(in2.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData(boundary: _*)
+      q2.processAllAvailable()
+      in2.addData(flush)
+      q2.processAllAvailable()
+      val handRolled = spark.table("sess_boundary").as[SessionOut]
+        .collect().filter(_.user_id == 7L)
+      assert(handRolled.length === 1 && handRolled.head.n_events === 2L,
+        s"sessionize must KEEP an exactly-gap gap, got: " +
+          s"${handRolled.mkString(", ")}")
+    } finally q2.stop()
+  }
+
   test("streaming hourly equals batch eventsHourly on the same data") {
     import graft.operators.RelationalQueries
     import spark.implicits._
