@@ -824,6 +824,48 @@ object SourceQueries {
            sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** DYNAMIC partition pruning: `source_partitioned_prune` shows a
+    * LITERAL predicate skipping partition directories at plan time; this
+    * entry shows the runtime half — the fact side is month-partitioned,
+    * the predicate lives on a JOINED calendar dimension (quarter =
+    * 1995-Q1), and no literal month filter exists anywhere in the query.
+    * Catalyst's dynamic partition pruning turns the dimension's
+    * broadcast into an IN-subquery partition filter on the fact scan
+    * (`PartitionFilters: [... dynamicpruning#...]`), so only the 3
+    * matching month directories of 80 are listed and read. At 100 TB,
+    * star-schema queries almost never filter the fact table directly —
+    * DPP is what makes "filter the dimension" cost partition-fraction
+    * I/O instead of a full fact scan. `DppPruneSpec` pins the injected
+    * filter, the 3-of-80 partition metric, and exactness vs a literal
+    * predicate.
+    */
+  def dppJoinPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Paths.get(ioDir("dpp_orders"))
+      .resolve(Tables.dirKey(dir))
+    val path = root.resolve("fact").toString
+    val dimPath = root.resolve("calendar").toString
+    Tables.orders(s, dir)
+      .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_ym").parquet(path)
+    // independent on-disk calendar dimension (covers more months than
+    // the data holds — the join, not the dim, decides which partitions
+    // match). It must be a real datasource: a filter over an in-memory
+    // LocalRelation constant-folds away during optimization, leaving no
+    // selective-filter node for the DPP rule to latch onto.
+    (1990 to 2005).flatMap(y => (1 to 12).map(m =>
+        (f"$y-$m%02d", s"$y-Q${(m + 2) / 3}")))
+      .toDF("d_ym", "quarter")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val fact = s.read.parquet(path)
+    val dim = s.read.parquet(dimPath)
+    fact.join(broadcast(dim.filter(col("quarter") === "1995-Q1")),
+        col("o_ym") === col("d_ym"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** Copy-on-write MERGE (upsert) into a month-partitioned parquet
     * warehouse table — the Delta-less incremental-ingest primitive:
     *
@@ -1402,6 +1444,7 @@ object SourceQueries {
     "source_jdbc_bulk_load"   -> jdbcBulkLoad _,
     "source_mrout_roundtrip"  -> mroutRoundtrip _,
     "source_partitioned_prune" -> partitionedPrune _,
+    "source_dpp_prune" -> dppJoinPrune _,
     "source_zorder_prune"     -> zorderPrune _,
     "source_merge_upsert"     -> mergeUpsert _,
     "source_delete_keys"      -> deleteKeys _,
@@ -1491,6 +1534,15 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    // the calendar-dim join reduces to the quarter's months — the
+    // oracle states the equivalent literal predicate
+    "source_dpp_prune" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+        |GROUP BY o_orderstatus""".stripMargin,
     "source_schema_evolution" ->
       """WITH evolved AS (
         |  SELECT source, CAST(NULL AS VARCHAR) AS lang, n_chars

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** EXERCISES dynamic partition pruning behind `source_dpp_prune`:
+  *
+  *  - the fact scan's partition filters must carry the injected
+  *    `dynamicpruning` expression (no literal month predicate exists in
+  *    the query — only the joined calendar dimension's quarter filter);
+  *  - at runtime the scan must read ONLY the quarter's 3 month
+  *    partitions of the ~80 on disk (the scan's partition metric);
+  *  - the result must equal the same aggregate with a literal month
+  *    predicate — pruning may never change semantics.
+  */
+class DppPruneSpec extends SparkSpec {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children ++ p.subqueries).flatMap(nodes)
+
+  test("partition filter is dynamic, reads 3 of 80 month partitions, " +
+       "exact result") {
+    // AQE off so the executed tree is directly traversable; DPP itself
+    // is independent of AQE (the pruning subquery reuses the dimension
+    // broadcast either way)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SourceQueries.dppJoinPrune(s, sf0001)
+
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty)
+
+    val scans = nodes(df.queryExecution.executedPlan)
+      .collect { case sc: FileSourceScanExec
+        if sc.output.exists(_.name == "o_ym") => sc }
+    assert(scans.nonEmpty, "no partitioned fact scan in plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.mkString(",").contains("dynamicpruning"),
+      s"fact scan's partition filters are static: ${scan.partitionFilters}")
+
+    // runtime partition metric: the quarter's 3 months, out of the full
+    // month range on disk (>= 70 dirs at any sf)
+    val read = scan.metrics("numPartitions").value
+    assert(read === 3, s"scan read $read partitions, wanted 3")
+
+    // exactness vs the literal-predicate control
+    val literal = graft.core.Tables.orders(s, sf0001)
+      .filter(year(col("o_orderdate")) === 1995 &&
+              quarter(col("o_orderdate")) === 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.dsum(col("o_totalprice")).as("sum_price"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === literal)
+  }
+}
