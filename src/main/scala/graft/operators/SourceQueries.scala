@@ -451,14 +451,72 @@ object SourceQueries {
     s.table(qName)
   }
 
-  /** Sentinel'd streaming events source shared by the session queries:
-    * the events parquet exposed through a scratch dir (symlinks) PLUS a
-    * single sentinel row 2 h past max(ts), so an event-time watermark
-    * provably passes every real session's close and append-mode output
-    * is complete under `Trigger.AvailableNow`. Returns the normalized
-    * streaming DataFrame; callers must filter the sentinel's
-    * `user_id = -1` out of their RESULT (not the input — the sentinel
-    * has to reach the watermark node to advance it).
+  /** STREAM-STREAM LEFT OUTER JOIN — the attribution query's other
+    * half: every click, attributed if a purchase by the same user lands
+    * within 30 min, emitted with NULL purchase columns otherwise. Outer
+    * stream-stream joins only emit their null-padded rows when the
+    * watermark proves no match can still arrive, so a bounded run needs
+    * the watermark driven PAST the last click's match window — the
+    * sentinel'd source ([[sessionEventsStream]]) exists for exactly
+    * that. The sentinel row carries whatever event type the max-ts
+    * event had, and it must advance BOTH sides' watermark nodes (the
+    * global watermark is their min) — so each side's filter passes the
+    * sentinel explicitly (`user_id < 0`). Writing the filter after
+    * `withWatermark` would NOT suffice: Catalyst pushes non-ts
+    * predicates below the EventTimeWatermark node, and a filtered-out
+    * sentinel silently freezes the watermark one hour short — the
+    * last clicks' null rows never emit (observed, then pinned by the
+    * oracle row count).
+    *
+    * State is watermark-bounded on both sides (the time-range condition
+    * gives the engine per-side expiry deadlines), exactly as at scale:
+    * unmatched-click emission is O(expired state), never a scan replay.
+    */
+  def streamingLeftJoinUnmatched(s: SparkSession, dir: String)
+      : DataFrame = {
+    val qName = "graft_streaming_left_join"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def side(tpe: String) = sessionEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === tpe || col("user_id") < 0)
+      val clicks = side("click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+        "left_outer")
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("gap_us"))
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName).filter(col("user_id") >= 0)
+  }
+
+  /** Sentinel'd streaming events source shared by the session queries
+    * and the outer attribution join: the events parquet exposed through
+    * a scratch dir (symlinks) PLUS a single sentinel row 2 h past
+    * max(ts), so an event-time watermark provably passes every real
+    * session's close and append-mode output is complete under
+    * `Trigger.AvailableNow`. Returns the normalized streaming
+    * DataFrame; callers must filter the sentinel's `user_id = -1` out
+    * of their RESULT (not the input — the sentinel has to reach the
+    * watermark node to advance it).
     */
   private def sessionEventsStream(s: SparkSession, dir: String)
       : DataFrame = {
@@ -1458,7 +1516,8 @@ object SourceQueries {
     "streaming_incremental_dedup" -> streamingIncrementalDedup _,
     "streaming_mrout_sink"    -> streamingMroutSink _,
     "streaming_sessionize"    -> streamingSessionize _,
-    "streaming_session_window" -> streamingSessionWindow _)
+    "streaming_session_window" -> streamingSessionWindow _,
+    "streaming_left_join_unmatched" -> streamingLeftJoinUnmatched _)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -1509,6 +1568,18 @@ object SourceQueries {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "streaming_left_join_unmatched" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_id,
+        |  CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+        |FROM clicks c LEFT JOIN purch p
+        |  ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+        |  AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE""".stripMargin,
     "streaming_mrout_sink" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users
