@@ -579,8 +579,34 @@ object OlapQueries {
       .select("code", "event_type", "n_events", "sum_value")
   }
 
+  /** Order-independent table checksum — the migration/CDC validation
+    * primitive: after a snapshot copy, a merge replay, or an engine
+    * swap, both sides run one cheap pass and compare a single number.
+    * Each row folds to a polynomial over its key/date/money/status
+    * fields in EXACT decimal arithmetic (no float summation, no
+    * engine-specific hash), summed commutatively — so the checksum is
+    * independent of partitioning, row order, and engine, and any
+    * single-field change in any row moves it. One grouping-free
+    * partial+final aggregate: map-side combine reduces each partition
+    * to one 16-byte decimal, shuffle bytes are O(partitions) at any
+    * table size.
+    */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(expr(
+        "CAST(o_orderkey AS DECIMAL(38,0)) * 1315423911" +
+        " + CAST(o_custkey AS DECIMAL(38,0)) * 2654435761" +
+        " + CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        "     AS DECIMAL(38,0))" +
+        " + CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
+        "     AS DECIMAL(38,0)) * 97" +
+        " + ascii(o_orderstatus)"))
+        .cast("decimal(38,0)").as("checksum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dict_encode_types"       -> dictEncodeTypes _,
+    "table_checksum"          -> tableChecksum _,
     "q7_volume_shipping"      -> q7VolumeShipping _,
     "q9_product_profit"       -> q9ProductProfit _,
     "q13_customer_distribution" -> q13CustomerDistribution _,
@@ -606,6 +632,14 @@ object OlapQueries {
     "events_retention"        -> eventsRetention _)
 
   val oracles: Map[String, String] = Map(
+    "table_checksum" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_orderkey AS HUGEINT) * 1315423911
+        |    + CAST(o_custkey AS HUGEINT) * 2654435761
+        |    + CAST(epoch_us(o_orderdate) AS HUGEINT)
+        |    + CAST(round(o_totalprice * 100) AS HUGEINT) * 97
+        |    + ascii(o_orderstatus)) AS DECIMAL(38,0)) AS checksum
+        |FROM orders""".stripMargin,
     "dict_encode_types" ->
       """WITH freq AS (
         |  SELECT event_type, COUNT(*) AS freq FROM events

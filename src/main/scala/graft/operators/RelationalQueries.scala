@@ -162,6 +162,35 @@ object RelationalQueries {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
 
+  /** TPC-H Q22 shape (adapted to the harness schema): "prospect"
+    * customers — above the global positive-balance average but with no
+    * orders in the opening quarter (the harness generator gives nearly
+    * every customer SOME order, so an unrestricted NOT EXISTS selects
+    * nothing) — counted per nation. Composes the two decorrelation
+    * shapes in one query: the scalar subquery (global average) becomes
+    * a 1-row broadcast under the comparison filter, and NOT EXISTS
+    * becomes a shuffle-hash LEFT ANTI against the fact-sized order
+    * keys (the `antiCustomersNoOrders` scaling argument: a
+    * driver-built broadcast hash relation over fact keys is a cliff at
+    * scale; the anti build stays parallel). The average is the exact
+    * decimal sum over count (see [[graft.functions.davg]]) so the
+    * threshold — and therefore the selected SET, not just the sums —
+    * is bit-identical to DuckDB's.
+    */
+  def q22ProspectCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1995-04-01"))
+          .select("o_custkey").hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_prospects"),
+           dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
   /** Ranking window: top-3 orders per customer by price. */
   def windowTop3Orders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -541,6 +570,7 @@ object RelationalQueries {
     "region_customer_stats"  -> regionCustomerStats _,
     "semi_customers_with_orders" -> semiCustomersWithOrders _,
     "anti_customers_no_orders"   -> antiCustomersNoOrders _,
+    "q22_prospect_customers" -> q22ProspectCustomers _,
     "window_top3_orders"     -> windowTop3Orders _,
     "window_running_revenue" -> windowRunningRevenue _,
     "top_parts_by_revenue"   -> topPartsByRevenue _,
@@ -685,6 +715,20 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate < TIMESTAMP '1996-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    // the threshold is the exact-decimal average (davg), so the
+    // selected set matches bit-for-bit
+    "q22_prospect_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS n_prospects,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+        |             / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1995-04-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "window_top3_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

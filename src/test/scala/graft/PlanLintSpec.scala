@@ -64,7 +64,8 @@ class PlanLintSpec extends SparkSpec {
   private val scalarBnljAllow = Set(
     "bm25_search",               // corpus-stats scalar (TextQueries)
     "ann_ivf_assign", "ann_ivf_topk",            // seed-stride k scalar
-    "length_octiles")  // 1-row octile-boundary array (TextQueries)
+    "length_octiles",  // 1-row octile-boundary array (TextQueries)
+    "q22_prospect_customers")  // 1-row global-average threshold
   // (The kmeans-trained entries ALSO build seeds from the scalar k, but
   // their seed join sits below the training rounds' checkpoints, so the
   // visible plan shows only the constant-bounded centroid BNLJ.)
