@@ -11,8 +11,11 @@ construction, which measures nothing.
 region/nation stay at 1x (fixed-size dimensions, FK targets).
 documents keep their text verbatim across replicas, so dedup operators
 see a 10x-denser duplicate field — the interesting stress.
-events.ts is re-emitted as epoch nanos (BIGINT) to match the source
-file's physical type (graft.core.Tables.events expects nanos-as-long).
+events.ts is re-emitted as epoch nanos (BIGINT) — the LEGACY physical
+type. The loader (graft.core.Tables.normalizeEventTs) dispatches on the
+observed type, so scaled runs exercise the nanos-as-long path while the
+driver's sf dirs exercise the native timestamp[us] path — both vintages
+stay covered.
 
 Usage: python3 tools/scale_gen.py [dst_dir] [K]
 """
