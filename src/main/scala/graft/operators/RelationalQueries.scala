@@ -432,6 +432,31 @@ object RelationalQueries {
         col("view_id"), col("view_ts"))
   }
 
+  /** The SAME as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]] — custom LogicalPlan + SparkStrategy +
+    * SparkPlan): one co-partitioned shuffle per side, streamed O(1)
+    * merge per partition, no union materialization or window buffer.
+    * Shares `events_asof_join`'s oracle verbatim, so the two
+    * formulations are pinned equal through DuckDB's ASOF LEFT JOIN;
+    * `AsOfJoinNativeSpec` additionally pins plan shape and edge cases.
+    */
+  def eventsAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val views = Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("view_id"))
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    graft.plans.AsOfJoin(purchases, views,
+        "user_id", "v_user", "purchase_ts", "view_ts")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   private val HourUs = 3600000000L
 
   /** Events: range (interval) join — errors by the same user in the hour
@@ -584,6 +609,7 @@ object RelationalQueries {
     "events_hourly"          -> eventsHourly _,
     "events_sessionize"      -> eventsSessionize _,
     "events_asof_join"       -> eventsAsofJoin _,
+    "events_asof_native"     -> eventsAsofNative _,
     "events_range_join"      -> eventsRangeJoin _,
     "events_json_props"      -> eventsJsonProps _,
     "price_histogram"        -> priceHistogram _,
@@ -792,6 +818,15 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "events_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, p.user_id, purchase_ts,
+        |       v.view_id, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.purchase_ts >= v.ts""".stripMargin,
+    "events_asof_native" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.qdotFunction)
     ext.injectFunction(GraftExtensions.countMatchesFunction)
     ext.injectOptimizerRule(_ => RewriteCountMatches)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -73,6 +74,8 @@ object GraftExtensions {
     val em = spark.sessionState.experimentalMethods
     if (!em.extraOptimizations.contains(RewriteCountMatches))
       em.extraOptimizations = em.extraOptimizations :+ RewriteCountMatches
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
   }
 
   /** `graft_min_k` as a Column, for DataFrame-API callers. */

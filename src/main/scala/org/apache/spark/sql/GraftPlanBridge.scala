@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Access shim for [[graft.plans.AsOfJoin]]: wrapping a custom logical
+  * node into a user-facing DataFrame needs `Dataset.ofRows`, which is
+  * `private[sql]` (the classic-Spark internal constructor). Same pattern
+  * as [[org.apache.spark.GraftListenerDrain]] — one narrow, documented
+  * crossing into the Spark package, no behavior.
+  */
+object GraftPlanBridge {
+  def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+}
