@@ -57,6 +57,52 @@ class AsOfJoinNativeSpec extends SparkSpec {
       104L -> None, 105L -> None))
   }
 
+  test("bucketed children satisfy the as-of requirements: ZERO " +
+       "exchanges, result unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.core.{Tables, Warehouse}
+    val nb = 8
+    val suffix = Tables.dirKey(sf0001)
+    val fp = Tables.dataFingerprint(s"$sf0001/events.parquet")
+    val vPrefix = s"graft_asof_views_${suffix}_"
+    val pPrefix = s"graft_asof_purch_${suffix}_"
+    val vTbl = s"$vPrefix${fp}_b$nb"
+    val pTbl = s"$pPrefix${fp}_b$nb"
+    Warehouse.ensure(spark, Seq(vPrefix, pPrefix), Seq(vTbl, pTbl)) {
+      // one file per bucket (repartition aligned with the bucket spec)
+      // so the scan also reports the in-bucket sort order
+      Tables.events(spark, sf0001).filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("view_id"))
+        .repartition(nb, col("v_user"))
+        .write.bucketBy(nb, "v_user").sortBy("v_user", "view_ts")
+        .mode("overwrite").saveAsTable(vTbl)
+      Tables.events(spark, sf0001).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+        .repartition(nb, col("user_id"))
+        .write.bucketBy(nb, "user_id").sortBy("user_id", "purchase_ts")
+        .mode("overwrite").saveAsTable(pTbl)
+    }
+    val native = AsOfJoin(spark.table(pTbl), spark.table(vTbl),
+      "user_id", "v_user", "purchase_ts", "view_ts")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of must not shuffle:\n$plan")
+    // same rows as the plain (shuffling) composed formulation
+    val key = Seq("purchase_id", "user_id", "purchase_ts",
+      "view_id", "view_ts")
+    val got = native
+      .select(key.map(col): _*).orderBy("purchase_id").collect()
+      .map(r => key.map(c => Option(r.getAs[Any](c))).toList).toList
+    val composed = graft.operators.RelationalQueries
+      .eventsAsofJoin(spark, sf0001).orderBy("purchase_id").collect()
+      .map(r => key.map(c => Option(r.getAs[Any](c))).toList).toList
+    assert(got === composed)
+  }
+
   test("plans as AsOfJoinExec with sort-merge requirements, and the " +
        "native result equals the composed window formulation") {
     val s = spark.newSession()
