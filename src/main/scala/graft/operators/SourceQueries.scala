@@ -903,18 +903,27 @@ object SourceQueries {
       .resolve(Tables.dirKey(dir))
     val path = root.resolve("fact").toString
     val dimPath = root.resolve("calendar").toString
-    Tables.orders(s, dir)
-      .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
-      .write.mode("overwrite").partitionBy("o_ym").parquet(path)
-    // independent on-disk calendar dimension (covers more months than
-    // the data holds — the join, not the dim, decides which partitions
-    // match). It must be a real datasource: a filter over an in-memory
-    // LocalRelation constant-folds away during optimization, leaving no
-    // selective-filter node for the DPP rule to latch onto.
-    (1990 to 2005).flatMap(y => (1 to 12).map(m =>
-        (f"$y-$m%02d", s"$y-Q${(m + 2) / 3}")))
-      .toDF("d_ym", "quarter")
-      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    // fixture cached per (dir, data-fingerprint) within this JVM's
+    // private scratch (the query under test is the pruned READ, not the
+    // partitioned write); a regenerated dataset misses and rebuilds
+    val marker = root.resolve(
+      "_built_" + Tables.dataFingerprint(s"$dir/orders.parquet"))
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      Tables.orders(s, dir)
+        .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_ym").parquet(path)
+      // independent on-disk calendar dimension (covers more months than
+      // the data holds — the join, not the dim, decides which partitions
+      // match). It must be a real datasource: a filter over an in-memory
+      // LocalRelation constant-folds away during optimization, leaving no
+      // selective-filter node for the DPP rule to latch onto.
+      (1990 to 2005).flatMap(y => (1 to 12).map(m =>
+          (f"$y-$m%02d", s"$y-Q${(m + 2) / 3}")))
+        .toDF("d_ym", "quarter")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      java.nio.file.Files.createFile(marker)
+    }
     val fact = s.read.parquet(path)
     val dim = s.read.parquet(dimPath)
     fact.join(broadcast(dim.filter(col("quarter") === "1995-Q1")),
