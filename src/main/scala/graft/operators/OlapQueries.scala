@@ -582,27 +582,41 @@ object OlapQueries {
   /** Order-independent table checksum — the migration/CDC validation
     * primitive: after a snapshot copy, a merge replay, or an engine
     * swap, both sides run one cheap pass and compare a single number.
-    * Each row folds to a polynomial over its key/date/money/status
-    * fields in EXACT decimal arithmetic (no float summation, no
-    * engine-specific hash), summed commutatively — so the checksum is
-    * independent of partitioning, row order, and engine, and any
-    * single-field change in any row moves it. One grouping-free
-    * partial+final aggregate: map-side combine reduces each partition
-    * to one 16-byte decimal, shuffle bytes are O(partitions) at any
-    * table size.
+    * Each row folds its key/date/money/status fields to a linear
+    * polynomial `raw` in EXACT decimal arithmetic (no float summation,
+    * no engine-specific hash), then SQUARES it modulo the largest
+    * prime below 2^63 before the commutative sum. The square makes the
+    * per-row term nonlinear in every field, so not just a single-field
+    * edit but also a field SWAP between two rows (two orders exchanging
+    * o_custkey — invisible to a linear sum) moves the checksum; the
+    * modulus keeps every intermediate and the result inside int64, so
+    * any BIGINT-pathed consumer on either engine sees the identical
+    * value (an unreduced sum of squares needs >38 digits and a
+    * beyond-BIGINT result is exactly where cross-engine decimal
+    * canonicalization diverges). Independent of partitioning, row
+    * order, and engine. One grouping-free partial+final aggregate:
+    * map-side combine reduces each partition to one 16-byte decimal,
+    * shuffle bytes are O(partitions) at any table size.
     */
-  def tableChecksum(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).agg(
-      count(lit(1)).as("n_rows"),
-      sum(expr(
-        "CAST(o_orderkey AS DECIMAL(38,0)) * 1315423911" +
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    // Largest prime < 2^63: r < P so r*r < 8.6e37 stays exact in
+    // DECIMAL(38,0) (and in DuckDB's HUGEINT), and the folded sum is a
+    // plain BIGINT on both engines.
+    val P = "9223372036854775783BD"
+    Tables.orders(s, dir)
+      .select(expr(
+        "pmod(CAST(o_orderkey AS DECIMAL(38,0)) * 1315423911" +
         " + CAST(o_custkey AS DECIMAL(38,0)) * 2654435761" +
         " + CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
         "     AS DECIMAL(38,0))" +
         " + CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
         "     AS DECIMAL(38,0)) * 97" +
-        " + ascii(o_orderstatus)"))
-        .cast("decimal(38,0)").as("checksum"))
+        s" + ascii(o_orderstatus), $P)").as("r"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"CAST(pmod(sum(pmod(r * r, $P)), $P) AS BIGINT)")
+          .as("checksum"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dict_encode_types"       -> dictEncodeTypes _,
@@ -634,12 +648,15 @@ object OlapQueries {
   val oracles: Map[String, String] = Map(
     "table_checksum" ->
       """SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(o_orderkey AS HUGEINT) * 1315423911
+        |  CAST(SUM((r*r) % 9223372036854775783)
+        |    % 9223372036854775783 AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT (CAST(o_orderkey AS HUGEINT) * 1315423911
         |    + CAST(o_custkey AS HUGEINT) * 2654435761
         |    + CAST(epoch_us(o_orderdate) AS HUGEINT)
         |    + CAST(round(o_totalprice * 100) AS HUGEINT) * 97
-        |    + ascii(o_orderstatus)) AS DECIMAL(38,0)) AS checksum
-        |FROM orders""".stripMargin,
+        |    + ascii(o_orderstatus)) % 9223372036854775783 AS r
+        |  FROM orders)""".stripMargin,
     "dict_encode_types" ->
       """WITH freq AS (
         |  SELECT event_type, COUNT(*) AS freq FROM events
