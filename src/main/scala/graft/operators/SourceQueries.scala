@@ -1197,17 +1197,52 @@ object SourceQueries {
   // commit, reclaimable by dropping manifests older than a retention
   // horizon and sweeping unreferenced dirs.
 
-  /** Atomically publish `version -> entries` (month -> data dir). */
+  /** Two concurrent committers tried to publish the same version: the
+    * loser's commit did NOT land (its data dirs are unreferenced and a
+    * later vacuum sweeps them). Retry = re-read the new head, rebase
+    * the delta, commit again — the Iceberg/Delta optimistic-concurrency
+    * loop.
+    */
+  final class SnapshotConflictException(version: Int)
+    extends RuntimeException(
+      s"v$version already published by a concurrent committer")
+
+  /** Atomically publish `version -> entries` (month -> data dir).
+    *
+    * The publish is a true compare-and-swap on the version number: the
+    * content is fully written to a committer-private temp file, then
+    * hard-LINKED to `v<N>.manifest`. `link(2)` atomically fails with
+    * EEXIST if the target exists — unlike `rename(2)`, which silently
+    * REPLACES it (the r8 bug: REPLACE_EXISTING meant the second of two
+    * racing committers overwrote the first's manifest, losing its
+    * commit with no error). Of N racers publishing the same version,
+    * exactly one link succeeds; the rest get
+    * [[SnapshotConflictException]] and their data dirs stay orphaned
+    * for vacuum.
+    */
   private[operators] def writeManifest(root: java.nio.file.Path, version: Int,
                                        entries: Map[String, String]): Unit = {
     val mdir = root.resolve("manifests")
     java.nio.file.Files.createDirectories(mdir)
     val lines = entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
-    val tmp = mdir.resolve(s"v$version.tmp")
+    val tmp = mdir.resolve(
+      s"v$version.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     java.nio.file.Files.write(tmp, lines.asJava)
-    java.nio.file.Files.move(tmp, mdir.resolve(s"v$version.manifest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try java.nio.file.Files.createLink(
+      mdir.resolve(s"v$version.manifest"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new SnapshotConflictException(version)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Highest published version, or 0 if none. */
+  private[operators] def headVersion(root: java.nio.file.Path): Int = {
+    val mdir = root.resolve("manifests").toFile
+    Option(mdir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .foldLeft(0)(math.max)
   }
 
   private[operators] def readManifest(root: java.nio.file.Path,
@@ -1234,18 +1269,30 @@ object SourceQueries {
     * dirs — shared, never rewritten, which is both the scale property
     * (a daily commit costs O(touched), not O(table)) and what makes
     * time travel free. Cross-version isolation needs no locking beyond
-    * the manifest rename: data dirs are write-once.
+    * the manifest publish — data dirs are write-once, and concurrent
+    * committers are serialized by the manifest CAS: each attempt writes
+    * its rewritten months under a committer-PRIVATE attempt root (two
+    * racers must never interleave files in one dir), checks its parent
+    * is still the head (fail-fast, before any data is written), and
+    * publishes via [[writeManifest]]'s atomic create. Exactly one of N
+    * racers wins; each loser throws [[SnapshotConflictException]],
+    * its attempt dirs referenced by no manifest, reclaimed by
+    * [[snapshotVacuum]]. `SnapshotStoreSpec` races two commits off the
+    * same parent and pins all three properties.
     */
   private[operators] def snapshotCommit(s: SparkSession,
       root: java.nio.file.Path, fromV: Int, toV: Int, delta: DataFrame,
       insertDelta: Boolean): Unit = {
+    val head = headVersion(root)
+    if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
     val touched = delta.select("o_ym").distinct().collect()
       .map(_.getString(0)).toSeq.sorted
     val kept = s.read.parquet(touched.map(parent): _*)
       .join(broadcast(delta.select(col("o_orderkey").as("d_key"))),
         col("o_orderkey") === col("d_key"), "left_anti")
-    val out = root.resolve(s"d$toV").toString
+    val out = root.resolve(
+      s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
     (if (insertDelta) kept.unionByName(delta) else kept)
       .withColumn("o_ym_p", col("o_ym"))
       .write.mode("overwrite").partitionBy("o_ym_p").parquet(out)
@@ -1274,6 +1321,10 @@ object SourceQueries {
       : java.nio.file.Path = {
     val root = java.nio.file.Paths.get(ioDir("snapshot_orders"))
       .resolve(Tables.dirKey(dir))
+    // the CAS publish (CREATE-semantics link) requires a virgin root:
+    // a leftover manifest from a dead prior build would read as a
+    // concurrent committer
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
@@ -1401,29 +1452,54 @@ object SourceQueries {
       root
     })
 
+  /** Max matched-file paths the lookup will hold on the driver before
+    * giving up on pruning. The list is the same class of driver-side
+    * metadata as a manifest read, but unlike a manifest it scales with
+    * SELECTIVITY, not partition count: a non-selective key set over a
+    * 10⁶-file table would otherwise collect ~10⁶ paths (~100 MB) to
+    * "prune" to nearly the whole table. Past the cap the index has
+    * proved it cannot help, and the right plan is the plain full scan
+    * with the exact predicate — same rows, no driver blow-up. 10k paths
+    * ≈ 1 MB driver memory, and a lookup that legitimately touches >10k
+    * files is no longer a point lookup. Overridable via
+    * `spark.graft.bloom.fileListCap` (the spec drives the fallback arm
+    * by setting it to 0).
+    */
+  private val BloomFileListCapConf = "spark.graft.bloom.fileListCap"
+
   /** Point lookup through the index: prune the file list via the
     * signature join, then scan only surviving files. The exact key
     * predicate is re-applied after the scan, so Bloom false positives
     * cost I/O, never correctness — the oracle filters the base table
-    * relationally. `BloomIndexSpec` pins the pruning (matched files a
-    * strict subset) and exactness vs the direct scan.
+    * relationally. The matched-file list is driver-mediated (the same
+    * pattern as the manifest store's partition pointers) but CAPPED —
+    * `limit(cap+1)` bounds what the driver ever materializes, and past
+    * the cap the lookup falls back to the full scan. `BloomIndexSpec`
+    * pins the pruning (matched files a strict subset), exactness vs
+    * the direct scan, and the fallback arm.
     */
   def bloomIndexLookup(s: SparkSession, dir: String): DataFrame = {
     val root = bloomIndexLayout(s, dir)
     val keyPred = col("doc_id") % 97 === 0
+    val cols = Seq("doc_id", "source", "lang", "n_chars").map(col)
     // in production the key list arrives as a parameter; deriving it
     // from the table keeps the fixture self-contained (the ann_*
     // entries' query-vector convention)
     val keyBuckets = Tables.documents(s, dir).filter(keyPred)
       .select(pmod(hash(col("doc_id")), lit(BloomSigBuckets)).as("bucket"))
       .distinct()
+    val cap = s.conf.getOption(BloomFileListCapConf)
+      .flatMap(_.toIntOption).getOrElse(10000)
     val matched = s.read.parquet(s"$root/index")
       .select(col("file"), explode(col("sig")).as("bucket"))
       .join(broadcast(keyBuckets), "bucket")
-      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
-    s.read.parquet(matched.toIndexedSeq: _*)
-      .filter(keyPred)
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .select(col("file")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0)).sorted
+    if (matched.length > cap)
+      s.read.parquet(s"$root/data").filter(keyPred).select(cols: _*)
+    else
+      s.read.parquet(matched.toIndexedSeq: _*)
+        .filter(keyPred).select(cols: _*)
   }
 
   /** Retention sweep for the snapshot store: drop every manifest not
@@ -1447,7 +1523,7 @@ object SourceQueries {
       .flatMap(v => readManifest(root, v).values).map(canon).toSet
     var removed = 0
     Option(root.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+      .filter(f => f.isDirectory && f.getName.matches("d\\d+(-[0-9a-f]+)?"))
       .foreach { droot =>
         Option(droot.listFiles()).getOrElse(Array.empty)
           .filter(_.isDirectory).foreach { leaf =>

@@ -82,6 +82,80 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(gotMonth === wantMonth)
   }
 
+  test("two commits racing off one parent: exactly one wins, vacuum sweeps the loser") {
+    val root = Paths.get("target/graft-io/snapshot_race_spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    val d1 = root.resolve("d1").toString
+    orders.withColumn("o_ym_p", col("o_ym"))
+      .write.partitionBy("o_ym_p").parquet(d1)
+    val months = new File(d1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_ym_p="))
+      .map(f => f.getName.stripPrefix("o_ym_p=") -> f.getAbsolutePath)
+      .toMap
+    SourceQueries.writeManifest(root, 1, months)
+
+    val month = "1996-03"
+    def delta(bump: Double) = orders.filter(col("o_ym") === month)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(bump))
+    val bumps = Seq(1000.0, 2000.0)
+
+    // both committers observe head = v1 and aim at v2, released together
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def attempt(bump: Double) = pool.submit(
+      new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          barrier.await()
+          try { SourceQueries.snapshotCommit(spark, root, 1, 2, delta(bump),
+                  insertDelta = true); None }
+          catch { case e: Throwable => Some(e) }
+        }
+      })
+    val outcomes = bumps.map(attempt).map(_.get())
+    pool.shutdown()
+
+    val losses = outcomes.flatten
+    assert(losses.length === 1,
+      s"exactly one racer must lose the CAS, got failures: $losses")
+    assert(losses.head.isInstanceOf[SourceQueries.SnapshotConflictException],
+      s"loser must see a conflict, got: ${losses.head}")
+    assert(SourceQueries.headVersion(root) === 2)
+
+    // the published v2 is EXACTLY the winner's commit, not a blend
+    val winnerBump = bumps(outcomes.indexWhere(_.isEmpty))
+    val v2 = SourceQueries.snapshotRead(spark, root, 2)
+    assert(v2.count() === orders.count())
+    val gotMonth = v2.filter(col("o_ym") === month)
+      .agg(graft.functions.dsum(col("o_totalprice"))).head().getDouble(0)
+    val wantMonth = delta(winnerBump)
+      .agg(graft.functions.dsum(col("o_totalprice"))).head().getDouble(0)
+    assert(gotMonth === wantMonth)
+
+    // every leaf dir not referenced by a kept manifest (= the loser's
+    // attempt output, if it got as far as writing) is swept; the
+    // winner's files survive byte-identical
+    def leaves(): Seq[File] = root.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("d\\d+(-[0-9a-f]+)?"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.isDirectory).toSeq
+    val referenced = Seq(1, 2)
+      .flatMap(v => SourceQueries.readManifest(root, v).values)
+      .map(p => new File(p).getCanonicalPath).toSet
+    val orphans = leaves()
+      .filterNot(l => referenced.contains(l.getCanonicalPath))
+    val removed = SourceQueries.snapshotVacuum(root, keep = Set(1, 2))
+    assert(removed === orphans.length,
+      s"vacuum must sweep exactly the ${orphans.length} orphaned dirs")
+    orphans.foreach(o => assert(!o.exists(), s"orphan survived: $o"))
+    val v2After = SourceQueries.snapshotRead(spark, root, 2)
+      .agg(count(lit(1)), graft.functions.dsum(col("o_totalprice"))).head()
+    assert(v2After.getLong(0) === orders.count())
+  }
+
   test("vacuum removes only unreferenced dirs; kept version reads exact") {
     val root = Paths.get("target/graft-io/snapshot_vacuum_spec")
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
