@@ -42,4 +42,27 @@ class BloomIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === want)
   }
+
+  test("past the file-list cap the lookup falls back to a full scan, same rows") {
+    val want = SourceQueries.bloomIndexLookup(spark, sf001)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // cap 0 forces every matched list over the cap: the driver holds at
+    // most cap+1 paths (the limit bounds the collect) and the plan is
+    // the plain clustered-layout scan with the exact predicate
+    spark.conf.set("spark.graft.bloom.fileListCap", "0")
+    try {
+      val fallback = SourceQueries.bloomIndexLookup(spark, sf001)
+      val scanned = fallback.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+          => f.relation.location.inputFiles.length }.sum
+      val totalFiles = spark.read.parquet(
+        s"${SourceQueries.bloomIndexLayout(spark, sf001)}/index").count()
+      assert(scanned.toLong === totalFiles,
+        "fallback arm must scan the full clustered layout")
+      val got = fallback.orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === want)
+    } finally spark.conf.unset("spark.graft.bloom.fileListCap")
+  }
 }
