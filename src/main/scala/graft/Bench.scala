@@ -142,25 +142,30 @@ object Bench {
     // artifact. The ratio is the actual gate decision, recorded as made.
     var canaryWorstAcceptedRatio = 1.0
     var canaryRetries = 0
-    // Runs the canary until the box looks quiet (≤2× best-known time) or
-    // retries are exhausted; returns whether it ended quiet. The base
+    // Runs the canary until the box looks quiet (≤1.5× best-known time)
+    // or retries are exhausted; returns whether it ended quiet. The base
     // ratchets DOWN over the whole run, so a loaded start can't inflate
-    // the baseline for good. Retry backoff grows 0.5 s per attempt (8
-    // attempts, ~18 s total): the r8 sf0.1 run flagged a query whose
+    // the baseline for good. Retry backoff grows 0.5 s per attempt (12
+    // attempts, ~39 s total): the r8 sf0.1 run flagged a query whose
     // trials were clean because the gate before it landed inside the
     // bench's OWN between-query System.gc() concurrent cycle and five
-    // fixed 0.5 s sleeps weren't enough to ride it out.
+    // fixed 0.5 s sleeps weren't enough to ride it out. The accept bar
+    // moved 2× → 1.5× after r8 recorded trials admitted at 1.998× —
+    // 99.9% of the old gate, i.e. the box at near-double load counted
+    // as "quiet". With the 1.5× accept, worst_accepted_ratio ≤ 1.5 by
+    // construction; the extra retries buy back the stricter bar.
+    val CanaryAccept = 1.5
     def canaryGate(): Boolean = {
       var t = canaryOnce()
       var tries = 0
-      while (t > 2 * canaryBase && tries < 8) {
+      while (t > CanaryAccept * canaryBase && tries < 12) {
         canaryRetries += 1
         tries += 1
         Thread.sleep(500L * tries)
         t = canaryOnce()
       }
       canaryWorst = math.max(canaryWorst, t)
-      val quiet = t <= 2 * canaryBase
+      val quiet = t <= CanaryAccept * canaryBase
       if (quiet)
         canaryWorstAcceptedRatio =
           math.max(canaryWorstAcceptedRatio, t / canaryBase)
@@ -277,14 +282,37 @@ object Bench {
     // multi-minute external I/O stall that inflated exactly the three
     // state-store-heavy streaming queries it overlapped — their trials
     // were self-consistent, so only the canary knew). Re-measure each
-    // flagged query once at the END of the run and replace the result
-    // only if the re-measure is fully clean (quiet canary + `trials`
-    // clean trials); a query that is STILL dirty keeps its original
-    // number and stays flagged.
-    meas.collect { case (n, m) if m.flagged => n }.foreach { name =>
-      val again = measure(name, wanted(name), pass = 2)
-      if (!again.flagged && again.wall >= 0) meas(name) = again
+    // flagged query at the END of the run and replace the result only
+    // if the re-measure is fully clean (quiet canary + `trials` clean
+    // trials). r7 and r8 both RECORDED non-empty contaminated lists
+    // because this ran exactly once — so now the bench refuses to
+    // finalize a dirty artifact while re-measure passes remain: it
+    // loops with quadratically growing settle sleeps (2/8/18/32/50 s,
+    // ~110 s total — longer than any observed transient short of a
+    // sustained external load, which SHOULD stay flagged) until every
+    // query is clean or passes are exhausted, and in the latter case
+    // fails loudly on stderr so a contaminated recording is an explicit
+    // event, never a silent default.
+    var stillFlagged = meas.collect { case (n, m) if m.flagged => n }.toSeq
+    var pass = 2
+    val maxPasses = 6
+    while (stillFlagged.nonEmpty && pass <= maxPasses) {
+      val settle = 2000L * (pass - 1) * (pass - 1)
+      System.err.println(s"[bench] pass $pass: ${stillFlagged.length} " +
+        s"flagged (${stillFlagged.mkString(", ")}); settling ${settle}ms")
+      Thread.sleep(settle)
+      stillFlagged.foreach { name =>
+        val again = measure(name, wanted(name), pass)
+        if (!again.flagged && again.wall >= 0) meas(name) = again
+      }
+      stillFlagged = meas.collect { case (n, m) if m.flagged => n }.toSeq
+      pass += 1
     }
+    if (stillFlagged.nonEmpty)
+      System.err.println("[bench] CONTAMINATED ARTIFACT: " +
+        s"${stillFlagged.mkString(", ")} never produced clean trials on " +
+        "a quiet box across " + (maxPasses - 1) + " re-measure passes — " +
+        "the recorded numbers for these queries are NOT load-immune")
     val results = meas.toSeq.map { case (n, m) => n -> m.wall }
     val contaminated = meas.collect { case (n, m) if m.flagged => n }.toSeq
     val ratioRows = meas.toSeq.collect {
