@@ -559,6 +559,11 @@ object SourceQueries {
         raw.orderBy(col("ts").desc).limit(1)
           .withColumn("ts", bump(col("ts")))
           .withColumn("user_id", lit(-1L))
+          // reserved event_id too: the sentinel clones the max-ts event,
+          // and a consumer that dedups or joins this shared source on
+          // event_id would otherwise silently collide it with that real
+          // event (user_id = -1 alone only protects user-keyed paths)
+          .withColumn("event_id", lit(-1L))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = listDir(tmp)
           .filter(_.getFileName.toString.endsWith(".parquet")).head

@@ -173,8 +173,13 @@ object AsOfJoin {
             leftTime: String, rightTime: String): DataFrame = {
     val s = leftDf.sparkSession
     val em = s.sessionState.experimentalMethods
-    if (!em.extraStrategies.contains(AsOfJoinStrategy))
-      em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+    // check-then-append under a lock: two threads' first use would
+    // otherwise both pass the contains() check and register the
+    // strategy twice (benign duplicate candidate plans, but noise)
+    em.synchronized {
+      if (!em.extraStrategies.contains(AsOfJoinStrategy))
+        em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+    }
     val l = leftDf.queryExecution.analyzed
     val r = rightDf.queryExecution.analyzed
     def att(p: logical.LogicalPlan, n: String): Attribute =

@@ -41,8 +41,18 @@ class DppPruneSpec extends SparkSpec {
     assert(scan.partitionFilters.mkString(",").contains("dynamicpruning"),
       s"fact scan's partition filters are static: ${scan.partitionFilters}")
 
-    // runtime partition metric: the quarter's 3 months, out of the full
-    // month range on disk (>= 70 dirs at any sf)
+    // pin the DENOMINATOR first: the generator's date range must keep
+    // the fixture at ~80 month dirs on disk, or "read 3" proves far
+    // less pruning than advertised
+    val factDir = new java.io.File(
+      scan.relation.location.rootPaths.head.toUri.getPath)
+    val monthDirs = Option(factDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("o_ym="))
+    assert(monthDirs >= 70,
+      s"fixture shrank to $monthDirs month partitions; 3-of-$monthDirs " +
+        "no longer demonstrates partition-fraction pruning")
+
+    // runtime partition metric: the quarter's 3 months of those
     val read = scan.metrics("numPartitions").value
     assert(read === 3, s"scan read $read partitions, wanted 3")
 
