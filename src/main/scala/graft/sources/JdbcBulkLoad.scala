@@ -89,6 +89,94 @@ object DerbyImportDialect extends BulkLoadDialect {
   }
 }
 
+/** DDL-surface adapter that lets Spark's GENERIC JDBC writer speak to a
+  * HiveQL endpoint (Spark Thrift Server / HiveServer2). Spark's default
+  * dialect emits `"id" TEXT` — double-quoted identifiers are string
+  * literals to the Spark SQL parser and TEXT / DOUBLE PRECISION / BIT
+  * aren't types it knows — so every identifier is backtick-quoted and
+  * every Catalyst type maps to its HiveQL spelling. Registered with
+  * [[org.apache.spark.sql.jdbc.JdbcDialects]] when the thrift bulk
+  * door loads, after which plain `df.write.format("jdbc")` DDL works
+  * against `jdbc:hive2:` URLs.
+  */
+private[sources] object HiveQLDialect
+    extends org.apache.spark.sql.jdbc.JdbcDialect {
+  import org.apache.spark.sql.jdbc.JdbcType
+  import org.apache.spark.sql.types._
+
+  override def canHandle(url: String): Boolean =
+    url.startsWith("jdbc:hive2:")
+
+  override def quoteIdentifier(colName: String): String =
+    s"`${colName.replace("`", "``")}`"
+
+  override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+    case StringType    => Some(JdbcType("STRING", java.sql.Types.VARCHAR))
+    case BooleanType   => Some(JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+    case ByteType      => Some(JdbcType("TINYINT", java.sql.Types.TINYINT))
+    case ShortType     => Some(JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+    case IntegerType   => Some(JdbcType("INT", java.sql.Types.INTEGER))
+    case LongType      => Some(JdbcType("BIGINT", java.sql.Types.BIGINT))
+    case FloatType     => Some(JdbcType("FLOAT", java.sql.Types.FLOAT))
+    case DoubleType    => Some(JdbcType("DOUBLE", java.sql.Types.DOUBLE))
+    case TimestampType => Some(JdbcType("TIMESTAMP", java.sql.Types.TIMESTAMP))
+    case DateType      => Some(JdbcType("DATE", java.sql.Types.DATE))
+    case BinaryType    => Some(JdbcType("BINARY", java.sql.Types.BINARY))
+    case d: DecimalType =>
+      Some(JdbcType(s"DECIMAL(${d.precision},${d.scale})",
+        java.sql.Types.DECIMAL))
+    case _ => None
+  }
+}
+
+/** The second real dialect through the bulk door: Spark Thrift Server
+  * (HiveServer2 protocol, `jdbc:hive2:`). Its native ingest path is a
+  * SERVER-side file read — publish the spill as a session-scoped temp
+  * view over parquet, then `INSERT INTO target SELECT` — so the rows
+  * never cross the JDBC wire at all (the exact property that makes
+  * Postgres COPY / Derby SYSCS_IMPORT a bulk door; here the "file
+  * format the server reads natively" is parquet rather than delimited
+  * text, which also sidesteps every CSV null/quote trap the Derby door
+  * documents). The INSERT fallback is NOT usable on this engine —
+  * Hive's JDBC driver throws "Method not supported" on `addBatch` —
+  * which is precisely why an engine-specific door trait has to exist.
+  * `ThriftServerBulkLoadSpec` boots the real server in-process and
+  * runs this end to end.
+  */
+object SparkThriftIngestDialect extends BulkLoadDialect {
+  val name = "sparksql-file-ingest"
+
+  // Hive's JDBC driver only self-registers on classload; the generic
+  // writer's DDL step resolves the driver via DriverManager before
+  // this dialect's load() runs, so registration belongs to dialect
+  // setup. Soft-fail: environments without the jar just never see a
+  // hive2 URL.
+  try Class.forName("org.apache.hive.jdbc.HiveDriver")
+  catch { case _: ClassNotFoundException => () }
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(HiveQLDialect)
+
+  def canHandle(url: String): Boolean = url.startsWith("jdbc:hive2:")
+
+  def load(rows: DataFrame, url: String, table: String,
+           scratch: java.io.File): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    // parquet spill keeps the writer's parallelism — the server ingests
+    // the whole directory, so no coalesce(1) bottleneck like a single
+    // delimited file
+    rows.write.parquet(scratch.getAbsolutePath)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val tmp = s"graft_ingest_${java.util.UUID.randomUUID.toString.take(8)}"
+      val dir = scratch.getAbsolutePath.replace("'", "''")
+      st.execute(
+        s"CREATE TEMPORARY VIEW `$tmp` USING parquet OPTIONS (path '$dir')")
+      st.execute(s"INSERT INTO `$table` SELECT * FROM `$tmp`")
+      st.execute(s"DROP VIEW `$tmp`")
+    } finally conn.close()
+  }
+}
+
 /** The no-bulk-door fallback: Spark's own JDBC writer in append mode —
   * one connection, 5k-row `addBatch`/`executeBatch` rounds (both knobs
   * measured against embedded Derby at 100×; see `jdbcRoundtrip`). This
@@ -112,7 +200,8 @@ object BulkLoad {
   /** Registered bulk doors, most specific first; the INSERT fallback is
     * implicit (it handles every URL).
     */
-  val dialects: Seq[BulkLoadDialect] = Seq(DerbyImportDialect)
+  val dialects: Seq[BulkLoadDialect] =
+    Seq(DerbyImportDialect, SparkThriftIngestDialect)
 
   def dialectFor(url: String): BulkLoadDialect =
     dialects.find(_.canHandle(url)).getOrElse(GenericInsertDialect)
