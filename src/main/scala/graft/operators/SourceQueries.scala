@@ -1578,7 +1578,137 @@ object SourceQueries {
         col("sum_price"))
   }
 
+  // ---- Incremental (snapshot-committed) re-compaction ----
+  //
+  // `source_compact_files` is the ONE-SHOT job: rewrite a whole
+  // fragmented table. Real tables never hold still for that — ingest
+  // keeps fragmenting a FEW hot partitions while the cold bulk stays
+  // perfectly laid out, so the production shape is a periodic pass that
+  // (1) reads per-partition FILE COUNTS (driver metadata, O(partitions),
+  // the manifest-read class of work), (2) rewrites only partitions over
+  // the small-file threshold, clustering-preserving, and (3) publishes
+  // the repointed months through the manifest store's CAS commit — so
+  // readers keep seeing a consistent snapshot, history stays readable,
+  // and two racing compactors can't double-publish (the loser's attempt
+  // dir is vacuumable garbage). Cost is O(hot partitions) per pass and
+  // O(metadata) when nothing is hot — at 100 TB that is the difference
+  // between "compaction is a continuous background task" and "compaction
+  // is an outage".
+
+  private val incrCompactRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Fragmented fixture: month-partitioned orders under manifest v1,
+    * three hot months shattered into ~64 ingest files each, every cold
+    * month one compact file.
+    */
+  private[operators] val IncrCompactHotMonths =
+    Seq("1996-01", "1996-02", "1996-03")
+
+  /** Small-file threshold for a "hot" partition. 8 keeps the contract
+    * meaningful at the smallest harness SF, where a ~19-row hot month
+    * spread over the 64-way ingest write yields ~15 non-empty files
+    * (empty shuffle partitions write nothing under partitionBy).
+    */
+  private[operators] val IncrCompactThreshold = 8
+
+  private[operators] def incrCompactFixture(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    incrCompactRoots.getOrElseUpdate(Tables.dirKey(dir),
+      buildIncrCompactFixture(s, dir,
+        java.nio.file.Paths.get(ioDir("incr_compact"))
+          .resolve(Tables.dirKey(dir))))
+
+  private[operators] def buildIncrCompactFixture(s: SparkSession,
+      dir: String, root: java.nio.file.Path): java.nio.file.Path = {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      val base = root.resolve("d1").toString
+      val isHot = col("o_ym").isin(IncrCompactHotMonths: _*)
+      orders.filter(!isHot)
+        .withColumn("o_ym_p", col("o_ym"))
+        .repartition(col("o_ym_p"))
+        .write.partitionBy("o_ym_p").parquet(base)
+      orders.filter(isHot)
+        .withColumn("o_ym_p", col("o_ym"))
+        .repartition(64)
+        .write.mode("append").partitionBy("o_ym_p").parquet(base)
+      val months = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("o_ym_p="))
+        .map(f => f.getName.stripPrefix("o_ym_p=") -> f.getAbsolutePath)
+      writeManifest(root, 1, months.toMap)
+      root
+  }
+
+  /** One incremental compaction pass over the store at `root`: returns
+    * the months it compacted (empty = nothing hot, no version
+    * published — the pass cost only the metadata scan). The rewrite is
+    * clustering-preserving: `repartitionByRange` on (month, order
+    * date) + in-file sort, so each compacted file covers a contiguous
+    * date range and row-group pruning works on the result (the
+    * `source_compact_files` discipline, scoped to hot months).
+    * `filesPerMonth` defaults to the 256 MB scale rule — no
+    * parallelism floor, unlike `Warehouse.bucketCount`: compaction
+    * wants the FEWEST scan-sized files, and read parallelism comes
+    * from months × row groups, not file count.
+    */
+  private[operators] def compactHotPartitions(s: SparkSession,
+      root: java.nio.file.Path, threshold: Int,
+      filesPerMonth: Option[Int] = None): Seq[String] = {
+    val head = headVersion(root)
+    val manifest = readManifest(root, head)
+    val counts = manifest.map { case (ym, p) =>
+      ym -> Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val hot = counts.filter(_._2 >= threshold).keys.toSeq.sorted
+    if (hot.isEmpty) Nil
+    else {
+      val hotDirs = hot.map(manifest)
+      val perMonth = filesPerMonth.getOrElse {
+        val maxBytes = hotDirs.map(p =>
+          org.apache.commons.io.FileUtils.sizeOf(new java.io.File(p))).max
+        (maxBytes / (256L << 20) + 1).toInt
+      }
+      val out = root.resolve(
+        s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
+        .toString
+      s.read.parquet(hotDirs: _*)
+        .withColumn("o_ym_p", col("o_ym"))
+        .repartitionByRange(hot.length * perMonth,
+          col("o_ym"), col("o_orderdate"))
+        .sortWithinPartitions(col("o_ym"), col("o_orderdate"))
+        .write.partitionBy("o_ym_p").parquet(out)
+      writeManifest(root, head + 1,
+        manifest ++ hot.map(ym => ym -> s"$out/o_ym_p=$ym"))
+      hot
+    }
+  }
+
+  /** Catalog entry: first run detects the three hot months and
+    * compacts them through a snapshot commit; every later run in the
+    * JVM finds nothing hot and is a metadata-scoped no-op over the
+    * already-compacted head — which is exactly the incremental claim
+    * (a quiet table costs a directory listing, never a rewrite). The
+    * oracle aggregates the ORIGINAL orders table: compaction must be
+    * invisible in the data, whatever the layout did.
+    */
+  def incrementalCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = incrCompactFixture(s, dir)
+    compactHotPartitions(s, root, IncrCompactThreshold)
+    snapshotRead(s, root, headVersion(root))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_ym")).as("n_months"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_incremental_compact" -> incrementalCompact _,
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_schema_evolution" -> schemaEvolution _,
     "source_time_travel"      -> timeTravel _,
@@ -1821,6 +1951,13 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 131 <> 0
+        |GROUP BY 1""".stripMargin,
+    "source_incremental_compact" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
         |GROUP BY 1""".stripMargin,
     "source_compact_files" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
