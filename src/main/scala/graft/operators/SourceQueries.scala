@@ -1622,9 +1622,13 @@ object SourceQueries {
   private[operators] def buildIncrCompactFixture(s: SparkSession,
       dir: String, root: java.nio.file.Path): java.nio.file.Path = {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      // o_orderdate lands as DATE: parquet min/max stats on
+      // TIMESTAMP_NTZ are not usable by the reader-side row-group
+      // filter (the zorderLayout finding), and the whole point of a
+      // clustered rewrite is that the cluster dims PRUNE
       val orders = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate"),
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"),
           date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
       val base = root.resolve("d1").toString
       val isHot = col("o_ym").isin(IncrCompactHotMonths: _*)
@@ -1655,10 +1659,19 @@ object SourceQueries {
     * parallelism floor, unlike `Warehouse.bucketCount`: compaction
     * wants the FEWEST scan-sized files, and read parallelism comes
     * from months × row groups, not file count.
+    *
+    * `zorder = true` clusters the rewritten months by the Morton
+    * address of (order day, custkey) instead of plain date order —
+    * the incremental arm of `source_zorder_prune`: each pass re-boxes
+    * only the hot months, so the table converges to a 2-D-prunable
+    * layout continuously instead of via a one-shot full-table job. The
+    * scaling bounds come from the hot rows themselves (a one-row
+    * driver scalar, the zorderLayout precedent).
     */
   private[operators] def compactHotPartitions(s: SparkSession,
       root: java.nio.file.Path, threshold: Int,
-      filesPerMonth: Option[Int] = None): Seq[String] = {
+      filesPerMonth: Option[Int] = None,
+      zorder: Boolean = false): Seq[String] = {
     val head = headVersion(root)
     val manifest = readManifest(root, head)
     val counts = manifest.map { case (ym, p) =>
@@ -1677,12 +1690,33 @@ object SourceQueries {
       val out = root.resolve(
         s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
         .toString
-      s.read.parquet(hotDirs: _*)
-        .withColumn("o_ym_p", col("o_ym"))
-        .repartitionByRange(hot.length * perMonth,
-          col("o_ym"), col("o_orderdate"))
-        .sortWithinPartitions(col("o_ym"), col("o_orderdate"))
-        .write.partitionBy("o_ym_p").parquet(out)
+      val rows = s.read.parquet(hotDirs: _*)
+      val clustered =
+        if (!zorder)
+          rows.withColumn("o_ym_p", col("o_ym"))
+            .repartitionByRange(hot.length * perMonth,
+              col("o_ym"), col("o_orderdate"))
+            .sortWithinPartitions(col("o_ym"), col("o_orderdate"))
+        else {
+          val withDay = rows.withColumn("z_day",
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+              .cast("long"))
+          val b = withDay.agg(min(col("z_day")), max(col("z_day")),
+            min(col("o_custkey")), max(col("o_custkey"))).head()
+          def scaled(c: Column, lo: Long, hi: Long): Column =
+            ((c - lit(lo)) * lit(65535L) / lit(math.max(1L, hi - lo)))
+              .cast("long")
+          withDay
+            .withColumn("zval",
+              zvalue16(scaled(col("z_day"), b.getLong(0), b.getLong(1)),
+                scaled(col("o_custkey"), b.getLong(2), b.getLong(3))))
+            .withColumn("o_ym_p", col("o_ym"))
+            .repartitionByRange(hot.length * perMonth,
+              col("o_ym"), col("zval"))
+            .sortWithinPartitions(col("o_ym"), col("zval"))
+            .drop("z_day", "zval")
+        }
+      clustered.write.partitionBy("o_ym_p").parquet(out)
       writeManifest(root, head + 1,
         manifest ++ hot.map(ym => ym -> s"$out/o_ym_p=$ym"))
       hot
@@ -1707,8 +1741,40 @@ object SourceQueries {
         dsum(col("o_totalprice")).as("sum_price"))
   }
 
+  private val incrZorderRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Catalog entry for the INCREMENTAL Z-ORDER arm: same fragmented
+    * fixture shape, but the hot-month rewrite clusters by the Morton
+    * address of (order day, custkey), then a 2-D predicate (a date
+    * window over the hot months plus a 1/8 custkey cut) aggregates the
+    * compacted head. The oracle runs the same predicate over the
+    * ORIGINAL orders — re-clustering must be invisible in the data;
+    * the 2-D pruning advantage over the date-sorted layout is
+    * measured by `IncrementalZorderSpec` (scan-rows metric, the
+    * `ZorderLayoutSpec` method). The custkey cutoff is a one-row
+    * driver scalar, mirrored in the oracle as a subquery.
+    */
+  def incrementalZorder(s: SparkSession, dir: String): DataFrame = {
+    val root = incrZorderRoots.getOrElseUpdate(Tables.dirKey(dir),
+      buildIncrCompactFixture(s, dir,
+        java.nio.file.Paths.get(ioDir("incr_zorder"))
+          .resolve(Tables.dirKey(dir))))
+    compactHotPartitions(s, root, IncrCompactThreshold, zorder = true)
+    val maxCust = Tables.orders(s, dir)
+      .agg(max(col("o_custkey"))).head().getLong(0)
+    snapshotRead(s, root, headVersion(root))
+      .filter(col("o_orderdate") >= lit("1996-01-05") &&
+        col("o_orderdate") < lit("1996-03-25") &&
+        col("o_custkey") <= lit(maxCust / 8))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_incremental_compact" -> incrementalCompact _,
+    "source_incremental_zorder" -> incrementalZorder _,
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_schema_evolution" -> schemaEvolution _,
     "source_time_travel"      -> timeTravel _,
@@ -1951,6 +2017,15 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 131 <> 0
+        |GROUP BY 1""".stripMargin,
+    "source_incremental_zorder" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-05'
+        |  AND o_orderdate < TIMESTAMP '1996-03-25'
+        |  AND o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
         |GROUP BY 1""".stripMargin,
     "source_incremental_compact" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
