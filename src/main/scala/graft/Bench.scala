@@ -84,12 +84,21 @@ object Bench {
       }
       case None => 3
     }
-    def dropLeftoverBlocks(): Unit =
+    def dropLeftoverBlocks(): Unit = {
       // drop checkpoint/cache blocks a query left behind (jaccard /
       // components localCheckpoints) so they don't inflate heap pressure
       // for every later query — cleanup is outside the timed window
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // unload streaming state-store providers too: each of the 11
+      // streaming entries leaves its loaded providers + a maintenance
+      // task behind, and by late alphabet the accumulation taxes every
+      // later query's trials (the r9 drift audit measured streaming
+      // medians 1.37x vs batch 1.09x against r8 purely from in-run JVM
+      // age). stop() shuts providers AND the maintenance pool; the next
+      // streaming query reloads its own from its checkpoint.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
     // SPARK_GRAFT_DETAILS=1: after each query's timed trials, run one
     // extra pass bracketed by task-metric snapshots and dump per-query
     // {input, shuffle write/read, spilled} bytes to
@@ -347,6 +356,25 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target", "bench_details.json"),
         detailRows.mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
+    // Code-cache pressure check (stderr diagnostic, not in the JSON):
+    // rounds 2/4 saw multi-x timing ghosts when the JIT's code cache
+    // filled mid-catalog and compilation stopped; the 512 MB reserve in
+    // build.sbt fixed it, and this line proves per-run that the reserve
+    // still holds as the catalog grows (flag at >80% of the limit).
+    locally {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+      val used = pools.map(_.getPeakUsage.getUsed).sum
+      val max = pools.map(p => math.max(0L, p.getUsage.getMax)).sum
+      val pct = if (max > 0) 100.0 * used / max else 0.0
+      System.err.println(
+        f"[bench] code cache peak: ${used / (1 << 20)}%d MB of ${
+          max / (1 << 20)}%d MB ($pct%.0f%%)" +
+          (if (pct > 80) " — RESERVE NEARLY FULL, raise " +
+            "-XX:ReservedCodeCacheSize before timings go ghost" else ""))
+    }
     spark.stop()
     // Printed after spark.stop() so no executor/log line lands between
     // this and sbt's epilogue — keeps the JSON as close to last as possible.
