@@ -67,7 +67,7 @@ object EmbeddingQueries {
   private def ndot(a: Column, b: Column): Column =
     call_function("graft_qdot", a, b)
 
-  private def qEmb(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def qEmb(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
@@ -196,7 +196,7 @@ object EmbeddingQueries {
     * KMeans training loop. One broadcast of the centroid table per call;
     * the corpus side streams map-only.
     */
-  private def assignNearest(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def assignNearest(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
     emb.crossJoin(broadcast(
@@ -351,6 +351,79 @@ object EmbeddingQueries {
       assignNearest(emb, s.table(centTbl))
         .write.bucketBy(nBuckets, "centroid_id")
         .mode("overwrite").saveAsTable(assignTbl)
+    }
+    annTopkOver(s.table(assignTbl), s.table(centTbl))
+  }
+
+  /** Base/delta split for the incremental index lifecycle: every 10th
+    * vector is the "new arrivals" batch, the rest the trained corpus. */
+  private[operators] val IvfDeltaMod = 10
+
+  /** Build the base persisted index: centroids trained on the BASE
+    * vectors only, base assignment stored bucketed. Package-visible so
+    * `AnnIvfIncrementalSpec` can drive the two lifecycle steps against
+    * its own table names and observe the file-level invariants.
+    */
+  private[operators] def ivfIncrementalBase(s: SparkSession, dir: String,
+      centTbl: String, assignTbl: String, nBuckets: Int): Unit = {
+    val base = qEmb(s, dir).select(col("vec_id"), col("qv"))
+      .filter(col("vec_id") % IvfDeltaMod =!= 0).sharedCheckpoint()
+    val seeds = fixedSeeds(base, TargetNlist)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    trainKmeansFrom(base, seeds)
+      .write.mode("overwrite").saveAsTable(centTbl)
+    assignNearest(base, s.table(centTbl))
+      .write.bucketBy(nBuckets, "centroid_id")
+      .mode("overwrite").saveAsTable(assignTbl)
+  }
+
+  /** The incremental ADD: assign only the delta batch to the FROZEN
+    * centroids and append bucket-aligned. The job's cost is
+    * O(delta · nlist) — no retraining, no corpus re-shuffle — and the
+    * append writes new bucket files next to the old ones, so every
+    * base index file stays byte-identical (the spec pins this).
+    */
+  private[operators] def ivfIncrementalAppend(s: SparkSession, dir: String,
+      centTbl: String, assignTbl: String, nBuckets: Int): Unit = {
+    val delta = qEmb(s, dir).select(col("vec_id"), col("qv"))
+      .filter(col("vec_id") % IvfDeltaMod === 0)
+    assignNearest(delta, s.table(centTbl))
+      .write.bucketBy(nBuckets, "centroid_id")
+      .mode("append").saveAsTable(assignTbl)
+  }
+
+  /** INCREMENTAL index maintenance for the persisted IVF — the ANN
+    * analog of `dedup_incremental` and the warehouse's snapshot
+    * commits: a production index ingests new vectors continuously and
+    * cannot retrain + re-shuffle the corpus per batch. Lifecycle here:
+    * train centroids on the 90% base, persist base assignment
+    * bucketed; then ADD the 10% delta by assigning it to the frozen
+    * centroids and appending bucket-aligned (Spark validates the
+    * bucket spec on append, so the probe→candidate join stays
+    * bucket-local over old AND new files). At 100 TB: each ingest
+    * batch costs O(batch · nlist) compute and O(batch) write, base
+    * files are immutable (cheap to cache/replicate), and centroid
+    * drift is a monitored retrain trigger, not a per-batch cost. The
+    * oracle replays the same composite relationally — train on base,
+    * assign ALL vectors to those centroids, probe/search — so a wrong
+    * delta assignment or a lost append hash-mismatches; serving
+    * through the incremental index must equal a from-scratch build
+    * against the same centroids.
+    */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val suffix = Tables.dirKey(dir)
+    val fp = Tables.dataFingerprint(s"$dir/embeddings.parquet")
+    val bytes = org.apache.commons.io.FileUtils.sizeOf(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    val nBuckets = graft.core.Warehouse.bucketCount(s, bytes)
+    val centPrefix   = s"graft_ivfi_cents_${suffix}_"
+    val assignPrefix = s"graft_ivfi_assign_${suffix}_"
+    val centTbl   = s"$centPrefix${fp}_b$nBuckets"
+    val assignTbl = s"$assignPrefix${fp}_b$nBuckets"
+    graft.core.Warehouse.ensure(s, Seq(centPrefix, assignPrefix),
+        Seq(centTbl, assignTbl)) {
+      ivfIncrementalBase(s, dir, centTbl, assignTbl, nBuckets)
+      ivfIncrementalAppend(s, dir, centTbl, assignTbl, nBuckets)
     }
     annTopkOver(s.table(assignTbl), s.table(centTbl))
   }
@@ -619,6 +692,7 @@ object EmbeddingQueries {
     "ann_kmeans_fixed_nlist" -> annKmeansFixedNlist _,
     "ann_ivf_fixed_topk" -> annIvfFixedTopk _,
     "ann_ivf_persisted" -> annIvfPersisted _,
+    "ann_ivf_incremental" -> annIvfIncremental _,
     "ann_kmeans_topk" -> annKmeansTopk _,
     "ann_lsh_topk"    -> annLshTopk _,
     "ann_int8_rerank" -> annInt8Rerank _,
@@ -638,12 +712,14 @@ object EmbeddingQueries {
     * both engines hold bit-identical centroids after every round.
     */
   private val KmDim = 64
-  private def kmAssign(cents: String): String =
+  private def kmAssign(cents: String): String = kmAssignOn("v", cents)
+  /** Assignment CTE over an arbitrary source relation (vec_id, qv). */
+  private def kmAssignOn(src: String, cents: String): String =
     s"""(SELECT vec_id, qv, centroid_id FROM (
        |  SELECT v.vec_id, v.qv, c.centroid_id,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${cosSql("v.qv", "c.cv")} DESC, c.centroid_id) AS rn
-       |  FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+       |  FROM $src v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
   private def kmUpdate(a: String): String =
     s"""(SELECT centroid_id, list(c ORDER BY pos) AS cv FROM (
        |  SELECT centroid_id, pos, CAST((sx - sx % n) / n AS BIGINT) AS c
@@ -720,7 +796,49 @@ object EmbeddingQueries {
        |SELECT query_id, vec_id AS neighbor_id, rank, sim
        |FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** Incremental-lifecycle twin: centroids trained on the BASE slice
+    * only (v is the filtered corpus, so the stride scalar and all three
+    * Lloyd rounds see base vectors alone), then ALL vectors — base and
+    * delta — assigned to those frozen centroids, then the shared
+    * probe/search. Serving through the appended index must equal this
+    * from-scratch composite exactly.
+    */
+  private lazy val ivfIncrementalSql: String =
+    s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings
+       |           WHERE vec_id % $IvfDeltaMod <> 0),
+       |c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
+       |       WHERE ${fixedStrideSql(TargetNlist)}),
+       |c1 AS ${kmUpdate(kmAssign("c0"))},
+       |c2 AS ${kmUpdate(kmAssign("c1"))},
+       |c3 AS ${kmUpdate(kmAssign("c2"))},
+       |vall AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |a3 AS ${kmAssignOn("vall", "c3")},
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.centroid_id) AS rn
+       |    FROM vall q CROSS JOIN c3 c WHERE q.vec_id < $NQuery)
+       |  WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN a3 a ON p.centroid_id = a.centroid_id
+       |  WHERE a.vec_id <> p.query_id),
+       |sims AS (
+       |  SELECT query_id, c.vec_id, ${cosSql("qc.qv", "cc.qv")} AS sim
+       |  FROM cand c
+       |  JOIN vall qc ON qc.vec_id = c.query_id
+       |  JOIN vall cc ON cc.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, vec_id AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_incremental" -> ivfIncrementalSql,
     "ann_brute_force" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $qvecSql AS quv
          |           FROM embeddings WHERE vec_id < $NQuery),

@@ -82,7 +82,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivf_assign", "ann_ivf_topk",            // broadcast(cents)
     "ann_kmeans_centroids", "ann_kmeans_topk",
     "ann_kmeans_fixed_nlist", "ann_ivf_fixed_topk",
-    "ann_ivf_persisted")      // broadcast(cents table): ≤ TargetNlist rows
+    "ann_ivf_persisted",      // broadcast(cents table): ≤ TargetNlist rows
+    "ann_ivf_incremental")    // broadcast(cents table): ≤ TargetNlist rows
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
