@@ -508,6 +508,61 @@ object SourceQueries {
     s.table(qName).filter(col("user_id") >= 0)
   }
 
+  /** STREAM-STREAM FULL OUTER JOIN — the last member of the streaming
+    * attribution family: matched click/purchase pairs, clicks that
+    * never converted (null purchase columns), AND purchases with no
+    * preceding click in the 30-min window (null click columns — the
+    * "organic purchase" rows the left join cannot see). Both sides'
+    * null-padded rows emit only when the watermark proves no match can
+    * still arrive, so the run needs the same sentinel discipline as
+    * the left join: the sentinel must pass both sides' pre-watermark
+    * filters (`user_id < 0`) or the global watermark freezes an hour
+    * short and the tail's outer rows never emit. The sentinel's own
+    * click and purchase copies match each other (same user, same ts)
+    * and are dropped from the RESULT — both key columns are checked,
+    * because in a full join either side may be null on a real row.
+    * State stays watermark-bounded on both sides; outer-row emission
+    * is O(expired state) per micro-batch at any scale.
+    */
+  def streamingFullJoinAttribution(s: SparkSession, dir: String)
+      : DataFrame = {
+    val qName = "graft_streaming_full_join"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def side(tpe: String) = sessionEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === tpe || col("user_id") < 0)
+      val clicks = side("click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+        "full_outer")
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          col("p_user"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("gap_us"))
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+      .filter(coalesce(col("user_id"), lit(0L)) >= 0 &&
+        coalesce(col("p_user"), lit(0L)) >= 0)
+  }
+
   /** Sentinel'd streaming events source shared by the session queries
     * and the outer attribution join: the events parquet exposed through
     * a scratch dir (symlinks) PLUS a single sentinel row 2 h past
@@ -1300,6 +1355,70 @@ object SourceQueries {
       (parent -- emptied) ++ present.map(ym => ym -> s"$out/o_ym_p=$ym"))
   }
 
+  /** Change rows between two adjacent snapshot versions, scoped to the
+    * MANIFEST diff (the `tableDiff` discipline: unmoved partition
+    * pointers are the same files, provably identical, never read).
+    * Emits one row per changed key: `k`, the NEW price (null for a
+    * delete), and `alive` (0 for a delete).
+    */
+  private def changeRows(s: SparkSession, root: java.nio.file.Path,
+                         vFrom: Int, vTo: Int): DataFrame = {
+    val m1 = readManifest(root, vFrom)
+    val m2 = readManifest(root, vTo)
+    val changed = (m1.keySet ++ m2.keySet).toSeq.sorted
+      .filter(ym => m1.get(ym) != m2.get(ym))
+    val oldSide = s.read.parquet(changed.flatMap(m1.get): _*)
+      .select(col("o_orderkey").as("old_key"),
+        col("o_totalprice").as("old_price"))
+    val newSide = s.read.parquet(changed.flatMap(m2.get): _*)
+      .select(col("o_orderkey").as("new_key"),
+        col("o_totalprice").as("new_price"))
+    oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
+      .filter(col("old_key").isNull || col("new_key").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(coalesce(col("old_key"), col("new_key")).as("k"),
+        col("new_price").as("price"),
+        when(col("new_key").isNull, lit(0)).otherwise(lit(1)).as("alive"))
+  }
+
+  /** Type-2 slowly-changing-dimension history assembled from the
+    * snapshot store's changefeeds — the standard warehouse answer to
+    * "what was this row's value during version N, and when did it
+    * change": one history row per (key, value-interval) with
+    * `valid_from`/`valid_to` version bounds (`valid_to` = 99 ⇒ still
+    * current). Built EVENT-SOURCED, the shape that scales: the v1 base
+    * contributes one opening event per key (a read the dimension pays
+    * once), and each subsequent version contributes only its
+    * manifest-scoped diff — O(changed keys), not O(table × versions),
+    * which at 100 TB × daily commits is the difference between a
+    * history build and re-reading every version. Interval assembly is
+    * one `lead` window over (key, version) partitions of ≤ version
+    * events each — key-partitioned, never data-sized. Delete events
+    * close intervals without emitting rows. The aggregate output
+    * (per-interval row count, key checksum, exact price sum) makes a
+    * missed or phantom interval hash-mismatch the oracle, which
+    * replays the same history relationally from the base table.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = snapshotFixture(s, dir)
+    val base = snapshotRead(s, root, 1)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        lit(1).as("alive"))
+      .withColumn("v", lit(1))
+    val ev = base
+      .unionByName(changeRows(s, root, 1, 2).withColumn("v", lit(2)))
+      .unionByName(changeRows(s, root, 2, 3).withColumn("v", lit(3)))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+    ev.withColumn("valid_to_v", lead(col("v"), 1).over(w))
+      .filter(col("alive") === 1)
+      .groupBy(col("v").as("valid_from"),
+        coalesce(col("valid_to_v"), lit(99)).as("valid_to"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).cast("bigint").as("key_sum"),
+        dsum(col("price")).as("price_sum"))
+  }
+
   /** Three-version fixture over orders: v1 = the base table; v2 = MERGE
     * (10% price bump for keys ≡ 0 mod 97, re-keyed-negative inserts for
     * keys ≡ 0 mod 1013); v3 = DELETE of keys ≡ 0 mod 131 — the same
@@ -1825,6 +1944,7 @@ object SourceQueries {
     "source_time_travel"      -> timeTravel _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
+    "source_scd2_history"     -> scd2History _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
     "source_bloom_lookup"     -> bloomIndexLookup _,
@@ -1850,7 +1970,8 @@ object SourceQueries {
     "streaming_mrout_sink"    -> streamingMroutSink _,
     "streaming_sessionize"    -> streamingSessionize _,
     "streaming_session_window" -> streamingSessionWindow _,
-    "streaming_left_join_unmatched" -> streamingLeftJoinUnmatched _)
+    "streaming_left_join_unmatched" -> streamingLeftJoinUnmatched _,
+    "streaming_full_join_attribution" -> streamingFullJoinAttribution _)
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -1911,6 +2032,18 @@ object SourceQueries {
         |SELECT c.click_id, c.user_id, p.purchase_id,
         |  CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
         |FROM clicks c LEFT JOIN purch p
+        |  ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+        |  AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE""".stripMargin,
+    "streaming_full_join_attribution" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_id, p.p_user,
+        |  CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+        |FROM clicks c FULL JOIN purch p
         |  ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
         |  AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE""".stripMargin,
     "streaming_mrout_sink" ->
@@ -2054,6 +2187,31 @@ object SourceQueries {
         |  strftime(o_orderdate, '%Y-%m') AS o_ym
         |FROM v3
         |WHERE o_orderkey IN (SELECT o_orderkey FROM keys)""".stripMargin,
+    "source_scd2_history" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |ev AS (
+        |  SELECT o_orderkey AS k, 1 AS v, o_totalprice AS price, 1 AS alive
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_totalprice, 1 FROM up
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_totalprice, 1 FROM ins
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, NULL, 0 FROM orders
+        |  WHERE o_orderkey % 131 = 0),
+        |hist AS (
+        |  SELECT k, price, alive, v,
+        |    lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to_v
+        |  FROM ev)
+        |SELECT v AS valid_from, COALESCE(valid_to_v, 99) AS valid_to,
+        |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS price_sum
+        |FROM hist WHERE alive = 1 GROUP BY 1, 2""".stripMargin,
     "source_mv_refresh" ->
       """WITH up AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderdate,

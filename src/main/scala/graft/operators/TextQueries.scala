@@ -212,6 +212,98 @@ object TextQueries {
       .limit(50)
   }
 
+  /** Per-document fluency under a corpus-trained bigram language model —
+    * the LM-scoring stage of a data pipeline (perplexity filtering a la
+    * CCNet/Gopher), made ENGINE-EXACT: instead of summed log
+    * probabilities (libm `ln` differs across engines in the last ulp),
+    * each bigram occurrence scores the maximum-likelihood transition
+    * probability P(w2|w1) = c(w1,w2)/c(w1·) as `floor(1e6 · c12/c1)`
+    * parts-per-million — one IEEE double multiply + divide + floor,
+    * bit-identical in any engine — and the per-doc aggregate is an
+    * exact integer sum. Low mean transition probability = the least
+    * "predictable" documents (gibberish, boilerplate-free rare text,
+    * OCR noise); the entry returns the bottom 20.
+    *
+    * Scale shape: the model IS two partial-aggregated groupBys over the
+    * bigram stream (context counts derive from the bigram counts — no
+    * second corpus pass), and scoring is ONE shuffle join of occurrences
+    * against the model on the bigram key — every stage key-partitioned,
+    * nothing driver-mediated, no data-sized window. Self-scoring means
+    * every query bigram exists in the model (c12 ≥ 1), so the join is
+    * inner and smoothing-free by construction.
+    */
+  def docLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), TokenSep, " ")), " ")
+          .as("t"))
+      .filter(size(col("t")) >= 2)
+      .as[(Long, Array[String])]
+      .flatMap { case (id, toks) =>
+        (0 until toks.length - 1).iterator.map(i => (id, toks(i), toks(i + 1)))
+      }
+      .toDF("doc_id", "w1", "w2")
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val model = big
+      .join(big.groupBy("w1").agg(sum(col("c12")).as("c1")), "w1")
+      .select(col("w1"), col("w2"),
+        floor(lit(1e6) * col("c12") / col("c1")).cast("bigint").as("ppm"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("ppm_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("ppm_sum") / col("n_bigrams")).cast("bigint").as("avg_ppm"))
+      .orderBy(col("avg_ppm").asc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** First K byte-pair-encoding merges trained on the corpus — the
+    * vocabulary-induction stage of a tokenizer pipeline (Sennrich et
+    * al.'s BPE), shaped for scale: after ONE corpus pass builds the
+    * frequency-weighted word vocabulary, every round operates on the
+    * VOCAB (distinct words × their symbol strings), which is bounded
+    * regardless of corpus size — at 100 TB the corpus pass is one
+    * partial-aggregated groupBy and each merge round is a vocab-sized
+    * pair count plus a map-only rewrite. The driver holds exactly one
+    * row per round (the argmax pair — the same scalar class as the ann
+    * query vectors). Ties break deterministically (count desc, pair
+    * asc), and the merge-apply is defined as the engines' shared
+    * left-to-right non-overlapping string `replace` on the
+    * space-sentineled symbol string — bit-identical in Spark and
+    * DuckDB, so the oracle replays the K rounds as staged CTEs.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val rounds = 3
+    val chars = expr(
+      "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+    var vocab = Tables.documents(s, dir)
+      .select(explode(lowToks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), concat_ws(" ", chars), lit(" ")).as("syms"),
+        col("freq"))
+    val picked = (1 to rounds).map { r =>
+      val best = vocab
+        .select(col("freq"), split(trim(col("syms")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> " +
+            "concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(1)
+        .head()
+      val (pair, cnt) = (best.getString(0), best.getLong(1))
+      // tokens are letter-only, so the pair embeds safely in a SQL literal
+      vocab = vocab.withColumn("syms",
+        expr(s"replace(syms, ' $pair ', ' ${pair.replace(" ", "")} ')"))
+      (r, pair, cnt)
+    }
+    import s.implicits._
+    picked.toDF("rank", "pair", "cnt")
+      .select(col("rank").cast("int").as("rank"), col("pair"), col("cnt"))
+  }
+
   /** The END-TO-END training-data keep/drop filter — the query the whole
     * pipeline exists for: a document survives iff it is (a) the
     * canonical copy of its normalized-text hash group (exact dedup),
@@ -572,6 +664,8 @@ object TextQueries {
     "ngram_freq"     -> ngramFreq _,
     "doc_repetition" -> docRepetition _,
     "contamination_ngram" -> contaminationNgram _,
+    "doc_lm_score"   -> docLmScore _,
+    "bpe_merges"     -> bpeMerges _,
     "bm25_search"    -> bm25Search _,
     "pipeline_kept_docs" -> pipelineKeptDocs _)
 
@@ -761,6 +855,76 @@ object TextQueries {
            |SELECT doc_id, n_grams, n_distinct,
            |  CAST(n_distinct AS DOUBLE) / n_grams AS distinct_ratio
            |FROM per WHERE n_grams > n_distinct""".stripMargin,
+    "bpe_merges" ->
+      raw"""WITH toks AS (
+           |  SELECT unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^\p{L}]+'),
+           |    t -> t <> '')) AS w
+           |  FROM documents),
+           |vocab AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+           |v0 AS (
+           |  SELECT ' ' || array_to_string(regexp_split_to_array(w, ''),
+           |    ' ') || ' ' AS syms, freq
+           |  FROM vocab),
+           |p1 AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS p,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(syms), ' ') AS t, freq FROM v0),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1),
+           |b1 AS (SELECT p, cnt FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+           |v1 AS (
+           |  SELECT replace(syms, ' ' || (SELECT p FROM b1) || ' ',
+           |    ' ' || replace((SELECT p FROM b1), ' ', '') || ' ') AS syms,
+           |    freq
+           |  FROM v0),
+           |p2 AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS p,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(syms), ' ') AS t, freq FROM v1),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1),
+           |b2 AS (SELECT p, cnt FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+           |v2 AS (
+           |  SELECT replace(syms, ' ' || (SELECT p FROM b2) || ' ',
+           |    ' ' || replace((SELECT p FROM b2), ' ', '') || ' ') AS syms,
+           |    freq
+           |  FROM v1),
+           |p3 AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS p,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(syms), ' ') AS t, freq FROM v2),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1),
+           |b3 AS (SELECT p, cnt FROM p3 ORDER BY cnt DESC, p LIMIT 1)
+           |SELECT 1 AS rank, p AS pair, cnt FROM b1
+           |UNION ALL SELECT 2, p, cnt FROM b2
+           |UNION ALL SELECT 3, p, cnt FROM b3""".stripMargin,
+    "doc_lm_score" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    string_split(trim(regexp_replace(lower(text),
+           |        '[^\p{L}]+', ' ', 'g')), ' ') AS t
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2),
+           |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+           |uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |        FROM big GROUP BY 1),
+           |model AS (
+           |  SELECT b.w1, b.w2,
+           |    CAST(floor(1e6 * b.c12 / u.c1) AS BIGINT) AS ppm
+           |  FROM big b JOIN uni u ON b.w1 = u.w1),
+           |per AS (
+           |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(m.ppm) AS BIGINT) AS ppm_sum
+           |  FROM bg g JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2
+           |  GROUP BY 1)
+           |SELECT doc_id, n_bigrams,
+           |  CAST(floor(ppm_sum / n_bigrams) AS BIGINT) AS avg_ppm
+           |FROM per ORDER BY avg_ppm ASC, doc_id LIMIT 20""".stripMargin,
     "contamination_ngram" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, source,
