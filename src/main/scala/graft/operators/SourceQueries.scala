@@ -1361,8 +1361,8 @@ object SourceQueries {
     * Emits one row per changed key: `k`, the NEW price (null for a
     * delete), and `alive` (0 for a delete).
     */
-  private def changeRows(s: SparkSession, root: java.nio.file.Path,
-                         vFrom: Int, vTo: Int): DataFrame = {
+  private[operators] def changeRows(s: SparkSession, root: java.nio.file.Path,
+                                    vFrom: Int, vTo: Int): DataFrame = {
     val m1 = readManifest(root, vFrom)
     val m2 = readManifest(root, vTo)
     val changed = (m1.keySet ++ m2.keySet).toSeq.sorted
