@@ -115,6 +115,57 @@ object OlapQueries {
            (num / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"))
   }
 
+  /** Full pairwise Pearson correlation matrix over four lineitem
+    * measures in ONE aggregate pass — the feature-correlation audit a
+    * data pipeline runs before model training, at `profile_table`'s
+    * cost shape: every moment (4 sums, 4 sums of squares, 6 cross
+    * sums) accumulates in the same single global aggregate, so the
+    * scan is paid once and the shuffle carries ONE row regardless of
+    * how many column pairs are requested; the 6 correlations are then
+    * assembled from that row and unpivoted with `stack`. The naive
+    * per-pair `corr()` loop would be 6 scans — and Spark's built-in
+    * `corr` accumulates doubles in partition order, which is not
+    * cross-engine reproducible. Same exact-integer-moment discipline
+    * as `corr_quantity_price`: per-row math in codegen'd longs
+    * (cents/percent scaling), per-group accumulation in exact
+    * DECIMAL(38,0) / HUGEINT, doubles only at the final cast.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val exprs = Seq(
+      "quantity"     -> round(col("l_quantity")).cast("long"),
+      "price_cents"  -> round(col("l_extendedprice") * 100).cast("long"),
+      "discount_pct" -> round(col("l_discount") * 100).cast("long"),
+      "tax_pct"      -> round(col("l_tax") * 100).cast("long"))
+    val names = exprs.map(_._1)
+    val byName = exprs.toMap
+    def dsum38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val pairs = for {
+      i <- names.indices; j <- i + 1 until names.size
+    } yield (names(i), names(j))
+    val aggCols =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("nd")) ++
+        names.map(nm => dsum38(byName(nm)).as(s"s_$nm")) ++
+        names.map(nm => dsum38(byName(nm) * byName(nm)).as(s"ss_$nm")) ++
+        pairs.map { case (a, b) =>
+          dsum38(byName(a) * byName(b)).as(s"sp_${a}_$b")
+        }
+    val m = Tables.lineitem(s, dir).agg(aggCols.head, aggCols.tail: _*)
+    val corrCols = pairs.map { case (a, b) =>
+      val num = (col("nd") * col(s"sp_${a}_$b") -
+        col(s"s_$a") * col(s"s_$b")).cast("double")
+      val va = (col("nd") * col(s"ss_$a") -
+        col(s"s_$a") * col(s"s_$a")).cast("double")
+      val vb = (col("nd") * col(s"ss_$b") -
+        col(s"s_$b") * col(s"s_$b")).cast("double")
+      (num / (sqrt(va) * sqrt(vb))).as(s"c_${a}_$b")
+    }
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', c_${a}_$b" }.mkString(", ")
+    m.select(corrCols: _*)
+      .select(expr(
+        s"stack(${pairs.size}, $stackArgs) AS (x_name, y_name, corr)"))
+  }
+
   /** Per-user inter-event gaps (lag over an explicit total order) —
     * the session-feature extraction shape: one shuffle by user_id, then
     * a per-user rollup of exact microsecond deltas.
@@ -632,6 +683,7 @@ object OlapQueries {
     "percentile_brand_prices" -> percentileBrandPrices _,
     "sql_parts_above_type_avg" -> sqlPartsAboveTypeAvg _,
     "corr_quantity_price"     -> corrQuantityPrice _,
+    "corr_matrix"             -> corrMatrix _,
     "events_user_gaps"        -> eventsUserGaps _,
     "ntile_customers"         -> ntileCustomers _,
     "salted_join_revenue"     -> saltedJoinRevenue _,
@@ -792,6 +844,50 @@ object OlapQueries {
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
         |FROM m""".stripMargin,
+    "corr_matrix" ->
+      """WITH q AS (
+        |  SELECT CAST(round(l_quantity) AS HUGEINT) AS x1,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS x2,
+        |    CAST(round(l_discount * 100) AS HUGEINT) AS x3,
+        |    CAST(round(l_tax * 100) AS HUGEINT) AS x4
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3, SUM(x4) AS s4,
+        |    SUM(x1*x1) AS ss1, SUM(x2*x2) AS ss2,
+        |    SUM(x3*x3) AS ss3, SUM(x4*x4) AS ss4,
+        |    SUM(x1*x2) AS p12, SUM(x1*x3) AS p13, SUM(x1*x4) AS p14,
+        |    SUM(x2*x3) AS p23, SUM(x2*x4) AS p24, SUM(x3*x4) AS p34
+        |  FROM q)
+        |SELECT 'quantity' AS x_name, 'price_cents' AS y_name,
+        |  CAST(n*p12 - s1*s2 AS DOUBLE) /
+        |    (sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE)) *
+        |     sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE))) AS corr FROM m
+        |UNION ALL
+        |SELECT 'quantity', 'discount_pct',
+        |  CAST(n*p13 - s1*s3 AS DOUBLE) /
+        |    (sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE)) *
+        |     sqrt(CAST(n*ss3 - s3*s3 AS DOUBLE))) FROM m
+        |UNION ALL
+        |SELECT 'quantity', 'tax_pct',
+        |  CAST(n*p14 - s1*s4 AS DOUBLE) /
+        |    (sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE)) *
+        |     sqrt(CAST(n*ss4 - s4*s4 AS DOUBLE))) FROM m
+        |UNION ALL
+        |SELECT 'price_cents', 'discount_pct',
+        |  CAST(n*p23 - s2*s3 AS DOUBLE) /
+        |    (sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE)) *
+        |     sqrt(CAST(n*ss3 - s3*s3 AS DOUBLE))) FROM m
+        |UNION ALL
+        |SELECT 'price_cents', 'tax_pct',
+        |  CAST(n*p24 - s2*s4 AS DOUBLE) /
+        |    (sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE)) *
+        |     sqrt(CAST(n*ss4 - s4*s4 AS DOUBLE))) FROM m
+        |UNION ALL
+        |SELECT 'discount_pct', 'tax_pct',
+        |  CAST(n*p34 - s3*s4 AS DOUBLE) /
+        |    (sqrt(CAST(n*ss3 - s3*s3 AS DOUBLE)) *
+        |     sqrt(CAST(n*ss4 - s4*s4 AS DOUBLE))) FROM m""".stripMargin,
     "events_user_gaps" ->
       """WITH g AS (
         |  SELECT user_id,
