@@ -1333,26 +1333,45 @@ object SourceQueries {
     * [[snapshotVacuum]]. `SnapshotStoreSpec` races two commits off the
     * same parent and pins all three properties.
     */
-  private[operators] def snapshotCommit(s: SparkSession,
+  private[graft] def snapshotCommit(s: SparkSession,
       root: java.nio.file.Path, fromV: Int, toV: Int, delta: DataFrame,
-      insertDelta: Boolean): Unit = {
+      insertDelta: Boolean, keyCol: String = "o_orderkey",
+      partCol: String = "o_ym"): Unit = {
     val head = headVersion(root)
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
-    val touched = delta.select("o_ym").distinct().collect()
+    val touched = delta.select(partCol).distinct().collect()
       .map(_.getString(0)).toSeq.sorted
     val kept = s.read.parquet(touched.map(parent): _*)
-      .join(broadcast(delta.select(col("o_orderkey").as("d_key"))),
-        col("o_orderkey") === col("d_key"), "left_anti")
+      .join(broadcast(delta.select(col(keyCol).as("d_key"))),
+        col(keyCol) === col("d_key"), "left_anti")
     val out = root.resolve(
       s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
     (if (insertDelta) kept.unionByName(delta) else kept)
-      .withColumn("o_ym_p", col("o_ym"))
-      .write.mode("overwrite").partitionBy("o_ym_p").parquet(out)
+      .withColumn(s"${partCol}_p", col(partCol))
+      .write.mode("overwrite").partitionBy(s"${partCol}_p").parquet(out)
     val (present, emptied) = touched.partition(ym =>
-      new java.io.File(s"$out/o_ym_p=$ym").isDirectory)
+      new java.io.File(s"$out/${partCol}_p=$ym").isDirectory)
     writeManifest(root, toV,
-      (parent -- emptied) ++ present.map(ym => ym -> s"$out/o_ym_p=$ym"))
+      (parent -- emptied) ++ present.map(ym => ym -> s"$out/${partCol}_p=$ym"))
+  }
+
+  /** Bootstrap a snapshot store: the whole frame becomes v1, laid out
+    * one dir per partition value, published through the same CAS
+    * manifest write (a racing bootstrap loses like any other commit).
+    */
+  private[graft] def snapshotInit(s: SparkSession,
+      root: java.nio.file.Path, data: DataFrame,
+      partCol: String = "o_ym"): Unit = {
+    val d1 = root.resolve(
+      s"d1-${java.util.UUID.randomUUID.toString.take(8)}").toString
+    data.withColumn(s"${partCol}_p", col(partCol))
+      .write.mode("overwrite").partitionBy(s"${partCol}_p").parquet(d1)
+    val parts = Option(new java.io.File(d1).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${partCol}_p="))
+      .map(f => f.getName.stripPrefix(s"${partCol}_p=") -> f.getAbsolutePath)
+    writeManifest(root, 1, parts.toMap)
   }
 
   /** Change rows between two adjacent snapshot versions, scoped to the
@@ -1514,6 +1533,42 @@ object SourceQueries {
       .filter(col("o_orderkey").isin(keys: _*))
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_ym"))
+  }
+
+  /** The snapshot store driven ENTIRELY through the public format door
+    * — `df.write.format("graft-snapshot").mode("append")` — from empty
+    * root to three versions: bootstrap (v1 = the 1995 slice of
+    * orders), an upsert commit (price bump + re-keyed inserts), and a
+    * delete commit, then the head read back through the connector. A
+    * user of the library needs no internal API to run a
+    * copy-on-write, time-traveling table: the writer handles
+    * bootstrap, CAS publish, and conflict REBASE (re-read head,
+    * re-apply the key-based delta) behind `save()`. Each invocation
+    * uses a fresh root (the write path must stay idempotent across
+    * bench trials), so the timed cost is build-inclusive by design —
+    * the entry IS the write path.
+    */
+  def snapshotWriteDoor(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(ioDir("snapshot_door"))
+      .resolve(java.util.UUID.randomUUID.toString.take(8))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      .filter(col("o_ym").startsWith("1995"))
+    orders.write.format("graft-snapshot").mode("append").save(root.toString)
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    updates.unionByName(inserts)
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    orders.filter(col("o_orderkey") % 131 === 0)
+      .write.format("graft-snapshot").mode("append")
+      .option("commitMode", "delete").save(root.toString)
+    graft.sources.SnapshotTable.read(s, root, 3)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
   }
 
   /** Time travel: after the v2 merge and v3 delete have committed, read
@@ -1945,6 +2000,7 @@ object SourceQueries {
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_scd2_history"     -> scd2History _,
+    "source_snapshot_write_door" -> snapshotWriteDoor _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
     "source_bloom_lookup"     -> bloomIndexLookup _,
@@ -2187,6 +2243,30 @@ object SourceQueries {
         |  strftime(o_orderdate, '%Y-%m') AS o_ym
         |FROM v3
         |WHERE o_orderkey IN (SELECT o_orderkey FROM keys)""".stripMargin,
+    "source_snapshot_write_door" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1995'),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3 GROUP BY 1""".stripMargin,
     "source_scd2_history" ->
       """WITH up AS (
         |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice

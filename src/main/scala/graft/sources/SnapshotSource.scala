@@ -309,23 +309,83 @@ object SnapshotTable {
   }
 }
 
-/** `spark.read.format("graft-snapshot").option("version", 2)
-  * .option("bloomKey", "o_orderkey").load(root)` — the DataFrameReader
-  * door to [[SnapshotTable]]. Options: `version` (default: head),
-  * `bloomKey` (default: none), `partitionCol` (default `o_ym_p`).
+/** The DataFrameReader/Writer door to [[SnapshotTable]].
+  *
+  * Read: `spark.read.format("graft-snapshot").option("version", 2)
+  * .option("bloomKey", "o_orderkey").load(root)`. Options: `version`
+  * (default: head), `bloomKey` (default: none), `partitionCol`
+  * (default `o_ym_p`).
+  *
+  * Write: `df.write.format("graft-snapshot").mode("append")
+  * .option("commitMode", "upsert" | "delete").save(root)` — the frame
+  * is the commit's DELTA, applied copy-on-write against the current
+  * head through the store's CAS manifest publish. An empty root
+  * bootstraps to v1. On a CAS conflict the commit REBASES: it
+  * re-reads the new head and re-applies the same key-based delta —
+  * sound because upsert/delete deltas are defined per key, not
+  * relative to a snapshot's values. Only `SaveMode.Append` is
+  * accepted: a snapshot store never overwrites history — that is the
+  * point of it. Options: `keyCol` (default `o_orderkey`), `partCol`
+  * (default `o_ym`), `commitMode` (default `upsert`).
   */
-final class SnapshotSourceProvider extends RelationProvider with DataSourceRegister {
+final class SnapshotSourceProvider extends RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  private def opt(parameters: Map[String, String], k: String): Option[String] =
+    parameters.get(k.toLowerCase).orElse(parameters.get(k))
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val root = java.nio.file.Paths.get(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path")))
-    val version = parameters.get("version").map(_.toInt)
+    val version = opt(parameters, "version").map(_.toInt)
       .getOrElse(SnapshotManifest.head(root))
     SnapshotTable.relation(ctx.sparkSession, root, version,
-      parameters.get("bloomkey").orElse(parameters.get("bloomKey")),
-      parameters.get("partitioncol").orElse(parameters.get("partitionCol"))
-        .getOrElse("o_ym_p"))
+      opt(parameters, "bloomKey"),
+      opt(parameters, "partitionCol").getOrElse("o_ym_p"))
+  }
+
+  override def createRelation(ctx: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    require(mode == org.apache.spark.sql.SaveMode.Append,
+      s"graft-snapshot only supports SaveMode.Append (a snapshot store " +
+        s"never overwrites history); got $mode")
+    val root = java.nio.file.Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot needs a path")))
+    val keyCol = opt(parameters, "keyCol").getOrElse("o_orderkey")
+    val partCol = opt(parameters, "partCol").getOrElse("o_ym")
+    val insert = opt(parameters, "commitMode").getOrElse("upsert") match {
+      case "upsert" => true
+      case "delete" => false
+      case other => throw new IllegalArgumentException(
+        s"commitMode must be upsert or delete, got $other")
+    }
+    val spark = ctx.sparkSession
+    java.nio.file.Files.createDirectories(root)
+    // CAS retry loop: of N racers exactly one publishes each version;
+    // losers rebase on the new head and re-apply the key-based delta
+    val MaxAttempts = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val head = SnapshotManifest.head(root)
+      try {
+        if (head == 0)
+          graft.operators.SourceQueries.snapshotInit(spark, root, data, partCol)
+        else
+          graft.operators.SourceQueries.snapshotCommit(spark, root, head,
+            head + 1, data, insert, keyCol, partCol)
+        committed = true
+      } catch {
+        case e: graft.operators.SourceQueries.SnapshotConflictException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+      }
+    }
+    createRelation(ctx, parameters)
   }
 }
