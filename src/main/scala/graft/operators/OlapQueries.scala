@@ -72,6 +72,31 @@ object OlapQueries {
     s.sql(SqlPartsAboveTypeAvg)
   }
 
+  /** TPC-H Q17 shape (small-quantity revenue): one ANSI statement run
+    * verbatim by BOTH engines — the correlated scalar AVG subquery is
+    * the decorrelation stress case: Catalyst rewrites the per-row
+    * re-execution into one partkey-grouped aggregate joined back
+    * (visible as a single extra shuffle on l_partkey), exactly what a
+    * hand-written two-pass plan would do. Determinism: the quantities
+    * are integral, so AVG's double sum is EXACT in any accumulation
+    * order (integer-valued partials below 2^53), `0.2 * avg` is one
+    * IEEE multiply, and the revenue total is an exact decimal sum.
+    */
+  def sqlQ17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ17SmallQty)
+  }
+
+  private val SqlQ17SmallQty =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+      |  AND l_quantity < 0.2 * (SELECT AVG(l_quantity) FROM lineitem l2
+      |                          WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   private val SqlPartsAboveTypeAvg =
     """SELECT p_partkey, p_type, p_retailprice
       |FROM part p
@@ -682,6 +707,7 @@ object OlapQueries {
     "pivot_returns"           -> pivotReturns _,
     "percentile_brand_prices" -> percentileBrandPrices _,
     "sql_parts_above_type_avg" -> sqlPartsAboveTypeAvg _,
+    "sql_q17_small_qty" -> sqlQ17SmallQty _,
     "corr_quantity_price"     -> corrQuantityPrice _,
     "corr_matrix"             -> corrMatrix _,
     "events_user_gaps"        -> eventsUserGaps _,
@@ -827,6 +853,7 @@ object OlapQueries {
         |    / 100.0 AS p75
         |FROM part GROUP BY p_brand""".stripMargin,
     "sql_parts_above_type_avg" -> SqlPartsAboveTypeAvg,
+    "sql_q17_small_qty" -> SqlQ17SmallQty,
     "corr_quantity_price" ->
       """WITH q AS (
         |  SELECT l_returnflag,

@@ -90,6 +90,56 @@ object RelationalQueries {
         .as("revenue"))
   }
 
+  /** TPC-H Q8 shape (market share): per (order-year, supplier nation),
+    * each nation's share of PROMO-part volume sold to ASIA customers —
+    * the six-table star join where ONLY the two fact tables shuffle:
+    * part (filtered), supplier, both nation hops, region, and the
+    * ASIA-pruned customer list are broadcast, so the single exchange is
+    * lineitem ⋈ orders on orderkey. The share divides EXACT decimal
+    * sums (the window total sums decimals, order-free) and converts to
+    * double only at the final division — a double window-sum of the
+    * per-nation volumes would be partition-order-dependent and break
+    * the cross-engine hash. The windowed table is the years×nations
+    * aggregate (≤ a few hundred rows), never data-sized.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val supNat = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val asiaCust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val vdec = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(30,6)"))
+    val vol = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"), col("supp_nation"))
+      .agg(vdec.as("vdec"))
+    val w = Window.partitionBy(col("o_year"))
+    vol.select(col("o_year").cast("int").as("o_year"), col("supp_nation"),
+        col("vdec").cast("double").as("volume"),
+        (col("vdec").cast("double") /
+          sum(col("vdec")).over(w).cast("double")).as("mkt_share"))
+  }
+
   /** TPC-H Q6 shape: scalar aggregate, all predicates pushed to scan. */
   def q6RevenueForecast(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -590,6 +640,7 @@ object RelationalQueries {
     "q1_pricing_summary"     -> q1PricingSummary _,
     "q3_top_orders"          -> q3TopOrders _,
     "q5_region_revenue"      -> q5RegionRevenue _,
+    "q8_market_share"        -> q8MarketShare _,
     "q6_revenue_forecast"    -> q6RevenueForecast _,
     "q10_returned_items"     -> q10ReturnedItems _,
     "region_customer_stats"  -> regionCustomerStats _,
@@ -690,6 +741,31 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q8_market_share" ->
+      """WITH asia_cust AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    n.n_name AS supp_nation,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(30,6))) AS vdec
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n ON s_nationkey = n.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN asia_cust ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT o_year, supp_nation, CAST(vdec AS DOUBLE) AS volume,
+        |  CAST(vdec AS DOUBLE) /
+        |    CAST(SUM(vdec) OVER (PARTITION BY o_year) AS DOUBLE)
+        |    AS mkt_share
+        |FROM vol""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
