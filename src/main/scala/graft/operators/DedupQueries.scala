@@ -725,11 +725,15 @@ object DedupQueries {
       col("n").as("n_a"))
     val b = names.select(col("blk"), col("p_name").as("name_b"),
       col("n").as("n_b"))
+    // the distance is O(|a|·|b|) per pair and dominates the blocked
+    // candidates' cost — compute it once, filter on the column (Spark
+    // does not CSE across Filter and Project)
     a.join(b, Seq("blk"))
-      .filter(col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 4)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("bigint").as("dist"),
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("dist") <= 4)
+      .select(col("name_a"), col("name_b"), col("dist"),
         col("n_a"), col("n_b"))
   }
 

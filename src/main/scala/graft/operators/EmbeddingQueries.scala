@@ -420,10 +420,17 @@ object EmbeddingQueries {
     val assignPrefix = s"graft_ivfi_assign_${suffix}_"
     val centTbl   = s"$centPrefix${fp}_b$nBuckets"
     val assignTbl = s"$assignPrefix${fp}_b$nBuckets"
+    // the build APPENDS into assignTbl as its second step, so unlike
+    // the single-write ann_* entries, a crash between the steps leaves
+    // a complete-looking but delta-less index. The marker table is
+    // written LAST and gates ensure: incomplete builds fail the
+    // existence check and are swept + rebuilt.
+    val doneTbl = s"$assignPrefix${fp}_b${nBuckets}_done"
     graft.core.Warehouse.ensure(s, Seq(centPrefix, assignPrefix),
-        Seq(centTbl, assignTbl)) {
+        Seq(centTbl, assignTbl, doneTbl)) {
       ivfIncrementalBase(s, dir, centTbl, assignTbl, nBuckets)
       ivfIncrementalAppend(s, dir, centTbl, assignTbl, nBuckets)
+      s.range(1).write.mode("overwrite").saveAsTable(doneTbl)
     }
     annTopkOver(s.table(assignTbl), s.table(centTbl))
   }

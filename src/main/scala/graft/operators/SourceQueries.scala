@@ -1342,9 +1342,20 @@ object SourceQueries {
     val parent = readManifest(root, fromV)
     val touched = delta.select(partCol).distinct().collect()
       .map(_.getString(0)).toSeq.sorted
-    val kept = s.read.parquet(touched.map(parent): _*)
-      .join(broadcast(delta.select(col(keyCol).as("d_key"))),
-        col(keyCol) === col("d_key"), "left_anti")
+    if (touched.isEmpty) {
+      // legal no-change commit (e.g. an ingest batch that filtered to
+      // zero rows): republish the parent entries as the new version
+      writeManifest(root, toV, parent)
+      return
+    }
+    // a touched partition may be NEW (first rows of a month the parent
+    // has never seen) — only parent-known partitions have rows to keep
+    val existing = touched.flatMap(parent.get)
+    val kept =
+      (if (existing.isEmpty) delta.limit(0)
+       else s.read.parquet(existing: _*))
+        .join(broadcast(delta.select(col(keyCol).as("d_key"))),
+          col(keyCol) === col("d_key"), "left_anti")
     val out = root.resolve(
       s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
     (if (insertDelta) kept.unionByName(delta) else kept)
@@ -1548,9 +1559,17 @@ object SourceQueries {
     * bench trials), so the timed cost is build-inclusive by design —
     * the entry IS the write path.
     */
+  private val doorRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   def snapshotWriteDoor(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(ioDir("snapshot_door"))
       .resolve(java.util.UUID.randomUUID.toString.take(8))
+    // fresh root per invocation (the write path must stay idempotent
+    // across bench trials) — but sweep the PREVIOUS trial's root so N
+    // trials cost one store's disk, not N
+    doorRoots.put(Tables.dirKey(dir), root).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))

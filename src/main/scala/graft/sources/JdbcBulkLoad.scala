@@ -169,10 +169,15 @@ object SparkThriftIngestDialect extends BulkLoadDialect {
       val st = conn.createStatement()
       val tmp = s"graft_ingest_${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = scratch.getAbsolutePath.replace("'", "''")
+      // same identifier quoting as the DDL half of this door
+      // (HiveQLDialect.quoteIdentifier), so a name legal there can't
+      // break the ingest statements here
+      val qTable = HiveQLDialect.quoteIdentifier(table)
+      val qTmp = HiveQLDialect.quoteIdentifier(tmp)
       st.execute(
-        s"CREATE TEMPORARY VIEW `$tmp` USING parquet OPTIONS (path '$dir')")
-      st.execute(s"INSERT INTO `$table` SELECT * FROM `$tmp`")
-      st.execute(s"DROP VIEW `$tmp`")
+        s"CREATE TEMPORARY VIEW $qTmp USING parquet OPTIONS (path '$dir')")
+      st.execute(s"INSERT INTO $qTable SELECT * FROM $qTmp")
+      st.execute(s"DROP VIEW $qTmp")
     } finally conn.close()
   }
 }

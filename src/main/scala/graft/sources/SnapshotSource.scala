@@ -89,7 +89,12 @@ object SnapshotBloom {
     */
   def build(s: SparkSession, dataDirs: Seq[String], keyCol: String,
             out: String): Unit = {
-    val xx = xxhash64(col(keyCol))
+    // hash the key as LONG on both sides: xxhash64 of an IntegerType
+    // column hashes 4 bytes while the driver probe hashes a Long
+    // literal's 8 — without the cast an int-typed key column would
+    // never match its own bloom bits and the lookup would silently
+    // skip the right files
+    val xx = xxhash64(col(keyCol).cast("long"))
     val h1 = xx.bitwiseAND(lit(0xFFFFFFFFL))
     val h2 = shiftrightunsigned(xx, 32).bitwiseOR(lit(1L))
     val posArr = array((0 until K).map(i =>
@@ -101,15 +106,21 @@ object SnapshotBloom {
       .write.mode("overwrite").parquet(out)
   }
 
-  /** Load bitsets for (at most) the given file set. */
+  /** Load bitsets for (at most) the given file set — the membership
+    * filter runs BEFORE bitset construction, so rows for files other
+    * versions reference cost a string check, not a 4 KiB allocation.
+    */
   def load(s: SparkSession, indexPath: String,
            files: Set[String]): Map[String, Array[Long]] =
-    s.read.parquet(indexPath).collect().iterator.map { r =>
+    s.read.parquet(indexPath).collect().iterator.flatMap { r =>
       val key = fileKey(r.getString(0))
-      val bits = new Array[Long](Bits / 64)
-      r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
-      key -> bits
-    }.filter(kv => files.contains(kv._1)).toMap
+      if (!files.contains(key)) Iterator.empty
+      else {
+        val bits = new Array[Long](Bits / 64)
+        r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
+        Iterator.single(key -> bits)
+      }
+    }.toMap
 
   /** Driver-side probe: the same xxhash64 + double-hash positions. */
   def mayContain(bits: Array[Long], key: Long): Boolean = {
@@ -216,25 +227,32 @@ final class SnapshotFileIndex(
   }
 
   /** Evaluate the partition filters against each manifest entry's
-    * partition value. Any filter shape the binder can't handle keeps
-    * every partition — pruning is an optimization, never a gate.
+    * partition value. For a `HadoopFsRelation`, FileSourceStrategy
+    * REMOVES deterministic partition-only filters from the post-scan
+    * filter set — honoring them here is a CORRECTNESS obligation, not
+    * an optimization, so an unbindable filter shape fails loudly
+    * rather than silently listing extra partitions whose rows nothing
+    * downstream would re-filter.
     */
   private def prunePartitions(partitionFilters: Seq[Expression])
       : Seq[(String, Array[FileStatus])] =
     partitionFilters.reduceOption(And) match {
       case None => filesByPartition
       case Some(pred) =>
-        Try {
-          val bound = Predicate.createInterpreted(pred.transform {
+        val bound = Try {
+          val p = Predicate.createInterpreted(pred.transform {
             case a: AttributeReference =>
               val idx = partitionSchema.fieldIndex(a.name)
               BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
           })
-          bound.initialize(0)
-          filesByPartition.filter { case (pv, _) =>
-            bound.eval(InternalRow(UTF8String.fromString(pv)))
-          }
-        }.getOrElse(filesByPartition)
+          p.initialize(0)
+          p
+        }.getOrElse(throw new IllegalStateException(
+          s"cannot bind partition filter $pred against " +
+            s"$partitionSchema — refusing to scan unpruned"))
+        filesByPartition.filter { case (pv, _) =>
+          bound.eval(InternalRow(UTF8String.fromString(pv)))
+        }
     }
 
   /** Per-conjunct candidate key sets for the bloom key: `k = lit`,

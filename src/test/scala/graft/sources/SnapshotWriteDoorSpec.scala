@@ -23,9 +23,10 @@ class SnapshotWriteDoorSpec extends SparkSpec {
     r
   }
 
-  private def frame(rows: Seq[(Long, String, Double)]) =
+  private def frame(rows: Seq[(Long, String, Double)],
+                    month: String = "2024-01") =
     rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
-      .withColumn("o_ym", lit("2024-01"))
+      .withColumn("o_ym", lit(month))
 
   test("bootstrap, upsert, delete: three versions, old ones immutable") {
     val root = freshRoot()
@@ -57,6 +58,35 @@ class SnapshotWriteDoorSpec extends SparkSpec {
     val head = spark.read.format("graft-snapshot").load(root.toString)
       .select("o_orderkey").as[Long].collect().toSet
     assert(head === Set(2L, 3L, 9L))
+  }
+
+  test("an upsert introducing a brand-new partition appends it") {
+    val root = freshRoot()
+    frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)))
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    // delta spans an existing month (update key 2) AND a month the
+    // parent manifest has never seen — the canonical time-partitioned
+    // ingest pattern
+    frame(Seq((2L, "O", 99.0)))
+      .unionByName(frame(Seq((7L, "N", 7.0)), month = "2024-02"))
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    assert(SnapshotManifest.head(root) === 2)
+    assert(SnapshotManifest.read(root, 2).keySet === Set("2024-01", "2024-02"))
+    val got = SnapshotTable.read(spark, root, 2)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 10.0), (2L, 99.0), (7L, 7.0)))
+  }
+
+  test("an empty delta is a legal no-change commit") {
+    val root = freshRoot()
+    frame(Seq((1L, "O", 10.0)))
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    frame(Seq.empty)
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    assert(SnapshotManifest.head(root) === 2)
+    assert(SnapshotManifest.read(root, 2) === SnapshotManifest.read(root, 1))
+    assert(SnapshotTable.read(spark, root, 2).count() === 1)
   }
 
   test("non-append SaveMode is refused") {
