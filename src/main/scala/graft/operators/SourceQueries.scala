@@ -1314,6 +1314,33 @@ object SourceQueries {
       root: java.nio.file.Path, version: Int): DataFrame =
     s.read.parquet(readManifest(root, version).values.toSeq.sorted: _*)
 
+  /** Publish the [[graft.sources.SnapshotFiles]] sidecar for a freshly
+    * CAS-won version: per-file stats rows are COLLECTED (one
+    * distributed pass) for the commit's new dirs only, and copied
+    * verbatim from the parent's sidecar for every untouched partition
+    * — O(touched) maintenance, the commit's own bound. If the parent
+    * has carried partitions but no sidecar (a legacy store), no
+    * sidecar is written: profiling the carried dirs would be O(table),
+    * and the reader's lazy-listing fallback is sound.
+    */
+  private def publishFilesSidecar(s: SparkSession, root: java.nio.file.Path,
+      version: Int, parentV: Option[Int], entries: Map[String, String],
+      touched: Set[String], dataSchema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val carried = entries.keySet -- touched
+    val carriedRows: Option[Seq[graft.sources.SnapshotFiles.FileEntry]] =
+      if (carried.isEmpty) Some(Nil)
+      else parentV.flatMap(pv => graft.sources.SnapshotFiles.read(root, pv))
+        .map(parent => carried.toSeq.sorted.flatMap(p =>
+          parent.getOrElse(p, Nil)))
+    carriedRows.foreach { cr =>
+      val fresh = graft.sources.SnapshotFiles.collect(s,
+        touched.toSeq.sorted.flatMap(p => entries.get(p).map(p -> _)),
+        dataSchema)
+      graft.sources.SnapshotFiles.write(root, version, cr ++ fresh)
+    }
+  }
+
   /** Copy-on-write snapshot commit: anti-join the delta's keys out of
     * the TOUCHED months only (read via the parent manifest), write the
     * rewritten months under a fresh `d<toV>` root, publish manifest
@@ -1346,6 +1373,8 @@ object SourceQueries {
       // legal no-change commit (e.g. an ingest batch that filtered to
       // zero rows): republish the parent entries as the new version
       writeManifest(root, toV, parent)
+      publishFilesSidecar(s, root, toV, Some(fromV), parent,
+        Set.empty, delta.schema)
       return
     }
     // a touched partition may be NEW (first rows of a month the parent
@@ -1363,26 +1392,50 @@ object SourceQueries {
       .write.mode("overwrite").partitionBy(s"${partCol}_p").parquet(out)
     val (present, emptied) = touched.partition(ym =>
       new java.io.File(s"$out/${partCol}_p=$ym").isDirectory)
-    writeManifest(root, toV,
-      (parent -- emptied) ++ present.map(ym => ym -> s"$out/${partCol}_p=$ym"))
+    val entries =
+      (parent -- emptied) ++ present.map(ym => ym -> s"$out/${partCol}_p=$ym")
+    writeManifest(root, toV, entries)
+    // CAS won: publish the file-stats sidecar (new dirs profiled, the
+    // rest copied from the parent's sidecar — O(touched) maintenance)
+    publishFilesSidecar(s, root, toV, Some(fromV), entries,
+      present.toSet, delta.schema)
   }
 
   /** Bootstrap a snapshot store: the whole frame becomes v1, laid out
-    * one dir per partition value, published through the same CAS
-    * manifest write (a racing bootstrap loses like any other commit).
+    * one leaf dir per (multi-column) partition value, published
+    * through the same CAS manifest write (a racing bootstrap loses
+    * like any other commit). The CAS winner also persists the
+    * `table.meta` sidecar (typed partition schema + data schema — so
+    * the store's layout is declared, not hardcoded, and a zero-row
+    * bootstrap stays readable) and the v1 file-stats sidecar.
     */
   private[graft] def snapshotInit(s: SparkSession,
       root: java.nio.file.Path, data: DataFrame,
-      partCol: String = "o_ym"): Unit = {
+      partCols: Seq[String] = Seq("o_ym")): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val pcols = partCols.map(c => s"${c}_p")
     val d1 = root.resolve(
       s"d1-${java.util.UUID.randomUUID.toString.take(8)}").toString
-    data.withColumn(s"${partCol}_p", col(partCol))
-      .write.mode("overwrite").partitionBy(s"${partCol}_p").parquet(d1)
-    val parts = Option(new java.io.File(d1).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"${partCol}_p="))
-      .map(f => f.getName.stripPrefix(s"${partCol}_p=") -> f.getAbsolutePath)
+    partCols.foldLeft(data)((df, c) => df.withColumn(s"${c}_p", col(c)))
+      .write.mode("overwrite").partitionBy(pcols: _*).parquet(d1)
+    // walk the hive-style nested layout: one manifest entry per leaf
+    // dir, pv = values joined by '/' in partition-schema order
+    def walk(dir: java.io.File, rest: Seq[String],
+             acc: List[String]): Seq[(String, String)] = rest match {
+      case Nil => Seq((acc.reverse.mkString("/"), dir.getAbsolutePath))
+      case c +: tail =>
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith(s"$c="))
+          .flatMap(f => walk(f, tail, f.getName.stripPrefix(s"$c=") :: acc))
+    }
+    val parts = walk(new java.io.File(d1), pcols, Nil)
     writeManifest(root, 1, parts.toMap)
+    graft.sources.SnapshotMeta.write(root, graft.sources.SnapshotMeta.Meta(
+      StructType(partCols.map(c =>
+        StructField(s"${c}_p", data.schema(c).dataType, nullable = true))),
+      data.schema))
+    publishFilesSidecar(s, root, 1, None, parts.toMap,
+      parts.map(_._1).toSet, data.schema)
   }
 
   /** Change rows between two adjacent snapshot versions, scoped to the
@@ -1397,12 +1450,18 @@ object SourceQueries {
     val m2 = readManifest(root, vTo)
     val changed = (m1.keySet ++ m2.keySet).toSeq.sorted
       .filter(ym => m1.get(ym) != m2.get(ym))
-    val oldSide = s.read.parquet(changed.flatMap(m1.get): _*)
-      .select(col("o_orderkey").as("old_key"),
-        col("o_totalprice").as("old_price"))
-    val newSide = s.read.parquet(changed.flatMap(m2.get): _*)
-      .select(col("o_orderkey").as("new_key"),
-        col("o_totalprice").as("new_price"))
+    // either side may reference NO dirs (insert-only diff: brand-new
+    // partitions have no old side; delete-to-empty has no new side;
+    // an unchanged pair has neither) — degrade to an empty frame
+    // instead of an empty-path parquet read, which throws
+    def side(paths: Seq[String], keyAs: String, priceAs: String): DataFrame =
+      if (paths.isEmpty)
+        s.range(0).select(col("id").as(keyAs),
+          lit(null).cast("double").as(priceAs))
+      else s.read.parquet(paths: _*)
+        .select(col("o_orderkey").as(keyAs), col("o_totalprice").as(priceAs))
+    val oldSide = side(changed.flatMap(m1.get), "old_key", "old_price")
+    val newSide = side(changed.flatMap(m2.get), "new_key", "new_price")
     oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
       .filter(col("old_key").isNull || col("new_key").isNull ||
         col("old_price") =!= col("new_price"))
@@ -1475,14 +1534,7 @@ object SourceQueries {
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    val d1 = root.resolve("d1").toString
-    orders.withColumn("o_ym_p", col("o_ym"))
-      .write.mode("overwrite").partitionBy("o_ym_p").parquet(d1)
-    val months = Option(new java.io.File(d1).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("o_ym_p="))
-      .map(f => f.getName.stripPrefix("o_ym_p=") -> f.getAbsolutePath)
-    writeManifest(root, 1, months.toMap)
+    snapshotInit(s, root, orders, Seq("o_ym"))
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
     val inserts = orders.filter(col("o_orderkey") % 1013 === 0)

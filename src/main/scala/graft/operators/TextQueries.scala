@@ -274,14 +274,22 @@ object TextQueries {
     * DuckDB, so the oracle replays the K rounds as staged CTEs.
     */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Checkpoint.CheckpointOps
     val rounds = 3
     val chars = expr(
       "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+    // the vocab is CHECKPOINTED after the corpus aggregate and after each
+    // round's rewrite: every round ends in a `.head()` action, and without
+    // the cut each action would replay the full lineage — the documents
+    // scan + tokenize + groupBy plus all prior rounds' rewrites, i.e. K
+    // corpus passes for K merges instead of the documented one
+    // (`BpeLineageSpec` pins the corpus parquet read to round 1 only)
     var vocab = Tables.documents(s, dir)
       .select(explode(lowToks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "), concat_ws(" ", chars), lit(" ")).as("syms"),
         col("freq"))
+      .sharedCheckpoint()
     val picked = (1 to rounds).map { r =>
       val best = vocab
         .select(col("freq"), split(trim(col("syms")), " ").as("t"))
@@ -297,6 +305,8 @@ object TextQueries {
       // tokens are letter-only, so the pair embeds safely in a SQL literal
       vocab = vocab.withColumn("syms",
         expr(s"replace(syms, ' $pair ', ' ${pair.replace(" ", "")} ')"))
+      // the last round's rewrite has no consumer — don't materialize it
+      if (r < rounds) vocab = vocab.sharedCheckpoint()
       (r, pair, cnt)
     }
     import s.implicits._

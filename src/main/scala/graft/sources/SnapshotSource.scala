@@ -2,18 +2,19 @@ package graft.sources
 
 import java.nio.file.{Files => JFiles, Path => JPath}
 
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, In, InSet, Literal, Predicate, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Predicate, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Manifest reader for the copy-on-write snapshot store
@@ -23,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * lives with the commit path in `SourceQueries.writeManifest`. This
   * object is the READ half, shared between the relational snapshot
   * queries and the [[SnapshotFileIndex]] connector.
+  *
+  * A multi-column partition value is its column values joined by `/`
+  * in partition-schema order (mirroring the hive-style nested dir
+  * layout `a_p=x/b_p=y`); the column names and types live in the
+  * [[SnapshotMeta]] sidecar, not the manifest.
   */
 object SnapshotManifest {
   /** Highest published version, or 0 if none. */
@@ -39,8 +45,310 @@ object SnapshotManifest {
     JFiles
       .readAllLines(root.resolve("manifests").resolve(s"v$version.manifest"))
       .asScala.map { l =>
-        val Array(ym, p) = l.split('\t'); ym -> p
+        val i = l.lastIndexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1)
       }.toMap
+}
+
+/** Table-level metadata sidecar (`<root>/table.meta`, JSON): the
+  * partition schema (name + type per layout column) and the data
+  * schema. Written once at bootstrap; the Delta `_metadata`/Iceberg
+  * table-metadata analog reduced to the two facts the reader needs:
+  *
+  *  - the connector no longer hardcodes a single `o_ym_p: string`
+  *    partition column — any column list/types the bootstrap declared
+  *    resolve from here;
+  *  - an EMPTY store (a legal zero-row bootstrap) stays readable: the
+  *    data schema comes from the sidecar, not from opening a data file
+  *    that doesn't exist.
+  *
+  * Stores bootstrapped before this sidecar existed read exactly as
+  * they used to (single string partition column named by the caller,
+  * schema inferred from a data dir).
+  */
+object SnapshotMeta {
+  final case class Meta(partitionSchema: StructType, dataSchema: StructType)
+
+  private def file(root: JPath): JPath = root.resolve("table.meta")
+
+  def write(root: JPath, m: Meta): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("partitionSchema" -> m.partitionSchema.json) ~
+      ("dataSchema" -> m.dataSchema.json)
+    val tmp = root.resolve(
+      s".table.meta.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.write(tmp, JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
+    // racing bootstraps write identical content: atomic replace is
+    // idempotent here, unlike the manifest CAS (which arbitrates them)
+    JFiles.move(tmp, file(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(root: JPath): Option[Meta] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = file(root)
+    if (!JFiles.exists(f)) None
+    else {
+      val j = JsonMethods.parse(new String(JFiles.readAllBytes(f), "UTF-8"))
+      def struct(field: String): StructType = (j \ field) match {
+        case JString(s) => DataType.fromJson(s).asInstanceOf[StructType]
+        case other => throw new IllegalStateException(
+          s"table.meta: bad $field: $other")
+      }
+      Some(Meta(struct("partitionSchema"), struct("dataSchema")))
+    }
+  }
+}
+
+/** Per-version FILE manifest sidecar (`manifests/v<N>.files`, JSON
+  * lines): one row per data file — partition value, path, bytes, rows,
+  * and per-column min/max for every stats-eligible column. This is the
+  * Delta/Iceberg "commit the file list + column stats" shape:
+  *
+  *  - '''zero-listing planning''': [[SnapshotFileIndex]] serves the
+  *    scan's file listing straight from the sidecar — no `listStatus`
+  *    call ever runs on the read path (spec-pinned);
+  *  - '''any-column range skipping''': a `col >= lit` / `col IN (...)`
+  *    data filter drops files whose [min, max] cannot satisfy it
+  *    ([[StatsSkipping]]), beyond the single Bloom key;
+  *  - '''stats-free fallback''': a version without a sidecar (legacy
+  *    store, or a crash between manifest publish and sidecar write)
+  *    lists lazily per SURVIVING partition — never eagerly for the
+  *    whole table.
+  *
+  * Stats rows for UNTOUCHED partitions are copied from the parent
+  * version's sidecar at commit time — only a commit's new dirs are
+  * ever re-profiled, so sidecar maintenance is O(touched partitions),
+  * the same bound as the commit itself. The sidecar is written by the
+  * manifest-CAS WINNER only, after the manifest link: a reader racing
+  * that window falls back to lazy listing, which is sound.
+  */
+object SnapshotFiles {
+  /** Stats values are stored as Spark `CAST(x AS STRING)` text; min/max
+    * longer than this are dropped (a truncated upper bound is unsound
+    * without Iceberg-style increment logic, and a 64-char prefix is
+    * useless for the long-text columns that exceed it).
+    */
+  val MaxStatLen = 64
+
+  final case class FileEntry(pv: String, path: String, bytes: Long,
+                             rows: Long, stats: Map[String, (String, String)])
+
+  private def file(root: JPath, version: Int): JPath =
+    root.resolve("manifests").resolve(s"v$version.files")
+
+  def exists(root: JPath, version: Int): Boolean =
+    JFiles.exists(file(root, version))
+
+  def write(root: JPath, version: Int, entries: Seq[FileEntry]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val lines = entries.map { e =>
+      JsonMethods.compact(JsonMethods.render(
+        ("pv" -> e.pv) ~ ("path" -> e.path) ~ ("bytes" -> e.bytes) ~
+          ("rows" -> e.rows) ~
+          ("stats" -> e.stats.map { case (c, (mn, mx)) => c -> List(mn, mx) })))
+    }
+    val mdir = root.resolve("manifests")
+    JFiles.createDirectories(mdir)
+    val tmp = mdir.resolve(
+      s"v$version.files.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.write(tmp, lines.asJava)
+    // only the manifest-CAS winner reaches this write; link-not-rename
+    // keeps a crash-retry from clobbering an already-published sidecar
+    try JFiles.createLink(file(root, version), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally JFiles.deleteIfExists(tmp)
+  }
+
+  /** partitionValue -> file entries, or None if the version predates
+    * file manifests (reader falls back to lazy listing).
+    */
+  def read(root: JPath, version: Int): Option[Map[String, Seq[FileEntry]]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = file(root, version)
+    if (!JFiles.exists(f)) None
+    else Some(JFiles.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val j = JsonMethods.parse(l)
+      def str(k: String) = (j \ k).asInstanceOf[JString].s
+      def lng(k: String) = (j \ k) match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case other => throw new IllegalStateException(s"v$version.files: $other")
+      }
+      val stats = (j \ "stats") match {
+        case JObject(fields) => fields.collect {
+          case (c, JArray(List(JString(mn), JString(mx)))) => c -> (mn, mx)
+        }.toMap
+        case _ => Map.empty[String, (String, String)]
+      }
+      FileEntry(str("pv"), str("path"), lng("bytes"), lng("rows"), stats)
+    }.groupBy(_.pv))
+  }
+
+  /** Columns worth per-file min/max: orderable primitives whose text
+    * form round-trips (timestamps are excluded — their text form is
+    * zone-sensitive and parquet NTZ stats don't reader-prune anyway,
+    * the `zorderLayout` finding).
+    */
+  def statCols(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+
+  /** One distributed pass over `dirsByPart`'s data dirs -> per-file
+    * (bytes, rows, min/max per stats column). Grouped on
+    * `_metadata.file_path`, so cost is a map-side-combined aggregate
+    * over exactly the dirs a commit touched; the collected result is
+    * O(files) driver metadata, the manifest's own class.
+    */
+  def collect(s: SparkSession, dirsByPart: Seq[(String, String)],
+              schema: StructType): Seq[FileEntry] = {
+    if (dirsByPart.isEmpty) return Nil
+    val sc = statCols(schema)
+    val aggs = first(col("__bytes")).as("__b") +:
+      sc.flatMap(f => Seq(
+        min(col(f.name)).cast("string").as(s"mn__${f.name}"),
+        max(col(f.name)).cast("string").as(s"mx__${f.name}")))
+    val rows = s.read.parquet(dirsByPart.map(_._2): _*)
+      .select(col("_metadata.file_path").as("__file") +:
+        col("_metadata.file_size").as("__bytes") +:
+        sc.map(f => col(f.name)): _*)
+      .groupBy(col("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    // commit dirs may be caller-relative; _metadata.file_path is always
+    // absolute — absolutize (without symlink resolution, matching how
+    // Spark qualifies paths) before prefix-matching
+    val prefixes = dirsByPart.map { case (pv, d) =>
+      val abs = new java.io.File(d).getAbsolutePath
+      (SnapshotBloom.fileKey(new Path(abs).toString) + "/") -> pv
+    }
+    rows.toSeq.map { r =>
+      val fkey = SnapshotBloom.fileKey(r.getString(0))
+      val pv = prefixes.collectFirst {
+        case (p, v) if fkey.startsWith(p) => v
+      }.getOrElse(throw new IllegalStateException(
+        s"stats row for $fkey matches no commit dir"))
+      val stats = sc.zipWithIndex.flatMap { case (f, i) =>
+        val mn = r.getString(3 + 2 * i)
+        val mx = r.getString(4 + 2 * i)
+        if (mn == null || mx == null ||
+            mn.length > MaxStatLen || mx.length > MaxStatLen) None
+        else Some(f.name -> (mn, mx))
+      }.toMap
+      FileEntry(pv, fkey, r.getLong(2), r.getLong(1), stats)
+    }
+  }
+}
+
+/** Compiles a scan's data filters into a per-file keep-predicate over
+  * the [[SnapshotFiles]] min/max stats — the range-skipping half of
+  * the metadata plane. Only NULL-REJECTING literal comparisons on a
+  * bare column are used (`=`, `<`, `<=`, `>`, `>=`, `IN`), each a
+  * sound over-approximation: a kept file may still yield no rows
+  * (Spark re-applies every filter after the scan), a skipped file
+  * provably cannot. Unsupported conjunct shapes contribute nothing.
+  */
+object StatsSkipping {
+  private def parseStored(dt: DataType, s: String): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => s.toLongOption
+    case FloatType | DoubleType => s.toDoubleOption
+    case _: DecimalType => Try(BigDecimal(s)).toOption
+    case StringType => Some(s)
+    case DateType =>
+      Try(java.time.LocalDate.parse(s).toEpochDay.toInt).toOption
+    case _ => None
+  }
+
+  private def fromLiteral(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      Some(n.longValue())
+    case (FloatType | DoubleType, n: Number) => Some(n.doubleValue())
+    case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+      Some(d.toBigDecimal)
+    case (StringType, u: UTF8String) => Some(u.toString)
+    case (DateType, i: Int) => Some(i)
+    case _ => None
+  }
+
+  /** Same ordering Spark uses for the type: binary for strings
+    * (UTF8String), numeric otherwise.
+    */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+    case _ => 0
+  }
+
+  type Stats = Map[String, (String, String)]
+
+  /** None = no usable conjunct (keep everything, skip the parse cost). */
+  def compile(filters: Seq[Expression], schema: StructType)
+      : Option[Stats => Boolean] = {
+    def field(name: String): Option[StructField] =
+      schema.fields.find(_.name == name)
+    // keep-predicate for one (attr op literal) conjunct; `op` receives
+    // (parsedMin, parsedMax, literal) and answers "can any row match?"
+    def mk(a: AttributeReference, v: Any,
+           op: (Any, Any, Any) => Boolean): Option[Stats => Boolean] =
+      field(a.name).flatMap { f =>
+        fromLiteral(f.dataType, v).map { lv => (st: Stats) =>
+          st.get(f.name) match {
+            case Some((mnS, mxS)) =>
+              (parseStored(f.dataType, mnS), parseStored(f.dataType, mxS)) match {
+                case (Some(mn), Some(mx)) => op(mn, mx, lv)
+                case _ => true
+              }
+            case None => true // no stats for this column: never skip
+          }
+        }
+      }
+    val eq = (mn: Any, mx: Any, v: Any) => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+    val gt = (_: Any, mx: Any, v: Any) => cmp(mx, v) > 0
+    val ge = (_: Any, mx: Any, v: Any) => cmp(mx, v) >= 0
+    val lt = (mn: Any, _: Any, v: Any) => cmp(mn, v) < 0
+    val le = (mn: Any, _: Any, v: Any) => cmp(mn, v) <= 0
+    val keeps = filters.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => mk(a, v, eq)
+      case EqualTo(Literal(v, _), a: AttributeReference) => mk(a, v, eq)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => mk(a, v, gt)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => mk(a, v, lt)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, v, ge)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, v, le)
+      case LessThan(a: AttributeReference, Literal(v, _)) => mk(a, v, lt)
+      case LessThan(Literal(v, _), a: AttributeReference) => mk(a, v, gt)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, v, le)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, v, ge)
+      case In(a: AttributeReference, list)
+          if list.forall(_.isInstanceOf[Literal]) =>
+        val ks = list.map { case Literal(v, _) => v }
+        val perKey = ks.map(v => mk(a, v, eq))
+        if (perKey.forall(_.isDefined))
+          Some((st: Stats) => perKey.flatten.exists(_(st)))
+        else None
+      case InSet(a: AttributeReference, hset) =>
+        val perKey = hset.toSeq.map(v => mk(a, v, eq))
+        if (perKey.forall(_.isDefined))
+          Some((st: Stats) => perKey.flatten.exists(_(st)))
+        else None
+      case _ => None
+    }
+    if (keeps.isEmpty) None
+    else Some((st: Stats) => keeps.forall(_(st)))
+  }
 }
 
 /** Per-file Bloom bitsets for a snapshot table's point-lookup key.
@@ -57,13 +365,12 @@ object SnapshotManifest {
   * parquet scan whose input set is already pruned.
   *
   * Sizing: a FIXED 2^15-bit / k=4 bitset per file (4 KiB dense, less
-  * sparse) makes the whole index O(files) metadata — unlike the
-  * sorted-distinct-hash signature of `source_bloom_lookup`, whose
-  * per-file size grows with rows/file. 10^6 files is ~4 GB of index: at
-  * that scale a deployment loads only the bitsets of
-  * manifest-surviving files (the load below already filters to the
-  * version's files) or shards the index by partition; the harness
-  * tables sit orders of magnitude below the cap. False positives cost
+  * sparse) makes the whole index O(files) metadata. Loading is SCOPED:
+  * [[SnapshotFileIndex]] asks for bitsets only for partition-pruned
+  * survivor files, the membership filter runs INSIDE the Spark plan
+  * (no full-index driver collect), and loaded bitsets are cached per
+  * index instance — so a 3-month query over a 10⁶-file table moves
+  * 3 months' bitsets to the driver, not 4 GB. False positives cost
   * I/O never correctness: Spark re-applies every data filter after the
   * scan, same contract as parquet row-group stats.
   *
@@ -106,21 +413,28 @@ object SnapshotBloom {
       .write.mode("overwrite").parquet(out)
   }
 
-  /** Load bitsets for (at most) the given file set — the membership
-    * filter runs BEFORE bitset construction, so rows for files other
-    * versions reference cost a string check, not a 4 KiB allocation.
+  /** Load bitsets for exactly the given file set. The membership
+    * filter runs INSIDE the Spark plan — the index rows for every
+    * other file are dropped by executors, never collected — so driver
+    * transfer is O(requested files), not O(index). The stored `file`
+    * column is the `_metadata.file_path` URI; the in-plan
+    * normalization (strip the `file:` scheme) mirrors [[fileKey]] for
+    * the local filesystem — a multi-scheme deployment would store the
+    * canonical key at build time instead.
     */
   def load(s: SparkSession, indexPath: String,
-           files: Set[String]): Map[String, Array[Long]] =
-    s.read.parquet(indexPath).collect().iterator.flatMap { r =>
-      val key = fileKey(r.getString(0))
-      if (!files.contains(key)) Iterator.empty
-      else {
+           files: Set[String]): Map[String, Array[Long]] = {
+    if (files.isEmpty) return Map.empty
+    s.read.parquet(indexPath)
+      .withColumn("fkey", regexp_replace(col("file"), "^file:/+", "/"))
+      .where(col("fkey").isin(files.toSeq: _*))
+      .select(col("fkey"), col("positions"))
+      .collect().iterator.map { r =>
         val bits = new Array[Long](Bits / 64)
         r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
-        Iterator.single(key -> bits)
-      }
-    }.toMap
+        r.getString(0) -> bits
+      }.toMap
+  }
 
   /** Driver-side probe: the same xxhash64 + double-hash positions. */
   def mayContain(bits: Array[Long], key: Long): Boolean = {
@@ -143,14 +457,17 @@ object SnapshotBloom {
   *
   *   - '''Manifest partition pruning''': `listFiles` receives the
   *     query's partition filters and evaluates them against each
-  *     manifest entry's partition value — a pruned month's dir is
-  *     never listed, let alone scanned. The prior `snapshotRead`
-  *     (plain `read.parquet(allDirs)`) scanned every partition of the
-  *     version regardless of predicate.
-  *   - '''Bloom file skipping''': equality / IN data filters on the
-  *     declared point-lookup key drop files whose bitset excludes all
-  *     candidate keys ([[SnapshotBloom]]) — inside the same planning
-  *     call, no driver-mediated path list.
+  *     manifest entry's (typed, possibly multi-column) partition value
+  *     — a pruned month's dir is never listed, let alone scanned.
+  *   - '''Zero-listing planning''': when the version has a
+  *     [[SnapshotFiles]] sidecar (every store committed through the
+  *     current write paths), the file listing, sizes, and stats all
+  *     come from the manifest plane — no `listStatus` ever runs.
+  *     Without a sidecar, listing is LAZY and PRUNED: only partitions
+  *     surviving the filters are listed, each at most once.
+  *   - '''Min/max range skipping''' ([[StatsSkipping]]) and '''Bloom
+  *     file skipping''' ([[SnapshotBloom]]) on the data filters, both
+  *     inside the same planning call.
   *   - '''Everything downstream unchanged''': parquet row-group stats,
   *     column pruning, filter pushdown, AQE all apply — the scan node
   *     is an ordinary `FileSourceScanExec` over parquet.
@@ -164,43 +481,97 @@ final class SnapshotFileIndex(
     spark: SparkSession,
     root: JPath,
     val version: Int,
-    partitionCol: String = "o_ym_p",
+    override val partitionSchema: StructType,
+    dataSchema: StructType,
     bloomKey: Option[String] = None) extends FileIndex {
 
   private val manifest: Map[String, String] = SnapshotManifest.read(root, version)
 
-  override val partitionSchema: StructType =
-    StructType(Seq(StructField(partitionCol, StringType, nullable = true)))
-
-  /** month -> listed parquet files, materialized once (metadata-sized:
-    * O(files) FileStatus, the same class of driver state as the
-    * manifest itself).
+  /** File-manifest sidecar: partitionValue -> entries (None = legacy
+    * version, fall back to lazy listing).
     */
-  private val filesByPartition: Seq[(String, Array[FileStatus])] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    manifest.toSeq.sortBy(_._1).map { case (pv, dir) =>
-      val p = new Path(dir)
-      val fs = p.getFileSystem(conf)
-      val listed = fs.listStatus(p).filter { st =>
+  private val sidecar: Option[Map[String, Seq[SnapshotFiles.FileEntry]]] =
+    SnapshotFiles.read(root, version)
+
+  // ---- observability hooks for specs -------------------------------
+  /** (partitions, files) the last `listFiles` call served to the scan. */
+  @volatile var lastListing: (Int, Int) = (-1, -1)
+  /** `fs.listStatus` calls made over this index's lifetime — must stay
+    * 0 with a sidecar, == surviving partitions without one.
+    */
+  @volatile var fsListCalls: Int = 0
+  /** Bloom bitsets materialized on the driver over this index's
+    * lifetime — must stay <= files surviving partition pruning.
+    */
+  @volatile var bloomBitsetsLoaded: Int = 0
+
+  private val listedCache = TrieMap.empty[String, Array[FileStatus]]
+
+  /** Typed partition row for one manifest value ("v1/v2/..." in
+    * partition-schema order), via Catalyst Cast so every partition
+    * type parses exactly as Spark would.
+    */
+  private def partRow(pv: String): InternalRow = {
+    val raw =
+      if (partitionSchema.length == 1) Array(pv)
+      else pv.split("/", -1)
+    require(raw.length == partitionSchema.length,
+      s"partition value '$pv' does not match $partitionSchema")
+    InternalRow.fromSeq(raw.toIndexedSeq.zip(partitionSchema.fields).map {
+      case (v, f) =>
+        Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
+          Some("UTC")).eval(InternalRow.empty)
+    })
+  }
+
+  private lazy val entriesOf: Map[String, Seq[SnapshotFiles.FileEntry]] =
+    sidecar.getOrElse(Map.empty)
+
+  /** Listed statuses for one partition: sidecar-served (no FS call) or
+    * lazily listed once. Block size is nominal — the local-FS split
+    * logic uses `maxPartitionBytes`, not block boundaries.
+    */
+  private def statusesOf(pv: String): Array[FileStatus] = sidecar match {
+    case Some(fm) =>
+      fm.getOrElse(pv, Nil).map(e =>
+        new FileStatus(e.bytes, false, 1, 128L << 20, 0L, new Path(e.path)))
+        .toArray
+    case None => listedCache.getOrElseUpdate(pv, {
+      fsListCalls += 1
+      val p = new Path(manifest(pv))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      pv -> listed
-    }
+    })
   }
 
-  private val bloomBits: Map[String, Array[Long]] = bloomKey match {
-    case Some(_) =>
-      val mine = filesByPartition.iterator.flatMap(_._2)
-        .map(st => SnapshotBloom.fileKey(st.getPath.toString)).toSet
-      SnapshotBloom.load(spark, root.resolve("bloomidx").toString, mine)
-    case None => Map.empty
+  // bitsets cached per index instance; None = file not in the index
+  // (an unindexed file is never skipped)
+  private val bloomCache = TrieMap.empty[String, Option[Array[Long]]]
+  private lazy val bloomIdxPath: Option[String] = bloomKey.flatMap { _ =>
+    val p = root.resolve("bloomidx")
+    // a store created through the write door has no index (yet): fall
+    // back to no skipping, which is sound, instead of crashing the scan
+    if (JFiles.exists(p)) Some(p.toString) else None
   }
 
-  /** Observability hook for specs: (partitions, files) the last
-    * `listFiles` call actually served to the scan.
+  /** Ensure bitsets for `files` are cached, loading only the missing
+    * ones in one scoped, in-plan-filtered read.
     */
-  @volatile var lastListing: (Int, Int) = (-1, -1)
+  private def bloomBitsFor(files: Seq[String]): Map[String, Option[Array[Long]]] =
+    bloomIdxPath match {
+      case None => Map.empty
+      case Some(idx) =>
+        val missing = files.filterNot(bloomCache.contains)
+        if (missing.nonEmpty) {
+          val loaded = SnapshotBloom.load(spark, idx, missing.toSet)
+          bloomBitsetsLoaded += loaded.size
+          missing.foreach(f => bloomCache.putIfAbsent(f, loaded.get(f)))
+        }
+        files.map(f => f -> bloomCache.getOrElse(f, None)).toMap
+    }
 
   override def rootPaths: Seq[Path] = manifest.values.toSeq.sorted.map(new Path(_))
 
@@ -208,19 +579,36 @@ final class SnapshotFileIndex(
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val keptPartitions = prunePartitions(partitionFilters)
     val candidateKeys = bloomCandidateKeys(dataFilters)
-    val out = keptPartitions.map { case (pv, files) =>
-      val kept = candidateKeys match {
-        case Some(conjuncts) => files.filter { st =>
-          bloomBits.get(SnapshotBloom.fileKey(st.getPath.toString)) match {
+    val statsKeep: Option[StatsSkipping.Stats => Boolean] =
+      if (sidecar.isEmpty) None
+      else StatsSkipping.compile(dataFilters, dataSchema)
+    val bloomBits: Map[String, Option[Array[Long]]] =
+      if (candidateKeys.isEmpty || bloomIdxPath.isEmpty) Map.empty
+      else bloomBitsFor(keptPartitions.flatMap(pv =>
+        statusesOf(pv).map(st => SnapshotBloom.fileKey(st.getPath.toString))))
+    val out = keptPartitions.map { pv =>
+      val statsOf: String => StatsSkipping.Stats = statsKeep match {
+        case Some(_) =>
+          val byPath = entriesOf.getOrElse(pv, Nil)
+            .map(e => e.path -> e.stats).toMap
+          k => byPath.getOrElse(k, Map.empty)
+        case None => _ => Map.empty
+      }
+      val kept = statusesOf(pv).filter { st =>
+        val fkey = SnapshotBloom.fileKey(st.getPath.toString)
+        val statsOk = statsKeep.forall(keep => keep(statsOf(fkey)))
+        val bloomOk = candidateKeys match {
+          case Some(conjuncts) => bloomBits.getOrElse(fkey, None) match {
             // every key-conjunct must have at least one maybe-present key
-            case Some(bits) => conjuncts.forall(_.exists(SnapshotBloom.mayContain(bits, _)))
+            case Some(bits) =>
+              conjuncts.forall(_.exists(SnapshotBloom.mayContain(bits, _)))
             case None => true // unindexed file: never skip
           }
+          case None => true
         }
-        case None => files
+        statsOk && bloomOk
       }
-      PartitionDirectory(
-        InternalRow(UTF8String.fromString(pv)), kept)
+      PartitionDirectory(partRow(pv), kept)
     }.filter(_.files.nonEmpty)
     lastListing = (out.size, out.map(_.files.size).sum)
     out
@@ -234,10 +622,10 @@ final class SnapshotFileIndex(
     * rather than silently listing extra partitions whose rows nothing
     * downstream would re-filter.
     */
-  private def prunePartitions(partitionFilters: Seq[Expression])
-      : Seq[(String, Array[FileStatus])] =
+  private def prunePartitions(partitionFilters: Seq[Expression]): Seq[String] = {
+    val all = manifest.keys.toSeq.sorted
     partitionFilters.reduceOption(And) match {
-      case None => filesByPartition
+      case None => all
       case Some(pred) =>
         val bound = Try {
           val p = Predicate.createInterpreted(pred.transform {
@@ -250,10 +638,9 @@ final class SnapshotFileIndex(
         }.getOrElse(throw new IllegalStateException(
           s"cannot bind partition filter $pred against " +
             s"$partitionSchema — refusing to scan unpruned"))
-        filesByPartition.filter { case (pv, _) =>
-          bound.eval(InternalRow(UTF8String.fromString(pv)))
-        }
+        all.filter(pv => bound.eval(partRow(pv)))
     }
+  }
 
   /** Per-conjunct candidate key sets for the bloom key: `k = lit`,
     * `k IN (lits)` (and the post-OptimizeIn `InSet` form). A conjunct
@@ -285,28 +672,50 @@ final class SnapshotFileIndex(
   }
 
   override def inputFiles: Array[String] =
-    filesByPartition.flatMap(_._2.map(_.getPath.toString)).toArray
+    manifest.keys.toSeq.sorted.flatMap(pv =>
+      statusesOf(pv).map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = () // snapshot versions are immutable
 
-  override def sizeInBytes: Long =
-    filesByPartition.iterator.flatMap(_._2).map(_.getLen).sum
+  override def sizeInBytes: Long = sidecar match {
+    case Some(fm) => fm.valuesIterator.flatten.map(_.bytes).sum
+    case None =>
+      manifest.keys.toSeq.sorted.iterator
+        .flatMap(statusesOf(_)).map(_.getLen).sum
+  }
 }
 
 /** User-facing constructors for snapshot-version DataFrames backed by
   * [[SnapshotFileIndex]].
   */
 object SnapshotTable {
+  /** Resolved (partitionSchema, dataSchema) for a store: the
+    * [[SnapshotMeta]] sidecar when present; else the legacy layout —
+    * one string partition column named by the caller, data schema
+    * inferred from the version's first data dir.
+    */
+  private def schemas(s: SparkSession, root: JPath, version: Int,
+                      partitionCol: String): (StructType, StructType) =
+    SnapshotMeta.read(root) match {
+      case Some(m) => (m.partitionSchema, m.dataSchema)
+      case None =>
+        val dataDir = SnapshotManifest.read(root, version)
+          .values.toSeq.sorted.headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"snapshot v$version of $root has no partitions and no " +
+              "table.meta sidecar to supply a schema"))
+        (StructType(Seq(StructField(partitionCol, StringType, nullable = true))),
+          s.read.parquet(dataDir).schema)
+    }
+
   /** The relation (also used by the `graft-snapshot` format). */
   def relation(s: SparkSession, root: JPath, version: Int,
                bloomKey: Option[String] = None,
                partitionCol: String = "o_ym_p"): HadoopFsRelation = {
-    val index = new SnapshotFileIndex(s, root, version, partitionCol, bloomKey)
-    val dataDir = SnapshotManifest.read(root, version).values.toSeq.sorted.headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot v$version of $root has no partitions"))
-    val dataSchema = s.read.parquet(dataDir).schema
-    HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
+    val (partSchema, dataSchema) = schemas(s, root, version, partitionCol)
+    val index = new SnapshotFileIndex(s, root, version, partSchema,
+      dataSchema, bloomKey)
+    HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(s)
   }
 
@@ -332,19 +741,22 @@ object SnapshotTable {
   * Read: `spark.read.format("graft-snapshot").option("version", 2)
   * .option("bloomKey", "o_orderkey").load(root)`. Options: `version`
   * (default: head), `bloomKey` (default: none), `partitionCol`
-  * (default `o_ym_p`).
+  * (legacy stores only — ignored when `table.meta` exists; default
+  * `o_ym_p`).
   *
   * Write: `df.write.format("graft-snapshot").mode("append")
   * .option("commitMode", "upsert" | "delete").save(root)` — the frame
   * is the commit's DELTA, applied copy-on-write against the current
   * head through the store's CAS manifest publish. An empty root
-  * bootstraps to v1. On a CAS conflict the commit REBASES: it
-  * re-reads the new head and re-applies the same key-based delta —
-  * sound because upsert/delete deltas are defined per key, not
-  * relative to a snapshot's values. Only `SaveMode.Append` is
-  * accepted: a snapshot store never overwrites history — that is the
-  * point of it. Options: `keyCol` (default `o_orderkey`), `partCol`
-  * (default `o_ym`), `commitMode` (default `upsert`).
+  * bootstraps to v1 (a zero-row bootstrap is legal: the schema
+  * persists in `table.meta`, so the empty v1 reads back as zero rows).
+  * On a CAS conflict the commit REBASES: it re-reads the new head and
+  * re-applies the same key-based delta — sound because upsert/delete
+  * deltas are defined per key, not relative to a snapshot's values.
+  * Only `SaveMode.Append` is accepted: a snapshot store never
+  * overwrites history — that is the point of it. Options: `keyCol`
+  * (default `o_orderkey`), `partCol` (default `o_ym`), `commitMode`
+  * (default `upsert`).
   */
 final class SnapshotSourceProvider extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
@@ -393,7 +805,8 @@ final class SnapshotSourceProvider extends RelationProvider
       val head = SnapshotManifest.head(root)
       try {
         if (head == 0)
-          graft.operators.SourceQueries.snapshotInit(spark, root, data, partCol)
+          graft.operators.SourceQueries.snapshotInit(spark, root, data,
+            Seq(partCol))
         else
           graft.operators.SourceQueries.snapshotCommit(spark, root, head,
             head + 1, data, insert, keyCol, partCol)
