@@ -1598,6 +1598,85 @@ object SourceQueries {
         col("o_totalprice"), col("o_ym"))
   }
 
+  /** Range skipping from the COMMITTED file stats — the metadata-plane
+    * capability the Bloom key can't cover: an arbitrary-column range
+    * predicate. The fixture bootstraps a snapshot store over orders
+    * partitioned by status and range-clustered on `o_totalprice`
+    * inside each partition (24 range tasks → ~8 files per status, each
+    * covering a tight price band), so the commit-time per-file min/max
+    * stats in the `v1.files` sidecar are selective. The
+    * `o_totalprice >= 400000` predicate then drops every file whose
+    * [min, max] cannot reach it DURING PLANNING — `listFiles` serves a
+    * strict subset of the table's files with zero `listStatus` calls
+    * (both spec-pinned in `SnapshotMetadataSpec`). At 100 TB this is
+    * the Delta/Iceberg data-skipping shape: the scan's input set is
+    * decided from O(files) manifest rows, never from opening footers.
+    * The oracle runs the same predicate over the original orders —
+    * skipping must be invisible in the data.
+    */
+  private val statsPruneRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private[operators] def statsPruneFixture(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    statsPruneRoots.getOrElseUpdate(Tables.dirKey(dir), {
+      val root = java.nio.file.Paths.get(ioDir("snapshot_stats"))
+        .resolve(Tables.dirKey(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderstatus").as("o_st"))
+        .repartitionByRange(24, col("o_st"), col("o_totalprice"))
+        .sortWithinPartitions(col("o_st"), col("o_totalprice"))
+      snapshotInit(s, root, orders, Seq("o_st"))
+      root
+    })
+
+  def snapshotStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = statsPruneFixture(s, dir)
+    graft.sources.SnapshotTable.read(s, root, 1)
+      .filter(col("o_totalprice") >= lit(400000.0))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** The connector's SECOND layout: a snapshot store over events with a
+    * TYPED, MULTI-COLUMN partition schema — (event date: DATE,
+    * event_type: STRING), both declared in the `table.meta` sidecar
+    * instead of the legacy single hardcoded string column. The entry's
+    * compound partition predicate (a 7-day date range AND one event
+    * type) is evaluated against the typed manifest values inside
+    * `listFiles`, pruning ~150 (day × type) partitions to 7 — proving
+    * the partition abstraction generalizes the way the second JDBC
+    * dialect proved the bulk door. Oracle: the same filter+aggregate
+    * relationally over the original events.
+    */
+  private val multipartRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private[operators] def multipartFixture(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    multipartRoots.getOrElseUpdate(Tables.dirKey(dir), {
+      val root = java.nio.file.Paths.get(ioDir("snapshot_events"))
+        .resolve(Tables.dirKey(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"), to_date(col("ts")).as("e_dt"))
+      snapshotInit(s, root, ev, Seq("e_dt", "event_type"))
+      root
+    })
+
+  def snapshotMultipart(s: SparkSession, dir: String): DataFrame = {
+    val root = multipartFixture(s, dir)
+    graft.sources.SnapshotTable.read(s, root, 1)
+      .filter(col("e_dt_p").between(lit("2024-01-10"), lit("2024-01-16")) &&
+        col("event_type_p") === "purchase")
+      .groupBy(col("e_dt_p").as("e_dt"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+
   /** The snapshot store driven ENTIRELY through the public format door
     * — `df.write.format("graft-snapshot").mode("append")` — from empty
     * root to three versions: bootstrap (v1 = the 1995 slice of
@@ -2070,6 +2149,8 @@ object SourceQueries {
     "source_time_travel"      -> timeTravel _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
+    "source_stats_prune"      -> snapshotStatsPrune _,
+    "source_snapshot_multipart" -> snapshotMultipart _,
     "source_scd2_history"     -> scd2History _,
     "source_snapshot_write_door" -> snapshotWriteDoor _,
     "source_table_diff"       -> tableDiff _,
@@ -2314,6 +2395,19 @@ object SourceQueries {
         |  strftime(o_orderdate, '%Y-%m') AS o_ym
         |FROM v3
         |WHERE o_orderkey IN (SELECT o_orderkey FROM keys)""".stripMargin,
+    "source_stats_prune" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_totalprice >= 400000.0
+        |GROUP BY o_orderstatus""".stripMargin,
+    "source_snapshot_multipart" ->
+      """SELECT CAST(ts AS DATE) AS e_dt, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-16'
+        |  AND event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "source_snapshot_write_door" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
