@@ -1310,7 +1310,7 @@ object SourceQueries {
     * month lives IN the data (`o_ym`); the `o_ym_p=` dir name is layout
     * only, so leaf dirs from different commit roots mix freely.
     */
-  private[operators] def snapshotRead(s: SparkSession,
+  private[graft] def snapshotRead(s: SparkSession,
       root: java.nio.file.Path, version: Int): DataFrame =
     s.read.parquet(readManifest(root, version).values.toSeq.sorted: _*)
 
@@ -1444,8 +1444,10 @@ object SourceQueries {
     * Emits one row per changed key: `k`, the NEW price (null for a
     * delete), and `alive` (0 for a delete).
     */
-  private[operators] def changeRows(s: SparkSession, root: java.nio.file.Path,
-                                    vFrom: Int, vTo: Int): DataFrame = {
+  private[graft] def changeRows(s: SparkSession, root: java.nio.file.Path,
+                                vFrom: Int, vTo: Int,
+                                keyCol: String = "o_orderkey",
+                                valCol: String = "o_totalprice"): DataFrame = {
     val m1 = readManifest(root, vFrom)
     val m2 = readManifest(root, vTo)
     val changed = (m1.keySet ++ m2.keySet).toSeq.sorted
@@ -1459,7 +1461,7 @@ object SourceQueries {
         s.range(0).select(col("id").as(keyAs),
           lit(null).cast("double").as(priceAs))
       else s.read.parquet(paths: _*)
-        .select(col("o_orderkey").as(keyAs), col("o_totalprice").as(priceAs))
+        .select(col(keyCol).as(keyAs), col(valCol).as(priceAs))
     val oldSide = side(changed.flatMap(m1.get), "old_key", "old_price")
     val newSide = side(changed.flatMap(m2.get), "new_key", "new_price")
     oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
@@ -1518,7 +1520,7 @@ object SourceQueries {
   private val snapshotRoots =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
-  private[operators] def snapshotFixture(s: SparkSession, dir: String)
+  private[graft] def snapshotFixture(s: SparkSession, dir: String)
       : java.nio.file.Path =
     snapshotRoots.getOrElseUpdate(Tables.dirKey(dir),
       buildSnapshotFixture(s, dir))
@@ -1675,6 +1677,44 @@ object SourceQueries {
         col("event_type_p") === "purchase")
       .groupBy(col("e_dt_p").as("e_dt"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+
+  /** The snapshot store's changefeed consumed as a STREAM — the Delta
+    * CDF pattern: `readStream.format("graft-snapshot")
+    * .option("fromVersion", 1)` turns each committed version into one
+    * micro-batch increment of change rows (v1 = the base as inserts,
+    * v2 = the merge's updates+inserts, v3 = the delete), each costing
+    * O(that commit's touched partitions) via the manifest-scoped
+    * [[changeRows]]. The entry aggregates the whole feed per version
+    * (change count, delete count, key checksum, exact new-value sum),
+    * so a missed, phantom, or double-delivered change hash-mismatches
+    * the oracle, which replays the same three deltas relationally.
+    * Version-offset restart is pinned by `SnapshotChangefeedSpec`.
+    */
+  def streamingSnapshotCdf(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_snapshot_cdf"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val root = snapshotFixture(s, dir)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      s.readStream.format("graft-snapshot").option("fromVersion", "1")
+        .load(root.toString)
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(lit(1) - col("alive")).cast("bigint").as("n_deletes"),
+          sum(col("k")).cast("bigint").as("key_sum"),
+          dsum(col("price")).as("price_sum"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
   }
 
   /** The snapshot store driven ENTIRELY through the public format door
@@ -2151,6 +2191,7 @@ object SourceQueries {
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
     "source_snapshot_multipart" -> snapshotMultipart _,
+    "streaming_snapshot_cdf"  -> streamingSnapshotCdf _,
     "source_scd2_history"     -> scd2History _,
     "source_snapshot_write_door" -> snapshotWriteDoor _,
     "source_table_diff"       -> tableDiff _,
@@ -2408,6 +2449,33 @@ object SourceQueries {
         |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-16'
         |  AND event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    "streaming_snapshot_cdf" ->
+      """WITH v1 AS (
+        |  SELECT 1 AS version, COUNT(*) AS n_changes,
+        |    CAST(0 AS BIGINT) AS n_deletes,
+        |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS price_sum
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT 2 AS version, COUNT(*) AS n_changes,
+        |    CAST(0 AS BIGINT) AS n_deletes,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS price_sum
+        |  FROM (
+        |    SELECT o_orderkey AS k, o_totalprice * 1.1 AS p
+        |    FROM orders WHERE o_orderkey % 97 = 0
+        |    UNION ALL
+        |    SELECT -o_orderkey - 1 AS k, o_totalprice AS p
+        |    FROM orders WHERE o_orderkey % 1013 = 0)),
+        |v3 AS (
+        |  SELECT 3 AS version, COUNT(*) AS n_changes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_deletes,
+        |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(NULL AS DOUBLE) AS price_sum
+        |  FROM orders WHERE o_orderkey % 131 = 0)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |UNION ALL SELECT * FROM v3""".stripMargin,
     "source_snapshot_write_door" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

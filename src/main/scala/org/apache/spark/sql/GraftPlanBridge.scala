@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as STREAMING for a v1 `Source.getBatch`
+    * return value — the `FileStreamSource` pattern
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`),
+    * which is `private[sql]`. Used by
+    * [[graft.sources.SnapshotChangefeedSource]].
+    */
+  def streamingFrame(s: SparkSession, df: DataFrame): DataFrame = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
