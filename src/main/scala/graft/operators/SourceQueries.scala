@@ -1782,6 +1782,39 @@ object SourceQueries {
         col("n_keys"), col("sum_price"))
   }
 
+  /** Time travel through the SQL door: the snapshot store registered
+    * as a DataSource-V2 catalog ([[graft.sources.GraftSnapshotCatalog]])
+    * and queried with the ANSI `VERSION AS OF` clause — v1 and v3 of
+    * the same store aggregated side by side in ONE SQL statement, no
+    * DataFrame API anywhere. Resolution lands in
+    * `loadTable(ident, version)`; the scan is a stock DSv2 parquet scan
+    * over the manifest-served file index, so SQL users get the same
+    * zero-listing planning as the DataFrame door. The catalog name is
+    * keyed per sf dir (catalog instances are cached per session, and
+    * the warehouse differs per dir). Oracle: identical to
+    * `source_time_travel` — the SQL door must see exactly what the
+    * DataFrame door sees.
+    */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    val key = Tables.dirKey(dir)
+    val cat = s"snap_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      root.getParent.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    def arm(v: Int): String =
+      s"""SELECT 'v$v' AS version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl VERSION AS OF $v
+         |GROUP BY o_orderstatus""".stripMargin
+    s.sql(s"${arm(1)}\nUNION ALL\n${arm(3)}")
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -2187,6 +2220,7 @@ object SourceQueries {
     "source_csv_roundtrip"    -> csvRoundtrip _,
     "source_schema_evolution" -> schemaEvolution _,
     "source_time_travel"      -> timeTravel _,
+    "sql_time_travel"         -> sqlTimeTravel _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -2221,6 +2255,39 @@ object SourceQueries {
     "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join_unmatched" -> streamingLeftJoinUnmatched _,
     "streaming_full_join_attribution" -> streamingFullJoinAttribution _)
+
+  /** Shared by `source_time_travel` (DataFrame door) and
+    * `sql_time_travel` (DSv2 catalog door): both must reproduce the
+    * same v1 + v3 aggregates, replayed relationally from orders.
+    */
+  private val TimeTravelOracle: String =
+    """WITH up AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    o_totalprice * 1.1 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |ins AS (
+      |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 1013 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+      |  UNION ALL SELECT * FROM up
+      |  UNION ALL SELECT * FROM ins),
+      |v3 AS (
+      |  SELECT * FROM v2
+      |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+      |SELECT 'v1' AS version, o_orderstatus, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_orderkey) AS n_keys,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'v3' AS version, o_orderstatus, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_orderkey) AS n_keys,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS sum_price
+      |FROM v3 GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" ->
@@ -2359,34 +2426,9 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
-    "source_time_travel" ->
-      """WITH up AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    o_totalprice * 1.1 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 97 = 0),
-        |ins AS (
-        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
-        |    o_totalprice
-        |  FROM orders WHERE o_orderkey % 1013 = 0),
-        |v2 AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
-        |  UNION ALL SELECT * FROM up
-        |  UNION ALL SELECT * FROM ins),
-        |v3 AS (
-        |  SELECT * FROM v2
-        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
-        |SELECT 'v1' AS version, o_orderstatus, COUNT(*) AS n_orders,
-        |  COUNT(DISTINCT o_orderkey) AS n_keys,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-        |    AS sum_price
-        |FROM orders GROUP BY 1, 2
-        |UNION ALL
-        |SELECT 'v3' AS version, o_orderstatus, COUNT(*) AS n_orders,
-        |  COUNT(DISTINCT o_orderkey) AS n_keys,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-        |    AS sum_price
-        |FROM v3 GROUP BY 1, 2""".stripMargin,
+    "source_time_travel" -> TimeTravelOracle,
+    // the SQL door must see exactly what the DataFrame door sees
+    "sql_time_travel" -> TimeTravelOracle,
     "source_bloom_lookup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,

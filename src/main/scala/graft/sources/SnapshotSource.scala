@@ -449,6 +449,23 @@ object SnapshotBloom {
   }
 }
 
+/** Typed partition rows for manifest values: "v1/v2/..." in
+  * partition-schema order, parsed via Catalyst `Cast` so every
+  * partition type reads exactly as Spark would parse it.
+  */
+object SnapshotPartitionValues {
+  def row(pv: String, schema: StructType): InternalRow = {
+    val raw = if (schema.length == 1) Array(pv) else pv.split("/", -1)
+    require(raw.length == schema.length,
+      s"partition value '$pv' does not match $schema")
+    InternalRow.fromSeq(raw.toIndexedSeq.zip(schema.fields).map {
+      case (v, f) =>
+        Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
+          Some("UTC")).eval(InternalRow.empty)
+    })
+  }
+}
+
 /** A snapshot version as a planner-integrated file listing — the
   * Delta-Lake integration shape (a custom `FileIndex` under a
   * `HadoopFsRelation`), reduced to the manifest store's minimum.
@@ -507,22 +524,8 @@ final class SnapshotFileIndex(
 
   private val listedCache = TrieMap.empty[String, Array[FileStatus]]
 
-  /** Typed partition row for one manifest value ("v1/v2/..." in
-    * partition-schema order), via Catalyst Cast so every partition
-    * type parses exactly as Spark would.
-    */
-  private def partRow(pv: String): InternalRow = {
-    val raw =
-      if (partitionSchema.length == 1) Array(pv)
-      else pv.split("/", -1)
-    require(raw.length == partitionSchema.length,
-      s"partition value '$pv' does not match $partitionSchema")
-    InternalRow.fromSeq(raw.toIndexedSeq.zip(partitionSchema.fields).map {
-      case (v, f) =>
-        Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
-          Some("UTC")).eval(InternalRow.empty)
-    })
-  }
+  private def partRow(pv: String): InternalRow =
+    SnapshotPartitionValues.row(pv, partitionSchema)
 
   private lazy val entriesOf: Map[String, Seq[SnapshotFiles.FileEntry]] =
     sidecar.getOrElse(Map.empty)
