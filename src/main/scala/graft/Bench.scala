@@ -164,7 +164,11 @@ object Bench {
     // as "quiet". With the 1.5× accept, worst_accepted_ratio ≤ 1.5 by
     // construction; the extra retries buy back the stricter bar.
     val CanaryAccept = 1.5
-    def canaryGate(): Boolean = {
+    // Returns (quiet, ratio-at-decision): the ratio each query's gate
+    // actually decided on, recorded per query in bench_ratios.json so a
+    // mover can be weighted by its OWN window's load (VERDICT r9 #9 —
+    // the run-level worst_accepted_ratio can't say which query it hit).
+    def canaryGate(): (Boolean, Double) = {
       var t = canaryOnce()
       var tries = 0
       while (t > CanaryAccept * canaryBase && tries < 12) {
@@ -175,11 +179,11 @@ object Bench {
       }
       canaryWorst = math.max(canaryWorst, t)
       val quiet = t <= CanaryAccept * canaryBase
+      val ratio = t / canaryBase
       if (quiet)
-        canaryWorstAcceptedRatio =
-          math.max(canaryWorstAcceptedRatio, t / canaryBase)
+        canaryWorstAcceptedRatio = math.max(canaryWorstAcceptedRatio, ratio)
       canaryBase = math.min(canaryBase, t)
-      quiet
+      (quiet, ratio)
     }
 
     case class Trial(wall: Double, runMs: Long, cpuMs: Long, gcMs: Long)
@@ -189,7 +193,7 @@ object Bench {
 
     def measure(name: String, fn: (SparkSession, String) => DataFrame,
                 pass: Int): Meas = {
-      val canaryClean = canaryGate()
+      val (canaryClean, canaryRatio) = canaryGate()
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       dropLeftoverBlocks()
@@ -277,7 +281,8 @@ object Bench {
         val diag =
           s"""  "$name": {"wall":${f"${med.wall}%.3f"},"run_ms":${
             med.runMs},"cpu_ms":${med.cpuMs},"gc_ms":${med.gcMs},"run_cpu":${
-            f"$runCpu%.2f"},"trials":${ts.length},"discarded":$discarded,"canary_clean":$canaryClean,"pass":$pass}"""
+            f"$runCpu%.2f"},"trials":${ts.length},"discarded":$discarded,"canary_clean":$canaryClean,"canary_ratio":${
+            f"$canaryRatio%.3f"},"pass":$pass}"""
         Meas(med.wall, runCpu, flagged, diag)
       }
     }

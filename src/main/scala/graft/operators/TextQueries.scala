@@ -234,7 +234,19 @@ object TextQueries {
     */
   def docLmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bigrams = Tables.documents(s, dir)
+    // ONE corpus pass: tokenize + per-(doc, bigram) occurrence counts,
+    // CHECKPOINTED — the typed flatMap subtree does not canonicalize
+    // for exchange reuse (measured: the r9 per-occurrence shape scanned
+    // the corpus 3×; routing both consumers through this aggregate
+    // still left 2×), so the aggregate is materialized once and the
+    // model build + scoring join both read it. The materialization is
+    // the DEDUPLICATED (doc, bigram) table — strictly smaller than the
+    // bigram shuffle the groupBy already pays — so at 100 TB this
+    // trades a full corpus re-scan + re-tokenize for a block-manager
+    // read of data the job shuffled anyway. `DocLmLineageSpec` pins
+    // the single corpus scan.
+    import graft.core.Checkpoint.CheckpointOps
+    val docBi = Tables.documents(s, dir)
       .select(col("doc_id"),
         split(trim(regexp_replace(lower(col("text")), TokenSep, " ")), " ")
           .as("t"))
@@ -244,14 +256,17 @@ object TextQueries {
         (0 until toks.length - 1).iterator.map(i => (id, toks(i), toks(i + 1)))
       }
       .toDF("doc_id", "w1", "w2")
-    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      .sharedCheckpoint()
+    val big = docBi.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
     val model = big
       .join(big.groupBy("w1").agg(sum(col("c12")).as("c1")), "w1")
       .select(col("w1"), col("w2"),
         floor(lit(1e6) * col("c12") / col("c1")).cast("bigint").as("ppm"))
-    bigrams.join(model, Seq("w1", "w2"))
+    docBi.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("ppm_sum"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("ppm")).as("ppm_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         floor(col("ppm_sum") / col("n_bigrams")).cast("bigint").as("avg_ppm"))
       .orderBy(col("avg_ppm").asc, col("doc_id"))

@@ -1,12 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.atomic.AtomicInteger
-
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.util.QueryExecutionListener
-
-import graft.SparkSpec
+import graft.{PlanScans, SparkSpec}
 
 /** Pins `bpe_merges`' scale contract: ONE corpus pass builds the
   * frequency-weighted vocab, then every merge round runs against the
@@ -18,44 +12,13 @@ import graft.SparkSpec
   * defect). The oracle proves VALUES; this spec proves the lineage.
   */
 class BpeLineageSpec extends SparkSpec {
-
-  private def countDocScans(p: SparkPlan): Int = {
-    val self = p match {
-      case f: FileSourceScanExec
-          if f.relation.location.rootPaths
-            .exists(_.toString.contains("documents.parquet")) => 1
-      case _ => 0
-    }
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => countDocScans(a.executedPlan)
-      // AQE stage wrappers are childless; the subtree hangs off .plan
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        countDocScans(q.plan)
-      case s => s.children.map(countDocScans).sum
-    }
-    self + inner
-  }
-
   test("K merge rounds scan the corpus exactly once") {
-    val docScans = new AtomicInteger(0)
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        docScans.addAndGet(countDocScans(qe.executedPlan))
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
+    val scans = PlanScans.during(spark, "documents.parquet") {
       val out = TextQueries.bpeMerges(spark, sf0001).collect()
       assert(out.length === 3)
-      // listener callbacks ride the shared async bus — drain before read
-      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
-      assert(docScans.get() === 1,
-        s"expected exactly 1 corpus scan across 3 merge rounds, " +
-          s"got ${docScans.get()} — the vocab checkpoint discipline broke")
-    } finally spark.listenerManager.unregister(listener)
+    }
+    assert(scans === 1,
+      s"expected exactly 1 corpus scan across 3 merge rounds, " +
+        s"got $scans — the vocab checkpoint discipline broke")
   }
 }
