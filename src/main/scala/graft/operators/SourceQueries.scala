@@ -1363,7 +1363,8 @@ object SourceQueries {
   private[graft] def snapshotCommit(s: SparkSession,
       root: java.nio.file.Path, fromV: Int, toV: Int, delta: DataFrame,
       insertDelta: Boolean, keyCol: String = "o_orderkey",
-      partCol: String = "o_ym"): Unit = {
+      partCol: String = "o_ym",
+      bloomIndexKey: Option[String] = None): Unit = {
     val head = headVersion(root)
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
@@ -1399,6 +1400,14 @@ object SourceQueries {
     // rest copied from the parent's sidecar — O(touched) maintenance)
     publishFilesSidecar(s, root, toV, Some(fromV), entries,
       present.toSet, delta.schema)
+    // incremental Bloom maintenance: index only this commit's new dirs
+    // (append — parent files are write-once, their rows stay valid)
+    bloomIndexKey.foreach { k =>
+      if (present.nonEmpty)
+        graft.sources.SnapshotBloom.build(s,
+          present.map(ym => s"$out/${partCol}_p=$ym"), k,
+          root.resolve("bloomidx").toString, append = true)
+    }
   }
 
   /** Bootstrap a snapshot store: the whole frame becomes v1, laid out
@@ -1411,7 +1420,8 @@ object SourceQueries {
     */
   private[graft] def snapshotInit(s: SparkSession,
       root: java.nio.file.Path, data: DataFrame,
-      partCols: Seq[String] = Seq("o_ym")): Unit = {
+      partCols: Seq[String] = Seq("o_ym"),
+      bloomIndexKey: Option[String] = None): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val pcols = partCols.map(c => s"${c}_p")
     val d1 = root.resolve(
@@ -1436,6 +1446,13 @@ object SourceQueries {
       data.schema))
     publishFilesSidecar(s, root, 1, None, parts.toMap,
       parts.map(_._1).toSet, data.schema)
+    // commit-path Bloom maintenance (the write door's `bloomKey`
+    // option): one map-side pass over the dirs this commit wrote
+    bloomIndexKey.foreach { k =>
+      if (parts.nonEmpty)
+        graft.sources.SnapshotBloom.build(s, parts.map(_._2).toSeq, k,
+          root.resolve("bloomidx").toString)
+    }
   }
 
   /** Change rows between two adjacent snapshot versions, scoped to the
@@ -1982,6 +1999,7 @@ object SourceQueries {
       }
     versions.filterNot(keep).foreach { v =>
       java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.manifest"))
+      java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.files"))
     }
     removed
   }

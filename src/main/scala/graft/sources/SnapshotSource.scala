@@ -392,10 +392,14 @@ object SnapshotBloom {
   def fileKey(p: String): String = new Path(p).toUri.getPath
 
   /** One map-side pass over the data dirs -> index parquet
-    * (file, positions: sorted int array of set bits).
+    * (file, positions: sorted int array of set bits). `append = true`
+    * EXTENDS an existing index with rows for new dirs (a commit's
+    * incremental index maintenance — data files are write-once, so old
+    * rows never go stale; rows for vacuumed files are dead weight until
+    * the index is rebuilt, never a correctness issue).
     */
   def build(s: SparkSession, dataDirs: Seq[String], keyCol: String,
-            out: String): Unit = {
+            out: String, append: Boolean = false): Unit = {
     // hash the key as LONG on both sides: xxhash64 of an IntegerType
     // column hashes 4 bytes while the driver probe hashes a Long
     // literal's 8 — without the cast an int-typed key column would
@@ -410,7 +414,7 @@ object SnapshotBloom {
       .select(col("_metadata.file_path").as("file"), explode(posArr).as("pos"))
       .groupBy(col("file"))
       .agg(sort_array(collect_set(col("pos"))).as("positions"))
-      .write.mode("overwrite").parquet(out)
+      .write.mode(if (append) "append" else "overwrite").parquet(out)
   }
 
   /** Load bitsets for exactly the given file set. The membership
@@ -891,6 +895,10 @@ final class SnapshotSourceProvider extends RelationProvider
       case other => throw new IllegalArgumentException(
         s"commitMode must be upsert or delete, got $other")
     }
+    // write-side `bloomKey`: maintain the per-file Bloom index at
+    // commit time (one map-side pass over the commit's new dirs), so
+    // reads with the same option can file-skip point lookups
+    val bloomIndexKey = opt(parameters, "bloomKey")
     val spark = ctx.sparkSession
     java.nio.file.Files.createDirectories(root)
     // CAS retry loop: of N racers exactly one publishes each version;
@@ -903,10 +911,10 @@ final class SnapshotSourceProvider extends RelationProvider
       try {
         if (head == 0)
           graft.operators.SourceQueries.snapshotInit(spark, root, data,
-            Seq(partCol))
+            Seq(partCol), bloomIndexKey)
         else
           graft.operators.SourceQueries.snapshotCommit(spark, root, head,
-            head + 1, data, insert, keyCol, partCol)
+            head + 1, data, insert, keyCol, partCol, bloomIndexKey)
         committed = true
       } catch {
         case e: graft.operators.SourceQueries.SnapshotConflictException =>

@@ -145,6 +145,30 @@ class SnapshotMetadataSpec extends SparkSpec {
     assert(back.columns.contains("o_totalprice"))
   }
 
+  test("write-side bloomKey maintains the index across door commits") {
+    val droot = java.nio.file.Files.createTempDirectory("door_bloom")
+    def commit(rows: Seq[(Long, String, Double, String)],
+               mode: String = "upsert"): Unit =
+      rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym")
+        .write.format("graft-snapshot").mode("append")
+        .option("bloomKey", "o_orderkey")
+        .option("commitMode", mode).save(droot.toString)
+    commit(Seq((1L, "O", 10.0, "2024-01"), (2L, "F", 20.0, "2024-02")))
+    // the v2 commit's new dir must be indexed INCREMENTALLY (append)
+    commit(Seq((7L, "N", 7.0, "2024-03")))
+    val df = SnapshotTable.read(spark, droot, 2,
+        bloomKey = Some("o_orderkey"))
+      .filter(col("o_orderkey") === 7L)
+      .select(col("o_totalprice"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(7.0))
+    val index = SnapshotTable.fileIndexOf(df)
+    val (_, files) = index.lastListing
+    val total = index.inputFiles.length
+    assert(total >= 3, s"expected >=3 files across months, got $total")
+    assert(files < total,
+      s"write-side index did not skip: listed $files of $total")
+  }
+
   test("bloomKey on an index-less door store degrades to no skipping") {
     val droot = java.nio.file.Files.createTempDirectory("door_nobloom")
     Seq((1L, "O", 10.0, "2024-01"), (2L, "F", 20.0, "2024-01"))
