@@ -97,6 +97,63 @@ object OlapQueries {
       |  AND l_quantity < 0.2 * (SELECT AVG(l_quantity) FROM lineitem l2
       |                          WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** TPC-H Q15 shape (top supplier): the quarterly per-supplier revenue
+    * aggregate compared against ITS OWN maximum — the
+    * equality-to-a-scalar-over-the-same-aggregate decorrelation case
+    * (the spec's CREATE VIEW expressed as a CTE referenced twice).
+    * Catalyst plans the CTE once per reference with the MAX side
+    * reduced to a 1-row broadcast — no per-row re-execution.
+    * Determinism: revenue is an exact decimal sum cast to double
+    * (bit-identical in both engines), so MAX and the equality select
+    * the same supplier(s) everywhere.
+    */
+  def sqlQ15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ15TopSupplier)
+  }
+
+  private val SqlQ15TopSupplier =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                  AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01'
+      |    AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  /** TPC-H Q11 shape (important values), adapted to the harness schema
+    * (no partsupp table): supplier-nation revenue retained only where
+    * it exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    * HAVING-against-a-global-scalar-aggregate case. The global side is
+    * recomputed as its own exact decimal sum (NOT a double sum over
+    * the group rows, whose accumulation order differs per engine), so
+    * the threshold is bit-identical in Spark and DuckDB and the
+    * predicate can never flip on an ulp.
+    */
+  def sqlQ11ImportantNations(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ11ImportantNations)
+  }
+
+  private val SqlQ11ImportantNations =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                AS DECIMAL(30,6))) AS DOUBLE) AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(30,6))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                        AS DECIMAL(30,6))) AS DOUBLE) * 0.05
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey)""".stripMargin
+
   private val SqlPartsAboveTypeAvg =
     """SELECT p_partkey, p_type, p_retailprice
       |FROM part p
@@ -708,6 +765,8 @@ object OlapQueries {
     "percentile_brand_prices" -> percentileBrandPrices _,
     "sql_parts_above_type_avg" -> sqlPartsAboveTypeAvg _,
     "sql_q17_small_qty" -> sqlQ17SmallQty _,
+    "sql_q15_top_supplier" -> sqlQ15TopSupplier _,
+    "sql_q11_important_nations" -> sqlQ11ImportantNations _,
     "corr_quantity_price"     -> corrQuantityPrice _,
     "corr_matrix"             -> corrMatrix _,
     "events_user_gaps"        -> eventsUserGaps _,
@@ -854,6 +913,8 @@ object OlapQueries {
         |FROM part GROUP BY p_brand""".stripMargin,
     "sql_parts_above_type_avg" -> SqlPartsAboveTypeAvg,
     "sql_q17_small_qty" -> SqlQ17SmallQty,
+    "sql_q15_top_supplier" -> SqlQ15TopSupplier,
+    "sql_q11_important_nations" -> SqlQ11ImportantNations,
     "corr_quantity_price" ->
       """WITH q AS (
         |  SELECT l_returnflag,

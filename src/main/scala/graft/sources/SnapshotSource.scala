@@ -801,7 +801,14 @@ final class SnapshotChangefeedSource(
       delta.select(lit(v).as("version"), col("k"),
         col("price").cast("double").as("price"), col("alive"))
     }
-    val df = perVersion.reduce(_ unionByName _)
+    val df =
+      if (perVersion.isEmpty)
+        // defensive: an empty recovered range yields an empty batch
+        // rather than a reduce() crash
+        spark.range(0).select(lit(0).as("version"),
+          col("id").as("k"), lit(null).cast("double").as("price"),
+          lit(1).as("alive"))
+      else perVersion.reduce(_ unionByName _)
     org.apache.spark.sql.GraftPlanBridge.streamingFrame(spark, df)
   }
 
