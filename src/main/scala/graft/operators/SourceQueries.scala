@@ -1363,13 +1363,18 @@ object SourceQueries {
   private[graft] def snapshotCommit(s: SparkSession,
       root: java.nio.file.Path, fromV: Int, toV: Int, delta: DataFrame,
       insertDelta: Boolean, keyCol: String = "o_orderkey",
-      partCol: String = "o_ym",
+      partCols: Seq[String] = Seq("o_ym"),
       bloomIndexKey: Option[String] = None): Unit = {
     val head = headVersion(root)
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
-    val touched = delta.select(partCol).distinct().collect()
-      .map(_.getString(0)).toSeq.sorted
+    // manifest pv = the partition values joined by '/' in
+    // partition-schema order, matching snapshotInit's dir-walk form
+    // (clean values — hive dir-name escaping is out of scope, as at
+    // bootstrap)
+    val touched = delta.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.indices.map(i => String.valueOf(r.get(i)))
+        .mkString("/")).toSeq.sorted
     if (touched.isEmpty) {
       // legal no-change commit (e.g. an ingest batch that filtered to
       // zero rows): republish the parent entries as the new version
@@ -1388,13 +1393,20 @@ object SourceQueries {
           col(keyCol) === col("d_key"), "left_anti")
     val out = root.resolve(
       s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
-    (if (insertDelta) kept.unionByName(delta) else kept)
-      .withColumn(s"${partCol}_p", col(partCol))
-      .write.mode("overwrite").partitionBy(s"${partCol}_p").parquet(out)
-    val (present, emptied) = touched.partition(ym =>
-      new java.io.File(s"$out/${partCol}_p=$ym").isDirectory)
+    val pcols = partCols.map(c => s"${c}_p")
+    def leafDir(pv: String): String = {
+      val vals = if (partCols.length == 1) Array(pv) else pv.split("/", -1)
+      out + "/" + pcols.zip(vals).map { case (c, v) => s"$c=$v" }
+        .mkString("/")
+    }
+    partCols.foldLeft(
+      if (insertDelta) kept.unionByName(delta) else kept)(
+      (df, c) => df.withColumn(s"${c}_p", col(c)))
+      .write.mode("overwrite").partitionBy(pcols: _*).parquet(out)
+    val (present, emptied) = touched.partition(pv =>
+      new java.io.File(leafDir(pv)).isDirectory)
     val entries =
-      (parent -- emptied) ++ present.map(ym => ym -> s"$out/${partCol}_p=$ym")
+      (parent -- emptied) ++ present.map(pv => pv -> leafDir(pv))
     writeManifest(root, toV, entries)
     // CAS won: publish the file-stats sidecar (new dirs profiled, the
     // rest copied from the parent's sidecar — O(touched) maintenance)
@@ -1404,8 +1416,7 @@ object SourceQueries {
     // (append — parent files are write-once, their rows stay valid)
     bloomIndexKey.foreach { k =>
       if (present.nonEmpty)
-        graft.sources.SnapshotBloom.build(s,
-          present.map(ym => s"$out/${partCol}_p=$ym"), k,
+        graft.sources.SnapshotBloom.build(s, present.map(leafDir), k,
           root.resolve("bloomidx").toString, append = true)
     }
   }

@@ -843,8 +843,10 @@ object SnapshotChangefeedSource {
   * deltas are defined per key, not relative to a snapshot's values.
   * Only `SaveMode.Append` is accepted: a snapshot store never
   * overwrites history — that is the point of it. Options: `keyCol`
-  * (default `o_orderkey`), `partCol` (default `o_ym`), `commitMode`
-  * (default `upsert`).
+  * (default `o_orderkey`), `partCol` (default `o_ym`) or `partCols`
+  * (comma-separated multi-column layout), `commitMode` (default
+  * `upsert`), `bloomKey` (maintain the per-file Bloom index at
+  * commit time).
   */
 final class SnapshotSourceProvider extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
@@ -895,7 +897,11 @@ final class SnapshotSourceProvider extends RelationProvider
     val root = java.nio.file.Paths.get(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path")))
     val keyCol = opt(parameters, "keyCol").getOrElse("o_orderkey")
-    val partCol = opt(parameters, "partCol").getOrElse("o_ym")
+    // `partCols` (comma-separated) declares a multi-column layout;
+    // `partCol` is the single-column spelling (default `o_ym`)
+    val partCols = opt(parameters, "partCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(opt(parameters, "partCol").getOrElse("o_ym")))
     val insert = opt(parameters, "commitMode").getOrElse("upsert") match {
       case "upsert" => true
       case "delete" => false
@@ -918,10 +924,10 @@ final class SnapshotSourceProvider extends RelationProvider
       try {
         if (head == 0)
           graft.operators.SourceQueries.snapshotInit(spark, root, data,
-            Seq(partCol), bloomIndexKey)
+            partCols, bloomIndexKey)
         else
           graft.operators.SourceQueries.snapshotCommit(spark, root, head,
-            head + 1, data, insert, keyCol, partCol, bloomIndexKey)
+            head + 1, data, insert, keyCol, partCols, bloomIndexKey)
         committed = true
       } catch {
         case e: graft.operators.SourceQueries.SnapshotConflictException =>

@@ -134,6 +134,45 @@ class SnapshotMetadataSpec extends SparkSpec {
         s"got ${index.lastListing._1}")
   }
 
+  test("multi-column layout commits through the door: upsert + delete") {
+    val droot = java.nio.file.Files.createTempDirectory("door_multi")
+    def frame(rows: Seq[(Long, String, String, Double)]) =
+      rows.toDF("event_id", "e_dt", "event_type", "value")
+        .withColumn("e_dt", to_date(col("e_dt")))
+    def save(df: org.apache.spark.sql.DataFrame, mode: String = "upsert") =
+      df.write.format("graft-snapshot").mode("append")
+        .option("partCols", "e_dt,event_type")
+        .option("keyCol", "event_id")
+        .option("commitMode", mode).save(droot.toString)
+    save(frame(Seq(
+      (1L, "2024-01-01", "click", 1.0),
+      (2L, "2024-01-01", "view", 2.0),
+      (3L, "2024-01-02", "click", 3.0))))
+    // upsert touches ONE (day, type) leaf and adds a brand-new one
+    save(frame(Seq(
+      (1L, "2024-01-01", "click", 11.0),
+      (9L, "2024-01-03", "purchase", 9.0))))
+    // delete event 2 out of its (day, type) leaf
+    save(frame(Seq((2L, "2024-01-01", "view", 2.0))), mode = "delete")
+
+    assert(SnapshotManifest.head(droot) === 3)
+    def rows(v: Int) = SnapshotTable.read(spark, droot, v)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows(1) === Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    assert(rows(2) === Set((1L, 11.0), (2L, 2.0), (3L, 3.0), (9L, 9.0)))
+    assert(rows(3) === Set((1L, 11.0), (3L, 3.0), (9L, 9.0)))
+    // the untouched (2024-01-02, click) leaf is SHARED v1→v3
+    assert(SnapshotManifest.read(droot, 1)("2024-01-02/click") ===
+      SnapshotManifest.read(droot, 3)("2024-01-02/click"))
+    // and the typed two-column partition predicate still prunes
+    val df = SnapshotTable.read(spark, droot, 3)
+      .filter(col("e_dt_p") === lit("2024-01-01") &&
+        col("event_type_p") === "click")
+    assert(df.select("event_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(SnapshotTable.fileIndexOf(df).lastListing._1 === 1)
+  }
+
   test("zero-row bootstrap through the door stays readable") {
     val droot = java.nio.file.Files.createTempDirectory("door_empty")
     Seq.empty[(Long, String, Double, String)]
