@@ -79,10 +79,25 @@ final class GraftSnapshotCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toInt))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft-snapshot time travel is by VERSION AS OF; manifests do not " +
-        "record commit timestamps")
+  /** `TIMESTAMP AS OF t` — resolved to the LAST version whose manifest
+    * was published at or before `t` (the Delta-Lake semantics, which
+    * also derives commit times from the commit files' modification
+    * times: the manifest link is the atomic publish instant). Spark
+    * hands the timestamp in MICROSECONDS since the epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    val mdir = root.resolve("manifests")
+    val versions = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.manifest"))
+      .map(f => (f.getName.stripPrefix("v").stripSuffix(".manifest").toInt,
+        f.lastModified()))
+    val cutoffMs = timestamp / 1000L
+    val v = versions.filter(_._2 <= cutoffMs).map(_._1)
+      .reduceOption(math.max).getOrElse(
+        throw new NoSuchTableException(ident))
+    load(ident, Some(v))
+  }
 
   private def load(ident: Identifier, v: Option[Int]): Table = {
     val root = rootOf(ident)

@@ -80,6 +80,42 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("TIMESTAMP AS OF resolves the last version published by then") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val droot = java.nio.file.Files.createTempDirectory("ts_store")
+    def save(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("o_orderkey", "o_totalprice")
+        .withColumn("o_ym", lit("2024-01"))
+        .write.format("graft-snapshot").mode("append").save(droot.toString)
+    val before = System.currentTimeMillis() - 50
+    save(Seq((1L, 1.0), (2L, 2.0)))
+    Thread.sleep(1500) // manifest mtime granularity can be 1 s
+    val mid = System.currentTimeMillis()
+    Thread.sleep(1500)
+    save(Seq((9L, 9.0)))
+
+    val c = "snaptime"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+      droot.getParent.toString)
+    val t = s"$c.`${droot.getFileName}`"
+    def fmt(ms: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    def countAt(ms: Long): Long =
+      spark.sql(s"SELECT COUNT(*) FROM $t TIMESTAMP AS OF '${fmt(ms)}'")
+        .head().getLong(0)
+    assert(countAt(mid) === 2, "mid-history timestamp must resolve v1")
+    assert(countAt(System.currentTimeMillis()) === 3)
+    val e = intercept[Exception] { countAt(before) }
+    assert(e.getMessage.toLowerCase.contains("table"),
+      s"pre-history timestamp must be NoSuchTable, got: ${e.getMessage}")
+  }
+
   test("catalog lists stores; unknown tables are NoSuchTable") {
     val idents = spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1))
