@@ -1469,8 +1469,11 @@ object SourceQueries {
   /** Change rows between two adjacent snapshot versions, scoped to the
     * MANIFEST diff (the `tableDiff` discipline: unmoved partition
     * pointers are the same files, provably identical, never read).
-    * Emits one row per changed key: `k`, the NEW price (null for a
-    * delete), and `alive` (0 for a delete).
+    * Emits one row per changed key with BOTH images — the Delta-CDF
+    * row shape a downstream consumer needs to maintain anything
+    * incrementally: `k`, `price` (the post-image; null for a delete),
+    * `old_price` (the pre-image; null for an insert), `change_type`
+    * (`insert` / `update` / `delete`), and `alive` (0 for a delete).
     */
   private[graft] def changeRows(s: SparkSession, root: java.nio.file.Path,
                                 vFrom: Int, vTo: Int,
@@ -1497,6 +1500,10 @@ object SourceQueries {
         col("old_price") =!= col("new_price"))
       .select(coalesce(col("old_key"), col("new_key")).as("k"),
         col("new_price").as("price"),
+        col("old_price"),
+        when(col("old_key").isNull, lit("insert"))
+          .when(col("new_key").isNull, lit("delete"))
+          .otherwise(lit("update")).as("change_type"),
         when(col("new_key").isNull, lit(0)).otherwise(lit(1)).as("alive"))
   }
 
@@ -1525,9 +1532,11 @@ object SourceQueries {
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
         lit(1).as("alive"))
       .withColumn("v", lit(1))
-    val ev = base
-      .unionByName(changeRows(s, root, 1, 2).withColumn("v", lit(2)))
-      .unionByName(changeRows(s, root, 2, 3).withColumn("v", lit(3)))
+    def changes(vFrom: Int, vTo: Int): DataFrame =
+      changeRows(s, root, vFrom, vTo)
+        .select(col("k"), col("price"), col("alive"))
+        .withColumn("v", lit(vTo))
+    val ev = base.unionByName(changes(1, 2)).unionByName(changes(2, 3))
     val w = Window.partitionBy(col("k")).orderBy(col("v"))
     ev.withColumn("valid_to_v", lead(col("v"), 1).over(w))
       .filter(col("alive") === 1)
@@ -1731,9 +1740,14 @@ object SourceQueries {
         .load(root.toString)
         .groupBy(col("version"))
         .agg(count(lit(1)).as("n_changes"),
+          sum(when(col("change_type") === "insert", 1).otherwise(0))
+            .cast("bigint").as("n_inserts"),
+          sum(when(col("change_type") === "update", 1).otherwise(0))
+            .cast("bigint").as("n_updates"),
           sum(lit(1) - col("alive")).cast("bigint").as("n_deletes"),
           sum(col("k")).cast("bigint").as("key_sum"),
-          dsum(col("price")).as("price_sum"))
+          dsum(col("price")).as("price_sum"),
+          dsum(col("old_price")).as("old_price_sum"))
         .writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
@@ -1743,6 +1757,48 @@ object SourceQueries {
         .awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qName)
+  }
+
+  /** A downstream CONSUMER of the changefeed stream: a materialized
+    * view (live row count + exact value sum) maintained INCREMENTALLY
+    * from the CDF deltas — the job the changefeed source exists for.
+    * Each micro-batch contributes one 1-row aggregate of its deltas
+    * (`+post − pre` per change, so insert/update/delete all reduce to
+    * one coalesce expression), folded into driver-side accumulators —
+    * per-version cost is O(that commit's touched partitions), and the
+    * MV never re-reads the table. Exactness: values are quantized to
+    * integer MICROS before accumulating (the `qvec` discipline —
+    * both engines round half away from zero), so the per-key deltas
+    * TELESCOPE exactly: Σ deltas = Σ_live round(final·1e6), which is
+    * what the oracle recomputes relationally from v3. A dropped,
+    * doubled, or re-ordered change row breaks the telescope and
+    * hash-mismatches.
+    */
+  def streamingCdfMv(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    val nLive = new java.util.concurrent.atomic.AtomicLong(0)
+    val priceMicros = new java.util.concurrent.atomic.AtomicLong(0)
+    def micros(c: Column): Column =
+      coalesce(round(c * lit(1000000L)).cast("bigint"), lit(0L))
+    val q = s.readStream.format("graft-snapshot").option("fromVersion", "1")
+      .load(root.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = batch.agg(
+          sum(when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L)
+            .otherwise(0L)).as("dn"),
+          sum(micros(col("price")) - micros(col("old_price"))).as("dp"))
+          .head()
+        if (!r.isNullAt(0)) nLive.addAndGet(r.getLong(0))
+        if (!r.isNullAt(1)) priceMicros.addAndGet(r.getLong(1))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    Seq((nLive.get(), priceMicros.get())).toDF("n_live", "price_micros")
   }
 
   /** The snapshot store driven ENTIRELY through the public format door
@@ -2255,6 +2311,7 @@ object SourceQueries {
     "source_stats_prune"      -> snapshotStatsPrune _,
     "source_snapshot_multipart" -> snapshotMultipart _,
     "streaming_snapshot_cdf"  -> streamingSnapshotCdf _,
+    "streaming_cdf_mv"        -> streamingCdfMv _,
     "source_scd2_history"     -> scd2History _,
     "source_snapshot_write_door" -> snapshotWriteDoor _,
     "source_table_diff"       -> tableDiff _,
@@ -2520,30 +2577,66 @@ object SourceQueries {
         |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-16'
         |  AND event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    "streaming_cdf_mv" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+        |    AS BIGINT) AS price_micros
+        |FROM v3""".stripMargin,
     "streaming_snapshot_cdf" ->
       """WITH v1 AS (
         |  SELECT 1 AS version, COUNT(*) AS n_changes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inserts,
+        |    CAST(0 AS BIGINT) AS n_updates,
         |    CAST(0 AS BIGINT) AS n_deletes,
         |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-        |      AS price_sum
+        |      AS price_sum,
+        |    CAST(NULL AS DOUBLE) AS old_price_sum
         |  FROM orders),
         |v2 AS (
         |  SELECT 2 AS version, COUNT(*) AS n_changes,
+        |    CAST(SUM(CASE WHEN ctype = 'insert' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_inserts,
+        |    CAST(SUM(CASE WHEN ctype = 'update' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_updates,
         |    CAST(0 AS BIGINT) AS n_deletes,
         |    CAST(SUM(k) AS BIGINT) AS key_sum,
-        |    CAST(SUM(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS price_sum
+        |    CAST(SUM(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(CAST(old_p AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS old_price_sum
         |  FROM (
-        |    SELECT o_orderkey AS k, o_totalprice * 1.1 AS p
+        |    SELECT o_orderkey AS k, o_totalprice * 1.1 AS p,
+        |      o_totalprice AS old_p, 'update' AS ctype
         |    FROM orders WHERE o_orderkey % 97 = 0
         |    UNION ALL
-        |    SELECT -o_orderkey - 1 AS k, o_totalprice AS p
+        |    SELECT -o_orderkey - 1 AS k, o_totalprice AS p,
+        |      NULL AS old_p, 'insert' AS ctype
         |    FROM orders WHERE o_orderkey % 1013 = 0)),
         |v3 AS (
         |  SELECT 3 AS version, COUNT(*) AS n_changes,
+        |    CAST(0 AS BIGINT) AS n_inserts,
+        |    CAST(0 AS BIGINT) AS n_updates,
         |    CAST(COUNT(*) AS BIGINT) AS n_deletes,
         |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-        |    CAST(NULL AS DOUBLE) AS price_sum
+        |    CAST(NULL AS DOUBLE) AS price_sum,
+        |    CAST(SUM(CAST(CASE WHEN o_orderkey % 97 = 0
+        |                       THEN o_totalprice * 1.1
+        |                       ELSE o_totalprice END AS DECIMAL(30,6)))
+        |      AS DOUBLE) AS old_price_sum
         |  FROM orders WHERE o_orderkey % 131 = 0)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |UNION ALL SELECT * FROM v3""".stripMargin,

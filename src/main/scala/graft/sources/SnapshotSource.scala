@@ -751,7 +751,9 @@ object SnapshotTable {
   *
   * `spark.readStream.format("graft-snapshot").option("fromVersion", 1)
   * .load(root)` emits rows `(version INT, k LONG, price DOUBLE,
-  * alive INT)`: version 1 (or `fromVersion`'s parent-less base) streams
+  * old_price DOUBLE, change_type STRING, alive INT)` — post-image,
+  * pre-image, and change kind, the Delta-CDF row shape: version 1 (or
+  * `fromVersion`'s parent-less base) streams
   * as pure inserts, every later version as its manifest-scoped diff —
   * each increment costs O(that commit's touched partitions), never a
   * table scan, because [[graft.operators.SourceQueries.changeRows]]
@@ -794,12 +796,15 @@ final class SnapshotChangefeedSource(
           // parent-less base: the whole v1 snapshot streams as inserts
           graft.operators.SourceQueries.snapshotRead(spark, root, 1)
             .select(col(keyCol).as("k"), col(valCol).as("price"),
-              lit(1).as("alive"))
+              lit(null).cast("double").as("old_price"),
+              lit("insert").as("change_type"), lit(1).as("alive"))
         else
           graft.operators.SourceQueries.changeRows(spark, root, v - 1, v,
             keyCol, valCol)
       delta.select(lit(v).as("version"), col("k"),
-        col("price").cast("double").as("price"), col("alive"))
+        col("price").cast("double").as("price"),
+        col("old_price").cast("double").as("old_price"),
+        col("change_type"), col("alive"))
     }
     val df =
       if (perVersion.isEmpty)
@@ -807,7 +812,8 @@ final class SnapshotChangefeedSource(
         // rather than a reduce() crash
         spark.range(0).select(lit(0).as("version"),
           col("id").as("k"), lit(null).cast("double").as("price"),
-          lit(1).as("alive"))
+          lit(null).cast("double").as("old_price"),
+          lit("insert").as("change_type"), lit(1).as("alive"))
       else perVersion.reduce(_ unionByName _)
     org.apache.spark.sql.GraftPlanBridge.streamingFrame(spark, df)
   }
@@ -817,10 +823,17 @@ final class SnapshotChangefeedSource(
 }
 
 object SnapshotChangefeedSource {
+  /** The Delta-CDF row shape: post-image (`price`), pre-image
+    * (`old_price`), and an explicit `change_type` — without the
+    * pre-image and the insert/update distinction, a consumer cannot
+    * maintain any aggregate incrementally.
+    */
   val Schema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
     StructField("k", LongType, nullable = true),
     StructField("price", DoubleType, nullable = true),
+    StructField("old_price", DoubleType, nullable = true),
+    StructField("change_type", StringType, nullable = true),
     StructField("alive", IntegerType, nullable = true)))
 }
 

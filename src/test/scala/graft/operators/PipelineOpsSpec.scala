@@ -33,11 +33,11 @@ class PipelineOpsSpec extends SparkSpec {
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
         lit(1).as("alive"))
       .withColumn("v", lit(1))
-    val ev = base
-      .unionByName(SourceQueries.changeRows(spark, root, 1, 2)
-        .withColumn("v", lit(2)))
-      .unionByName(SourceQueries.changeRows(spark, root, 2, 3)
-        .withColumn("v", lit(3)))
+    def cdc(vFrom: Int, vTo: Int) =
+      SourceQueries.changeRows(spark, root, vFrom, vTo)
+        .select(col("k"), col("price"), col("alive"))
+        .withColumn("v", lit(vTo))
+    val ev = base.unionByName(cdc(1, 2)).unionByName(cdc(2, 3))
     val w = Window.partitionBy("k").orderBy("v")
     val hist = ev
       .withColumn("valid_to", lead(col("v"), 1).over(w))

@@ -8,8 +8,9 @@ import graft.operators.SourceQueries
 
 /** Pins the `graft-snapshot` STREAMING arm (the changefeed source):
   *
-  *  1. full-feed parity — the stream's change rows are exactly the
-  *     batch CDC (v1 base as inserts + per-version `changeRows`);
+  *  1. full-feed parity — the stream's change rows (post-image,
+  *     pre-image, change_type: the Delta-CDF row shape) are exactly
+  *     the batch CDC (v1 base as inserts + per-version `changeRows`);
   *  2. version-offset RESTART — a new query resuming from the same
   *     checkpoint processes only versions committed since the last
   *     incarnation (the lakehouse CDF contract: exactly-once per
@@ -51,33 +52,44 @@ class SnapshotChangefeedSpec extends SparkSpec {
     rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
       .withColumn("o_ym", lit(month))
 
+  private type Change =
+    (Int, Long, Option[Double], Option[Double], String, Int)
+
+  private def changes(df: org.apache.spark.sql.DataFrame): Seq[Change] =
+    df.select("version", "k", "price", "old_price", "change_type", "alive")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getString(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
   test("streamed feed equals the batch CDC, version by version") {
     val root = SourceQueries.snapshotFixture(spark, sf0001)
     val out = freshDir("parity_out")
     val chk = freshDir("parity_chk")
     drainOnce(root.toString, out.getAbsolutePath, chk.getAbsolutePath)
-    val got = spark.read.parquet(out.getAbsolutePath)
-      .collect().map(r => (r.getInt(0), r.getLong(1),
-        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3)))
-      .sortBy(t => (t._1, t._2)).toSeq
+    val got = changes(spark.read.parquet(out.getAbsolutePath))
 
     val base = SourceQueries.snapshotRead(spark, root, 1)
       .select(lit(1).as("version"), col("o_orderkey").as("k"),
-        col("o_totalprice").as("price"), lit(1).as("alive"))
-    val expect = base
-      .unionByName(SourceQueries.changeRows(spark, root, 1, 2)
-        .select(lit(2).as("version"), col("k"),
-          col("price").cast("double").as("price"), col("alive")))
-      .unionByName(SourceQueries.changeRows(spark, root, 2, 3)
-        .select(lit(3).as("version"), col("k"),
-          col("price").cast("double").as("price"), col("alive")))
-      .collect().map(r => (r.getInt(0), r.getLong(1),
-        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3)))
-      .sortBy(t => (t._1, t._2)).toSeq
+        col("o_totalprice").as("price"),
+        lit(null).cast("double").as("old_price"),
+        lit("insert").as("change_type"), lit(1).as("alive"))
+    def cdc(vFrom: Int, vTo: Int) =
+      SourceQueries.changeRows(spark, root, vFrom, vTo)
+        .select(lit(vTo).as("version"), col("k"),
+          col("price").cast("double").as("price"),
+          col("old_price").cast("double").as("old_price"),
+          col("change_type"), col("alive"))
+    val expect = changes(base.unionByName(cdc(1, 2)).unionByName(cdc(2, 3)))
     assert(got === expect)
     assert(got.nonEmpty)
-    // the delete commit must appear as alive=0 rows
-    assert(got.exists(t => t._1 === 3 && t._4 === 0))
+    // the delete commit must appear as pre-image-only rows
+    assert(got.exists(t => t._1 === 3 && t._5 === "delete" &&
+      t._3.isEmpty && t._4.nonEmpty))
+    // the merge commit must carry both images on its updates
+    assert(got.exists(t => t._1 === 2 && t._5 === "update" &&
+      t._3.nonEmpty && t._4.nonEmpty))
   }
 
   test("restart resumes from the committed version offset") {
@@ -103,13 +115,14 @@ class SnapshotChangefeedSpec extends SparkSpec {
         s"expected 3 change rows, got $seen2 — a re-emit of v1 means the " +
         "version offset was ignored")
 
-    val rows = spark.read.parquet(out.getAbsolutePath)
-      .collect().map(r => (r.getInt(0), r.getLong(1),
-        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3))).toSet
-    assert(rows === Set(
-      (1, 1L, Some(10.0), 1), (1, 2L, Some(20.0), 1), (1, 3L, Some(30.0), 1),
-      (2, 2L, Some(99.0), 1), (2, 9L, Some(5.0), 1),
-      (3, 1L, None, 0)))
+    val rows = changes(spark.read.parquet(out.getAbsolutePath)).toSet
+    assert(rows === Set[Change](
+      (1, 1L, Some(10.0), None, "insert", 1),
+      (1, 2L, Some(20.0), None, "insert", 1),
+      (1, 3L, Some(30.0), None, "insert", 1),
+      (2, 2L, Some(99.0), Some(20.0), "update", 1),
+      (2, 9L, Some(5.0), None, "insert", 1),
+      (3, 1L, None, Some(10.0), "delete", 0)))
   }
 
   test("fromVersion subscribes from the middle of history") {
@@ -122,5 +135,17 @@ class SnapshotChangefeedSpec extends SparkSpec {
     assert(got.select(min(col("version"))).head().getInt(0) === 3)
     val expected = SourceQueries.changeRows(spark, root, 2, 3).count()
     assert(got.count() === expected)
+  }
+
+  test("a CDF consumer maintains an MV incrementally, exactly") {
+    val got = SourceQueries.streamingCdfMv(spark, sf0001).head()
+    val v3 = SourceQueries.snapshotRead(
+      spark, SourceQueries.snapshotFixture(spark, sf0001), 3)
+    val expect = v3.agg(count(lit(1)).cast("bigint"),
+      sum(round(col("o_totalprice") * lit(1000000L)).cast("bigint"))
+        .cast("bigint")).head()
+    assert(got.getLong(0) === expect.getLong(0))
+    assert(got.getLong(1) === expect.getLong(1),
+      "the per-key micro-quantized deltas did not telescope to the head")
   }
 }
