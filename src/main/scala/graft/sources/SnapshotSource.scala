@@ -260,7 +260,12 @@ object SnapshotFiles {
 object StatsSkipping {
   private def parseStored(dt: DataType, s: String): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType => s.toLongOption
-    case FloatType | DoubleType => s.toDoubleOption
+    // FLOAT must round-trip through float before widening: the stored
+    // text of 1.1f is "1.1", which parses to the DOUBLE 1.1 — but the
+    // literal side widens the float (1.10000002...), and comparing the
+    // two would wrongly skip a file whose rows match exactly
+    case FloatType => s.toFloatOption.map(_.toDouble)
+    case DoubleType => s.toDoubleOption
     case _: DecimalType => Try(BigDecimal(s)).toOption
     case StringType => Some(s)
     case DateType =>
