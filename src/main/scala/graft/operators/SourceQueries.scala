@@ -1369,12 +1369,23 @@ object SourceQueries {
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
     // manifest pv = the partition values joined by '/' in
-    // partition-schema order, matching snapshotInit's dir-walk form
-    // (clean values — hive dir-name escaping is out of scope, as at
-    // bootstrap)
+    // partition-schema order. Each value is HIVE-ESCAPED
+    // (ExternalCatalogUtils.escapePathName — the same escaping
+    // partitionBy applies to dir names), so the commit-side pv matches
+    // snapshotInit's dir-walk form for values containing ':', '%',
+    // '=', '/', ... — an unescaped pv would miss the parent entry and
+    // silently orphan the rewritten partition. NULL partition values
+    // are rejected loudly (the store's partition columns are keys).
     val touched = delta.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.indices.map(i => String.valueOf(r.get(i)))
-        .mkString("/")).toSeq.sorted
+      .map { r =>
+        partCols.indices.map { i =>
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"null value in partition column ${partCols(i)} — the " +
+              "snapshot store requires non-null partition values")
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(r.get(i)))
+        }.mkString("/")
+      }.toSeq.sorted
     if (touched.isEmpty) {
       // legal no-change commit (e.g. an ingest batch that filtered to
       // zero rows): republish the parent entries as the new version
@@ -1497,7 +1508,11 @@ object SourceQueries {
     val newSide = side(changed.flatMap(m2.get), "new_key", "new_price")
     oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
       .filter(col("old_key").isNull || col("new_key").isNull ||
-        col("old_price") =!= col("new_price"))
+        // NULL-SAFE change test: a plain =!= evaluates to NULL (and the
+        // row is dropped) when exactly one side is NULL — i.e. a
+        // NULL-to-value or value-to-NULL update would silently vanish
+        // from the changefeed and any MV maintained from it
+        !(col("old_price") <=> col("new_price")))
       .select(coalesce(col("old_key"), col("new_key")).as("k"),
         col("new_price").as("price"),
         col("old_price"),
@@ -1923,7 +1938,11 @@ object SourceQueries {
         col("o_totalprice").as("new_price"))
     oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
       .filter(col("old_key").isNull || col("new_key").isNull ||
-        col("old_price") =!= col("new_price"))
+        // NULL-SAFE change test: a plain =!= evaluates to NULL (and the
+        // row is dropped) when exactly one side is NULL — i.e. a
+        // NULL-to-value or value-to-NULL update would silently vanish
+        // from the changefeed and any MV maintained from it
+        !(col("old_price") <=> col("new_price")))
       .select(
         when(col("old_key").isNull, lit("insert"))
           .when(col("new_key").isNull, lit("delete"))

@@ -195,20 +195,15 @@ final class SnapshotPartitioningIndex(
 
   private lazy val filesByDir: Map[Path, Array[FileStatus]] =
     manifest.toSeq.sortBy(_._1).map { case (pv, dir) =>
-      val dirPath = new Path(dir)
       val listed: Array[FileStatus] = sidecar match {
-        case Some(fm) => fm.getOrElse(pv, Nil).map(e =>
-          new FileStatus(e.bytes, false, 1, 128L << 20, 0L,
-            new Path(e.path))).toArray
+        case Some(fm) =>
+          fm.getOrElse(pv, Nil).map(SnapshotFiles.status).toArray
         case None =>
           fsListCalls += 1
-          dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .listStatus(dirPath).filter { st =>
-              val n = st.getPath.getName
-              st.isFile && !n.startsWith("_") && !n.startsWith(".")
-            }
+          SnapshotFiles.listDataFiles(
+            spark.sparkContext.hadoopConfiguration, dir)
       }
-      dirPath -> listed
+      new Path(dir) -> listed
     }.toMap
 
   override def partitionSpec(): PartitionSpec =

@@ -190,6 +190,27 @@ object SnapshotFiles {
     }.groupBy(_.pv))
   }
 
+  /** Nominal `FileStatus` for a sidecar entry — shared by BOTH read
+    * doors (the `HadoopFsRelation` FileIndex and the DSv2 catalog's
+    * PartitioningAwareFileIndex) so their synthesized listings can
+    * never diverge. Block size is nominal: local split sizing uses
+    * `maxPartitionBytes`, not block boundaries.
+    */
+  def status(e: FileEntry): FileStatus =
+    new FileStatus(e.bytes, false, 1, 128L << 20, 0L, new Path(e.path))
+
+  /** One real dir listing with the shared hidden-file rule (skip
+    * `_SUCCESS`/dotfiles) — the legacy-store fallback of both doors.
+    */
+  def listDataFiles(conf: org.apache.hadoop.conf.Configuration,
+                    dir: String): Array[FileStatus] = {
+    val p = new Path(dir)
+    p.getFileSystem(conf).listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Columns worth per-file min/max: orderable primitives whose text
     * form round-trips (timestamps are excluded — their text form is
     * zone-sensitive and parquet NTZ stats don't reader-prune anyway,
@@ -469,7 +490,13 @@ object SnapshotPartitionValues {
       s"partition value '$pv' does not match $schema")
     InternalRow.fromSeq(raw.toIndexedSeq.zip(schema.fields).map {
       case (v, f) =>
-        Cast(Literal(UTF8String.fromString(v), StringType), f.dataType,
+        // manifest pvs carry the HIVE-ESCAPED dir-name form (that is
+        // what bootstrap's dir walk and the commit path both record);
+        // unescape before casting so the LOGICAL value compares against
+        // query predicates — Spark's own partition parsing does the same
+        val logical = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(v)
+        Cast(Literal(UTF8String.fromString(logical), StringType), f.dataType,
           Some("UTC")).eval(InternalRow.empty)
     })
   }
@@ -544,18 +571,11 @@ final class SnapshotFileIndex(
     * logic uses `maxPartitionBytes`, not block boundaries.
     */
   private def statusesOf(pv: String): Array[FileStatus] = sidecar match {
-    case Some(fm) =>
-      fm.getOrElse(pv, Nil).map(e =>
-        new FileStatus(e.bytes, false, 1, 128L << 20, 0L, new Path(e.path)))
-        .toArray
+    case Some(fm) => fm.getOrElse(pv, Nil).map(SnapshotFiles.status).toArray
     case None => listedCache.getOrElseUpdate(pv, {
       fsListCalls += 1
-      val p = new Path(manifest(pv))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+      SnapshotFiles.listDataFiles(
+        spark.sparkContext.hadoopConfiguration, manifest(pv))
     })
   }
 
@@ -594,22 +614,32 @@ final class SnapshotFileIndex(
     val statsKeep: Option[StatsSkipping.Stats => Boolean] =
       if (sidecar.isEmpty) None
       else StatsSkipping.compile(dataFilters, dataSchema)
+    // stage 1 — statuses materialized ONCE per partition, min/max stats
+    // applied first (cheap driver-side predicate over sidecar rows)
+    val afterStats: Seq[(String, Array[(FileStatus, String)])] =
+      keptPartitions.map { pv =>
+        val statsOf: String => StatsSkipping.Stats = statsKeep match {
+          case Some(_) =>
+            val byPath = entriesOf.getOrElse(pv, Nil)
+              .map(e => e.path -> e.stats).toMap
+            k => byPath.getOrElse(k, Map.empty)
+          case None => _ => Map.empty
+        }
+        pv -> statusesOf(pv).map(st =>
+          st -> SnapshotBloom.fileKey(st.getPath.toString))
+          .filter { case (_, fkey) =>
+            statsKeep.forall(keep => keep(statsOf(fkey)))
+          }
+      }
+    // stage 2 — Bloom bitsets fetched only for the stats SURVIVORS
+    // (loading before the stats cut would move bitsets to the driver
+    // for files the range predicate immediately drops)
     val bloomBits: Map[String, Option[Array[Long]]] =
       if (candidateKeys.isEmpty || bloomIdxPath.isEmpty) Map.empty
-      else bloomBitsFor(keptPartitions.flatMap(pv =>
-        statusesOf(pv).map(st => SnapshotBloom.fileKey(st.getPath.toString))))
-    val out = keptPartitions.map { pv =>
-      val statsOf: String => StatsSkipping.Stats = statsKeep match {
-        case Some(_) =>
-          val byPath = entriesOf.getOrElse(pv, Nil)
-            .map(e => e.path -> e.stats).toMap
-          k => byPath.getOrElse(k, Map.empty)
-        case None => _ => Map.empty
-      }
-      val kept = statusesOf(pv).filter { st =>
-        val fkey = SnapshotBloom.fileKey(st.getPath.toString)
-        val statsOk = statsKeep.forall(keep => keep(statsOf(fkey)))
-        val bloomOk = candidateKeys match {
+      else bloomBitsFor(afterStats.flatMap(_._2.map(_._2)))
+    val out = afterStats.map { case (pv, files) =>
+      val kept = files.filter { case (_, fkey) =>
+        candidateKeys match {
           case Some(conjuncts) => bloomBits.getOrElse(fkey, None) match {
             // every key-conjunct must have at least one maybe-present key
             case Some(bits) =>
@@ -618,8 +648,7 @@ final class SnapshotFileIndex(
           }
           case None => true
         }
-        statsOk && bloomOk
-      }
+      }.map(_._1)
       PartitionDirectory(partRow(pv), kept)
     }.filter(_.files.nonEmpty)
     lastListing = (out.size, out.map(_.files.size).sum)
@@ -689,6 +718,13 @@ final class SnapshotFileIndex(
 
   override def refresh(): Unit = () // snapshot versions are immutable
 
+  /** Total bytes of the version. With a sidecar this is pure metadata;
+    * a LEGACY store must list every partition here — `sizeInBytes` is
+    * by definition a whole-table quantity (the planner asks for it
+    * when sizing joins), so the lazy-listing contract is scoped to
+    * `listFiles`. Sidecar-backed stores (every current write path)
+    * never pay this.
+    */
   override def sizeInBytes: Long = sidecar match {
     case Some(fm) => fm.valuesIterator.flatten.map(_.bytes).sum
     case None =>
@@ -757,9 +793,13 @@ object SnapshotTable {
   * `spark.readStream.format("graft-snapshot").option("fromVersion", 1)
   * .load(root)` emits rows `(version INT, k LONG, price DOUBLE,
   * old_price DOUBLE, change_type STRING, alive INT)` — post-image,
-  * pre-image, and change kind, the Delta-CDF row shape: version 1 (or
-  * `fromVersion`'s parent-less base) streams
-  * as pure inserts, every later version as its manifest-scoped diff —
+  * pre-image, and change kind, the Delta-CDF row shape. Version 1 (the
+  * parent-less bootstrap) streams as pure inserts; every later version
+  * streams as its manifest-scoped diff. A MID-HISTORY subscription
+  * (`fromVersion = n > 1`) therefore delivers DIFFS ONLY from version
+  * n onward — the Delta `startingVersion` semantics: a consumer that
+  * needs state bootstraps it from a batch read of version n−1 and
+  * applies the stream on top —
   * each increment costs O(that commit's touched partitions), never a
   * table scan, because [[graft.operators.SourceQueries.changeRows]]
   * reads only repointed dirs. Offsets are VERSION NUMBERS: progress is
@@ -888,8 +928,10 @@ final class SnapshotSourceProvider extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val root = java.nio.file.Paths.get(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path")))
-    new SnapshotChangefeedSource(ctx.sparkSession, root,
-      opt(parameters, "fromVersion").map(_.toInt).getOrElse(1),
+    val fromVersion = opt(parameters, "fromVersion").map(_.toInt).getOrElse(1)
+    require(fromVersion >= 1,
+      s"fromVersion must be >= 1 (versions are 1-based), got $fromVersion")
+    new SnapshotChangefeedSource(ctx.sparkSession, root, fromVersion,
       opt(parameters, "keyCol").getOrElse("o_orderkey"),
       opt(parameters, "valueCol").getOrElse("o_totalprice"))
   }

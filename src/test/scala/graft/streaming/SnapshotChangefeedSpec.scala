@@ -137,6 +137,42 @@ class SnapshotChangefeedSpec extends SparkSpec {
     assert(got.count() === expected)
   }
 
+  test("NULL-to-value and value-to-NULL updates are not dropped") {
+    val root = freshDir("null_store").getAbsolutePath
+    def nf(rows: Seq[(Long, Option[Double])]) =
+      rows.toDF("o_orderkey", "o_totalprice")
+        .withColumn("o_orderstatus", lit("O"))
+        .withColumn("o_ym", lit("2024-01"))
+    nf(Seq((1L, None), (2L, Some(2.0))))
+      .write.format("graft-snapshot").mode("append").save(root)
+    // key 1: NULL -> 5.0; key 2: 2.0 -> NULL — a null-unsafe =!= would
+    // drop BOTH rows from the changefeed
+    nf(Seq((1L, Some(5.0)), (2L, None)))
+      .write.format("graft-snapshot").mode("append").save(root)
+    val cdc = SourceQueries.changeRows(spark,
+        java.nio.file.Paths.get(root), 1, 2)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getString(3))).toSet
+    assert(cdc === Set(
+      (1L, Some(5.0), None, "update"),
+      (2L, None, Some(2.0), "update")))
+  }
+
+  test("fromVersion = 0 is refused with a clear error") {
+    val root = SourceQueries.snapshotFixture(spark, sf0001)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("fromVersion", "0").load(root.toString)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("fromVersion") ||
+      Option(e.getCause).exists(_.getMessage.contains("fromVersion")))
+    spark.streams.resetTerminated()
+  }
+
   test("a CDF consumer maintains an MV incrementally, exactly") {
     val got = SourceQueries.streamingCdfMv(spark, sf0001).head()
     val v3 = SourceQueries.snapshotRead(
