@@ -329,6 +329,41 @@ object TextQueries {
       .select(col("rank").cast("int").as("rank"), col("pair"), col("cnt"))
   }
 
+  /** The APPLY half of the tokenizer lifecycle: encode the corpus with
+    * the [[bpeMerges]]-trained merge list and report per-source token
+    * statistics (the words-per-token compression audit a tokenizer
+    * change ships with). Scale shape: the merge list is K driver
+    * strings (the same scalar class as the ann query vectors), merge
+    * APPLICATION runs once per DISTINCT WORD (vocab-sized map-only
+    * work, bounded regardless of corpus bytes), and the per-word token
+    * counts join back to the occurrence stream on the word key — one
+    * shuffle, no corpus-sized string rewriting. Encoding semantics are
+    * the shared left-to-right non-overlapping `replace` on the
+    * space-sentineled symbol string, exactly as trained, so the oracle
+    * replays train + encode as staged CTEs.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir).orderBy("rank").collect()
+      .map(_.getString(1))
+    val occurrences = Tables.documents(s, dir)
+      .select(col("source"), explode(lowToks(col("text"))).as("w"))
+    val chars = expr(
+      "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+    var wsyms = occurrences.select(col("w")).distinct()
+      .select(col("w"),
+        concat(lit(" "), concat_ws(" ", chars), lit(" ")).as("syms"))
+    merges.foreach { p =>
+      wsyms = wsyms.withColumn("syms",
+        expr(s"replace(syms, ' $p ', ' ${p.replace(" ", "")} ')"))
+    }
+    val wcount = wsyms.select(col("w"),
+      size(split(trim(col("syms")), " ")).as("n"))
+    occurrences.join(wcount, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n")).cast("bigint").as("n_tokens"))
+  }
+
   /** The END-TO-END training-data keep/drop filter — the query the whole
     * pipeline exists for: a document survives iff it is (a) the
     * canonical copy of its normalized-text hash group (exact dedup),
@@ -691,6 +726,7 @@ object TextQueries {
     "contamination_ngram" -> contaminationNgram _,
     "doc_lm_score"   -> docLmScore _,
     "bpe_merges"     -> bpeMerges _,
+    "bpe_encode"     -> bpeEncode _,
     "bm25_search"    -> bm25Search _,
     "pipeline_kept_docs" -> pipelineKeptDocs _)
 
@@ -925,6 +961,70 @@ object TextQueries {
            |SELECT 1 AS rank, p AS pair, cnt FROM b1
            |UNION ALL SELECT 2, p, cnt FROM b2
            |UNION ALL SELECT 3, p, cnt FROM b3""".stripMargin,
+    "bpe_encode" ->
+      raw"""WITH toks AS (
+           |  SELECT source, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^\p{L}]+'),
+           |    t -> t <> '')) AS w
+           |  FROM documents),
+           |vocab AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+           |v0 AS (
+           |  SELECT ' ' || array_to_string(regexp_split_to_array(w, ''),
+           |    ' ') || ' ' AS syms, freq
+           |  FROM vocab),
+           |p1 AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS p,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(syms), ' ') AS t, freq FROM v0),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1),
+           |b1 AS (SELECT p, cnt FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+           |v1 AS (
+           |  SELECT replace(syms, ' ' || (SELECT p FROM b1) || ' ',
+           |    ' ' || replace((SELECT p FROM b1), ' ', '') || ' ') AS syms,
+           |    freq
+           |  FROM v0),
+           |p2 AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS p,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(syms), ' ') AS t, freq FROM v1),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1),
+           |b2 AS (SELECT p, cnt FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+           |v2 AS (
+           |  SELECT replace(syms, ' ' || (SELECT p FROM b2) || ' ',
+           |    ' ' || replace((SELECT p FROM b2), ' ', '') || ' ') AS syms,
+           |    freq
+           |  FROM v1),
+           |p3 AS (
+           |  SELECT t[i] || ' ' || t[i+1] AS p,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(syms), ' ') AS t, freq FROM v2),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i)
+           |  WHERE len(t) >= 2 GROUP BY 1),
+           |b3 AS (SELECT p, cnt FROM p3 ORDER BY cnt DESC, p LIMIT 1),
+           |wsyms0 AS (
+           |  SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''),
+           |    ' ') || ' ' AS syms
+           |  FROM (SELECT DISTINCT w FROM toks)),
+           |e1 AS (
+           |  SELECT w, replace(syms, ' ' || (SELECT p FROM b1) || ' ',
+           |    ' ' || replace((SELECT p FROM b1), ' ', '') || ' ') AS syms
+           |  FROM wsyms0),
+           |e2 AS (
+           |  SELECT w, replace(syms, ' ' || (SELECT p FROM b2) || ' ',
+           |    ' ' || replace((SELECT p FROM b2), ' ', '') || ' ') AS syms
+           |  FROM e1),
+           |e3 AS (
+           |  SELECT w, replace(syms, ' ' || (SELECT p FROM b3) || ' ',
+           |    ' ' || replace((SELECT p FROM b3), ' ', '') || ' ') AS syms
+           |  FROM e2),
+           |wc AS (
+           |  SELECT w, len(string_split(trim(syms), ' ')) AS n FROM e3)
+           |SELECT source, COUNT(*) AS n_words,
+           |  CAST(SUM(n) AS BIGINT) AS n_tokens
+           |FROM toks JOIN wc USING (w)
+           |GROUP BY source""".stripMargin,
     "doc_lm_score" ->
       raw"""WITH toks AS (
            |  SELECT doc_id,
