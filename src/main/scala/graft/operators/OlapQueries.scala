@@ -501,6 +501,152 @@ object OlapQueries {
       |                AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers who kept the order waiting): EXISTS and
+    * NOT EXISTS correlated against the SAME fact table, with the NOT
+    * EXISTS carrying a non-equality correlated predicate
+    * (`l3.l_shipdate > l1.l_shipdate`) — the hardest decorrelation case
+    * on the board. Catalyst plans both as joins keyed on the EQUALITY
+    * half of the correlation (l_orderkey): a left-semi for EXISTS and a
+    * left-anti whose extra inequality rides along as the join's
+    * residual condition — so all fact-side shuffles key on l_orderkey
+    * (co-partitioned, reusable) and no nested-loop join appears
+    * (machine-checked by PlanLintSpec). Adapted to the harness schema:
+    * shipdate stands in for the reference's commit/receipt dates; the
+    * output is a count per supplier — integer-exact, no float hazard.
+    */
+  def sqlQ21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ21WaitingSupplier)
+  }
+
+  private val SqlQ21WaitingSupplier =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier): a correlated scalar MIN
+    * subquery that itself spans a 4-table join, equality-compared
+    * against the outer row. Catalyst decorrelates into ONE
+    * partkey-grouped min over the (already dimension-filtered) fact,
+    * joined back on l_partkey — region/nation/supplier stay broadcast
+    * on both sides, so the only fact shuffles are the two l_partkey
+    * aggregations. Adapted to the harness schema: lineitem is the
+    * part↔supplier link (no partsupp table) with l_extendedprice as
+    * the cost; DISTINCT collapses repeat shipments of the same
+    * (part, supplier) at the min price. Determinism: MIN over doubles
+    * is order-independent and the equality compares bit-identical
+    * parquet values — no arithmetic touches the floats.
+    */
+  def sqlQ2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ2MinCostSupplier)
+  }
+
+  private val SqlQ2MinCostSupplier =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 15 AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')""".stripMargin
+
+  /** TPC-H Q16 shape (supplier count by part attributes): NOT IN
+    * subquery + grouped COUNT(DISTINCT). The NOT IN plans as a
+    * null-aware anti join — here the subquery key (s_suppkey) is
+    * non-nullable and supplier-table-sized, so it collapses to a
+    * broadcast anti against the fact; the distinct count is Spark's
+    * two-shuffle expand (partial distinct on (group, suppkey), then
+    * final count) — both shuffles carry post-filter attribute-grouped
+    * rows, not raw fact rows. Integer-exact output.
+    */
+  def sqlQ16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ16SupplierCount)
+  }
+
+  private val SqlQ16SupplierCount =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#17'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (excess-shipment suppliers): a semi-join chain
+    * whose inner side is a grouped aggregate compared against HALF OF
+    * ITS OWN correlated total. Expressed as one CTE with BOTH sums
+    * (the windowed year and the all-time total) accumulated in a
+    * single (suppkey, partkey) aggregate pass — the classic
+    * re-aggregation the reference query pays twice, folded into one
+    * fact scan; the IN then plans as a left-semi against the
+    * aggregate's output (group-cardinality-sized, broadcastable).
+    * Determinism: quantities are integral so both sums and the dyadic
+    * `0.5 *` threshold are exact in any accumulation order.
+    */
+  def sqlQ20ExcessShipments(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ20ExcessShipments)
+  }
+
+  private val SqlQ20ExcessShipments =
+    """WITH shipped AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+      |              AND l_shipdate < DATE '1997-01-01'
+      |             THEN l_quantity ELSE 0 END) AS q96,
+      |    SUM(l_quantity) AS q_all
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      |  GROUP BY l_suppkey, l_partkey)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM shipped
+      |                    WHERE q96 > 0.5 * q_all)""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-priority line counts): fact ⋈ fact join
+    * with conditional two-class counts in one aggregate pass —
+    * `FILTER (WHERE ...)` runs verbatim in both engines. The date
+    * filter lands in the lineitem scan (PushedFilters) BEFORE the
+    * join, so the orderkey shuffle moves one year of lines, and AQE
+    * sees the collapsed side for a broadcast re-plan. Adapted to the
+    * harness schema: linestatus stands in for the reference's
+    * shipmode. Integer-exact output.
+    */
+  def sqlQ12PriorityLines(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlQ12PriorityLines)
+  }
+
+  private val SqlQ12PriorityLines =
+    """SELECT l_linestatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      |    AS high_line_count,
+      |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+      |    AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= DATE '1997-01-01'
+      |  AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
   /** Grouped top-k: 3 highest-value users per event type. Two-level
     * shape: exact decimal per-(type,user) sums (one shuffle), then rank
     * within type — the rank shuffle moves only the aggregated rows.
@@ -776,6 +922,11 @@ object OlapQueries {
     "sketch_distinct_users"   -> sketchDistinctUsers _,
     "profile_table"           -> profileTable _,
     "sql_q4_priority_exists"  -> sqlQ4PriorityExists _,
+    "sql_q21_waiting_supplier" -> sqlQ21WaitingSupplier _,
+    "sql_q2_min_cost_supplier" -> sqlQ2MinCostSupplier _,
+    "sql_q16_supplier_cnt"    -> sqlQ16SupplierCount _,
+    "sql_q20_excess_shipments" -> sqlQ20ExcessShipments _,
+    "sql_q12_priority_lines"  -> sqlQ12PriorityLines _,
     "events_funnel"           -> eventsFunnel _,
     "window_moving_avg"       -> windowMovingAvg _,
     "window_ewma"             -> windowEwma _,
@@ -1100,6 +1251,11 @@ object OlapQueries {
         |  END AS kmv_users
         |FROM a""".stripMargin,
     "sql_q4_priority_exists" -> SqlQ4PriorityExists,
+    "sql_q21_waiting_supplier" -> SqlQ21WaitingSupplier,
+    "sql_q2_min_cost_supplier" -> SqlQ2MinCostSupplier,
+    "sql_q16_supplier_cnt" -> SqlQ16SupplierCount,
+    "sql_q20_excess_shipments" -> SqlQ20ExcessShipments,
+    "sql_q12_priority_lines" -> SqlQ12PriorityLines,
     "topk_users_by_type" ->
       """WITH sums AS (
         |  SELECT event_type, user_id,
