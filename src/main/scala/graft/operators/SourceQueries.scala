@@ -1281,10 +1281,16 @@ object SourceQueries {
     * for vacuum.
     */
   private[operators] def writeManifest(root: java.nio.file.Path, version: Int,
-                                       entries: Map[String, String]): Unit = {
+                                       entries: Map[String, String],
+                                       txn: Option[(String, Long)] = None)
+      : Unit = {
     val mdir = root.resolve("manifests")
     java.nio.file.Files.createDirectories(mdir)
-    val lines = entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
+    // `#`-prefixed metadata records ride FIRST inside the same atomic
+    // publish (see graft.sources.SnapshotManifest): a streaming
+    // micro-batch and its exactly-once marker commit as one unit
+    val lines = txn.map { case (app, b) => s"#txn\t$app:$b" }.toSeq ++
+      entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
     val tmp = mdir.resolve(
       s"v$version.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     java.nio.file.Files.write(tmp, lines.asJava)
@@ -1364,7 +1370,8 @@ object SourceQueries {
       root: java.nio.file.Path, fromV: Int, toV: Int, delta: DataFrame,
       insertDelta: Boolean, keyCol: String = "o_orderkey",
       partCols: Seq[String] = Seq("o_ym"),
-      bloomIndexKey: Option[String] = None): Unit = {
+      bloomIndexKey: Option[String] = None,
+      txn: Option[(String, Long)] = None): Unit = {
     val head = headVersion(root)
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
@@ -1389,7 +1396,7 @@ object SourceQueries {
     if (touched.isEmpty) {
       // legal no-change commit (e.g. an ingest batch that filtered to
       // zero rows): republish the parent entries as the new version
-      writeManifest(root, toV, parent)
+      writeManifest(root, toV, parent, txn)
       publishFilesSidecar(s, root, toV, Some(fromV), parent,
         Set.empty, delta.schema)
       return
@@ -1418,7 +1425,7 @@ object SourceQueries {
       new java.io.File(leafDir(pv)).isDirectory)
     val entries =
       (parent -- emptied) ++ present.map(pv => pv -> leafDir(pv))
-    writeManifest(root, toV, entries)
+    writeManifest(root, toV, entries, txn)
     // CAS won: publish the file-stats sidecar (new dirs profiled, the
     // rest copied from the parent's sidecar — O(touched) maintenance)
     publishFilesSidecar(s, root, toV, Some(fromV), entries,
@@ -1443,7 +1450,8 @@ object SourceQueries {
   private[graft] def snapshotInit(s: SparkSession,
       root: java.nio.file.Path, data: DataFrame,
       partCols: Seq[String] = Seq("o_ym"),
-      bloomIndexKey: Option[String] = None): Unit = {
+      bloomIndexKey: Option[String] = None,
+      txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val pcols = partCols.map(c => s"${c}_p")
     val d1 = root.resolve(
@@ -1461,7 +1469,7 @@ object SourceQueries {
           .flatMap(f => walk(f, tail, f.getName.stripPrefix(s"$c=") :: acc))
     }
     val parts = walk(new java.io.File(d1), pcols, Nil)
-    writeManifest(root, 1, parts.toMap)
+    writeManifest(root, 1, parts.toMap, txn)
     graft.sources.SnapshotMeta.write(root, graft.sources.SnapshotMeta.Meta(
       StructType(partCols.map(c =>
         StructField(s"${c}_p", data.schema(c).dataType, nullable = true))),
@@ -1859,6 +1867,98 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
   }
+
+  /** STREAMING ingestion INTO the snapshot store — the write door's
+    * `writeStream` arm ([[graft.sources.SnapshotSink]]), closing the
+    * lakehouse loop the changefeed source opened: a file stream of
+    * upsert deltas lands as CAS-committed versions (bootstrap + one
+    * version per micro-batch), then the BATCH door reads the head
+    * back. Three single-file micro-batches with pinned modification
+    * times (the file source processes oldest-first): the 1995 orders
+    * base, then %97 price updates + %1013 inserts, then %13 price
+    * updates — so a key divisible by both 97 and 13 composes BOTH
+    * updates in batch order (`·1.1` then `·0.9`), which is exactly
+    * what the oracle's CASE replays; a replayed, dropped, or
+    * re-ordered micro-batch breaks the composition and
+    * hash-mismatches. Exactly-once across engine-replayed batches
+    * rides the `#txn` manifest marker (atomic with the commit —
+    * `SnapshotSinkSpec` pins replay idempotence and restart resume).
+    * At 100 TB each micro-batch costs O(touched partitions + batch)
+    * like any door commit, and every intermediate state stays
+    * time-travelable.
+    */
+  def streamingSnapshotSink(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_snapshot_sink"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val base = java.nio.file.Paths.get(ioDir("snapshot_sink"))
+      .resolve(java.util.UUID.randomUUID.toString.take(8))
+    sinkRoots.put(Tables.dirKey(dir), base).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
+    val inbox = base.resolve("inbox")
+    val store = base.resolve("store")
+    java.nio.file.Files.createDirectories(inbox)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      .filter(col("o_ym").startsWith("1995"))
+    val updates97 = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    // the b2 producer reads its own UPSTREAM state (the post-b1 table),
+    // so a key in both update sets composes ·1.1 then ·0.9 — if this
+    // delta were derived from the base, last-writer-wins would silently
+    // drop the b1 update for the overlap keys and the oracle's
+    // composition CASE would hash-mismatch
+    val updates13 = orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0,
+          col("o_totalprice") * lit(1.1))
+          .otherwise(col("o_totalprice")) * lit(0.9))
+    // deposit each delta as ONE inbox file with a pinned, strictly
+    // increasing mtime — the file stream's oldest-first order IS the
+    // commit order, so it must not depend on write-race timestamps
+    def deposit(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = base.resolve(s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = listDir(tmp)
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = inbox.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    val t0 = 1700000000000L // fixed epoch: mtimes must order, not date
+    deposit(orders, "b0", t0)
+    deposit(updates97.unionByName(inserts), "b1", t0 + 60000)
+    deposit(updates13, "b2", t0 + 120000)
+    val schema = s.read.parquet(inbox.resolve("b0.parquet").toString).schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inbox.toString)
+        .writeStream.format("graft-snapshot")
+        .outputMode(OutputMode.Append())
+        .queryName(qName)
+        .option("checkpointLocation", base.resolve("chk").toString)
+        .option("keyCol", "o_orderkey")
+        .option("partCol", "o_ym")
+        .option("txnAppId", "graft_sink_entry")
+        .trigger(Trigger.AvailableNow())
+        .start(store.toString)
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.format("graft-snapshot").load(store.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  private val sinkRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   /** Time travel: after the v2 merge and v3 delete have committed, read
     * snapshots v1 AND v3 side by side — identical per-status aggregates
@@ -2333,6 +2433,7 @@ object SourceQueries {
     "streaming_cdf_mv"        -> streamingCdfMv _,
     "source_scd2_history"     -> scd2History _,
     "source_snapshot_write_door" -> snapshotWriteDoor _,
+    "streaming_snapshot_sink" -> streamingSnapshotSink _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
     "source_bloom_lookup"     -> bloomIndexLookup _,
@@ -2659,6 +2760,29 @@ object SourceQueries {
         |  FROM orders WHERE o_orderkey % 131 = 0)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |UNION ALL SELECT * FROM v3""".stripMargin,
+    "streaming_snapshot_sink" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1995'),
+        |finalstate AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE
+        |      WHEN o_orderkey % 97 = 0 AND o_orderkey % 13 = 0
+        |        THEN o_totalprice * 1.1 * 0.9
+        |      WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.1
+        |      WHEN o_orderkey % 13 = 0 THEN o_totalprice * 0.9
+        |      ELSE o_totalprice
+        |    END AS o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_orderkey % 1013 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM finalstate GROUP BY 1""".stripMargin,
     "source_snapshot_write_door" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -29,6 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * in partition-schema order (mirroring the hive-style nested dir
   * layout `a_p=x/b_p=y`); the column names and types live in the
   * [[SnapshotMeta]] sidecar, not the manifest.
+  *
+  * Lines beginning with `#` are metadata records, not partition
+  * entries (partition values never start with `#`: hive-escaping
+  * writes it as `%23`). The one record today is the streaming sink's
+  * transaction marker `#txn\t<appId>:<batchId>` — committed INSIDE
+  * the manifest's atomic link(2) publish, so a micro-batch and its
+  * exactly-once bookkeeping are one atomic unit (the Delta
+  * txn-action shape; a sidecar written after the publish would leave
+  * a crash window where a replayed batch double-commits).
   */
 object SnapshotManifest {
   /** Highest published version, or 0 if none. */
@@ -44,10 +53,31 @@ object SnapshotManifest {
   def read(root: JPath, version: Int): Map[String, String] =
     JFiles
       .readAllLines(root.resolve("manifests").resolve(s"v$version.manifest"))
-      .asScala.map { l =>
+      .asScala.filterNot(_.startsWith("#")).map { l =>
         val i = l.lastIndexOf('\t')
         l.substring(0, i) -> l.substring(i + 1)
       }.toMap
+
+  /** Highest micro-batch id the named streaming app has committed, or
+    * None. Scans every published version's `#txn` records — versions
+    * are unordered with respect to ONE app's batches when other
+    * writers interleave (a batch-door commit between two micro-batches
+    * bumps the version without a txn record), so the max over all
+    * records, not the head's, is the replay watermark. O(versions)
+    * tiny driver reads, the same metadata-plane cost class as
+    * [[head]]'s directory listing.
+    */
+  def lastTxnBatch(root: JPath, app: String): Option[Long] = {
+    val prefix = s"#txn\t$app:"
+    val batches = (1 to head(root)).iterator.flatMap { v =>
+      JFiles
+        .readAllLines(root.resolve("manifests").resolve(s"v$v.manifest"))
+        .asScala.iterator.takeWhile(_.startsWith("#"))
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong)
+    }.toSeq
+    if (batches.isEmpty) None else Some(batches.max)
+  }
 }
 
 /** Table-level metadata sidecar (`<root>/table.meta`, JSON): the
@@ -909,6 +939,7 @@ object SnapshotChangefeedSource {
 final class SnapshotSourceProvider extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
@@ -954,6 +985,36 @@ final class SnapshotSourceProvider extends RelationProvider
     require(mode == org.apache.spark.sql.SaveMode.Append,
       s"graft-snapshot only supports SaveMode.Append (a snapshot store " +
         s"never overwrites history); got $mode")
+    SnapshotDoor.commit(ctx.sparkSession, parameters, data, txn = None)
+    createRelation(ctx, parameters)
+  }
+
+  // ---- streaming sink arm (see SnapshotSink) ------------------------
+
+  override def createSink(ctx: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-snapshot sink takes per-batch DELTAS (append rows or " +
+        "update-mode changed rows, both upserted by key); Complete mode " +
+        "would re-commit the whole result every batch")
+    new SnapshotSink(ctx.sparkSession, parameters)
+  }
+}
+
+/** The write door's commit path, shared verbatim between the batch
+  * `save()` arm and the streaming [[SnapshotSink]]: option parsing +
+  * the CAS retry loop. `txn` is the streaming arm's exactly-once
+  * marker, published atomically inside the winning manifest.
+  */
+private[sources] object SnapshotDoor {
+  private def opt(parameters: Map[String, String], k: String) =
+    parameters.get(k).orElse(parameters.get(k.toLowerCase))
+
+  def commit(spark: SparkSession, parameters: Map[String, String],
+             data: DataFrame, txn: Option[(String, Long)]): Unit = {
     val root = java.nio.file.Paths.get(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path")))
     val keyCol = opt(parameters, "keyCol").getOrElse("o_orderkey")
@@ -972,7 +1033,6 @@ final class SnapshotSourceProvider extends RelationProvider
     // commit time (one map-side pass over the commit's new dirs), so
     // reads with the same option can file-skip point lookups
     val bloomIndexKey = opt(parameters, "bloomKey")
-    val spark = ctx.sparkSession
     java.nio.file.Files.createDirectories(root)
     // CAS retry loop: of N racers exactly one publishes each version;
     // losers rebase on the new head and re-apply the key-based delta
@@ -984,10 +1044,10 @@ final class SnapshotSourceProvider extends RelationProvider
       try {
         if (head == 0)
           graft.operators.SourceQueries.snapshotInit(spark, root, data,
-            partCols, bloomIndexKey)
+            partCols, bloomIndexKey, txn)
         else
           graft.operators.SourceQueries.snapshotCommit(spark, root, head,
-            head + 1, data, insert, keyCol, partCols, bloomIndexKey)
+            head + 1, data, insert, keyCol, partCols, bloomIndexKey, txn)
         committed = true
       } catch {
         case e: graft.operators.SourceQueries.SnapshotConflictException =>
@@ -995,6 +1055,49 @@ final class SnapshotSourceProvider extends RelationProvider
           if (attempt >= MaxAttempts) throw e
       }
     }
-    createRelation(ctx, parameters)
   }
+}
+
+/** Streaming ingestion INTO the snapshot store:
+  * `df.writeStream.format("graft-snapshot")` — each micro-batch
+  * becomes one CAS-committed version through the same
+  * [[SnapshotDoor]] path as the batch door (upserted by `keyCol`,
+  * partitioned by the declared layout), which closes the lakehouse
+  * loop: a stream lands as versions, the changefeed source
+  * ([[SnapshotChangefeedSource]]) re-emits them, and the incremental
+  * MV consumer maintains aggregates — continuous ingestion with
+  * batch time travel over every intermediate state.
+  *
+  * Exactly-once across restarts: Structured Streaming replays the
+  * last unacknowledged micro-batch after a crash, so `addBatch` must
+  * be idempotent per (query, batchId). The sink publishes
+  * `#txn\t<appId>:<batchId>` INSIDE the winning manifest (one atomic
+  * link(2) with the commit — no marker/commit crash window) and
+  * skips any batch at or below [[SnapshotManifest.lastTxnBatch]] —
+  * the Delta `txnVersion`/`txnAppId` idempotent-writer contract.
+  * `appId` comes from the `txnAppId` option (default the query's
+  * checkpoint-scoped id is NOT visible to a v1 sink, so multi-writer
+  * stores should set it explicitly).
+  *
+  * At 100 TB: each micro-batch pays O(touched partitions + batch)
+  * like any door commit; the replay check is O(versions) tiny driver
+  * reads of manifest headers — metadata-plane, not data-plane.
+  */
+final class SnapshotSink(spark: SparkSession,
+                         parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val app = parameters.getOrElse("txnAppId", "graft-stream")
+  private val root = java.nio.file.Paths.get(parameters.getOrElse("path",
+    throw new IllegalArgumentException("graft-snapshot needs a path")))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (SnapshotManifest.lastTxnBatch(root, app).exists(_ >= batchId)) return
+    // the engine hands a streaming-tagged frame; re-wrap its physical
+    // rows as a batch frame for the door's relational commit path
+    val batch = org.apache.spark.sql.GraftPlanBridge
+      .batchFrame(spark, data)
+    SnapshotDoor.commit(spark, parameters, batch, Some((app, batchId)))
+  }
+
+  override def toString: String = s"SnapshotSink[$root app=$app]"
 }

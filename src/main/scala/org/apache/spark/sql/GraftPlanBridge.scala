@@ -23,4 +23,16 @@ object GraftPlanBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The reverse crossing, for a v1 `Sink.addBatch` input: the
+    * micro-batch arrives as a streaming-tagged DataFrame that batch
+    * writers refuse; re-wrap its physical rows as a plain batch frame
+    * (the pattern every v1 sink uses around its write path). Used by
+    * [[graft.sources.SnapshotSink]].
+    */
+  def batchFrame(s: SparkSession, df: DataFrame): DataFrame = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

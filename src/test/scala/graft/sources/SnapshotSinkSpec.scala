@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Pins the streaming arm of the `graft-snapshot` write door
+  * ([[SnapshotSink]]): one CAS-committed version per micro-batch,
+  * exactly-once under engine batch replay (the `#txn` manifest marker,
+  * atomic with the commit), checkpointed restart resume, and the
+  * manifest metadata-line format staying invisible to every reader.
+  */
+class SnapshotSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase() = {
+    val r = Paths.get("target/graft-io/sink_spec",
+      java.util.UUID.randomUUID.toString.take(8))
+    Files.createDirectories(r)
+    r
+  }
+
+  private def frame(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_ym", lit("2024-01"))
+
+  private def stateOf(root: java.nio.file.Path): Set[(Long, Double)] =
+    SnapshotTable.read(spark, root, SnapshotManifest.head(root))
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+  test("replayed batch ids are idempotent: the txn marker skips them") {
+    val root = freshBase().resolve("store")
+    val params = Map("path" -> root.toString, "txnAppId" -> "spec-app",
+      "keyCol" -> "o_orderkey", "partCol" -> "o_ym")
+    val sink = new SnapshotSink(spark, params)
+    val b0 = frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)))
+    val b1 = frame(Seq((2L, "O", 99.0)))
+
+    sink.addBatch(0, b0)
+    assert(SnapshotManifest.head(root) === 1)
+    // the engine re-delivers batch 0 after a crash-before-ack: the
+    // commit must NOT re-run (head stays, state stays)
+    sink.addBatch(0, b1)
+    assert(SnapshotManifest.head(root) === 1)
+    assert(stateOf(root) === Set((1L, 10.0), (2L, 20.0)))
+    // the next real batch commits
+    sink.addBatch(1, b1)
+    assert(SnapshotManifest.head(root) === 2)
+    assert(stateOf(root) === Set((1L, 10.0), (2L, 99.0)))
+    // replay watermark survives other-writer interleaving: a batch-door
+    // commit (no txn record) bumps the head, then a replay of batch 1
+    // must STILL be skipped — the marker scan is max-over-versions,
+    // not head-only
+    frame(Seq((7L, "N", 7.0))).write.format("graft-snapshot")
+      .mode("append").save(root.toString)
+    assert(SnapshotManifest.head(root) === 3)
+    sink.addBatch(1, b0)
+    assert(SnapshotManifest.head(root) === 3)
+    assert(SnapshotManifest.lastTxnBatch(root, "spec-app") === Some(1L))
+    // a different app's marker namespace is independent
+    assert(SnapshotManifest.lastTxnBatch(root, "other-app") === None)
+  }
+
+  test("txn metadata lines stay invisible to manifest readers") {
+    val root = freshBase().resolve("store")
+    val sink = new SnapshotSink(spark,
+      Map("path" -> root.toString, "txnAppId" -> "spec-app",
+        "keyCol" -> "o_orderkey", "partCol" -> "o_ym"))
+    sink.addBatch(0, frame(Seq((1L, "O", 10.0))))
+    val lines = Files.readAllLines(
+      root.resolve("manifests").resolve("v1.manifest"))
+    assert(lines.get(0) === "#txn\tspec-app:0")
+    // every consumer parses the same manifest: partition map, batch
+    // read, connector read
+    assert(SnapshotManifest.read(root, 1).keySet === Set("2024-01"))
+    assert(stateOf(root) === Set((1L, 10.0)))
+    assert(spark.read.format("graft-snapshot").load(root.toString)
+      .count() === 1L)
+  }
+
+  test("checkpointed restart resumes at the next batch, exactly once") {
+    val base = freshBase()
+    val inbox = base.resolve("inbox")
+    val store = base.resolve("store")
+    Files.createDirectories(inbox)
+    val t0 = 1700000000000L
+    def deposit(df: org.apache.spark.sql.DataFrame, name: String,
+                mtime: Long): Unit = {
+      val tmp = base.resolve(s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles()).get
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, inbox.resolve(s"$name.parquet"))
+      inbox.resolve(s"$name.parquet").toFile.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    def runStream(): Unit = {
+      val schema = frame(Seq((0L, "X", 0.0))).schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inbox.toString)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", base.resolve("chk").toString)
+        .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+        .option("txnAppId", "restart-app")
+        .trigger(Trigger.AvailableNow())
+        .start(store.toString)
+        .awaitTermination()
+    }
+    deposit(frame(Seq((1L, "O", 10.0), (2L, "O", 20.0))), "b0", t0)
+    deposit(frame(Seq((2L, "O", 99.0))), "b1", t0 + 60000)
+    runStream()
+    assert(SnapshotManifest.head(store) === 2)
+    assert(stateOf(store) === Set((1L, 10.0), (2L, 99.0)))
+
+    // restart with the SAME checkpoint after a new file arrives: only
+    // the new file commits — no double-apply of b0/b1
+    deposit(frame(Seq((3L, "F", 30.0))), "b2", t0 + 120000)
+    runStream()
+    assert(SnapshotManifest.head(store) === 3)
+    assert(stateOf(store) ===
+      Set((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    assert(SnapshotManifest.lastTxnBatch(store, "restart-app")
+      === Some(2L))
+  }
+}
