@@ -2162,8 +2162,8 @@ object SourceQueries {
     * proportional to partition count, not data size. Returns the
     * number of leaf dirs removed.
     */
-  private[operators] def snapshotVacuum(root: java.nio.file.Path,
-                                        keep: Set[Int]): Int = {
+  private[graft] def snapshotVacuum(root: java.nio.file.Path,
+                                    keep: Set[Int]): Int = {
     def canon(p: String): String = new java.io.File(p).getCanonicalPath
     val mdir = root.resolve("manifests")
     val versions = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)

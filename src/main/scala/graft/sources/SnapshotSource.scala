@@ -69,13 +69,19 @@ object SnapshotManifest {
     */
   def lastTxnBatch(root: JPath, app: String): Option[Long] = {
     val prefix = s"#txn\t$app:"
-    val batches = (1 to head(root)).iterator.flatMap { v =>
-      JFiles
-        .readAllLines(root.resolve("manifests").resolve(s"v$v.manifest"))
-        .asScala.iterator.takeWhile(_.startsWith("#"))
-        .filter(_.startsWith(prefix))
-        .map(_.stripPrefix(prefix).toLong)
-    }.toSeq
+    val mdir = root.resolve("manifests").toFile
+    // scan the manifests that EXIST, not 1..head: vacuum deletes old
+    // versions' manifests, and a vacuumed store must stay writable.
+    // (The retention contract that follows is the Delta one: vacuum
+    // must keep at least the sink's most recent commit, or a stream
+    // restarted from an older checkpoint loses its replay watermark.)
+    val batches = Option(mdir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.manifest")).flatMap { f =>
+        JFiles.readAllLines(f.toPath).asScala.iterator
+          .takeWhile(_.startsWith("#"))
+          .filter(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix).toLong)
+      }
     if (batches.isEmpty) None else Some(batches.max)
   }
 }

@@ -65,6 +65,29 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotManifest.lastTxnBatch(root, "other-app") === None)
   }
 
+  test("a vacuumed store stays writable: the marker scan skips gaps") {
+    val root = freshBase().resolve("store")
+    val sink = new SnapshotSink(spark,
+      Map("path" -> root.toString, "txnAppId" -> "vac-app",
+        "keyCol" -> "o_orderkey", "partCol" -> "o_ym"))
+    sink.addBatch(0, frame(Seq((1L, "O", 10.0))))
+    sink.addBatch(1, frame(Seq((2L, "O", 20.0))))
+    sink.addBatch(2, frame(Seq((3L, "F", 30.0))))
+    // retention sweep drops v1/v2 (and their manifests) — the classic
+    // vacuum; the sink must neither crash on the gap nor regress its
+    // replay watermark below the retained commits
+    graft.operators.SourceQueries.snapshotVacuum(root, Set(3))
+    assert(!root.resolve("manifests").resolve("v1.manifest")
+      .toFile.exists())
+    assert(SnapshotManifest.lastTxnBatch(root, "vac-app") === Some(2L))
+    sink.addBatch(2, frame(Seq((9L, "X", 9.0)))) // replay: skipped
+    assert(SnapshotManifest.head(root) === 3)
+    sink.addBatch(3, frame(Seq((4L, "P", 40.0)))) // next: commits
+    assert(SnapshotManifest.head(root) === 4)
+    assert(stateOf(root) ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+
   test("txn metadata lines stay invisible to manifest readers") {
     val root = freshBase().resolve("store")
     val sink = new SnapshotSink(spark,
