@@ -1409,6 +1409,27 @@ object SourceQueries {
        else s.read.parquet(existing: _*))
         .join(broadcast(delta.select(col(keyCol).as("d_key"))),
           col(keyCol) === col("d_key"), "left_anti")
+    // SCHEMA EVOLUTION (add-column): a delta carrying columns the table
+    // has never seen WIDENS the table — kept rows surface the new
+    // columns as NULL in the rewritten partitions, untouched
+    // partitions' files stay missing them (the declared read schema
+    // fills NULLs at scan time), and the CAS winner republishes
+    // `table.meta` below so every door serves the widened schema.
+    // The delta DROPPING a table column is refused loudly: with
+    // allowMissingColumns it would silently null that column on every
+    // kept row it rewrites — data loss wearing an upsert's clothes.
+    // Both checks compare against the TABLE schema (the meta sidecar),
+    // not `kept`: a commit touching only brand-new partitions has
+    // kept = delta.limit(0), whose schema is the delta's own and would
+    // mask both the widening and the drop.
+    val tableCols: Set[String] = graft.sources.SnapshotMeta.read(root)
+      .map(_.dataSchema.fieldNames.toSet).getOrElse(kept.columns.toSet)
+    val dropped = tableCols -- delta.columns.toSet
+    require(dropped.isEmpty || !insertDelta,
+      s"upsert delta is missing table column(s) ${dropped.mkString(", ")}" +
+        " — an evolving commit may ADD columns, never drop them")
+    val widens = insertDelta &&
+      (delta.columns.toSet -- tableCols).nonEmpty
     val out = root.resolve(
       s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
     val pcols = partCols.map(c => s"${c}_p")
@@ -1417,8 +1438,16 @@ object SourceQueries {
       out + "/" + pcols.zip(vals).map { case (c, v) => s"$c=$v" }
         .mkString("/")
     }
+    // `kept` may lack delta columns even when the TABLE already has
+    // them: a post-evolution commit touching a pre-evolution partition
+    // reads files that predate the column. The drop `require` above is
+    // the data-loss guard; here missing-on-the-kept-side is always the
+    // legal fill-NULL direction.
+    val keptLacks = (delta.columns.toSet -- kept.columns.toSet).nonEmpty
     partCols.foldLeft(
-      if (insertDelta) kept.unionByName(delta) else kept)(
+      if (insertDelta)
+        kept.unionByName(delta, allowMissingColumns = keptLacks)
+      else kept)(
       (df, c) => df.withColumn(s"${c}_p", col(c)))
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(out)
     val (present, emptied) = touched.partition(pv =>
@@ -1426,7 +1455,28 @@ object SourceQueries {
     val entries =
       (parent -- emptied) ++ present.map(pv => pv -> leafDir(pv))
     writeManifest(root, toV, entries, txn)
-    // CAS won: publish the file-stats sidecar (new dirs profiled, the
+    // CAS won: a widening commit republishes `table.meta` with the new
+    // columns APPENDED (old field order stays — readers see a stable
+    // prefix), so every door — DataFrame, SQL catalog, changefeed —
+    // serves the evolved schema, with files that predate the column
+    // reading it back as NULL (the declared-schema parquet fill).
+    // Latest-schema semantics: TIME-TRAVEL reads also serve the newest
+    // schema (old versions show the new column as all-NULL) — one
+    // schema per table, not per version, the simpler contract and the
+    // one the SQL door's fixed relation output needs.
+    if (widens) graft.sources.SnapshotMeta.read(root).foreach { m =>
+      val have = m.dataSchema.fieldNames.toSet
+      // an added column is NULLABLE by construction whatever the
+      // delta's own nullability says: every pre-evolution file fills
+      // it with NULL, and a non-nullable declaration would make the
+      // reader refuse those files as missing a required column
+      val added = delta.schema.fields.filterNot(f => have(f.name))
+        .map(_.copy(nullable = true))
+      if (added.nonEmpty) graft.sources.SnapshotMeta.write(root,
+        m.copy(dataSchema =
+          org.apache.spark.sql.types.StructType(m.dataSchema.fields ++ added)))
+    }
+    // publish the file-stats sidecar (new dirs profiled, the
     // rest copied from the parent's sidecar — O(touched) maintenance)
     publishFilesSidecar(s, root, toV, Some(fromV), entries,
       present.toSet, delta.schema)
@@ -1960,6 +2010,59 @@ object SourceQueries {
   private val sinkRoots =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
+  /** SCHEMA EVOLUTION in the snapshot store (add-column): v1
+    * bootstraps WITHOUT `o_channel`, the v2 upsert carries it — the
+    * commit widens the table (new columns appended to `table.meta` by
+    * the CAS winner), kept rows in touched partitions and every
+    * untouched pre-evolution file read the column back as NULL (the
+    * declared-schema parquet fill — no rewrite of old data, the
+    * Delta `mergeSchema` shape), and a delta DROPPING a column is
+    * refused as data loss. Latest-schema semantics: the v1 time-travel
+    * read serves the widened schema too (all-NULL channel), so the
+    * entry aggregates v1 AND head side by side under one schema —
+    * per-status counts of channel-bearing rows pin exactly WHICH rows
+    * carry values (delta rows only) vs NULL-filled (kept + old files).
+    * At 100 TB: evolution costs exactly one metadata-sidecar rewrite —
+    * zero data files are touched beyond the commit's own partitions.
+    */
+  def snapshotAddColumn(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(ioDir("snapshot_evolve"))
+      .resolve(java.util.UUID.randomUUID.toString.take(8))
+    evolveRoots.put(Tables.dirKey(dir), root).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      .filter(col("o_ym").startsWith("1995"))
+    orders.write.format("graft-snapshot").mode("append").save(root.toString)
+    // v2: price bump + channel attribution for %97 keys, channel-tagged
+    // inserts for %1013 keys — the first commit that knows the column
+    val channel = concat(lit("ch_"),
+      ((col("o_orderkey") % 3 + 3) % 3).cast("string"))
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("o_channel", channel)
+    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_channel", channel)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    updates.unionByName(inserts)
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    def versionAgg(v: Int): DataFrame =
+      graft.sources.SnapshotTable.read(s, root, v)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("o_channel")).as("n_channel"),
+          countDistinct(col("o_channel")).as("n_channels_distinct"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("version", lit(s"v$v"))
+    versionAgg(1).unionByName(versionAgg(2))
+      .select(col("version"), col("o_orderstatus"), col("n_orders"),
+        col("n_channel"), col("n_channels_distinct"), col("sum_price"))
+  }
+
+  private val evolveRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   /** Time travel: after the v2 merge and v3 delete have committed, read
     * snapshots v1 AND v3 side by side — identical per-status aggregates
     * for both versions, tagged by a `version` column. v1's correctness
@@ -2434,6 +2537,7 @@ object SourceQueries {
     "source_scd2_history"     -> scd2History _,
     "source_snapshot_write_door" -> snapshotWriteDoor _,
     "streaming_snapshot_sink" -> streamingSnapshotSink _,
+    "source_snapshot_add_column" -> snapshotAddColumn _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
     "source_bloom_lookup"     -> bloomIndexLookup _,
@@ -2760,6 +2864,50 @@ object SourceQueries {
         |  FROM orders WHERE o_orderkey % 131 = 0)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |UNION ALL SELECT * FROM v3""".stripMargin,
+    "source_snapshot_add_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1995'),
+        |ch AS (
+        |  SELECT o_orderkey,
+        |    'ch_' || CAST((o_orderkey % 3 + 3) % 3 AS VARCHAR) AS o_channel
+        |  FROM base),
+        |v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_channel
+        |  FROM base),
+        |up AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus,
+        |    b.o_totalprice * 1.1 AS o_totalprice, c.o_channel
+        |  FROM base b JOIN ch c USING (o_orderkey)
+        |  WHERE b.o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -b.o_orderkey - 1 AS o_orderkey, b.o_orderstatus,
+        |    b.o_totalprice, c.o_channel
+        |  FROM base b JOIN ch c USING (o_orderkey)
+        |  WHERE b.o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |agg AS (
+        |  SELECT 'v1' AS version, o_orderstatus, COUNT(*) AS n_orders,
+        |    COUNT(o_channel) AS n_channel,
+        |    COUNT(DISTINCT o_channel) AS n_channels_distinct,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM v1 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'v2' AS version, o_orderstatus, COUNT(*) AS n_orders,
+        |    COUNT(o_channel) AS n_channel,
+        |    COUNT(DISTINCT o_channel) AS n_channels_distinct,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM v2 GROUP BY 2)
+        |SELECT version, o_orderstatus, n_orders, n_channel,
+        |  n_channels_distinct, sum_price
+        |FROM agg""".stripMargin,
     "streaming_snapshot_sink" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
