@@ -1282,14 +1282,19 @@ object SourceQueries {
     */
   private[operators] def writeManifest(root: java.nio.file.Path, version: Int,
                                        entries: Map[String, String],
-                                       txn: Option[(String, Long)] = None)
+                                       txn: Option[(String, Long)] = None,
+                                       schemaJson: Option[String] = None)
       : Unit = {
     val mdir = root.resolve("manifests")
     java.nio.file.Files.createDirectories(mdir)
     // `#`-prefixed metadata records ride FIRST inside the same atomic
     // publish (see graft.sources.SnapshotManifest): a streaming
-    // micro-batch and its exactly-once marker commit as one unit
+    // micro-batch's exactly-once marker and a widening commit's
+    // evolved schema commit as ONE unit with the version — atomic and
+    // CAS-serialized, where a sidecar written before or after the
+    // link would leave a crash window or a last-writer-wins race
     val lines = txn.map { case (app, b) => s"#txn\t$app:$b" }.toSeq ++
+      schemaJson.map(j => s"#schema\t$j").toSeq ++
       entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
     val tmp = mdir.resolve(
       s"v$version.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1404,32 +1409,57 @@ object SourceQueries {
     // a touched partition may be NEW (first rows of a month the parent
     // has never seen) — only parent-known partitions have rows to keep
     val existing = touched.flatMap(parent.get)
+    // effective table schema = bootstrap meta overlaid with the latest
+    // `#schema` manifest record (a prior widening commit). The kept
+    // read DECLARES it rather than inferring from a footer: `existing`
+    // can mix pre- and post-evolution dirs, and inference would take
+    // whichever file lists first — a pre-evolution winner would
+    // silently NULL the evolved columns of every kept row it rewrites.
+    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      graft.sources.SnapshotMeta.read(root).map(m =>
+        graft.sources.SnapshotManifest.evolvedDataSchema(root)
+          .getOrElse(m.dataSchema))
     val kept =
       (if (existing.isEmpty) delta.limit(0)
-       else s.read.parquet(existing: _*))
+       else tableSchema.map(ts => s.read.schema(ts)).getOrElse(s.read)
+         .parquet(existing: _*))
         .join(broadcast(delta.select(col(keyCol).as("d_key"))),
           col(keyCol) === col("d_key"), "left_anti")
     // SCHEMA EVOLUTION (add-column): a delta carrying columns the table
     // has never seen WIDENS the table — kept rows surface the new
     // columns as NULL in the rewritten partitions, untouched
     // partitions' files stay missing them (the declared read schema
-    // fills NULLs at scan time), and the CAS winner republishes
-    // `table.meta` below so every door serves the widened schema.
+    // fills NULLs at scan time), and the widened schema publishes as a
+    // `#schema` record INSIDE this commit's manifest — atomic with the
+    // CAS, so there is no crash window between data and schema, and
+    // racing wideners serialize through the version CAS (the rebased
+    // loser re-reads the effective schema and republishes a superset).
     // The delta DROPPING a table column is refused loudly: with
     // allowMissingColumns it would silently null that column on every
     // kept row it rewrites — data loss wearing an upsert's clothes.
-    // Both checks compare against the TABLE schema (the meta sidecar),
-    // not `kept`: a commit touching only brand-new partitions has
+    // Both checks compare against the TABLE schema, not `kept`: a
+    // commit touching only brand-new partitions has
     // kept = delta.limit(0), whose schema is the delta's own and would
     // mask both the widening and the drop.
-    val tableCols: Set[String] = graft.sources.SnapshotMeta.read(root)
-      .map(_.dataSchema.fieldNames.toSet).getOrElse(kept.columns.toSet)
+    val tableCols: Set[String] = tableSchema.map(_.fieldNames.toSet)
+      .getOrElse(kept.columns.toSet)
     val dropped = tableCols -- delta.columns.toSet
     require(dropped.isEmpty || !insertDelta,
       s"upsert delta is missing table column(s) ${dropped.mkString(", ")}" +
         " — an evolving commit may ADD columns, never drop them")
-    val widens = insertDelta &&
-      (delta.columns.toSet -- tableCols).nonEmpty
+    // added columns are forced NULLABLE whatever the delta says: every
+    // pre-evolution file fills them with NULL, and a non-nullable
+    // declaration would make readers refuse those files
+    val addedCols =
+      if (insertDelta)
+        delta.schema.fields.filterNot(f => tableCols(f.name))
+          .map(_.copy(nullable = true)).toSeq
+      else Seq.empty
+    val widenedJson: Option[String] = tableSchema match {
+      case Some(ts) if addedCols.nonEmpty =>
+        Some(org.apache.spark.sql.types.StructType(ts.fields ++ addedCols).json)
+      case _ => None // legacy store (no meta): evolution not supported
+    }
     val out = root.resolve(
       s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
     val pcols = partCols.map(c => s"${c}_p")
@@ -1454,28 +1484,7 @@ object SourceQueries {
       new java.io.File(leafDir(pv)).isDirectory)
     val entries =
       (parent -- emptied) ++ present.map(pv => pv -> leafDir(pv))
-    writeManifest(root, toV, entries, txn)
-    // CAS won: a widening commit republishes `table.meta` with the new
-    // columns APPENDED (old field order stays — readers see a stable
-    // prefix), so every door — DataFrame, SQL catalog, changefeed —
-    // serves the evolved schema, with files that predate the column
-    // reading it back as NULL (the declared-schema parquet fill).
-    // Latest-schema semantics: TIME-TRAVEL reads also serve the newest
-    // schema (old versions show the new column as all-NULL) — one
-    // schema per table, not per version, the simpler contract and the
-    // one the SQL door's fixed relation output needs.
-    if (widens) graft.sources.SnapshotMeta.read(root).foreach { m =>
-      val have = m.dataSchema.fieldNames.toSet
-      // an added column is NULLABLE by construction whatever the
-      // delta's own nullability says: every pre-evolution file fills
-      // it with NULL, and a non-nullable declaration would make the
-      // reader refuse those files as missing a required column
-      val added = delta.schema.fields.filterNot(f => have(f.name))
-        .map(_.copy(nullable = true))
-      if (added.nonEmpty) graft.sources.SnapshotMeta.write(root,
-        m.copy(dataSchema =
-          org.apache.spark.sql.types.StructType(m.dataSchema.fields ++ added)))
-    }
+    writeManifest(root, toV, entries, txn, widenedJson)
     // publish the file-stats sidecar (new dirs profiled, the
     // rest copied from the parent's sidecar — O(touched) maintenance)
     publishFilesSidecar(s, root, toV, Some(fromV), entries,
@@ -1966,23 +1975,11 @@ object SourceQueries {
         when(col("o_orderkey") % 97 === 0,
           col("o_totalprice") * lit(1.1))
           .otherwise(col("o_totalprice")) * lit(0.9))
-    // deposit each delta as ONE inbox file with a pinned, strictly
-    // increasing mtime — the file stream's oldest-first order IS the
-    // commit order, so it must not depend on write-race timestamps
-    def deposit(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = base.resolve(s"tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = listDir(tmp)
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dst = inbox.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dst)
-      dst.toFile.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-    }
     val t0 = 1700000000000L // fixed epoch: mtimes must order, not date
-    deposit(orders, "b0", t0)
-    deposit(updates97.unionByName(inserts), "b1", t0 + 60000)
-    deposit(updates13, "b2", t0 + 120000)
+    depositSingleParquet(orders, inbox, "b0", t0)
+    depositSingleParquet(updates97.unionByName(inserts), inbox,
+      "b1", t0 + 60000)
+    depositSingleParquet(updates13, inbox, "b2", t0 + 120000)
     val schema = s.read.parquet(inbox.resolve("b0.parquet").toString).schema
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2009,6 +2006,24 @@ object SourceQueries {
 
   private val sinkRoots =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Deposit a frame as ONE parquet file in a file-stream inbox with a
+    * pinned mtime — the file source processes oldest-first, so the
+    * mtimes ARE the micro-batch order and must not depend on
+    * write-race timestamps. Shared with `SnapshotSinkSpec` (the
+    * entry and the spec must exercise the same ordering discipline).
+    */
+  private[graft] def depositSingleParquet(df: DataFrame,
+      inbox: java.nio.file.Path, name: String, mtime: Long): Unit = {
+    val tmp = inbox.resolveSibling(s"tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = listDir(tmp)
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = inbox.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part, dst)
+    dst.toFile.setLastModified(mtime)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
 
   /** SCHEMA EVOLUTION in the snapshot store (add-column): v1
     * bootstraps WITHOUT `o_channel`, the v2 upsert carries it — the

@@ -104,8 +104,12 @@ final class GraftSnapshotCatalog extends TableCatalog {
     val version = v.getOrElse(SnapshotManifest.head(root))
     val meta = SnapshotMeta.read(root).getOrElse(
       throw new NoSuchTableException(ident))
+    // same latest-schema overlay as the DataFrame door: a widening
+    // commit's `#schema` manifest record supersedes the bootstrap meta
+    val effective = SnapshotManifest.evolvedDataSchema(root)
+      .map(ds => meta.copy(dataSchema = ds)).getOrElse(meta)
     new SnapshotV2Table(s"$catName.${ident.name()}@v$version",
-      SparkSession.active, root, version, meta)
+      SparkSession.active, root, version, effective)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

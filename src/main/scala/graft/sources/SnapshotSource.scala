@@ -58,31 +58,62 @@ object SnapshotManifest {
         l.substring(0, i) -> l.substring(i + 1)
       }.toMap
 
+  /** The leading `#`-metadata lines of every published manifest,
+    * keyed by version. Streams each file and stops at the first
+    * data line — metadata-header cost, not O(partitions) per file —
+    * and scans the manifests that EXIST, not 1..head: vacuum deletes
+    * old versions' manifests, and a vacuumed store must stay
+    * readable and writable across the gaps.
+    */
+  private def metaLines(root: JPath): Seq[(Int, Seq[String])] = {
+    val mdir = root.resolve("manifests").toFile
+    Option(mdir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.manifest")).toSeq.map { f =>
+        val v = f.getName.stripPrefix("v").stripSuffix(".manifest").toInt
+        val in = JFiles.newBufferedReader(f.toPath)
+        val lines = try Iterator.continually(in.readLine())
+          .takeWhile(l => l != null && l.startsWith("#")).toList
+        finally in.close()
+        v -> lines
+      }
+  }
+
   /** Highest micro-batch id the named streaming app has committed, or
     * None. Scans every published version's `#txn` records — versions
     * are unordered with respect to ONE app's batches when other
     * writers interleave (a batch-door commit between two micro-batches
     * bumps the version without a txn record), so the max over all
-    * records, not the head's, is the replay watermark. O(versions)
-    * tiny driver reads, the same metadata-plane cost class as
-    * [[head]]'s directory listing.
+    * records, not the head's, is the replay watermark. App matching is
+    * EXACT on the text before the LAST colon — an appId that is a
+    * prefix of another ("team" vs "team:ingest") must neither claim
+    * the other's batches nor crash parsing them.
     */
   def lastTxnBatch(root: JPath, app: String): Option[Long] = {
-    val prefix = s"#txn\t$app:"
-    val mdir = root.resolve("manifests").toFile
-    // scan the manifests that EXIST, not 1..head: vacuum deletes old
-    // versions' manifests, and a vacuumed store must stay writable.
-    // (The retention contract that follows is the Delta one: vacuum
-    // must keep at least the sink's most recent commit, or a stream
-    // restarted from an older checkpoint loses its replay watermark.)
-    val batches = Option(mdir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.manifest")).flatMap { f =>
-        JFiles.readAllLines(f.toPath).asScala.iterator
-          .takeWhile(_.startsWith("#"))
-          .filter(_.startsWith(prefix))
-          .map(_.stripPrefix(prefix).toLong)
-      }
+    val batches = metaLines(root).flatMap(_._2).collect {
+      case l if l.startsWith("#txn\t") =>
+        val body = l.stripPrefix("#txn\t")
+        val i = body.lastIndexOf(':')
+        (body.substring(0, i), body.substring(i + 1))
+    }.collect { case (a, b) if a == app => b.toLong }
     if (batches.isEmpty) None else Some(batches.max)
+  }
+
+  /** The evolved data schema, if any commit has widened the table: a
+    * widening commit publishes the FULL new schema as a `#schema`
+    * metadata line inside its winning manifest — atomic with the
+    * commit (no sidecar-after-publish crash window) and serialized by
+    * the version CAS (a rebased second widener re-reads the effective
+    * schema and re-publishes a superset), unlike a read-modify-write
+    * of `table.meta`, which is last-writer-wins. The HIGHEST version
+    * carrying a record wins; versions without one inherit.
+    */
+  def evolvedDataSchema(root: JPath): Option[StructType] = {
+    val recs = metaLines(root).flatMap { case (v, ls) =>
+      ls.find(_.startsWith("#schema\t")).map(l =>
+        v -> l.stripPrefix("#schema\t"))
+    }
+    if (recs.isEmpty) None
+    else Some(DataType.fromJson(recs.maxBy(_._1)._2).asInstanceOf[StructType])
   }
 }
 
@@ -781,7 +812,12 @@ object SnapshotTable {
   private def schemas(s: SparkSession, root: JPath, version: Int,
                       partitionCol: String): (StructType, StructType) =
     SnapshotMeta.read(root) match {
-      case Some(m) => (m.partitionSchema, m.dataSchema)
+      case Some(m) =>
+        // latest-schema semantics: a widening commit's `#schema`
+        // manifest record supersedes the bootstrap meta for EVERY
+        // version read (old files fill the new columns with NULL)
+        (m.partitionSchema,
+          SnapshotManifest.evolvedDataSchema(root).getOrElse(m.dataSchema))
       case None =>
         val dataDir = SnapshotManifest.read(root, version)
           .values.toSeq.sorted.headOption
@@ -1081,9 +1117,11 @@ private[sources] object SnapshotDoor {
   * link(2) with the commit — no marker/commit crash window) and
   * skips any batch at or below [[SnapshotManifest.lastTxnBatch]] —
   * the Delta `txnVersion`/`txnAppId` idempotent-writer contract.
-  * `appId` comes from the `txnAppId` option (default the query's
-  * checkpoint-scoped id is NOT visible to a v1 sink, so multi-writer
-  * stores should set it explicitly).
+  * `appId` comes from the `txnAppId` option, defaulting to the
+  * query's `checkpointLocation` (stable across restarts of the same
+  * query, distinct across queries and fresh checkpoints); with
+  * neither option the sink refuses rather than share a fixed
+  * namespace that would swallow other writers' batches.
   *
   * At 100 TB: each micro-batch pays O(touched partitions + batch)
   * like any door commit; the replay check is O(versions) tiny driver
@@ -1092,7 +1130,25 @@ private[sources] object SnapshotDoor {
 final class SnapshotSink(spark: SparkSession,
                          parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
-  private val app = parameters.getOrElse("txnAppId", "graft-stream")
+  // The watermark namespace. A FIXED default would be a trap: two
+  // different queries (or one query restarted on a fresh checkpoint,
+  // whose batch ids restart at 0) sharing it would silently skip each
+  // other's batches as "replays". Default instead to the query's
+  // checkpoint location — stable across restarts of the SAME query
+  // (correct resume), distinct across queries and fresh checkpoints
+  // (no cross-talk). No checkpoint in the options ⇒ demand an
+  // explicit id rather than guess.
+  private val app = parameters.get("txnAppId")
+    .orElse(parameters.get("checkpointLocation")
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath))
+    .getOrElse(throw new IllegalArgumentException(
+      "graft-snapshot sink needs a txnAppId option (or a " +
+        "checkpointLocation to derive one from): the exactly-once " +
+        "replay watermark is per-app, and a shared default would " +
+        "silently drop other writers' batches"))
+  require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
+    s"txnAppId must not contain tab/newline (got ${app.trim})" +
+      " — it is embedded in the manifest's line format")
   private val root = java.nio.file.Paths.get(parameters.getOrElse("path",
     throw new IllegalArgumentException("graft-snapshot needs a path")))
 

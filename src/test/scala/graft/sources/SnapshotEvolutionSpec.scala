@@ -42,10 +42,19 @@ class SnapshotEvolutionSpec extends SparkSpec {
       .withColumn("o_channel", lit("web"))
       .write.format("graft-snapshot").mode("append").save(root.toString)
 
-    // meta widened, new column appended last
-    assert(SnapshotMeta.read(root).get.dataSchema.fieldNames.toSeq ===
+    // the widened schema rides INSIDE the winning manifest (atomic
+    // with the commit), appended last and forced nullable; the
+    // bootstrap meta sidecar stays untouched
+    val evolved = SnapshotManifest.evolvedDataSchema(root).get
+    assert(evolved.fieldNames.toSeq ===
       Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym",
         "o_channel"))
+    assert(evolved("o_channel").nullable)
+    assert(Files.readAllLines(
+      root.resolve("manifests").resolve("v2.manifest")).get(0)
+      .startsWith("#schema\t"))
+    assert(SnapshotMeta.read(root).get.dataSchema.fieldNames.toSeq ===
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym"))
 
     def rows(v: Int): Set[(Long, Double, Option[String])] =
       SnapshotTable.read(spark, root, v)
@@ -80,6 +89,32 @@ class SnapshotEvolutionSpec extends SparkSpec {
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(got === Set((1L, None), (2L, Some("web")),
       (3L, None), (4L, Some("app"))))
+  }
+
+  test("a commit spanning pre- and post-evolution partitions keeps " +
+    "evolved values (kept read declares the schema, never infers)") {
+    val root = freshRoot()
+    frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)), "2024-01")
+      .unionByName(frame(Seq((3L, "F", 30.0), (4L, "F", 40.0)), "2024-02"))
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    // v2 widens, touching only 2024-02: key 4 carries a channel
+    frame(Seq((4L, "F", 44.0)), "2024-02").withColumn("o_channel", lit("web"))
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    // v3 touches BOTH partitions: `existing` mixes a pre-evolution dir
+    // (2024-01) with a post-evolution one (2024-02). A kept read that
+    // INFERRED its schema from whichever file listed first could take
+    // the pre-evolution footer and silently NULL key 4's channel in
+    // the rewrite — the declared-schema read must preserve it.
+    frame(Seq((1L, "O", 11.0)), "2024-01")
+      .unionByName(frame(Seq((3L, "F", 33.0)), "2024-02"))
+      .withColumn("o_channel", lit(null).cast("string"))
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    val got = SnapshotTable.read(spark, root, 3)
+      .select("o_orderkey", "o_totalprice", "o_channel").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+      .toSet
+    assert(got === Set((1L, 11.0, None), (2L, 20.0, None),
+      (3L, 33.0, None), (4L, 44.0, Some("web"))))
   }
 
   test("a delta dropping a table column is refused") {

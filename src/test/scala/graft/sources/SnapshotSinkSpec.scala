@@ -88,6 +88,33 @@ class SnapshotSinkSpec extends SparkSpec {
       Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("watermark namespaces: explicit or checkpoint-derived, never " +
+    "shared; prefix appIds don't collide") {
+    val base = freshBase()
+    val root = base.resolve("store")
+    // no txnAppId and no checkpointLocation: refuse rather than share
+    // a default namespace that would swallow other writers' batches
+    val e = intercept[IllegalArgumentException] {
+      new SnapshotSink(spark, Map("path" -> root.toString))
+    }
+    assert(e.getMessage.contains("txnAppId"))
+    // checkpoint-derived id: stable for one query, distinct per query
+    val sink = new SnapshotSink(spark, Map("path" -> root.toString,
+      "checkpointLocation" -> base.resolve("chk").toString,
+      "keyCol" -> "o_orderkey", "partCol" -> "o_ym"))
+    sink.addBatch(0, frame(Seq((1L, "O", 10.0))))
+    val chkApp = base.resolve("chk").toString
+    assert(SnapshotManifest.lastTxnBatch(root, chkApp) === Some(0L))
+    // an appId CONTAINING colons parses by the LAST colon, and an
+    // appId that is a PREFIX of another must not claim its batches
+    val nested = new SnapshotSink(spark, Map("path" -> root.toString,
+      "txnAppId" -> "team:ingest",
+      "keyCol" -> "o_orderkey", "partCol" -> "o_ym"))
+    nested.addBatch(7, frame(Seq((2L, "O", 20.0))))
+    assert(SnapshotManifest.lastTxnBatch(root, "team:ingest") === Some(7L))
+    assert(SnapshotManifest.lastTxnBatch(root, "team") === None)
+  }
+
   test("txn metadata lines stay invisible to manifest readers") {
     val root = freshBase().resolve("store")
     val sink = new SnapshotSink(spark,
@@ -112,15 +139,9 @@ class SnapshotSinkSpec extends SparkSpec {
     Files.createDirectories(inbox)
     val t0 = 1700000000000L
     def deposit(df: org.apache.spark.sql.DataFrame, name: String,
-                mtime: Long): Unit = {
-      val tmp = base.resolve(s"tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Option(tmp.toFile.listFiles()).get
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, inbox.resolve(s"$name.parquet"))
-      inbox.resolve(s"$name.parquet").toFile.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-    }
+                mtime: Long): Unit =
+      graft.operators.SourceQueries
+        .depositSingleParquet(df, inbox, name, mtime)
     def runStream(): Unit = {
       val schema = frame(Seq((0L, "X", 0.0))).schema
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
