@@ -132,6 +132,42 @@ class SnapshotSinkSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("update-mode streaming aggregation maintains a keyed table") {
+    // the classic use of an upsert sink: a running per-key aggregate
+    // whose UPDATE-mode changed rows land as upsert deltas, so the
+    // store's head version IS the aggregate's current state (and every
+    // intermediate state stays time-travelable)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = freshBase()
+    val store = base.resolve("store")
+    val in = MemoryStream[(Long, Long)] // (user, amount-cents)
+    val agg = in.toDF().toDF("user_id", "cents")
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("total_cents"))
+      .withColumn("o_ym", lit("2024-01"))
+    val q = agg.writeStream.format("graft-snapshot")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", base.resolve("chk").toString)
+      .option("keyCol", "user_id").option("partCol", "o_ym")
+      .option("txnAppId", "agg-app")
+      .start(store.toString)
+    try {
+      in.addData((1L, 100L), (2L, 200L))
+      q.processAllAvailable()
+      def state(): Map[Long, Long] =
+        SnapshotTable.read(spark, store, SnapshotManifest.head(store))
+          .select("user_id", "total_cents").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(state() === Map(1L -> 100L, 2L -> 200L))
+      // second batch touches user 1 only: update mode emits ONLY the
+      // changed key, the upsert revises it, user 2 carries over
+      in.addData((1L, 50L))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> 150L, 2L -> 200L))
+    } finally q.stop()
+  }
+
   test("checkpointed restart resumes at the next batch, exactly once") {
     val base = freshBase()
     val inbox = base.resolve("inbox")
