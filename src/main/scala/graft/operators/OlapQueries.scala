@@ -647,6 +647,33 @@ object OlapQueries {
       |  AND l_shipdate < DATE '1998-01-01'
       |GROUP BY l_linestatus""".stripMargin
 
+  /** LATERAL correlated-LIMIT join through the SQL surface: each
+    * building-segment customer joined to its own top-2 orders by
+    * value — the top-N-per-group idiom written as a correlated
+    * subquery with ORDER BY + LIMIT, runnable verbatim by both
+    * engines. Catalyst decorrelates the per-row LIMIT into a rank
+    * window over o_custkey with Spark 4's `WindowGroupLimit` pushdown
+    * (a PARTIAL group-limit below the shuffle and a final one above),
+    * so each map task forwards at most 2 rows per customer — the
+    * declarative form already IS the hand-written two-pass top-N
+    * plan, and the customer side broadcasts. Determinism: the inner
+    * ORDER BY is a total order (price ties broken by unique
+    * orderkey), so both engines select the identical row set; no
+    * arithmetic touches the floats.
+    */
+  def sqlLateralTopOrders(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Catalog.register(s, dir)
+    s.sql(SqlLateralTopOrders)
+  }
+
+  private val SqlLateralTopOrders =
+    """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
   /** Grouped top-k: 3 highest-value users per event type. Two-level
     * shape: exact decimal per-(type,user) sums (one shuffle), then rank
     * within type — the rank shuffle moves only the aggregated rows.
@@ -927,6 +954,7 @@ object OlapQueries {
     "sql_q16_supplier_cnt"    -> sqlQ16SupplierCount _,
     "sql_q20_excess_shipments" -> sqlQ20ExcessShipments _,
     "sql_q12_priority_lines"  -> sqlQ12PriorityLines _,
+    "sql_lateral_top_orders"  -> sqlLateralTopOrders _,
     "events_funnel"           -> eventsFunnel _,
     "window_moving_avg"       -> windowMovingAvg _,
     "window_ewma"             -> windowEwma _,
@@ -1256,6 +1284,7 @@ object OlapQueries {
     "sql_q16_supplier_cnt" -> SqlQ16SupplierCount,
     "sql_q20_excess_shipments" -> SqlQ20ExcessShipments,
     "sql_q12_priority_lines" -> SqlQ12PriorityLines,
+    "sql_lateral_top_orders" -> SqlLateralTopOrders,
     "topk_users_by_type" ->
       """WITH sums AS (
         |  SELECT event_type, user_id,
