@@ -711,7 +711,44 @@ object TextQueries {
            max("n_chars").as("max_chars"))
   }
 
+  /** The MONITORING plane: `Dataset.observe` rides data-quality
+    * metrics (row count, null-language count, exact char sum, id
+    * bounds) on the SAME single scan that computes the real
+    * per-source aggregate — zero extra passes, the production
+    * pattern for pipeline health checks (Spark's `CollectMetrics`
+    * node; Delta Live Tables' expectations are this shape). The
+    * metrics surface through `queryExecution.observedMetrics` after
+    * the action and are appended to every output row, so the oracle
+    * verifies BOTH planes — a metric that drifted from the data
+    * (dropped rows, a second scan seeing different state) would
+    * hash-mismatch. The collect is bounded by source cardinality
+    * (the per-source aggregate's own output), not data size.
+    */
+  def observeScanMetrics(s: SparkSession, dir: String): DataFrame = {
+    val observed = Tables.documents(s, dir)
+      .observe("scan_quality",
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        sum(col("n_chars").cast("decimal(30,0)")).cast("long")
+          .as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+    val perSource = observed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_source"),
+        sum(col("n_chars").cast("decimal(30,0)")).cast("long")
+          .as("chars_source"))
+    val rows = perSource.collect() // the one action; observe rides it
+    val m = perSource.queryExecution.observedMetrics("scan_quality")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), perSource.schema)
+      .withColumn("n_docs", lit(m.getAs[Long]("n_docs")))
+      .withColumn("n_null_lang", lit(m.getAs[Long]("n_null_lang")))
+      .withColumn("sum_chars", lit(m.getAs[Long]("sum_chars")))
+      .withColumn("min_doc", lit(m.getAs[Long]("min_doc")))
+      .withColumn("max_doc", lit(m.getAs[Long]("max_doc")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "observe_scan_metrics" -> observeScanMetrics _,
     "vocab_oov_rate" -> vocabOovRate _,
     "length_octiles" -> lengthOctiles _,
     "corpus_mix"     -> corpusMix _,
@@ -759,6 +796,19 @@ object TextQueries {
          |FROM d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "observe_scan_metrics" ->
+      """WITH g AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    COUNT(*) FILTER (WHERE lang IS NULL) AS n_null_lang,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |  FROM documents)
+        |SELECT d.source, COUNT(*) AS n_docs_source,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_source,
+        |  g.n_docs, g.n_null_lang, g.sum_chars, g.min_doc, g.max_doc
+        |FROM documents d, g
+        |GROUP BY d.source, g.n_docs, g.n_null_lang, g.sum_chars,
+        |  g.min_doc, g.max_doc""".stripMargin,
     "vocab_oov_rate" ->
       raw"""WITH toks AS (
            |  SELECT source,
