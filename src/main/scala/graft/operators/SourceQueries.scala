@@ -248,6 +248,120 @@ object SourceQueries {
     * spend the whole benchmark writing state-store snapshots — a real
     * stream pays that state linearly, not all at once.
     */
+  /** LATE-DATA ACCOUNTING: the watermark's drop side, verified
+    * end-to-end. Four pinned-mtime file micro-batches: the middle
+    * time slice [Jan 10, Jan 20) first, then the post-Jan-20 rows
+    * (together they push the watermark to Jan 30 − 1 h), THEN the
+    * pre-Jan-10 stragglers — deposited two batches after the first
+    * watermark-setting data because late events are judged against
+    * the PREVIOUS batch's watermark (the lateEvents/eviction split;
+    * see the deposit comment), and days older than it so the exact
+    * `<` vs `<=` boundary cannot blur the count — every straggler
+    * must drop. A final sentinel pushes the watermark past every
+    * real window so append mode emits them all. The engine's OWN
+    * drop counter (`numRowsDroppedByWatermark`, summed over the
+    * run's progress reports) rides the output as a column — it
+    * counts dropped per-window PARTIALS, since the filter sits above
+    * the map-side partial aggregate (see the in-code note) — and the
+    * oracle recomputes both planes relationally: the kept-row
+    * windows AND the distinct straggler windows. A straggler
+    * admitted and aggregated (or an on-time row dropped)
+    * hash-mismatches on both planes at once. At 100 TB this accounting is the difference
+    * between "the pipeline ran" and "the pipeline silently discarded
+    * a feed's stragglers".
+    */
+  def streamingLateData(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_late_data"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val base = java.nio.file.Paths.get(ioDir("late_data"))
+      .resolve(java.util.UUID.randomUUID.toString.take(8))
+    lateDataRoots.put(Tables.dirKey(dir), base).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
+    val inbox = base.resolve("inbox")
+    java.nio.file.Files.createDirectories(inbox)
+    val evts = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t0ms = 1700000000000L
+    // Batch order matters in a measured way: Spark admits late events
+    // against the watermark IN EFFECT DURING THE PREVIOUS BATCH (the
+    // `watermarkForLateEvents` / `watermarkForEviction` split on
+    // StateStoreSave — the new watermark a batch's own data produces
+    // only gates input one batch later). Stragglers deposited
+    // immediately after the watermark-setting batch land inside that
+    // one-batch admission lag and are NOT dropped (measured: 0 drops,
+    // every straggler window emitted). So the straggler file arrives
+    // TWO batches after the first watermark-setting data.
+    depositSingleParquet(
+      evts.filter(col("ts") >= t1 && col("ts") < t2), inbox, "b0", t0ms)
+    depositSingleParquet(
+      evts.filter(col("ts") >= t2), inbox, "b1", t0ms + 60000)
+    depositSingleParquet(
+      evts.filter(col("ts") < t1), inbox, "b2", t0ms + 120000)
+    depositSingleParquet(
+      evts.limit(1).select(lit(-1L).as("event_id"),
+        lit("2024-03-01 00:00:00").cast("timestamp").as("ts"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value")),
+      inbox, "b3", t0ms + 180000)
+    // the deposits wrote exactly evts' projection, so its schema IS the
+    // files' schema — no footer re-read needed
+    val schema = evts.schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+    val dropped =
+      try {
+        // setup INSIDE try so a throw can't leak the pinned confs
+        // (the streamingEventsHourly discipline)
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // the drop-count plane (see below) needs the straggler file to
+        // be ONE map partition; parquet is splittable, so pin the split
+        // size above any plausible fixture size instead of assuming
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        // NOTE: no filter between agg and sink — a predicate on the
+        // window key pushes below the EventTimeWatermark node and
+        // silently disables late-row dropping (observed: 0 drops, all
+        // straggler windows emitted; the streaming_left_join_unmatched
+        // pushdown caveat, aggregation edition). The sentinel's own
+        // window never emits (nothing later advances the watermark
+        // past it), and the belt-and-braces exclusion happens on the
+        // BATCH result below.
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inbox.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("w.start").as("hour"), col("n_events"),
+            col("sum_value"))
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("memory")
+          .queryName(qName)
+          .option("checkpointLocation", base.resolve("chk").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress
+          .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+          .sum
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      }
+    s.table(qName)
+      .filter(col("hour") < lit("2024-02-01").cast("timestamp"))
+      // the drop counter sits ABOVE the map-side partial aggregate, so
+      // it counts dropped per-window PARTIALS, not raw input rows; the
+      // straggler batch is one coalesced file read as one map partition
+      // (split size pinned above), so partials == distinct straggler
+      // windows, which is what the oracle recomputes
+      .withColumn("n_late_windows", lit(dropped))
+  }
+
+  private val lateDataRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   def streamingDedupEvents(s: SparkSession, dir: String): DataFrame = {
     val qName = "graft_streaming_dedup"
     s.streams.active.filter(q => Option(q.name).contains(qName))
@@ -2570,6 +2684,7 @@ object SourceQueries {
     "source_compact_files"    -> compactFiles _,
     "source_json_corrupt"     -> jsonCorruptRecords _,
     "streaming_events_hourly" -> streamingEventsHourly _,
+    "streaming_late_data" -> streamingLateData _,
     "streaming_dedup_events"  -> streamingDedupEvents _,
     "streaming_dedup_within_wm" -> streamingDedupWithinWm _,
     "streaming_click_attribution" -> streamingClickAttribution _,
@@ -3140,6 +3255,19 @@ object SourceQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+    "streaming_late_data" ->
+      """WITH late AS (
+        |  SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS n_late_windows
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-10 00:00:00')
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  late.n_late_windows
+        |FROM events, late
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY 1, late.n_late_windows""".stripMargin,
     "streaming_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS n_events,
