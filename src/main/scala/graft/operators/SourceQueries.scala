@@ -1624,7 +1624,8 @@ object SourceQueries {
       root: java.nio.file.Path, data: DataFrame,
       partCols: Seq[String] = Seq("o_ym"),
       bloomIndexKey: Option[String] = None,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      keyCol: String = "o_orderkey"): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val pcols = partCols.map(c => s"${c}_p")
     val d1 = root.resolve(
@@ -1646,7 +1647,10 @@ object SourceQueries {
     graft.sources.SnapshotMeta.write(root, graft.sources.SnapshotMeta.Meta(
       StructType(partCols.map(c =>
         StructField(s"${c}_p", data.schema(c).dataType, nullable = true))),
-      data.schema))
+      data.schema,
+      // recorded so the SQL DML door can upsert/delete without the
+      // caller re-declaring the key (absent ⇒ the door's default)
+      Some(keyCol)))
     publishFilesSidecar(s, root, 1, None, parts.toMap,
       parts.map(_._1).toSet, data.schema)
     // commit-path Bloom maintenance (the write door's `bloomKey`
@@ -1899,7 +1903,8 @@ object SourceQueries {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"), col("value"), to_date(col("ts")).as("e_dt"))
-      snapshotInit(s, root, ev, Seq("e_dt", "event_type"))
+      snapshotInit(s, root, ev, Seq("e_dt", "event_type"),
+        keyCol = "event_id")
       root
     })
 
@@ -2244,6 +2249,77 @@ object SourceQueries {
          |FROM $tbl VERSION AS OF $v
          |GROUP BY o_orderstatus""".stripMargin
     s.sql(s"${arm(1)}\nUNION ALL\n${arm(3)}")
+  }
+
+  /** The SQL DML door, end to end: bootstrap a primary-keyed snapshot
+    * store through the DataFrame write door (which records `keyCol` +
+    * layout in `table.meta`), then drive it ENTIRELY in SQL —
+    *
+    *  1. `INSERT INTO` upserts six months' worth of price rewrites
+    *     plus brand-new negative keys in ONE statement (one CAS
+    *     version; INSERT is the SQL spelling of the door's keyed
+    *     upsert, since the store is primary-keyed by bootstrap),
+    *  2. `DELETE FROM … WHERE o_ym_p = '1995-03'` drops a whole
+    *     partition — the filter lands on the layout mirror, so the
+    *     doomed-key scan prunes to that ONE partition at planning,
+    *     and the emptied month falls out of the manifest,
+    *  3. `DELETE FROM … WHERE o_ym_p = '1996-02' AND o_totalprice >=
+    *     550000` is a predicate delete scoped to one partition's
+    *     expensive orders — copy-on-write rewrite of one month.
+    *
+    * The final aggregate reads the head through the same SQL catalog
+    * and carries the head VERSION (must be exactly 4: bootstrap + 3
+    * DML statements, each one CAS commit), so a DML statement that
+    * silently split, no-opped, or bypassed the version chain fails
+    * the hash. At 100 TB each statement costs O(its partitions), and
+    * the oracle recomputes the final state relationally from orders.
+    */
+  def sqlDmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_dml")).resolve(key)
+    // DML advances the store: rebuild from scratch every call so the
+    // entry is idempotent across bench trials (CAS needs a virgin root)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_dml")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snapdml_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    orders.createOrReplaceTempView("graft_dml_orders_src")
+    // table schema = data columns + the o_ym_p layout mirror (whose
+    // values must equal o_ym — the door verifies, then re-derives)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5,
+         |  o_ym, o_ym
+         |FROM graft_dml_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+         |  AND o_orderkey % 17 = 0
+         |UNION ALL
+         |SELECT -o_orderkey - 1, o_orderstatus, o_totalprice, o_ym, o_ym
+         |FROM graft_dml_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+         |  AND o_orderkey % 1013 = 0""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE o_ym_p = '1995-03'")
+    s.sql(s"DELETE FROM $tbl WHERE o_ym_p = '1996-02' " +
+      "AND o_totalprice >= 550000.0")
+    val head = graft.sources.SnapshotManifest.head(root)
+    s.sql(
+      s"""SELECT $head AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
   }
 
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
@@ -2657,6 +2733,7 @@ object SourceQueries {
     "source_schema_evolution" -> schemaEvolution _,
     "source_time_travel"      -> timeTravel _,
     "sql_time_travel"         -> sqlTimeTravel _,
+    "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -2869,6 +2946,39 @@ object SourceQueries {
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,
+    // final state after the SQL DML chain: upsert+insert (v2), the
+    // 1995-03 partition delete (v3), the 1996-02 predicate delete (v4)
+    "sql_dml_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base
+        |  WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+        |    AND o_orderkey % 17 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice, o_ym
+        |  FROM base
+        |  WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+        |    AND o_orderkey % 1013 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |fin AS (
+        |  SELECT * FROM merged
+        |  WHERE o_ym <> '1995-03'
+        |    AND NOT (o_ym = '1996-02' AND o_totalprice >= 550000.0))
+        |SELECT 4 AS head_version, o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM fin GROUP BY 1, 2""".stripMargin,
     "source_bloom_lookup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,

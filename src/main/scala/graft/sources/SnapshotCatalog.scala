@@ -32,10 +32,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[SnapshotV2Table]], whose file listing comes from the SAME
   * manifest plane as the DataFrame door (the `v<N>.files` sidecar when
   * present — zero `listStatus` planning), and whose scans are ordinary
-  * DSv2 parquet scans (pushdown, pruning, AQE all apply). The catalog
-  * is READ-ONLY by design: commits go through the `graft-snapshot`
-  * format's write door, which owns the CAS publish protocol — exposing
-  * DDL here would bypass it.
+  * DSv2 parquet scans (pushdown, pruning, AQE all apply). DML
+  * (`INSERT INTO` as a keyed upsert, `DELETE FROM … WHERE`) routes
+  * THROUGH the `graft-snapshot` write door's [[SnapshotDoor]] commit
+  * path — same CAS publish, conflict rebase, and sidecar maintenance
+  * as the DataFrame writer, never a parallel protocol. DDL
+  * (create/drop/rename) stays unsupported: a store is bootstrapped by
+  * its first `df.write.format("graft-snapshot")` commit, which
+  * declares the layout and key.
   *
   * A table named `t` is the store rooted at `<warehouse>/t`. The store
   * must carry a `table.meta` sidecar (every store bootstrapped through
@@ -109,7 +113,10 @@ final class GraftSnapshotCatalog extends TableCatalog {
     val effective = SnapshotManifest.evolvedDataSchema(root)
       .map(ds => meta.copy(dataSchema = ds)).getOrElse(meta)
     new SnapshotV2Table(s"$catName.${ident.name()}@v$version",
-      SparkSession.active, root, version, effective)
+      SparkSession.active, root, version, effective,
+      // a `VERSION/TIMESTAMP AS OF` reference is a pinned historical
+      // snapshot: reads only — DML must target the bare (head) table
+      pinned = v.isDefined)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -135,8 +142,156 @@ final class GraftSnapshotCatalog extends TableCatalog {
   * (partition pruning against manifest values, sidecar-served file
   * listing, parquet pushdown) that the DataFrame door's
   * [[SnapshotFileIndex]] provides, without re-implementing a reader.
+  *
+  * The SQL DML door rides the SAME commit protocol as the DataFrame
+  * write door, never around it:
+  *
+  *  - `INSERT INTO snap.t SELECT …` — a [[V1Write]] whose
+  *    `InsertableRelation` hands the rows to [[SnapshotDoor.commit]]
+  *    as one upsert version (CAS publish, conflict rebase, sidecar +
+  *    Bloom maintenance all included). The store is PRIMARY-KEYED by
+  *    its bootstrap `keyCol`, so INSERT carries upsert semantics: a
+  *    row whose key exists replaces it — the SQL spelling of the
+  *    door's `commitMode=upsert`. The layout mirror columns
+  *    (`<c>_p`) are part of the table schema; the commit re-derives
+  *    them from their source columns, and a frame whose mirrors
+  *    disagree with their sources is refused (one delta-sized check)
+  *    rather than silently re-laid-out.
+  *  - `DELETE FROM snap.t WHERE …` — [[SupportsDelete]]: the pushed
+  *    filters (key predicates, partition-mirror predicates, any
+  *    data-column predicate Spark can push) select doomed keys from
+  *    the head, and the key list commits through the door's
+  *    `commitMode=delete` — copy-on-write on touched partitions only.
+  *  - both refuse on a `VERSION AS OF` pinned reference (history is
+  *    immutable — that is the store's point) and INSERT OVERWRITE is
+  *    rejected by capability (no OVERWRITE_* declared).
   */
 final class SnapshotV2Table(
+    tableName: String,
+    spark: SparkSession,
+    root: JPath,
+    version: Int,
+    meta: SnapshotMeta.Meta,
+    pinned: Boolean = false)
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def name(): String = tableName
+
+  /** Reads delegate to a `FileTable` (stock parquet scan machinery);
+    * the PUBLIC table deliberately is NOT one — the analyzer's
+    * `FallBackFileSourceV2` rule rewrites `INSERT INTO <FileTable>`
+    * into a V1 file-append over the table's paths (single-path only,
+    * and it would bypass the store's CAS commit entirely), so a
+    * FileTable can never reach a custom write path from SQL.
+    */
+  private val readTable =
+    new SnapshotReadFileTable(tableName, spark, root, version, meta)
+
+  override def schema(): StructType = readTable.schema
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ParquetScanBuilder =
+    readTable.newScanBuilder(options)
+
+  /** The store's partition SOURCE columns (`o_ym` for mirror `o_ym_p`)
+    * — the names [[SnapshotDoor]] takes as `partCols`.
+    */
+  private def sourcePartCols: Seq[String] =
+    meta.partitionSchema.fieldNames.toSeq.map(_.stripSuffix("_p"))
+
+  private def doorParams: Map[String, String] = Map(
+    "path" -> root.toString,
+    "keyCol" -> meta.keyCol.getOrElse("o_orderkey"),
+    "partCols" -> sourcePartCols.mkString(","))
+
+  private def refuseIfPinned(op: String): Unit =
+    if (pinned) throw new UnsupportedOperationException(
+      s"$op on a VERSION/TIMESTAMP AS OF reference: snapshot history " +
+        "is immutable — run DML against the bare (head) table")
+
+  /** `BATCH_WRITE` is deliberately absent: the only write path is the
+    * V1 fallback, which hands the whole frame to the door's relational
+    * commit (the same path the DataFrame writer and streaming sink
+    * use) instead of a per-task file protocol that would need its own
+    * commit coordinator next to the store's CAS.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseIfPinned("INSERT INTO")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                "graft-snapshot is append-only: INSERT OVERWRITE would " +
+                  "destroy history")
+              import org.apache.spark.sql.functions.col
+              // the table schema carries the layout mirrors; the commit
+              // re-derives them, so a frame whose mirror values disagree
+              // with their sources must be refused, not silently
+              // re-laid-out (one delta-sized pass — commit-bounded)
+              val mirrors = meta.partitionSchema.fieldNames.toSeq
+                .filter(data.columns.contains)
+              val disagree = mirrors.map(m =>
+                !(col(m) <=> col(m.stripSuffix("_p"))))
+                .reduceOption(_ || _)
+              disagree.foreach(p => require(data.filter(p).isEmpty,
+                s"layout mirror column(s) ${mirrors.mkString(", ")} must " +
+                  "equal their source columns — the store derives the " +
+                  "layout; write the source values instead"))
+              SnapshotDoor.commit(spark, doorParams,
+                data.drop(meta.partitionSchema.fieldNames.toIndexedSeq: _*),
+                txn = None)
+            }
+        }
+    }
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(SnapshotDml.translatable)
+
+  /** DELETE through the door: pushed filters select the doomed keys
+    * from THIS head, and the key list (with its partition source
+    * columns, which scope the rewrite) commits as one
+    * `commitMode=delete` version — copy-on-write on touched partitions
+    * only, CAS-rebased like any other commit. Filters on the layout
+    * mirrors (`o_ym_p = …`) prune partitions during the candidate
+    * scan's planning like any read.
+    */
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseIfPinned("DELETE FROM")
+    val head = SnapshotTable.read(spark, root, SnapshotManifest.head(root))
+    val pred = SnapshotDml.toColumn(filters, head.columns.toSet)
+    val keyCol = meta.keyCol.getOrElse("o_orderkey")
+    val doomed = head.filter(pred)
+      .select((keyCol +: sourcePartCols.filterNot(_ == keyCol))
+        .map(org.apache.spark.sql.functions.col): _*)
+    SnapshotDoor.commit(spark, doorParams + ("commitMode" -> "delete"),
+      doomed, txn = None)
+  }
+}
+
+/** The read half of [[SnapshotV2Table]]: `FileTable` over the
+  * manifest-served [[SnapshotPartitioningIndex]] with stock
+  * `ParquetScanBuilder` scans. Kept INTERNAL (the catalog never
+  * returns it) so the `FallBackFileSourceV2` INSERT rewrite can't
+  * reach it — see [[SnapshotV2Table.readTable]].
+  */
+private[sources] final class SnapshotReadFileTable(
     tableName: String,
     spark: SparkSession,
     root: JPath,
@@ -169,8 +324,61 @@ final class SnapshotV2Table(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     throw new UnsupportedOperationException(
-      "snapshot versions are immutable: commit through " +
-        "df.write.format(\"graft-snapshot\")")
+      "internal read table — writes go through SnapshotV2Table")
+}
+
+/** V1 `Filter` → `Column` translation for the DELETE door. Only
+  * filters this object can translate are accepted in `canDeleteWhere`;
+  * anything else makes Spark raise its standard "cannot delete" error
+  * instead of a wrong delete. Layout-mirror references (`o_ym_p`)
+  * rewrite to their source column when the mirror isn't in the scanned
+  * frame (data files don't carry it — the dir name does).
+  */
+private[sources] object SnapshotDml {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  def translatable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: In | _: GreaterThan |
+         _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual |
+         _: IsNull | _: IsNotNull | _: StringStartsWith |
+         _: StringEndsWith | _: StringContains | _: AlwaysTrue |
+         _: AlwaysFalse => true
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r) => translatable(l) && translatable(r)
+    case Not(c) => translatable(c)
+    case _ => false
+  }
+
+  def toColumn(filters: Array[Filter], present: Set[String]): Column = {
+    def c(name: String): Column =
+      if (present(name)) col(name) else col(name.stripSuffix("_p"))
+    def go(f: Filter): Column = f match {
+      case EqualTo(a, v) => c(a) === lit(v)
+      case EqualNullSafe(a, v) => c(a) <=> lit(v)
+      case In(a, vs) => c(a).isin(vs.toIndexedSeq: _*)
+      case GreaterThan(a, v) => c(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => c(a) >= lit(v)
+      case LessThan(a, v) => c(a) < lit(v)
+      case LessThanOrEqual(a, v) => c(a) <= lit(v)
+      case IsNull(a) => c(a).isNull
+      case IsNotNull(a) => c(a).isNotNull
+      case StringStartsWith(a, v) => c(a).startsWith(v)
+      case StringEndsWith(a, v) => c(a).endsWith(v)
+      case StringContains(a, v) => c(a).contains(v)
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      case Not(ch) => not(go(ch))
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"untranslatable DELETE filter: $other")
+    }
+    // DELETE with no residual filters = delete everything (TRUNCATE's
+    // default route) — legal, O(table) by definition
+    filters.map(go).reduceOption(_ && _).getOrElse(lit(true))
+  }
 }
 
 /** The manifest plane as a `PartitioningAwareFileIndex` — the index

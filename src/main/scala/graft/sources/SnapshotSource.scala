@@ -134,7 +134,14 @@ object SnapshotManifest {
   * schema inferred from a data dir).
   */
 object SnapshotMeta {
-  final case class Meta(partitionSchema: StructType, dataSchema: StructType)
+  /** `keyCol` is the store's upsert/delete key, recorded at bootstrap
+    * so the SQL DML door can commit without the caller re-declaring it
+    * (the DataFrame door still takes it as an option). `None` on
+    * stores bootstrapped before the field existed — those fall back to
+    * the door's historical default key.
+    */
+  final case class Meta(partitionSchema: StructType, dataSchema: StructType,
+                        keyCol: Option[String] = None)
 
   private def file(root: JPath): JPath = root.resolve("table.meta")
 
@@ -142,7 +149,8 @@ object SnapshotMeta {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val j = ("partitionSchema" -> m.partitionSchema.json) ~
-      ("dataSchema" -> m.dataSchema.json)
+      ("dataSchema" -> m.dataSchema.json) ~
+      ("keyCol" -> m.keyCol)
     val tmp = root.resolve(
       s".table.meta.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     JFiles.write(tmp, JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
@@ -165,7 +173,11 @@ object SnapshotMeta {
         case other => throw new IllegalStateException(
           s"table.meta: bad $field: $other")
       }
-      Some(Meta(struct("partitionSchema"), struct("dataSchema")))
+      val key = (j \ "keyCol") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      Some(Meta(struct("partitionSchema"), struct("dataSchema"), key))
     }
   }
 }
@@ -1086,7 +1098,7 @@ private[sources] object SnapshotDoor {
       try {
         if (head == 0)
           graft.operators.SourceQueries.snapshotInit(spark, root, data,
-            partCols, bloomIndexKey, txn)
+            partCols, bloomIndexKey, txn, keyCol)
         else
           graft.operators.SourceQueries.snapshotCommit(spark, root, head,
             head + 1, data, insert, keyCol, partCols, bloomIndexKey, txn)

@@ -8,8 +8,11 @@ import graft.operators.SourceQueries
 /** Pins the DSv2 catalog door ([[GraftSnapshotCatalog]]):
   * `VERSION AS OF` resolution, head-by-default, values identical to
   * the DataFrame door, zero-listing planning through the sidecar,
-  * partition pruning from SQL, table listing, and the read-only
-  * contract (DDL/DML refused — commits own the CAS protocol).
+  * partition pruning from SQL, table listing, the SQL DML door
+  * (INSERT = keyed upsert, DELETE = copy-on-write, both one CAS
+  * version per statement, history pinned) and its refusals
+  * (OVERWRITE, layout-mirror disagreement, untranslatable DELETE
+  * filters, pinned-version writes, DDL).
   */
 class SnapshotCatalogSpec extends SparkSpec {
 
@@ -126,21 +129,106 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
-  test("the catalog is read-only: INSERT and DROP are refused") {
-    val ins = intercept[Exception] {
-      spark.sql(s"INSERT INTO $tbl SELECT * FROM $tbl VERSION AS OF 1")
-    }
-    // Spark may refuse before our newWriteBuilder (its v1-fallback
-    // INSERT path rejects multi-path relations) — either refusal keeps
-    // the store immutable, which is the contract under test
-    assert(ins.getMessage.contains("immutable") ||
-      ins.getMessage.contains("read-only") ||
-      ins.getMessage.contains("UNSUPPORTED_INSERT") ||
-      ins.getMessage.toLowerCase.contains("not support"))
+  test("DDL stays unsupported: DROP is refused") {
     val drop = intercept[Exception] {
       spark.sql(s"DROP TABLE $tbl")
     }
     assert(drop.getMessage.contains("read-only") ||
       drop.getMessage.toLowerCase.contains("not support"))
+  }
+
+  // ---- the SQL DML door (own store: DML advances versions, and the
+  // ---- shared fixture must stay at v3 for every other consumer) ----
+
+  private def dmlStore(): (java.nio.file.Path, String) = {
+    import spark.implicits._
+    val droot = java.nio.file.Files.createTempDirectory("dml_store")
+      .resolve("t")
+    Seq((1L, 10.0, "2024-01"), (2L, 20.0, "2024-01"), (3L, 30.0, "2024-02"))
+      .toDF("k", "price", "ym")
+      .write.format("graft-snapshot")
+      .option("keyCol", "k").option("partCol", "ym")
+      .mode("append").save(droot.toString)
+    val c = s"snapdml${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+      droot.getParent.toString)
+    (droot, s"$c.`${droot.getFileName}`")
+  }
+
+  private def rowsOf(t: String, suffix: String = ""): Set[(Long, Double)] =
+    spark.sql(s"SELECT k, price FROM $t $suffix").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+  test("INSERT INTO is a keyed upsert through the CAS door; " +
+    "pre-DML versions stay pinned") {
+    val (droot, t) = dmlStore()
+    // key 2 exists (replaced), key 4 is new — one statement, one version
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(2L, 25.0, '2024-01', '2024-01'), (4L, 40.0, '2024-02', '2024-02')")
+    assert(SnapshotManifest.head(droot) === 2,
+      "one INSERT statement must publish exactly one version")
+    assert(rowsOf(t) ===
+      Set((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, 40.0)))
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "v1 must survive the upsert untouched")
+    // the recorded keyCol drove the upsert: table.meta carries it
+    assert(SnapshotMeta.read(droot).flatMap(_.keyCol) === Some("k"))
+  }
+
+  test("DELETE FROM: partition-mirror and predicate deletes commit " +
+    "copy-on-write versions; emptied partitions leave the manifest") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"DELETE FROM $t WHERE ym_p = '2024-01'")
+    assert(rowsOf(t) === Set((3L, 30.0)))
+    assert(!SnapshotManifest.read(droot, 2).keySet.contains("2024-01"),
+      "an emptied partition must drop out of the manifest")
+    spark.sql(s"DELETE FROM $t WHERE price >= 30.0")
+    assert(rowsOf(t) === Set.empty[(Long, Double)])
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "v1 must survive both deletes untouched")
+  }
+
+  test("DML refusals: OVERWRITE, mirror disagreement, untranslatable " +
+    "DELETE, pinned-version writes") {
+    val (droot, t) = dmlStore()
+    val ow = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $t VALUES (9L, 9.0, '2024-01', '2024-01')")
+    }
+    assert(ow.getMessage.toLowerCase.matches("(?s).*(overwrite|truncate).*"),
+      s"got: ${ow.getMessage}")
+    val mm = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (9L, 9.0, '2024-01', '2024-02')")
+    }
+    assert(mm.getMessage.contains("mirror"), s"got: ${mm.getMessage}")
+    val del = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    }
+    assert(del.getMessage.toLowerCase.matches("(?s).*(delete|filter).*"),
+      s"got: ${del.getMessage}")
+    // a VERSION AS OF reference refuses DML at the table API too
+    // (SQL can't even parse a time-travel DML target — this pins the
+    // programmatic route)
+    val cat = spark.sessionState.catalogManager
+      .catalog(t.split("\\.")(0))
+      .asInstanceOf[GraftSnapshotCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, droot.getFileName.toString)
+    val pinnedTable = cat.loadTable(ident, "1")
+      .asInstanceOf[SnapshotV2Table]
+    val pw = intercept[UnsupportedOperationException] {
+      pinnedTable.newWriteBuilder(null)
+    }
+    assert(pw.getMessage.contains("immutable"))
+    val pd = intercept[UnsupportedOperationException] {
+      pinnedTable.deleteWhere(
+        Array.empty[org.apache.spark.sql.sources.Filter])
+    }
+    assert(pd.getMessage.contains("immutable"))
+    // nothing above may have advanced the store
+    assert(SnapshotManifest.head(droot) === 1)
   }
 }
