@@ -231,4 +231,45 @@ class SnapshotCatalogSpec extends SparkSpec {
     // nothing above may have advanced the store
     assert(SnapshotManifest.head(droot) === 1)
   }
+
+  test("TRUNCATE TABLE routes through the DELETE door") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(rowsOf(t) === Set.empty[(Long, Double)])
+    assert(SnapshotManifest.head(droot) === 2,
+      "TRUNCATE must commit one (empty-manifest) version, not rewrite v1")
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("SQL DML generalizes to a typed multi-column layout") {
+    import spark.implicits._
+    val droot = java.nio.file.Files.createTempDirectory("dml_multi")
+      .resolve("ev")
+    Seq((1L, java.sql.Date.valueOf("2024-01-10"), "click", 1.0),
+        (2L, java.sql.Date.valueOf("2024-01-10"), "purchase", 2.0),
+        (3L, java.sql.Date.valueOf("2024-01-11"), "click", 3.0))
+      .toDF("event_id", "e_dt", "event_type", "value")
+      .write.format("graft-snapshot")
+      .option("keyCol", "event_id").option("partCols", "e_dt,event_type")
+      .mode("append").save(droot.toString)
+    val c = s"snapmulti${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+      droot.getParent.toString)
+    val t = s"$c.`${droot.getFileName}`"
+    // upsert key 2 + insert key 4; mirrors for BOTH layout columns
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(2L, DATE'2024-01-10', 'purchase', 2.5, DATE'2024-01-10', 'purchase')," +
+      "(4L, DATE'2024-01-12', 'view', 4.0, DATE'2024-01-12', 'view')")
+    // delete one (day, type) leaf via the typed mirror columns
+    spark.sql(
+      s"DELETE FROM $t WHERE e_dt_p = DATE'2024-01-10' AND event_type_p = 'click'")
+    val got = spark.sql(s"SELECT event_id, value FROM $t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((2L, 2.5), (3L, 3.0), (4L, 4.0)))
+    assert(SnapshotManifest.head(droot) === 3)
+    assert(SnapshotMeta.read(droot).flatMap(_.keyCol) === Some("event_id"))
+  }
 }
