@@ -1612,6 +1612,28 @@ object SourceQueries {
     }
   }
 
+  /** Group-replacement commit for the SQL row-level DML door
+    * ([[graft.sources.SnapshotRowLevelOperation]]): publish
+    * `parent − replaced ∪ newEntries` as the next version through the
+    * same CAS manifest plane as every other commit, with the
+    * file-stats sidecar profiled for the new dirs only (O(touched)).
+    * No rebase on conflict — a group replacement computed against a
+    * stale head is not a key-based delta, so a racer means the caller
+    * must re-run the statement.
+    */
+  private[graft] def snapshotReplacePartitions(s: SparkSession,
+      root: java.nio.file.Path, fromV: Int, replaced: Set[String],
+      newEntries: Map[String, String],
+      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val head = headVersion(root)
+    if (head != fromV) throw new SnapshotConflictException(fromV + 1)
+    val parent = readManifest(root, fromV)
+    val entries = (parent -- replaced) ++ newEntries
+    writeManifest(root, fromV + 1, entries, None)
+    publishFilesSidecar(s, root, fromV + 1, Some(fromV), entries,
+      newEntries.keySet, dataSchema)
+  }
+
   /** Bootstrap a snapshot store: the whole frame becomes v1, laid out
     * one leaf dir per (multi-column) partition value, published
     * through the same CAS manifest write (a racing bootstrap loses
@@ -2322,6 +2344,79 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** SQL `UPDATE` and `MERGE INTO` on the snapshot store — the
+    * GROUP-BASED copy-on-write row-level path
+    * ([[graft.sources.SnapshotRowLevelOperation]]), where a group is
+    * one partition:
+    *
+    *  1. `UPDATE … WHERE o_totalprice >= 400000 AND o_ym_p BETWEEN
+    *     '1995-01' AND '1995-06'` — the mirror conjunct prunes the
+    *     rewrite statically to six months, and Spark's runtime group
+    *     filter (a DISTINCT-partitions subquery over the MATCHED
+    *     rows) narrows further to the months that actually contain a
+    *     qualifying order; every other partition keeps its exact dir
+    *     pointer (spec-pinned in `SnapshotCatalogSpec`).
+    *  2. `MERGE INTO … USING src` — matched keys take the source's
+    *     price, unmatched source rows insert (new negative keys in
+    *     their own months), one statement, one CAS version.
+    *
+    * The final head aggregate carries the head VERSION (exactly 3:
+    * bootstrap + UPDATE + MERGE), so a statement that split, no-oped
+    * or bypassed the chain hash-fails. The oracle replays both
+    * statements relationally. At 100 TB each statement costs
+    * O(matched partitions) read+rewrite — the Iceberg copy-on-write
+    * bound — with group determination on the manifest metadata plane.
+    */
+  def sqlUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_rl")).resolve(key)
+    // DML advances the store: rebuild per call (bench-trial idempotence)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_rl")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snaprl_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    orders.createOrReplaceTempView("graft_rl_orders_src")
+    s.sql(
+      s"""UPDATE $tbl SET o_totalprice = o_totalprice * 2.0
+         |WHERE o_totalprice >= 400000.0
+         |  AND o_ym_p BETWEEN '1995-01' AND '1995-06'""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus,
+        |  o_totalprice + 5.0 AS o_totalprice, o_ym
+        |FROM graft_rl_orders_src WHERE o_orderkey % 701 = 0
+        |UNION ALL
+        |SELECT -o_orderkey - 1, o_orderstatus, o_totalprice + 1.0, o_ym
+        |FROM graft_rl_orders_src WHERE o_orderkey % 1409 = 0"""
+        .stripMargin).createOrReplaceTempView("graft_rl_merge_src")
+    s.sql(
+      s"""MERGE INTO $tbl AS tgt USING graft_rl_merge_src AS src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_orderstatus, o_totalprice, o_ym, o_ym_p)
+         |  VALUES (src.o_orderkey, src.o_orderstatus, src.o_totalprice,
+         |    src.o_ym, src.o_ym)""".stripMargin)
+    val head = graft.sources.SnapshotManifest.head(root)
+    s.sql(
+      s"""SELECT $head AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -2734,6 +2829,7 @@ object SourceQueries {
     "source_time_travel"      -> timeTravel _,
     "sql_time_travel"         -> sqlTimeTravel _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
+    "sql_update_merge"        -> sqlUpdateMerge _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -2979,6 +3075,37 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM fin GROUP BY 1, 2""".stripMargin,
+    // replay: UPDATE (×2 on expensive H1-1995 orders) then MERGE
+    // (matched keys take source price, unmatched insert new keys)
+    "sql_update_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_totalprice >= 400000.0
+        |      AND o_ym BETWEEN '1995-01' AND '1995-06'
+        |      THEN o_totalprice * 2.0 ELSE o_totalprice END
+        |      AS o_totalprice,
+        |    o_ym
+        |  FROM base),
+        |v3 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 701 = 0
+        |      THEN (SELECT b.o_totalprice + 5.0 FROM base b
+        |            WHERE b.o_orderkey = v2.o_orderkey)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_ym
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_orderstatus, o_totalprice + 1.0, o_ym
+        |  FROM base WHERE o_orderkey % 1409 = 0)
+        |SELECT 3 AS head_version, o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3 GROUP BY 1, 2""".stripMargin,
     "source_bloom_lookup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,

@@ -176,7 +176,8 @@ final class SnapshotV2Table(
   extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
 
@@ -257,6 +258,20 @@ final class SnapshotV2Table(
             }
         }
     }
+  }
+
+  /** `UPDATE` / `MERGE INTO` / rewrite-`DELETE`: the group-based
+    * copy-on-write operation ([[SnapshotRowLevelOperation]]), where a
+    * group is one partition. Spark routes simple DELETEs through the
+    * metadata path below ([[canDeleteWhere]]) and everything else
+    * through this rewrite.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseIfPinned(s"${info.command} on")
+    new SnapshotRowLevelOperationBuilder(spark, root, version, meta,
+      readTable, info)
   }
 
   override def canDeleteWhere(

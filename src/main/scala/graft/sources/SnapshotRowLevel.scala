@@ -1,0 +1,524 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles, Path => JPath}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr, Predicate => CPredicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEqualTo, Filter => V1Filter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, IsNotNull => FIsNotNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Or => FOr}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, StructType}
+
+/** SQL `UPDATE` / `MERGE INTO` / predicate-`DELETE` on the snapshot
+  * store — the GROUP-BASED copy-on-write row-level operation (the
+  * Iceberg `SparkCopyOnWriteOperation` shape, rebuilt on the store's
+  * manifest plane), where a GROUP is one partition:
+  *
+  *  1. Spark's `RewriteUpdateTable` / `RewriteMergeIntoTable` /
+  *     `RewriteDeleteFromTable` rewrite the statement into
+  *     `ReplaceData`: read the FULL rows of every affected partition,
+  *     apply the assignment/merge/delete logic per row, write the
+  *     result back as the partitions' replacement.
+  *  2. Group selection has three narrowing planes, all landing on the
+  *     scan's `partitionFilters` (manifest-evaluated, zero listings):
+  *     statically pushed partition-mirror conjuncts
+  *     ([[SnapshotRowLevelScanBuilder.pushFilters]]), and Spark's
+  *     runtime group filter — a subquery computing the DISTINCT
+  *     partition values of MATCHED rows, delivered through
+  *     `SupportsRuntimeV2Filtering` ([[SnapshotRowLevelScan.filter]]).
+  *     An `UPDATE … WHERE o_totalprice > x` therefore rewrites only
+  *     the partitions that actually contain matching rows.
+  *  3. The write is a real DSv2 `BatchWrite`: tasks stream rows into
+  *     per-partition parquet files under a committer-private attempt
+  *     root (the store's write-once discipline — racers can never
+  *     interleave files), using the stock `ParquetFileFormat` output
+  *     writers, so the files are bit-compatible with the door's.
+  *  4. The driver commit publishes `parent − replacedGroups ∪
+  *     writtenDirs` through the SAME manifest-CAS plane as every
+  *     other commit (one version per statement, file-stats sidecar
+  *     maintained at O(touched)). A concurrent commit since the scan
+  *     fails the CAS loudly: unlike the door's key-based deltas, a
+  *     group replacement computed against a stale head cannot be
+  *     rebased safely.
+  *
+  * CORRECTNESS INVARIANT (the one that matters): the replaced-group
+  * set and the rows the scan read must agree — a partition dropped
+  * from the manifest that the scan never read would be silent data
+  * loss. Both sides therefore derive from the SAME expression list:
+  * the final `partitionFilters` of the scan instance the engine
+  * actually filtered, evaluated against the SAME manifest values the
+  * scan's `FileIndex` pruned with ([[SnapshotRowLevelOperation
+  * .replacedGroups]]). Pushed filters are reported as fully residual
+  * and are used ONLY for partition pruning — letting the update
+  * condition reach the parquet reader as a data filter could drop
+  * whole row groups of NON-matching rows from a partition that is
+  * being rewritten, which is exactly that data-loss shape.
+  *
+  * Rows may legally MOVE partitions (`SET o_ym = …`): rewritten rows
+  * landing in a partition that was NOT part of the replaced set merge
+  * with its existing files by hard-linking them into the new dir
+  * (write-once files — a link is safe sharing, the same trick
+  * time-travel uses), with a copy fallback for filesystems without
+  * link support.
+  *
+  * At 100 TB: a statement costs O(affected partitions) read + write
+  * plus one manifest swap — never O(table) unless the predicate
+  * really touches every partition; group determination is
+  * metadata-plane (manifest values in memory, no listings).
+  */
+final class SnapshotRowLevelOperation(
+    spark: SparkSession,
+    root: JPath,
+    version: Int,
+    meta: SnapshotMeta.Meta,
+    readTable: SnapshotReadFileTable,
+    cmd: Command) extends RowLevelOperation {
+
+  private[sources] val partSchema: StructType = meta.partitionSchema
+
+  /** Every scan built for this operation (the group-read scan and the
+    * runtime group-filter subquery's scan are separate instances with
+    * identical static narrowing).
+    */
+  private[sources] val builtScans =
+    mutable.Buffer.empty[SnapshotRowLevelScan]
+
+  /** The instance the engine runtime-filtered — the group-read scan. */
+  @volatile private[sources] var filteredScan:
+    Option[SnapshotRowLevelScan] = None
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SnapshotRowLevelScanBuilder(this, readTable.newScanBuilder(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new SnapshotReplaceWrite(SnapshotRowLevelOperation.this, spark,
+          root, version, meta, info)
+    }
+
+  /** The partitions this statement replaces: the manifest pvs
+    * satisfying the group-read scan's FINAL partition filters — the
+    * same expressions, evaluated over the same typed manifest values
+    * ([[SnapshotPartitionValues]]), that pruned the scan itself.
+    */
+  private[sources] def replacedGroups(): Set[String] = {
+    val scan = filteredScan.orElse(builtScans.lastOption).getOrElse(
+      throw new IllegalStateException(
+        "row-level write committed with no planned scan"))
+    val filters = scan.partitionFilters
+    val manifest = SnapshotManifest.read(root, version)
+    if (filters.isEmpty) manifest.keySet
+    else {
+      val bound = filters.reduce(CAnd).transform {
+        case a: AttributeReference =>
+          val i = partSchema.fieldNames.indexOf(a.name)
+          require(i >= 0, s"non-partition filter column ${a.name}")
+          BoundReference(i, partSchema.fields(i).dataType, nullable = true)
+      }
+      val pred = CPredicate.createInterpreted(bound)
+      manifest.keySet.filter { pv =>
+        pred.eval(SnapshotPartitionValues.row(pv, partSchema))
+      }
+    }
+  }
+}
+
+final class SnapshotRowLevelOperationBuilder(
+    spark: SparkSession, root: JPath, version: Int,
+    meta: SnapshotMeta.Meta, readTable: SnapshotReadFileTable,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new SnapshotRowLevelOperation(spark, root, version, meta, readTable,
+      info.command)
+}
+
+/** Wraps the stock [[ParquetScanBuilder]]. Pushed filters are used
+  * ONLY to extract partition-mirror conjuncts (group pruning) and are
+  * reported fully residual — see the data-loss note on
+  * [[SnapshotRowLevelOperation]].
+  */
+final class SnapshotRowLevelScanBuilder(
+    op: SnapshotRowLevelOperation,
+    inner: ParquetScanBuilder)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var partFilters: Seq[Expression] = Nil
+
+  override def pushFilters(filters: Array[V1Filter]): Array[V1Filter] = {
+    partFilters = filters.toSeq.flatMap(f =>
+      SnapshotRowLevel.v1ToPartitionExpr(f, op.partSchema))
+    filters
+  }
+
+  override def pushedFilters(): Array[V1Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def build(): Scan = {
+    val base = inner.build().asInstanceOf[ParquetScan]
+    val scan = new SnapshotRowLevelScan(op,
+      base.copy(partitionFilters = base.partitionFilters ++ partFilters))
+    op.builtScans += scan
+    scan
+  }
+}
+
+/** The group-read scan: delegates to a [[ParquetScan]] and accepts
+  * Spark's runtime group filter, rebuilding the delegate with the
+  * narrowed partition filters (the scan's batch is planned lazily, so
+  * the narrowing lands before any split enumeration).
+  */
+final class SnapshotRowLevelScan(
+    op: SnapshotRowLevelOperation,
+    private var current: ParquetScan)
+  extends Scan with SupportsRuntimeV2Filtering {
+
+  private[sources] def partitionFilters: Seq[Expression] =
+    current.partitionFilters
+
+  override def readSchema(): StructType = current.readSchema()
+
+  override def toBatch: Batch = current.toBatch
+
+  override def description(): String =
+    s"graft-snapshot-row-level(${current.description()})"
+
+  override def filterAttributes(): Array[NamedReference] =
+    op.partSchema.fieldNames.map(Expressions.column)
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(p =>
+      SnapshotRowLevel.v2ToPartitionExpr(p, op.partSchema))
+    // untranslatable runtime predicates are legally ignored (the scan
+    // reads MORE groups; replacedGroups sees the same filter list, so
+    // scan and commit still agree)
+    if (exprs.nonEmpty)
+      current = current.copy(
+        partitionFilters = current.partitionFilters ++ exprs)
+    op.filteredScan = Some(this)
+  }
+}
+
+private[sources] object SnapshotRowLevel {
+  private def attr(name: String, schema: StructType): AttributeReference =
+    AttributeReference(name, schema(schema.fieldNames.indexOf(name)).dataType)()
+
+  private def isPartCol(name: String, schema: StructType): Boolean =
+    schema.fieldNames.contains(name)
+
+  /** V1 filter → partition-pruning expression. Conservative by
+    * construction: for AND, any translatable side is a NECESSARY
+    * condition (sound to prune with); for OR both sides must
+    * translate; anything else drops (no pruning — still correct).
+    */
+  def v1ToPartitionExpr(f: V1Filter, ps: StructType): Option[Expression] =
+    f match {
+      case FEqualTo(a, v) if isPartCol(a, ps) =>
+        Some(CEqualTo(attr(a, ps), Literal(v)))
+      case FIn(a, vs) if isPartCol(a, ps) =>
+        Some(CIn(attr(a, ps), vs.toIndexedSeq.map(Literal(_))))
+      case FGreaterThan(a, v) if isPartCol(a, ps) =>
+        Some(CGreaterThan(attr(a, ps), Literal(v)))
+      case FGreaterThanOrEqual(a, v) if isPartCol(a, ps) =>
+        Some(CGreaterThanOrEqual(attr(a, ps), Literal(v)))
+      case FLessThan(a, v) if isPartCol(a, ps) =>
+        Some(CLessThan(attr(a, ps), Literal(v)))
+      case FLessThanOrEqual(a, v) if isPartCol(a, ps) =>
+        Some(CLessThanOrEqual(attr(a, ps), Literal(v)))
+      case FIsNotNull(a) if isPartCol(a, ps) =>
+        Some(CIsNotNull(attr(a, ps)))
+      case FAnd(l, r) =>
+        (v1ToPartitionExpr(l, ps), v1ToPartitionExpr(r, ps)) match {
+          case (Some(a), Some(b)) => Some(CAnd(a, b))
+          case (one, other) => one.orElse(other)
+        }
+      case FOr(l, r) =>
+        for {
+          a <- v1ToPartitionExpr(l, ps)
+          b <- v1ToPartitionExpr(r, ps)
+        } yield COr(a, b)
+      case _ => None
+    }
+
+  /** Runtime V2 predicate → partition expression. The group filter
+    * arrives as `IN`/`=` over a partition column with literal values
+    * already in Catalyst internal form.
+    */
+  def v2ToPartitionExpr(p: V2Predicate, ps: StructType): Option[Expression] = {
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 &&
+        isPartCol(n.fieldNames.head, ps) => Some(n.fieldNames.head)
+      case _ => None
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Literal] = e match {
+      case l: V2Literal[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" =>
+        val ch = p.children()
+        for {
+          a <- ref(ch.head)
+          vs <- Some(ch.tail.toIndexedSeq.flatMap(lit))
+          if vs.length == ch.length - 1
+        } yield CIn(attr(a, ps), vs)
+      case "=" =>
+        val ch = p.children()
+        for (a <- ref(ch(0)); v <- lit(ch(1)))
+          yield CEqualTo(attr(a, ps), v)
+      case "AND" =>
+        val ch = p.children().map(_.asInstanceOf[V2Predicate])
+        (v2ToPartitionExpr(ch(0), ps), v2ToPartitionExpr(ch(1), ps)) match {
+          case (Some(a), Some(b)) => Some(CAnd(a, b))
+          case (one, other) => one.orElse(other)
+        }
+      case _ => None
+    }
+  }
+}
+
+/** The replace-data write: a DSv2 `BatchWrite` whose tasks stream rows
+  * into per-partition parquet files under a private attempt root, and
+  * whose driver commit swaps the replaced groups in one CAS manifest
+  * publish. See [[SnapshotRowLevelOperation]] for the protocol.
+  */
+final class SnapshotReplaceWrite(
+    op: SnapshotRowLevelOperation,
+    spark: SparkSession,
+    root: JPath,
+    version: Int,
+    meta: SnapshotMeta.Meta,
+    info: LogicalWriteInfo) extends Write {
+
+  override def description(): String = s"graft-snapshot-replace v$version"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val attemptRoot = root.resolve(
+      s"d${version + 1}-rl-${java.util.UUID.randomUUID.toString.take(8)}")
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+        : DataWriterFactory = {
+      JFiles.createDirectories(attemptRoot)
+      val writeSchema = info.schema()
+      val mirrorNames = meta.partitionSchema.fieldNames.toSeq
+      val fileSchema = StructType(
+        writeSchema.fields.filterNot(f => mirrorNames.contains(f.name)))
+      // partition routing reads the SOURCE columns (post-update values
+      // — a SET that moves a row's partition routes by the NEW value;
+      // the mirrors in the write schema are stale by definition there)
+      val srcCols = mirrorNames.map(_.stripSuffix("_p")).map { c =>
+        val i = writeSchema.fieldNames.indexOf(c)
+        require(i >= 0, s"partition source column $c missing from write " +
+          s"schema ${writeSchema.fieldNames.mkString(",")}")
+        (i, writeSchema.fields(i).dataType)
+      }
+      srcCols.foreach { case (_, dt) =>
+        require(dt == StringType || dt == DateType || dt == IntegerType ||
+          dt == LongType, s"unsupported partition column type $dt")
+      }
+      val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+      val owf = new ParquetFileFormat().prepareWrite(spark, job,
+        Map.empty, fileSchema)
+      new SnapshotReplaceWriterFactory(attemptRoot.toString, writeSchema,
+        fileSchema, mirrorNames, srcCols, owf,
+        new SnapshotSerializableConf(job.getConfiguration))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val newEntries: Map[String, String] = messages.toSeq
+        .flatMap(_.asInstanceOf[SnapshotReplaceCommit].pvDirs)
+        .toMap // dir per pv is deterministic, duplicates collapse
+      val replaced = op.replacedGroups()
+      val parent = SnapshotManifest.read(root, version)
+      // rows MOVED into a partition outside the replaced set: its
+      // existing files must survive — link them into the new dir
+      // (write-once files, safe sharing; copy fallback)
+      newEntries.foreach { case (pv, dir) =>
+        if (!replaced.contains(pv)) parent.get(pv).foreach { oldDir =>
+          SnapshotFiles.listDataFiles(
+            spark.sparkContext.hadoopConfiguration, oldDir)
+            .foreach { st =>
+              val src = java.nio.file.Paths.get(
+                st.getPath.toUri.getPath)
+              val dst = java.nio.file.Paths.get(dir)
+                .resolve(src.getFileName)
+              try JFiles.createLink(dst, src)
+              catch {
+                case _: UnsupportedOperationException =>
+                  JFiles.copy(src, dst)
+              }
+            }
+        }
+      }
+      graft.operators.SourceQueries.snapshotReplacePartitions(spark,
+        root, version, replaced, newEntries,
+        StructType(meta.dataSchema.fields.map(_.copy(nullable = true))))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      org.apache.commons.io.FileUtils.deleteQuietly(attemptRoot.toFile)
+  }
+}
+
+/** Per-task commit: the (partitionValue → leaf dir) pairs this task
+  * wrote files under.
+  */
+final case class SnapshotReplaceCommit(pvDirs: Seq[(String, String)])
+  extends WriterCommitMessage
+
+/** Minimal serializable Hadoop `Configuration` carrier (the stock
+  * spark util is `private[spark]`).
+  */
+final class SnapshotSerializableConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+final class SnapshotReplaceWriterFactory(
+    attemptRoot: String,
+    writeSchema: StructType,
+    fileSchema: StructType,
+    mirrorNames: Seq[String],
+    srcCols: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    owf: OutputWriterFactory,
+    conf: SnapshotSerializableConf) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new SnapshotReplaceDataWriter(attemptRoot, writeSchema, fileSchema,
+      mirrorNames, srcCols, owf, conf.value, partitionId, taskId)
+}
+
+/** Streams rows into one parquet file per partition value this task
+  * sees (stock [[ParquetFileFormat]] writers — bit-compatible with the
+  * door's files). File names carry the task id, so parallel tasks
+  * writing the same partition never collide.
+  */
+final class SnapshotReplaceDataWriter(
+    attemptRoot: String,
+    writeSchema: StructType,
+    fileSchema: StructType,
+    mirrorNames: Seq[String],
+    srcCols: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    owf: OutputWriterFactory,
+    conf: Configuration,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val ctx = new TaskAttemptContextImpl(new Configuration(conf),
+    new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
+      "graft-rl", 0), TaskType.MAP, partitionId), 0))
+
+  /** Physical rows may lead with Spark's `__row_operation` op-code
+    * column: `ReplaceDataExec` only applies its row projection when
+    * the operation declared metadata attributes (the
+    * `DataAndMetadataWritingSparkTask` branch) — with none, the raw
+    * rewrite output reaches the writer. Sniffed from the first row's
+    * arity and pinned for the task; op-code `DELETE_OPERATION` rows
+    * (a MERGE's deleted rows) are dropped, every other code writes.
+    */
+  private var opOffset: Int = -1
+
+  private def resolveOffset(row: InternalRow): Unit = {
+    opOffset = row.numFields - writeSchema.length match {
+      case 0 => 0
+      case 1 => 1
+      case d => throw new IllegalStateException(
+        s"row-level write row has ${row.numFields} fields for " +
+          s"${writeSchema.length}-column schema (delta $d)")
+    }
+  }
+
+  // projection to the FILE schema (mirrors dropped — the dir name is
+  // the layout, exactly like the door's partitionBy writes)
+  private lazy val project: UnsafeProjection = UnsafeProjection.create(
+    fileSchema.fieldNames.toIndexedSeq.map { n =>
+      val i = writeSchema.fieldNames.indexOf(n)
+      BoundReference(i + opOffset, writeSchema.fields(i).dataType,
+        nullable = true): Expression
+    })
+
+  private val writers = mutable.HashMap.empty[String, OutputWriter]
+  private val dirs = mutable.HashMap.empty[String, String]
+
+  private def partValue(row: InternalRow, i: Int,
+                        dt: org.apache.spark.sql.types.DataType): String = {
+    require(!row.isNullAt(i),
+      "null partition value in row-level write — the snapshot store " +
+        "requires non-null partition values")
+    dt match {
+      case StringType => row.getUTF8String(i).toString
+      case DateType => DateTimeUtils.toJavaDate(row.getInt(i)).toString
+      case IntegerType => String.valueOf(row.getInt(i))
+      case LongType => String.valueOf(row.getLong(i))
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (opOffset < 0) resolveOffset(row)
+    // MERGE deletes arrive as op-coded rows — they simply don't get
+    // written (the group rewrite's output replaces the partition)
+    if (opOffset == 1 &&
+      row.getInt(0) == org.apache.spark.sql.catalyst.util.RowDeltaUtils
+        .DELETE_OPERATION) return
+    val vals = srcCols.map { case (i, dt) =>
+      ExternalCatalogUtils.escapePathName(partValue(row, i + opOffset, dt))
+    }
+    val pv = vals.mkString("/")
+    val w = writers.getOrElseUpdate(pv, {
+      val leaf = mirrorNames.zip(vals)
+        .map { case (m, v) => s"$m=$v" }.mkString("/")
+      val dir = s"$attemptRoot/$leaf"
+      JFiles.createDirectories(java.nio.file.Paths.get(dir))
+      dirs(pv) = dir
+      owf.newInstance(
+        s"$dir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}",
+        fileSchema, ctx)
+    })
+    w.write(project(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    SnapshotReplaceCommit(dirs.toSeq)
+  }
+
+  override def abort(): Unit = writers.values.foreach { w =>
+    try w.close() catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit = ()
+}

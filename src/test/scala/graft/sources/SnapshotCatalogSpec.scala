@@ -192,8 +192,8 @@ class SnapshotCatalogSpec extends SparkSpec {
       "v1 must survive both deletes untouched")
   }
 
-  test("DML refusals: OVERWRITE, mirror disagreement, untranslatable " +
-    "DELETE, pinned-version writes") {
+  test("DML refusals: OVERWRITE, mirror disagreement, " +
+    "pinned-version writes") {
     val (droot, t) = dmlStore()
     val ow = intercept[Exception] {
       spark.sql(s"INSERT OVERWRITE $t VALUES (9L, 9.0, '2024-01', '2024-01')")
@@ -204,11 +204,6 @@ class SnapshotCatalogSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $t VALUES (9L, 9.0, '2024-01', '2024-02')")
     }
     assert(mm.getMessage.contains("mirror"), s"got: ${mm.getMessage}")
-    val del = intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
-    }
-    assert(del.getMessage.toLowerCase.matches("(?s).*(delete|filter).*"),
-      s"got: ${del.getMessage}")
     // a VERSION AS OF reference refuses DML at the table API too
     // (SQL can't even parse a time-travel DML target — this pins the
     // programmatic route)
@@ -230,6 +225,76 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(pd.getMessage.contains("immutable"))
     // nothing above may have advanced the store
     assert(SnapshotManifest.head(droot) === 1)
+  }
+
+  test("UPDATE is a group-based copy-on-write: only partitions with " +
+    "matched rows are rewritten") {
+    val (droot, t) = dmlStore()
+    val m1 = SnapshotManifest.read(droot, 1)
+    spark.sql(s"UPDATE $t SET price = price + 1.0 WHERE k = 3")
+    assert(SnapshotManifest.head(droot) === 2,
+      "one UPDATE statement must publish exactly one version")
+    assert(rowsOf(t) === Set((1L, 10.0), (2L, 20.0), (3L, 31.0)))
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "v1 must survive the update untouched")
+    val m2 = SnapshotManifest.read(droot, 2)
+    // runtime group filtering: k=3 lives only in 2024-02 — 2024-01's
+    // dir pointer must be SHARED with v1, not rewritten
+    assert(m2("2024-01") === m1("2024-01"),
+      "unmatched partition must keep its exact v1 dir (group filter)")
+    assert(m2("2024-02") !== m1("2024-02"))
+  }
+
+  test("UPDATE may move rows across partitions; the receiving " +
+    "partition keeps its existing rows") {
+    val (droot, t) = dmlStore()
+    // key 1 moves from 2024-01 to 2024-02; keys 2 (2024-01) and
+    // 3 (2024-02, untouched by the scan or not — must both survive)
+    spark.sql(s"UPDATE $t SET ym = '2024-02' WHERE k = 1")
+    val got = spark.sql(s"SELECT k, price, ym FROM $t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 10.0, "2024-02"), (2L, 20.0, "2024-01"),
+      (3L, 30.0, "2024-02")))
+    // and the mirror column serves the moved row's NEW partition
+    val viaMirror = spark.sql(
+      s"SELECT k FROM $t WHERE ym_p = '2024-02'").collect()
+      .map(_.getLong(0)).toSet
+    assert(viaMirror === Set(1L, 3L))
+  }
+
+  test("DELETE with an arbitrary predicate rewrites groups " +
+    "(no metadata-filter translation needed)") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"DELETE FROM $t WHERE k % 2 = 1") // keys 1 and 3
+    assert(rowsOf(t) === Set((2L, 20.0)))
+    assert(SnapshotManifest.head(droot) === 2)
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // 2024-02 emptied entirely → out of the manifest
+    assert(!SnapshotManifest.read(droot, 2).contains("2024-02"))
+  }
+
+  test("MERGE INTO: matched updates and not-matched inserts in one " +
+    "statement, one version") {
+    val (droot, t) = dmlStore()
+    import spark.implicits._
+    Seq((2L, 200.0, "2024-01"), (9L, 90.0, "2024-03"))
+      .toDF("k", "price", "ym").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING merge_src AS src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET price = src.price
+         |WHEN NOT MATCHED THEN
+         |  INSERT (k, price, ym, ym_p) VALUES (src.k, src.price, src.ym, src.ym)
+         |""".stripMargin)
+    assert(SnapshotManifest.head(droot) === 2,
+      "one MERGE statement must publish exactly one version")
+    assert(rowsOf(t) ===
+      Set((1L, 10.0), (2L, 200.0), (3L, 30.0), (9L, 90.0)))
+    assert(SnapshotManifest.read(droot, 2).contains("2024-03"),
+      "the not-matched insert must create its partition")
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
   test("TRUNCATE TABLE routes through the DELETE door") {
