@@ -205,12 +205,26 @@ final class SnapshotRowLevelScan(
   override def description(): String =
     s"graft-snapshot-row-level(${current.description()})"
 
+  /** ONE attribute, the leading partition column, even on multi-column
+    * layouts: Spark builds a single dynamic-pruning subquery over ALL
+    * declared attributes, and a multi-key IN-subquery has no V2
+    * predicate form — the engine then silently drops the runtime
+    * filter and `filter` never fires (measured). A single-key subquery
+    * always translates, so a two-column layout still narrows by its
+    * leading column (all event types of the matched days) instead of
+    * not at all.
+    */
   override def filterAttributes(): Array[NamedReference] =
-    op.partSchema.fieldNames.map(Expressions.column)
+    Array(Expressions.column(op.partSchema.fieldNames.head))
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val exprs = predicates.toSeq.flatMap(p =>
       SnapshotRowLevel.v2ToPartitionExpr(p, op.partSchema))
+    if (sys.env.contains("GRAFT_RL_DEBUG"))
+      // scalastyle:off println
+      println(s"RL-DEBUG filter preds=${predicates.mkString("; ")} " +
+        s"exprs=$exprs")
+      // scalastyle:on println
     // untranslatable runtime predicates are legally ignored (the scan
     // reads MORE groups; replacedGroups sees the same filter list, so
     // scan and commit still agree)
@@ -317,8 +331,11 @@ final class SnapshotReplaceWrite(
   override def description(): String = s"graft-snapshot-replace v$version"
 
   override def toBatch: BatchWrite = new BatchWrite {
+    // named exactly like the door's attempt roots (d<V>-<hex8>) so
+    // snapshotVacuum's unreferenced-leaf sweep covers aborted or
+    // CAS-lost row-level writes too
     private val attemptRoot = root.resolve(
-      s"d${version + 1}-rl-${java.util.UUID.randomUUID.toString.take(8)}")
+      s"d${version + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
 
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
         : DataWriterFactory = {

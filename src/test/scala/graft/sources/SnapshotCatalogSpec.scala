@@ -297,6 +297,102 @@ class SnapshotCatalogSpec extends SparkSpec {
       Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("row-level UPDATE and MERGE generalize to the typed " +
+    "multi-column layout (DATE runtime group-filter literals)") {
+    import spark.implicits._
+    val droot = java.nio.file.Files.createTempDirectory("rl_multi")
+      .resolve("ev")
+    Seq((1L, java.sql.Date.valueOf("2024-01-10"), "click", 1.0),
+        (2L, java.sql.Date.valueOf("2024-01-10"), "purchase", 2.0),
+        (3L, java.sql.Date.valueOf("2024-01-11"), "click", 3.0))
+      .toDF("event_id", "e_dt", "event_type", "value")
+      .write.format("graft-snapshot")
+      .option("keyCol", "event_id").option("partCols", "e_dt,event_type")
+      .mode("append").save(droot.toString)
+    val c = s"snaprlm${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+      droot.getParent.toString)
+    val t = s"$c.`${droot.getFileName}`"
+    val m1 = SnapshotManifest.read(droot, 1)
+    // matches only event 2; the runtime group filter narrows by the
+    // LEADING partition column (a multi-key IN-subquery has no V2
+    // predicate form — see SnapshotRowLevelScan.filterAttributes), so
+    // its typed DATE literals prune day 2024-01-11 entirely while both
+    // 2024-01-10 leaves are rewritten
+    spark.sql(s"UPDATE $t SET value = value * 10.0 WHERE event_id = 2")
+    val m2 = SnapshotManifest.read(droot, 2)
+    val got = spark.sql(s"SELECT event_id, value FROM $t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    assert(m2("2024-01-11/click") === m1("2024-01-11/click"),
+      "unmatched DAY must keep its v1 dir (typed DATE group filter)")
+    assert(m2("2024-01-10/purchase") !== m1("2024-01-10/purchase"))
+    // and MERGE: update event 3, insert event 9 into a new leaf
+    Seq((3L, java.sql.Date.valueOf("2024-01-11"), "click", 30.0),
+        (9L, java.sql.Date.valueOf("2024-01-12"), "view", 9.0))
+      .toDF("event_id", "e_dt", "event_type", "value")
+      .createOrReplaceTempView("rlm_src")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING rlm_src AS src
+         |ON tgt.event_id = src.event_id
+         |WHEN MATCHED THEN UPDATE SET value = src.value
+         |WHEN NOT MATCHED THEN INSERT
+         |  (event_id, e_dt, event_type, value, e_dt_p, event_type_p)
+         |  VALUES (src.event_id, src.e_dt, src.event_type, src.value,
+         |    src.e_dt, src.event_type)""".stripMargin)
+    val got3 = spark.sql(s"SELECT event_id, value FROM $t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got3 === Set((1L, 1.0), (2L, 20.0), (3L, 30.0), (9L, 9.0)))
+    assert(SnapshotManifest.read(droot, 3).contains("2024-01-12/view"))
+    assert(SnapshotManifest.head(droot) === 3)
+  }
+
+  test("racing row-level statements: one CAS winner, the loser " +
+    "throws, the store stays consistent") {
+    val (droot, t) = dmlStore()
+    // both UPDATEs plan against v1; serialize their commits via the
+    // manifest CAS — exactly one version lands, the other statement
+    // fails loudly (group replacements don't rebase)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val ready = new CountDownLatch(2)
+    val go = new CountDownLatch(1)
+    def run(sql: String): java.util.concurrent.Future[Option[Throwable]] =
+      pool.submit(() => {
+        ready.countDown(); go.await(30, TimeUnit.SECONDS)
+        try { spark.sql(sql); None }
+        catch { case e: Throwable => Some(e) }
+      })
+    val f1 = run(s"UPDATE $t SET price = price + 1.0 WHERE k = 1")
+    val f2 = run(s"UPDATE $t SET price = price + 2.0 WHERE k = 2")
+    ready.await(30, TimeUnit.SECONDS); go.countDown()
+    val errs = Seq(f1.get(), f2.get()).flatten
+    pool.shutdown()
+    // engine-level racing may also serialize them (both succeed) if
+    // one finishes before the other plans; what must NEVER happen is
+    // two silent winners with one update lost, or a corrupt store
+    val head = SnapshotManifest.head(droot)
+    val rows = rowsOf(t)
+    if (errs.isEmpty) {
+      assert(head === 3)
+      assert(rows === Set((1L, 11.0), (2L, 22.0), (3L, 30.0)))
+    } else {
+      assert(errs.size === 1, s"at most one loser, got $errs")
+      assert(head === 2)
+      assert(rows === Set((1L, 11.0), (2L, 20.0), (3L, 30.0)) ||
+        rows === Set((1L, 10.0), (2L, 22.0), (3L, 30.0)),
+        s"exactly the winner's update must be visible, got $rows")
+      val loser = errs.head
+      def chain(e: Throwable): Seq[Throwable] =
+        if (e == null) Nil else e +: chain(e.getCause)
+      assert(chain(loser).exists(
+        _.isInstanceOf[graft.operators.SourceQueries.SnapshotConflictException]),
+        s"loser must surface the CAS conflict, got: $loser")
+    }
+  }
+
   test("TRUNCATE TABLE routes through the DELETE door") {
     val (droot, t) = dmlStore()
     spark.sql(s"TRUNCATE TABLE $t")
