@@ -274,10 +274,11 @@ object SourceQueries {
     val qName = "graft_streaming_late_data"
     s.streams.active.filter(q => Option(q.name).contains(qName))
       .foreach(_.stop())
+    // deterministic per-sf dir, wiped at entry start (the query above
+    // is already stopped): leak-free across JVMs, idempotent per call
     val base = java.nio.file.Paths.get(ioDir("late_data"))
-      .resolve(java.util.UUID.randomUUID.toString.take(8))
-    lateDataRoots.put(Tables.dirKey(dir), base).foreach(old =>
-      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
+      .resolve(Tables.dirKey(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     val inbox = base.resolve("inbox")
     java.nio.file.Files.createDirectories(inbox)
     val evts = Tables.events(s, dir)
@@ -310,6 +311,7 @@ object SourceQueries {
     val schema = evts.schema
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevMinPn = s.conf.getOption("spark.sql.files.minPartitionNum")
     val dropped =
       try {
         // setup INSIDE try so a throw can't leak the pinned confs
@@ -317,8 +319,14 @@ object SourceQueries {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         // the drop-count plane (see below) needs the straggler file to
         // be ONE map partition; parquet is splittable, so pin the split
-        // size above any plausible fixture size instead of assuming
+        // size above any plausible fixture size instead of assuming.
+        // maxPartitionBytes alone is only an UPPER bound — the actual
+        // split is min(max, max(openCost, bytes/minPartitionNum)), and
+        // minPartitionNum defaults to the session parallelism (32), so
+        // a file past ~4 MB would still split 32 ways and the counter
+        // would count each window once PER SPLIT. Pin both.
         s.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        s.conf.set("spark.sql.files.minPartitionNum", "1")
         // NOTE: no filter between agg and sink — a predicate on the
         // window key pushes below the EventTimeWatermark node and
         // silently disables late-row dropping (observed: 0 drops, all
@@ -348,6 +356,10 @@ object SourceQueries {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+        prevMinPn match {
+          case Some(v) => s.conf.set("spark.sql.files.minPartitionNum", v)
+          case None => s.conf.unset("spark.sql.files.minPartitionNum")
+        }
       }
     s.table(qName)
       .filter(col("hour") < lit("2024-02-01").cast("timestamp"))
@@ -358,9 +370,6 @@ object SourceQueries {
       // windows, which is what the oracle recomputes
       .withColumn("n_late_windows", lit(dropped))
   }
-
-  private val lateDataRoots =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   def streamingDedupEvents(s: SparkSession, dir: String): DataFrame = {
     val qName = "graft_streaming_dedup"

@@ -114,7 +114,7 @@ object MrOutSource {
   * envelope ships it to executor-side readers/writers (the standard
   * connector pattern, e.g. Spark's own `SerializableConfiguration`).
   */
-private class SerializableConf(@transient var conf: Configuration)
+private[sources] class SerializableConf(@transient var conf: Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit =
     conf.write(out)

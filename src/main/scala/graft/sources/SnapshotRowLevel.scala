@@ -79,6 +79,27 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, 
   * plus one manifest swap — never O(table) unless the predicate
   * really touches every partition; group determination is
   * metadata-plane (manifest values in memory, no listings).
+  *
+  * Documented limits (both the Delta/Iceberg stance — no table
+  * constraints are enforced by rewrites):
+  *
+  *  - a layout MIRROR column value (`o_ym_p`) supplied by `SET` or a
+  *    MERGE INSERT is superseded by the derived layout: mirrors are
+  *    computed from their source columns and dropped from the files,
+  *    so reads always serve mirror == source (consistent, measured) —
+  *    assign the SOURCE column (`o_ym`) to move rows. The writer
+  *    cannot refuse a divergent mirror per-row because a legal
+  *    source-column move leaves the mirror stale in exactly the same
+  *    shape (rows that DO arrive tagged `INSERT_OPERATION` with a
+  *    divergent mirror are refused as defense-in-depth, but current
+  *    group-based rewrites tag inserts as plain writes).
+  *  - `SET` on the store's KEY column is the caller's responsibility:
+  *    the rewrite replaces groups verbatim and does not scan
+  *    untouched partitions for key collisions (global uniqueness
+  *    would cost O(table) per statement). The keyed-upsert semantics
+  *    of the INSERT/streaming doors are per-statement semantics, not
+  *    an enforced table constraint — the SQL standard's UPDATE with
+  *    no PRIMARY KEY declared.
   */
 final class SnapshotRowLevelOperation(
     spark: SparkSession,
@@ -220,11 +241,6 @@ final class SnapshotRowLevelScan(
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val exprs = predicates.toSeq.flatMap(p =>
       SnapshotRowLevel.v2ToPartitionExpr(p, op.partSchema))
-    if (sys.env.contains("GRAFT_RL_DEBUG"))
-      // scalastyle:off println
-      println(s"RL-DEBUG filter preds=${predicates.mkString("; ")} " +
-        s"exprs=$exprs")
-      // scalastyle:on println
     // untranslatable runtime predicates are legally ignored (the scan
     // reads MORE groups; replacedGroups sees the same filter list, so
     // scan and commit still agree)
@@ -362,7 +378,7 @@ final class SnapshotReplaceWrite(
         Map.empty, fileSchema)
       new SnapshotReplaceWriterFactory(attemptRoot.toString, writeSchema,
         fileSchema, mirrorNames, srcCols, owf,
-        new SnapshotSerializableConf(job.getConfiguration))
+        new SerializableConf(job.getConfiguration))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -381,8 +397,13 @@ final class SnapshotReplaceWrite(
             .foreach { st =>
               val src = java.nio.file.Paths.get(
                 st.getPath.toUri.getPath)
-              val dst = java.nio.file.Paths.get(dir)
-                .resolve(src.getFileName)
+              // carry- prefix + fresh uuid: the receiving dir may hold
+              // same-named files from an earlier session's row-level
+              // write (task ids restart per application), and a name
+              // collision would fail the whole statement
+              val dst = java.nio.file.Paths.get(dir).resolve(
+                s"carry-${java.util.UUID.randomUUID.toString.take(8)}-" +
+                  src.getFileName)
               try JFiles.createLink(dst, src)
               catch {
                 case _: UnsupportedOperationException =>
@@ -407,22 +428,6 @@ final class SnapshotReplaceWrite(
 final case class SnapshotReplaceCommit(pvDirs: Seq[(String, String)])
   extends WriterCommitMessage
 
-/** Minimal serializable Hadoop `Configuration` carrier (the stock
-  * spark util is `private[spark]`).
-  */
-final class SnapshotSerializableConf(@transient var value: Configuration)
-  extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
-}
-
 final class SnapshotReplaceWriterFactory(
     attemptRoot: String,
     writeSchema: StructType,
@@ -430,12 +435,12 @@ final class SnapshotReplaceWriterFactory(
     mirrorNames: Seq[String],
     srcCols: Seq[(Int, org.apache.spark.sql.types.DataType)],
     owf: OutputWriterFactory,
-    conf: SnapshotSerializableConf) extends DataWriterFactory {
+    conf: SerializableConf) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new SnapshotReplaceDataWriter(attemptRoot, writeSchema, fileSchema,
-      mirrorNames, srcCols, owf, conf.value, partitionId, taskId)
+      mirrorNames, srcCols, owf, conf.conf, partitionId, taskId)
 }
 
 /** Streams rows into one parquet file per partition value this task
@@ -489,6 +494,15 @@ final class SnapshotReplaceDataWriter(
 
   private val writers = mutable.HashMap.empty[String, OutputWriter]
   private val dirs = mutable.HashMap.empty[String, String]
+  // task-commit protocol: stream into HIDDEN .inprog files (invisible
+  // to every reader and to the driver commit's dir publish), rename to
+  // the visible name only in commit(). A failed or speculative task
+  // attempt therefore can never leave a visible partial file in a dir
+  // the driver publishes — the same discipline as the mr-out
+  // connector's task-temp + rename (task ids are attempt-unique and
+  // the commit coordinator admits one attempt per task, so the rename
+  // target never collides)
+  private val pending = mutable.Buffer.empty[(JPath, JPath)]
 
   private def partValue(row: InternalRow, i: Int,
                         dt: org.apache.spark.sql.types.DataType): String = {
@@ -508,9 +522,33 @@ final class SnapshotReplaceDataWriter(
     if (opOffset < 0) resolveOffset(row)
     // MERGE deletes arrive as op-coded rows — they simply don't get
     // written (the group rewrite's output replaces the partition)
-    if (opOffset == 1 &&
-      row.getInt(0) == org.apache.spark.sql.catalyst.util.RowDeltaUtils
-        .DELETE_OPERATION) return
+    val op = if (opOffset == 1) row.getInt(0) else -1
+    if (op == org.apache.spark.sql.catalyst.util.RowDeltaUtils
+      .DELETE_OPERATION) return
+    // an INSERT-coded row (a MERGE's NOT MATCHED branch) that supplies
+    // a layout-mirror value disagreeing with its source column is
+    // refused like the INSERT door refuses it — a brand-new row has no
+    // legal reason to diverge. (An UPDATE that moves a row's SOURCE
+    // column legitimately leaves the mirror stale, so update-coded
+    // rows can't be checked here; the mirrors are dropped from the
+    // files either way and routing always follows the source.)
+    if (op == org.apache.spark.sql.catalyst.util.RowDeltaUtils
+      .INSERT_OPERATION) {
+      mirrorNames.foreach { m =>
+        val mi = writeSchema.fieldNames.indexOf(m)
+        if (mi >= 0) {
+          val si = writeSchema.fieldNames.indexOf(m.stripSuffix("_p"))
+          val dt = writeSchema.fields(si).dataType
+          val mv = if (row.isNullAt(mi + opOffset)) null
+            else partValue(row, mi + opOffset, dt)
+          val sv = partValue(row, si + opOffset, dt)
+          require(mv == sv,
+            s"layout mirror $m='$mv' disagrees with source '$sv' on an " +
+              "inserted row — the store derives the layout; write the " +
+              "source value")
+        }
+      }
+    }
     val vals = srcCols.map { case (i, dt) =>
       ExternalCatalogUtils.escapePathName(partValue(row, i + opOffset, dt))
     }
@@ -521,20 +559,29 @@ final class SnapshotReplaceDataWriter(
       val dir = s"$attemptRoot/$leaf"
       JFiles.createDirectories(java.nio.file.Paths.get(dir))
       dirs(pv) = dir
-      owf.newInstance(
-        s"$dir/part-$partitionId-$taskId${owf.getFileExtension(ctx)}",
-        fileSchema, ctx)
+      val ext = owf.getFileExtension(ctx)
+      val tmp = java.nio.file.Paths.get(
+        s"$dir/.inprog-part-$partitionId-$taskId$ext")
+      pending += tmp -> java.nio.file.Paths.get(
+        s"$dir/part-$partitionId-$taskId$ext")
+      owf.newInstance(tmp.toString, fileSchema, ctx)
     })
     w.write(project(row))
   }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
+    pending.foreach { case (tmp, fin) =>
+      JFiles.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     SnapshotReplaceCommit(dirs.toSeq)
   }
 
-  override def abort(): Unit = writers.values.foreach { w =>
-    try w.close() catch { case _: Throwable => () }
+  override def abort(): Unit = {
+    writers.values.foreach { w =>
+      try w.close() catch { case _: Throwable => () }
+    }
+    pending.foreach { case (tmp, _) => JFiles.deleteIfExists(tmp) }
   }
 
   override def close(): Unit = ()

@@ -393,6 +393,50 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
   }
 
+  test("row-level task writers stay invisible until task commit; " +
+    "abort leaves nothing behind") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.InternalRow
+    val writeSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ym", StringType), StructField("ym_p", StringType)))
+    val fileSchema = StructType(writeSchema.fields.take(2))
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sparkContext.hadoopConfiguration)
+    val owf = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, fileSchema)
+    val root = java.nio.file.Files.createTempDirectory("rl_task").toString
+    val factory = new SnapshotReplaceWriterFactory(root, writeSchema,
+      fileSchema, Seq("ym_p"), Seq((1, StringType)), owf,
+      new SerializableConf(job.getConfiguration))
+    def row(k: Long): InternalRow = InternalRow(k,
+      UTF8String.fromString("2024-01"), UTF8String.fromString("2024-01"))
+    def visible: Seq[String] = SnapshotFiles.listDataFiles(
+      spark.sparkContext.hadoopConfiguration, s"$root/ym_p=2024-01")
+      .map(_.getPath.getName).toSeq
+    // attempt 1 writes a row, then dies: its file must never be seen
+    val w1 = factory.createWriter(0, 1L)
+    w1.write(row(1L))
+    assert(visible.isEmpty,
+      "in-progress task output must be invisible (hidden temp name)")
+    w1.abort()
+    assert(new java.io.File(s"$root/ym_p=2024-01").listFiles()
+      .forall(f => !f.getName.startsWith(".inprog")),
+      "abort must delete the hidden temp")
+    // attempt 2 (the retry) commits: exactly its file becomes visible
+    val w2 = factory.createWriter(0, 2L)
+    w2.write(row(1L)); w2.write(row(2L))
+    val msg = w2.commit().asInstanceOf[SnapshotReplaceCommit]
+    assert(visible.size === 1 && visible.head.startsWith("part-0-2") &&
+      visible.head.endsWith(".parquet"), s"got $visible")
+    assert(msg.pvDirs.map(_._1) === Seq("2024-01"))
+    val back = spark.read.schema(fileSchema)
+      .parquet(s"$root/ym_p=2024-01")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === Set((1L, "2024-01"), (2L, "2024-01")),
+      "the retry's rows exactly once — no duplicate from attempt 1")
+  }
+
   test("TRUNCATE TABLE routes through the DELETE door") {
     val (droot, t) = dmlStore()
     spark.sql(s"TRUNCATE TABLE $t")
