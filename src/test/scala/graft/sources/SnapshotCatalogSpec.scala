@@ -437,6 +437,20 @@ class SnapshotCatalogSpec extends SparkSpec {
       "the retry's rows exactly once — no duplicate from attempt 1")
   }
 
+  test("a row-level UPDATE version flows through the changefeed " +
+    "plane as an update delta") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"UPDATE $t SET price = price + 1.0 WHERE k = 3")
+    val changes = SourceQueries.changeRows(spark, droot, 1, 2,
+      keyCol = "k", valCol = "price")
+      .collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[String]("change_type"),
+        Option(r.getAs[java.lang.Double]("old_price")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)))
+    assert(changes.toSet === Set((3L, "update", Some(30.0), Some(31.0))),
+      "exactly the updated key, with both images, nothing phantom")
+  }
+
   test("TRUNCATE TABLE routes through the DELETE door") {
     val (droot, t) = dmlStore()
     spark.sql(s"TRUNCATE TABLE $t")
