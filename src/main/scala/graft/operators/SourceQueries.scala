@@ -2426,6 +2426,77 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** `INSERT OVERWRITE` on the snapshot store — VERSIONED partition
+    * replacement ([[graft.sources.SnapshotOverwriteWrite]]): overwrite
+    * in a versioned store never destroys history, it publishes one new
+    * version whose manifest swaps exactly the overwritten scope.
+    *
+    *  1. DYNAMIC mode (`partitionOverwriteMode=dynamic`): the
+    *     statement's rows cover 1995-01 and 1995-02 only — exactly
+    *     those two partitions swap to the new (smaller, discounted)
+    *     row set; every other month's dir pointer carries over.
+    *  2. STATIC `PARTITION (o_ym_p = '1996-05')`: the clause fills the
+    *     layout mirror, the writer verifies it against each row's
+    *     source month, and the commit replaces that one partition.
+    *
+    * Both are real DSv2 batch writes through the hidden-temp task
+    * protocol; the head aggregate carries the head version (exactly
+    * 3) and the oracle replays both statements relationally. At
+    * 100 TB: O(replaced + written partitions) per statement — the
+    * backfill-a-day/repartition-a-month shape that copy-on-write
+    * MERGE is too row-oriented for.
+    */
+  def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_ow")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_ow")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snapow_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    orders.createOrReplaceTempView("graft_ow_orders_src")
+    val prevMode =
+      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql(
+        s"""INSERT OVERWRITE $tbl
+           |SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9,
+           |  o_ym, o_ym
+           |FROM graft_ow_orders_src
+           |WHERE o_ym IN ('1995-01', '1995-02')
+           |  AND o_orderkey % 3 = 0""".stripMargin)
+    } finally prevMode match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.sql(
+      s"""INSERT OVERWRITE $tbl PARTITION (o_ym_p = '1996-05')
+         |SELECT o_orderkey, o_orderstatus, 0.0, o_ym
+         |FROM graft_ow_orders_src
+         |WHERE o_ym = '1996-05' AND o_orderkey % 5 = 0""".stripMargin)
+    val head = graft.sources.SnapshotManifest.head(root)
+    s.sql(
+      s"""SELECT $head AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -2839,6 +2910,7 @@ object SourceQueries {
     "sql_time_travel"         -> sqlTimeTravel _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_update_merge"        -> sqlUpdateMerge _,
+    "sql_insert_overwrite"    -> sqlInsertOverwrite _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -3110,6 +3182,29 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT -o_orderkey - 1, o_orderstatus, o_totalprice + 1.0, o_ym
         |  FROM base WHERE o_orderkey % 1409 = 0)
+        |SELECT 3 AS head_version, o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3 GROUP BY 1, 2""".stripMargin,
+    // replay: dynamic overwrite of 1995-01/02 (discounted %3 subset),
+    // then static PARTITION overwrite of 1996-05 (zero-priced %5 subset)
+    "sql_insert_overwrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT * FROM base WHERE o_ym NOT IN ('1995-01', '1995-02')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9, o_ym
+        |  FROM base
+        |  WHERE o_ym IN ('1995-01', '1995-02') AND o_orderkey % 3 = 0),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE o_ym <> '1996-05'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 0.0, o_ym
+        |  FROM base WHERE o_ym = '1996-05' AND o_orderkey % 5 = 0)
         |SELECT 3 AS head_version, o_orderstatus, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_orderkey) AS n_keys,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)

@@ -213,49 +213,67 @@ final class SnapshotV2Table(
       s"$op on a VERSION/TIMESTAMP AS OF reference: snapshot history " +
         "is immutable — run DML against the bare (head) table")
 
-  /** `BATCH_WRITE` is deliberately absent: the only write path is the
-    * V1 fallback, which hands the whole frame to the door's relational
-    * commit (the same path the DataFrame writer and streaming sink
-    * use) instead of a per-task file protocol that would need its own
-    * commit coordinator next to the store's CAS.
+  /** The store's layout, declared: one identity transform per
+    * partition-mirror column. This is what lets SQL spell
+    * `INSERT OVERWRITE … PARTITION (o_ym_p = '1995-01')`.
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    meta.partitionSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity)
+
+  /** Every write is a real DSv2 batch write through the hidden-temp
+    * task protocol: INSERT stages the delta and feeds the door's
+    * keyed-upsert commit, OVERWRITE and the row-level ops publish
+    * group replacements. (No `V1_BATCH_WRITE`: declaring it forces
+    * EVERY write through V1, and dynamic overwrite has no V1 plan.)
     */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCapability] = {
     import org.apache.spark.sql.connector.catalog.TableCapability._
-    java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE)
+    java.util.EnumSet.of(BATCH_READ, BATCH_WRITE,
+      OVERWRITE_BY_FILTER, OVERWRITE_DYNAMIC)
   }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    refuseIfPinned("INSERT INTO")
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    refuseIfPinned("writing")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+      // None = plain append (keyed upsert); Some(None) = dynamic
+      // overwrite; Some(Some(filters)) = static filter overwrite
+      private var overwriteMode:
+        Option[Option[Array[org.apache.spark.sql.sources.Filter]]] = None
+
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        filters.forall(f => SnapshotRowLevel
+          .v1ToPartitionExprStrict(f, meta.partitionSchema).isDefined)
+
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteMode = Some(Some(filters)); this
+      }
+
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteMode = Some(None); this
+      }
+
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
-          override def toInsertableRelation
-              : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite,
-                "graft-snapshot is append-only: INSERT OVERWRITE would " +
-                  "destroy history")
-              import org.apache.spark.sql.functions.col
-              // the table schema carries the layout mirrors; the commit
-              // re-derives them, so a frame whose mirror values disagree
-              // with their sources must be refused, not silently
-              // re-laid-out (one delta-sized pass — commit-bounded)
-              val mirrors = meta.partitionSchema.fieldNames.toSeq
-                .filter(data.columns.contains)
-              val disagree = mirrors.map(m =>
-                !(col(m) <=> col(m.stripSuffix("_p"))))
-                .reduceOption(_ || _)
-              disagree.foreach(p => require(data.filter(p).isEmpty,
-                s"layout mirror column(s) ${mirrors.mkString(", ")} must " +
-                  "equal their source columns — the store derives the " +
-                  "layout; write the source values instead"))
-              SnapshotDoor.commit(spark, doorParams,
-                data.drop(meta.partitionSchema.fieldNames.toIndexedSeq: _*),
-                txn = None)
-            }
+        overwriteMode match {
+          case Some(filters) =>
+            // versioned partition replacement — one CAS version whose
+            // manifest swaps exactly the overwritten scope
+            new SnapshotOverwriteWrite(spark, root, version, meta, info,
+              filters)
+          case None =>
+            // keyed upsert through the door (staged v2 write)
+            new SnapshotAppendWrite(spark, root, meta, doorParams, info)
         }
     }
   }

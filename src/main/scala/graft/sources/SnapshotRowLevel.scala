@@ -10,7 +10,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr, Predicate => CPredicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr, Predicate => CPredicate, UnsafeProjection}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
-import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEqualTo, Filter => V1Filter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, IsNotNull => FIsNotNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Or => FOr}
+import org.apache.spark.sql.sources.{AlwaysFalse => FAlwaysFalse, AlwaysTrue => FAlwaysTrue, And => FAnd, EqualNullSafe => FEqualNullSafe, EqualTo => FEqualTo, Filter => V1Filter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, IsNotNull => FIsNotNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Or => FOr}
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, StructType}
 
 /** SQL `UPDATE` / `MERGE INTO` / predicate-`DELETE` on the snapshot
@@ -145,21 +145,8 @@ final class SnapshotRowLevelOperation(
     val scan = filteredScan.orElse(builtScans.lastOption).getOrElse(
       throw new IllegalStateException(
         "row-level write committed with no planned scan"))
-    val filters = scan.partitionFilters
-    val manifest = SnapshotManifest.read(root, version)
-    if (filters.isEmpty) manifest.keySet
-    else {
-      val bound = filters.reduce(CAnd).transform {
-        case a: AttributeReference =>
-          val i = partSchema.fieldNames.indexOf(a.name)
-          require(i >= 0, s"non-partition filter column ${a.name}")
-          BoundReference(i, partSchema.fields(i).dataType, nullable = true)
-      }
-      val pred = CPredicate.createInterpreted(bound)
-      manifest.keySet.filter { pv =>
-        pred.eval(SnapshotPartitionValues.row(pv, partSchema))
-      }
-    }
+    SnapshotRowLevel.matchingPvs(scan.partitionFilters, partSchema,
+      SnapshotManifest.read(root, version).keySet)
   }
 }
 
@@ -258,6 +245,52 @@ private[sources] object SnapshotRowLevel {
   private def isPartCol(name: String, schema: StructType): Boolean =
     schema.fieldNames.contains(name)
 
+  /** The pvs satisfying `filters`, evaluated over the typed manifest
+    * values — one predicate bound by NAME against the partition
+    * schema, the same evaluation the scan's index pruning performs.
+    */
+  def matchingPvs(filters: Seq[Expression], partSchema: StructType,
+                  pvs: Set[String]): Set[String] =
+    if (filters.isEmpty) pvs
+    else {
+      val bound = filters.reduce(CAnd).transform {
+        case a: AttributeReference =>
+          val i = partSchema.fieldNames.indexOf(a.name)
+          require(i >= 0, s"non-partition filter column ${a.name}")
+          BoundReference(i, partSchema.fields(i).dataType, nullable = true)
+      }
+      val pred = CPredicate.createInterpreted(bound)
+      pvs.filter(pv => pred.eval(SnapshotPartitionValues.row(pv, partSchema)))
+    }
+
+  /** STRICT v1→partition translation for overwrite scoping: unlike
+    * [[v1ToPartitionExpr]] (pruning, where dropping a conjunct is
+    * sound), an overwrite's replaced set must match the filter
+    * EXACTLY — any untranslatable piece refuses the whole filter
+    * (None), which surfaces as `canOverwrite = false`.
+    */
+  def v1ToPartitionExprStrict(f: V1Filter, ps: StructType)
+      : Option[Expression] = f match {
+    case FAnd(l, r) =>
+      for {
+        a <- v1ToPartitionExprStrict(l, ps)
+        b <- v1ToPartitionExprStrict(r, ps)
+      } yield CAnd(a, b)
+    case FOr(l, r) =>
+      for {
+        a <- v1ToPartitionExprStrict(l, ps)
+        b <- v1ToPartitionExprStrict(r, ps)
+      } yield COr(a, b)
+    case atom =>
+      // atoms: the pruning translator is already exact for these (it
+      // only weakens inside ANDs/ORs, handled structurally above)
+      v1ToPartitionExpr(atom, ps) match {
+        case some @ Some(_)
+          if atom.references.forall(isPartCol(_, ps)) => some
+        case _ => None
+      }
+  }
+
   /** V1 filter → partition-pruning expression. Conservative by
     * construction: for AND, any translatable side is a NECESSARY
     * condition (sound to prune with); for OR both sides must
@@ -267,6 +300,9 @@ private[sources] object SnapshotRowLevel {
     f match {
       case FEqualTo(a, v) if isPartCol(a, ps) =>
         Some(CEqualTo(attr(a, ps), Literal(v)))
+      case FEqualNullSafe(a, v) if isPartCol(a, ps) =>
+        // the spelling a static PARTITION (col = value) clause arrives in
+        Some(CEqualNullSafe(attr(a, ps), Literal(v)))
       case FIn(a, vs) if isPartCol(a, ps) =>
         Some(CIn(attr(a, ps), vs.toIndexedSeq.map(Literal(_))))
       case FGreaterThan(a, v) if isPartCol(a, ps) =>
@@ -279,6 +315,8 @@ private[sources] object SnapshotRowLevel {
         Some(CLessThanOrEqual(attr(a, ps), Literal(v)))
       case FIsNotNull(a) if isPartCol(a, ps) =>
         Some(CIsNotNull(attr(a, ps)))
+      case _: FAlwaysTrue => Some(Literal(true))
+      case _: FAlwaysFalse => Some(Literal(false))
       case FAnd(l, r) =>
         (v1ToPartitionExpr(l, ps), v1ToPartitionExpr(r, ps)) match {
           case (Some(a), Some(b)) => Some(CAnd(a, b))
@@ -354,32 +392,9 @@ final class SnapshotReplaceWrite(
       s"d${version + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
 
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
-        : DataWriterFactory = {
-      JFiles.createDirectories(attemptRoot)
-      val writeSchema = info.schema()
-      val mirrorNames = meta.partitionSchema.fieldNames.toSeq
-      val fileSchema = StructType(
-        writeSchema.fields.filterNot(f => mirrorNames.contains(f.name)))
-      // partition routing reads the SOURCE columns (post-update values
-      // — a SET that moves a row's partition routes by the NEW value;
-      // the mirrors in the write schema are stale by definition there)
-      val srcCols = mirrorNames.map(_.stripSuffix("_p")).map { c =>
-        val i = writeSchema.fieldNames.indexOf(c)
-        require(i >= 0, s"partition source column $c missing from write " +
-          s"schema ${writeSchema.fieldNames.mkString(",")}")
-        (i, writeSchema.fields(i).dataType)
-      }
-      srcCols.foreach { case (_, dt) =>
-        require(dt == StringType || dt == DateType || dt == IntegerType ||
-          dt == LongType, s"unsupported partition column type $dt")
-      }
-      val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-      val owf = new ParquetFileFormat().prepareWrite(spark, job,
-        Map.empty, fileSchema)
-      new SnapshotReplaceWriterFactory(attemptRoot.toString, writeSchema,
-        fileSchema, mirrorNames, srcCols, owf,
-        new SerializableConf(job.getConfiguration))
-    }
+        : DataWriterFactory =
+      SnapshotWriteSupport.factory(spark, meta, info.schema(),
+        attemptRoot, checkMirrors = false)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val newEntries: Map[String, String] = messages.toSeq
@@ -422,6 +437,170 @@ final class SnapshotReplaceWrite(
   }
 }
 
+/** Shared task-writer construction for every v2 batch write into the
+  * store (the row-level replace and the overwrite door).
+  */
+private[sources] object SnapshotWriteSupport {
+  def factory(spark: SparkSession, meta: SnapshotMeta.Meta,
+              writeSchema: StructType, attemptRoot: JPath,
+              checkMirrors: Boolean): DataWriterFactory = {
+    JFiles.createDirectories(attemptRoot)
+    val mirrorNames = meta.partitionSchema.fieldNames.toSeq
+    val fileSchema = StructType(
+      writeSchema.fields.filterNot(f => mirrorNames.contains(f.name)))
+    // partition routing reads the SOURCE columns (post-update values —
+    // a SET that moves a row's partition routes by the NEW value; the
+    // mirrors in the write schema are stale by definition there)
+    val srcCols = mirrorNames.map(_.stripSuffix("_p")).map { c =>
+      val i = writeSchema.fieldNames.indexOf(c)
+      require(i >= 0, s"partition source column $c missing from write " +
+        s"schema ${writeSchema.fieldNames.mkString(",")}")
+      (i, writeSchema.fields(i).dataType)
+    }
+    srcCols.foreach { case (_, dt) =>
+      require(dt == StringType || dt == DateType || dt == IntegerType ||
+        dt == LongType, s"unsupported partition column type $dt")
+    }
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val owf = new ParquetFileFormat().prepareWrite(spark, job,
+      Map.empty, fileSchema)
+    new SnapshotReplaceWriterFactory(attemptRoot.toString, writeSchema,
+      fileSchema, mirrorNames, srcCols, owf,
+      new SerializableConf(job.getConfiguration), checkMirrors)
+  }
+}
+
+/** Plain `INSERT INTO` as a v2 write: tasks stage the delta as
+  * per-partition parquet (hidden-temp protocol, mirror values
+  * verified per row — the INSERT-door discipline), and the driver
+  * commit reads the staged delta back and hands it to
+  * [[SnapshotDoor.commit]] — the SAME keyed-upsert path, CAS retry
+  * loop and rebase included, that the DataFrame writer and streaming
+  * sink use. The staging round-trip is delta-sized (never
+  * table-sized); in exchange the insert query executes exactly once
+  * as distributed tasks, and the table needs no V1 write capability
+  * (declaring `V1_BATCH_WRITE` would force EVERY write through V1,
+  * and the dynamic-overwrite plan has no V1 fallback).
+  */
+final class SnapshotAppendWrite(
+    spark: SparkSession,
+    root: JPath,
+    meta: SnapshotMeta.Meta,
+    doorParams: Map[String, String],
+    info: LogicalWriteInfo) extends Write {
+
+  override def description(): String = s"graft-snapshot-append"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val staging = root.resolve(
+      s".staging-${java.util.UUID.randomUUID.toString.take(8)}")
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+        : DataWriterFactory =
+      SnapshotWriteSupport.factory(spark, meta, info.schema(),
+        staging, checkMirrors = true)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      try {
+        val dirs = messages.toSeq
+          .flatMap(_.asInstanceOf[SnapshotReplaceCommit].pvDirs)
+          .map(_._2).distinct
+        val mirrorNames = meta.partitionSchema.fieldNames.toSet
+        val fileSchema = StructType(
+          info.schema().fields.filterNot(f => mirrorNames(f.name)))
+        val delta =
+          if (dirs.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              fileSchema)
+          else spark.read.schema(fileSchema).parquet(dirs: _*)
+        SnapshotDoor.commit(spark, doorParams, delta, txn = None)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        staging.toFile)
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
+  }
+}
+
+/** `INSERT OVERWRITE` as VERSIONED partition replacement — overwrite
+  * in a snapshot store never destroys history (that refusal belonged
+  * to the pre-versioning door): it publishes one new version whose
+  * manifest replaces exactly the overwritten scope, with every prior
+  * version still time-travelable.
+  *
+  *  - STATIC (`overwrite(filters)`, from `INSERT OVERWRITE … PARTITION
+  *    (…)` or `writeTo(t).overwrite(cond)`): the filters must
+  *    translate EXACTLY onto partition columns
+  *    ([[SnapshotRowLevel.v1ToPartitionExprStrict]] — an
+  *    over-approximate scope would silently replace extra
+  *    partitions); replaced = the matching manifest partitions,
+  *    written rows must all land inside that scope, and a matched
+  *    partition receiving no rows drops out (the overwrite cleared
+  *    it). A bare `INSERT OVERWRITE t SELECT …` arrives as
+  *    `AlwaysTrue` = whole-table replacement, still one version.
+  *  - DYNAMIC (`overwriteDynamicPartitions()`, under
+  *    `spark.sql.sources.partitionOverwriteMode=dynamic`): replaced =
+  *    exactly the partitions present in the written data — the Delta
+  *    `replaceWhere`-less dynamic overwrite shape.
+  *
+  * Tasks stream through the same hidden-temp writer protocol as the
+  * row-level path (mirror values verified against their sources —
+  * these rows carry no op column, so the INSERT-door discipline
+  * applies per row), and the commit is one CAS manifest publish at
+  * O(replaced + written).
+  */
+final class SnapshotOverwriteWrite(
+    spark: SparkSession,
+    root: JPath,
+    version: Int,
+    meta: SnapshotMeta.Meta,
+    info: LogicalWriteInfo,
+    staticFilters: Option[Array[V1Filter]]) extends Write {
+
+  override def description(): String =
+    s"graft-snapshot-overwrite v$version " +
+      staticFilters.map(_.mkString(",")).getOrElse("dynamic")
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val attemptRoot = root.resolve(
+      s"d${version + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+        : DataWriterFactory =
+      SnapshotWriteSupport.factory(spark, meta, info.schema(),
+        attemptRoot, checkMirrors = true)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val newEntries: Map[String, String] = messages.toSeq
+        .flatMap(_.asInstanceOf[SnapshotReplaceCommit].pvDirs).toMap
+      val ps = meta.partitionSchema
+      val manifest = SnapshotManifest.read(root, version)
+      val replaced: Set[String] = staticFilters match {
+        case None => newEntries.keySet // dynamic: what the data touched
+        case Some(fs) =>
+          val exprs = fs.toSeq.map(f =>
+            SnapshotRowLevel.v1ToPartitionExprStrict(f, ps).getOrElse(
+              throw new UnsupportedOperationException(
+                s"overwrite filter $f does not translate exactly to " +
+                  "partition columns")))
+          val inScope =
+            SnapshotRowLevel.matchingPvs(exprs, ps, newEntries.keySet)
+          require(inScope == newEntries.keySet,
+            s"rows written outside the overwritten scope: " +
+              s"${(newEntries.keySet -- inScope).mkString(", ")}")
+          SnapshotRowLevel.matchingPvs(exprs, ps, manifest.keySet)
+      }
+      graft.operators.SourceQueries.snapshotReplacePartitions(spark,
+        root, version, replaced, newEntries,
+        StructType(meta.dataSchema.fields.map(_.copy(nullable = true))))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      org.apache.commons.io.FileUtils.deleteQuietly(attemptRoot.toFile)
+  }
+}
+
 /** Per-task commit: the (partitionValue → leaf dir) pairs this task
   * wrote files under.
   */
@@ -435,12 +614,14 @@ final class SnapshotReplaceWriterFactory(
     mirrorNames: Seq[String],
     srcCols: Seq[(Int, org.apache.spark.sql.types.DataType)],
     owf: OutputWriterFactory,
-    conf: SerializableConf) extends DataWriterFactory {
+    conf: SerializableConf,
+    checkMirrors: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new SnapshotReplaceDataWriter(attemptRoot, writeSchema, fileSchema,
-      mirrorNames, srcCols, owf, conf.conf, partitionId, taskId)
+      mirrorNames, srcCols, owf, conf.conf, partitionId, taskId,
+      checkMirrors)
 }
 
 /** Streams rows into one parquet file per partition value this task
@@ -457,7 +638,8 @@ final class SnapshotReplaceDataWriter(
     owf: OutputWriterFactory,
     conf: Configuration,
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    checkMirrors: Boolean = false) extends DataWriter[InternalRow] {
 
   private val ctx = new TaskAttemptContextImpl(new Configuration(conf),
     new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
@@ -518,6 +700,24 @@ final class SnapshotReplaceDataWriter(
     }
   }
 
+  /** The INSERT-door discipline: a supplied layout-mirror value must
+    * equal its source column — refused, never silently re-laid-out.
+    */
+  private def verifyMirrors(row: InternalRow): Unit =
+    mirrorNames.foreach { m =>
+      val mi = writeSchema.fieldNames.indexOf(m)
+      if (mi >= 0) {
+        val si = writeSchema.fieldNames.indexOf(m.stripSuffix("_p"))
+        val dt = writeSchema.fields(si).dataType
+        val mv = if (row.isNullAt(mi + opOffset)) null
+          else partValue(row, mi + opOffset, dt)
+        val sv = partValue(row, si + opOffset, dt)
+        require(mv == sv,
+          s"layout mirror $m='$mv' disagrees with source '$sv' — the " +
+            "store derives the layout; write the source value")
+      }
+    }
+
   override def write(row: InternalRow): Unit = {
     if (opOffset < 0) resolveOffset(row)
     // MERGE deletes arrive as op-coded rows — they simply don't get
@@ -533,22 +733,8 @@ final class SnapshotReplaceDataWriter(
     // rows can't be checked here; the mirrors are dropped from the
     // files either way and routing always follows the source.)
     if (op == org.apache.spark.sql.catalyst.util.RowDeltaUtils
-      .INSERT_OPERATION) {
-      mirrorNames.foreach { m =>
-        val mi = writeSchema.fieldNames.indexOf(m)
-        if (mi >= 0) {
-          val si = writeSchema.fieldNames.indexOf(m.stripSuffix("_p"))
-          val dt = writeSchema.fields(si).dataType
-          val mv = if (row.isNullAt(mi + opOffset)) null
-            else partValue(row, mi + opOffset, dt)
-          val sv = partValue(row, si + opOffset, dt)
-          require(mv == sv,
-            s"layout mirror $m='$mv' disagrees with source '$sv' on an " +
-              "inserted row — the store derives the layout; write the " +
-              "source value")
-        }
-      }
-    }
+      .INSERT_OPERATION || (checkMirrors && opOffset == 0))
+      verifyMirrors(row)
     val vals = srcCols.map { case (i, dt) =>
       ExternalCatalogUtils.escapePathName(partValue(row, i + opOffset, dt))
     }

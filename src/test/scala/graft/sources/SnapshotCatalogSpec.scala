@@ -192,14 +192,8 @@ class SnapshotCatalogSpec extends SparkSpec {
       "v1 must survive both deletes untouched")
   }
 
-  test("DML refusals: OVERWRITE, mirror disagreement, " +
-    "pinned-version writes") {
+  test("DML refusals: mirror disagreement, pinned-version writes") {
     val (droot, t) = dmlStore()
-    val ow = intercept[Exception] {
-      spark.sql(s"INSERT OVERWRITE $t VALUES (9L, 9.0, '2024-01', '2024-01')")
-    }
-    assert(ow.getMessage.toLowerCase.matches("(?s).*(overwrite|truncate).*"),
-      s"got: ${ow.getMessage}")
     val mm = intercept[Exception] {
       spark.sql(s"INSERT INTO $t VALUES (9L, 9.0, '2024-01', '2024-02')")
     }
@@ -449,6 +443,53 @@ class SnapshotCatalogSpec extends SparkSpec {
         Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)))
     assert(changes.toSet === Set((3L, "update", Some(30.0), Some(31.0))),
       "exactly the updated key, with both images, nothing phantom")
+  }
+
+  test("INSERT OVERWRITE is a versioned replacement: partition-scoped " +
+    "static, whole-table, and dynamic modes") {
+    val (droot, t) = dmlStore()
+    // STATIC partition overwrite: replace exactly 2024-01 (two rows
+    // in, key 2 gone from that partition — overwrite, not upsert)
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (ym_p = '2024-01') " +
+      "VALUES (7L, 70.0, '2024-01'), (8L, 80.0, '2024-01')")
+    assert(SnapshotManifest.head(droot) === 2)
+    assert(rowsOf(t) === Set((7L, 70.0), (8L, 80.0), (3L, 30.0)))
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "overwrite must publish a new version, not destroy v1")
+    // a row OUTSIDE the overwritten scope is refused — here the static
+    // PARTITION clause fills ym_p='2024-01' against the row's
+    // ym='2024-02', so the writer's mirror check catches it per row
+    // (the commit's scope check backstops rows that agree with their
+    // mirrors but fall outside the filters)
+    val oos = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $t PARTITION (ym_p = '2024-01') " +
+        "VALUES (9L, 9.0, '2024-02')")
+    }
+    assert(oos.getMessage.toLowerCase.matches(
+      "(?s).*(outside|mirror|scope).*"), s"got: ${oos.getMessage}")
+    // DYNAMIC mode: only the partitions present in the data swap
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql(s"INSERT OVERWRITE $t " +
+        "VALUES (5L, 50.0, '2024-02', '2024-02')")
+      assert(rowsOf(t) === Set((7L, 70.0), (8L, 80.0), (5L, 50.0)),
+        "dynamic overwrite must swap only 2024-02")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // WHOLE-TABLE overwrite (static, no clause): one version, all swapped
+    spark.sql(s"INSERT OVERWRITE $t VALUES (1L, 1.0, '2024-03', '2024-03')")
+    assert(rowsOf(t) === Set((1L, 1.0)))
+    assert(SnapshotManifest.read(droot,
+      SnapshotManifest.head(droot)).keySet === Set("2024-03"))
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "every prior version stays time-travelable")
   }
 
   test("TRUNCATE TABLE routes through the DELETE door") {
