@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the current write paths does); pre-sidecar stores use the DataFrame
   * door, which still supports schema inference.
   */
-final class GraftSnapshotCatalog extends TableCatalog {
+final class GraftSnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var warehouse: JPath = _
 
@@ -118,6 +119,33 @@ final class GraftSnapshotCatalog extends TableCatalog {
       // snapshot: reads only — DML must target the bare (head) table
       pinned = v.isDefined)
   }
+
+  /** The maintenance plane as SQL stored procedures (the Iceberg
+    * `CALL catalog.system.…` shape on Spark's connector procedure
+    * API): `CALL snap.history('t')` lists the version chain with
+    * commit instants (the DESCRIBE HISTORY analog, pure metadata),
+    * and `CALL snap.vacuum('t', keep_last)` reclaims data dirs
+    * referenced by no kept manifest — aborted attempt roots and
+    * expired versions — returning what it removed. Procedures resolve
+    * at the catalog level and take the table name as an argument.
+    */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "history"),
+      Identifier.of(namespace, "vacuum"))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name() match {
+      case "history" => new SnapshotHistoryProcedure(this)
+      case "vacuum" => new SnapshotVacuumProcedure(this)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $other — available: history(table), " +
+          "vacuum(table, keep_last)")
+    }
+
+  private[sources] def resolveRoot(table: String): JPath =
+    rootOf(Identifier.of(Array.empty, table))
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
@@ -471,4 +499,104 @@ final class SnapshotPartitioningIndex(
     manifest.values.toSeq.sorted.map(new Path(_))
 
   override def refresh(): Unit = () // snapshot versions are immutable
+}
+
+/** `CALL snap.history('t')` — the version chain as rows: one per
+  * published version with its commit instant (the manifest link's
+  * mtime — the atomic publish moment, the same clock `TIMESTAMP AS
+  * OF` resolves against), partition count, and whether the version
+  * carries a file-stats sidecar. Pure metadata plane: reads manifest
+  * headers, never data.
+  */
+final class SnapshotHistoryProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "history"
+  override def description(): String =
+    "version chain of a snapshot store: history(table)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // head moves over time
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_partitions", IntegerType, nullable = false),
+    StructField("has_stats", BooleanType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val mdir = root.resolve("manifests")
+    val rows = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.manifest"))
+      .map { f =>
+        val v = f.getName.stripPrefix("v").stripSuffix(".manifest").toInt
+        org.apache.spark.sql.catalyst.InternalRow(
+          v, f.lastModified() * 1000L,
+          SnapshotManifest.read(root, v).size,
+          SnapshotFiles.exists(root, v))
+      }.sortBy(_.getInt(0))
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema, rows)).iterator()
+  }
+}
+
+/** `CALL snap.vacuum('t', keep_last)` — reclaim data dirs referenced
+  * by none of the kept (most recent `keep_last`) manifests: expired
+  * versions' private dirs and aborted/CAS-lost attempt roots. Expired
+  * manifests are deleted too, so time travel past the horizon fails
+  * loudly rather than reading half-vacuumed data. Returns what it did.
+  */
+final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "reclaim unreferenced data dirs: vacuum(table, keep_last)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", IntegerType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("removed_dirs", IntegerType, nullable = false),
+    StructField("head", IntegerType, nullable = false),
+    StructField("kept_from", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val keepLast = input.getInt(1)
+    require(keepLast >= 1, "keep_last must be >= 1 (the head must stay)")
+    val head = SnapshotManifest.head(root)
+    val keptFrom = math.max(1, head - keepLast + 1)
+    val removed = graft.operators.SourceQueries.snapshotVacuum(root,
+      (keptFrom to head).toSet)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          removed, head, keptFrom)))).iterator()
+  }
+}
+
+/** A procedure's result set: local driver rows behind the DSv2
+  * `LocalScan` shape.
+  */
+final class SnapshotProcedureResult(
+    schema: StructType,
+    rs: Array[org.apache.spark.sql.catalyst.InternalRow])
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rs
 }

@@ -492,6 +492,34 @@ class SnapshotCatalogSpec extends SparkSpec {
       "every prior version stays time-travelable")
   }
 
+  test("stored procedures: CALL history lists the version chain, " +
+    "CALL vacuum reclaims expired versions") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"INSERT INTO $t VALUES (2L, 25.0, '2024-01', '2024-01')")
+    val cat = t.split("\\.")(0)
+    val tn = droot.getFileName.toString
+    val hist = spark.sql(s"CALL $cat.history('$tn')").collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getBoolean(3)))
+    assert(hist.toSeq === Seq((1, 2, true), (2, 2, true)),
+      s"two versions, two partitions each, stats sidecars present: " +
+        s"${hist.mkString(",")}")
+    val ts = spark.sql(s"CALL $cat.history('$tn')").collect()
+      .map(_.getTimestamp(1))
+    assert(ts.forall(_ != null) && !ts(0).after(ts(1)),
+      "commit instants must be present and non-decreasing")
+    // vacuum to the head only: v1's superseded 2024-01 dir is
+    // reclaimed, v1 time travel fails loudly, the head is unharmed
+    val v = spark.sql(s"CALL $cat.vacuum('$tn', 1)").head()
+    assert(v.getInt(1) === 2 && v.getInt(2) === 2,
+      s"kept range must be [2,2]: $v")
+    assert(v.getInt(0) >= 1, "the superseded v1 dir must be reclaimed")
+    assert(rowsOf(t) === Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    val tt = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(tt != null) // expired version unreadable, not half-readable
+  }
+
   test("TRUNCATE TABLE routes through the DELETE door") {
     val (droot, t) = dmlStore()
     spark.sql(s"TRUNCATE TABLE $t")
