@@ -1643,6 +1643,51 @@ object SourceQueries {
       newEntries.keySet, dataSchema)
   }
 
+  /** Schema-only widening commit for SQL `ALTER TABLE ADD COLUMN`
+    * ([[graft.sources.GraftSnapshotCatalog.alterTable]]): publish the
+    * parent's entries unchanged as the next version with the widened
+    * schema riding as its `#schema` manifest record — the SAME atomic
+    * in-manifest evolution the write door's widening upsert uses
+    * (CAS-serialized, no sidecar crash window), just with zero data
+    * movement. Every file ever written stays valid: readers fill the
+    * new columns with NULL through the declared schema. Retries the
+    * CAS on a racing commit (a schema publish composes with any
+    * parent, so rebasing is just re-reading the head).
+    */
+  private[graft] def snapshotAddColumns(s: SparkSession,
+      root: java.nio.file.Path,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "legacy store without table.meta: schema evolution needs the " +
+          "declared-schema plane"))
+    val MaxAttempts = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val effective = graft.sources.SnapshotManifest.evolvedDataSchema(root)
+        .getOrElse(meta.dataSchema)
+      val dup = newCols.map(_.name).filter(effective.fieldNames.contains)
+      require(dup.isEmpty,
+        s"column(s) ${dup.mkString(", ")} already exist")
+      val widened = org.apache.spark.sql.types.StructType(
+        effective.fields ++ newCols.map(_.copy(nullable = true)))
+      val head = headVersion(root)
+      require(head >= 1, "cannot ALTER an unbootstrapped store")
+      val parent = readManifest(root, head)
+      try {
+        writeManifest(root, head + 1, parent, None, Some(widened.json))
+        publishFilesSidecar(s, root, head + 1, Some(head), parent,
+          Set.empty, widened)
+        committed = true
+      } catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+      }
+    }
+  }
+
   /** Bootstrap a snapshot store: the whole frame becomes v1, laid out
     * one leaf dir per (multi-column) partition value, published
     * through the same CAS manifest write (a racing bootstrap loses

@@ -154,8 +154,31 @@ final class GraftSnapshotCatalog extends TableCatalog
       "read-only catalog: bootstrap stores through " +
         "df.write.format(\"graft-snapshot\")")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only catalog")
+  /** `ALTER TABLE … ADD COLUMN(S)` — the one DDL the store's
+    * append-only discipline admits: a schema-only widening commit
+    * publishing the new columns as a `#schema` record (atomic with
+    * its version, CAS-serialized against racing wideners and
+    * writers), zero files rewritten — old files read the columns as
+    * NULL through the declared schema, exactly like the write door's
+    * widening upsert. Every other change (drop/rename/retype) is
+    * refused: each would be silent data loss or a full rewrite
+    * wearing DDL's clothes.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"only ADD COLUMN is supported (append-only store): $other")
+    }
+    graft.operators.SourceQueries.snapshotAddColumns(
+      SparkSession.active, root, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("read-only catalog")

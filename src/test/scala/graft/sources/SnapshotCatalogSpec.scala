@@ -520,6 +520,35 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(tt != null) // expired version unreadable, not half-readable
   }
 
+  test("ALTER TABLE ADD COLUMN publishes a schema-only version; " +
+    "other DDL changes stay refused") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    assert(SnapshotManifest.head(droot) === 2,
+      "the widening must be its own CAS version")
+    // zero data movement: v2 shares v1's dirs verbatim
+    assert(SnapshotManifest.read(droot, 2) ===
+      SnapshotManifest.read(droot, 1))
+    val widened = spark.sql(s"SELECT k, price, note FROM $t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(widened === Set((1L, 10.0, null), (2L, 20.0, null),
+      (3L, 30.0, null)), "old files must read the new column as NULL")
+    // and the new column is writable through the DML doors
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(4L, 40.0, '2024-02', 'fresh', '2024-02')")
+    val got = spark.sql(s"SELECT k, note FROM $t WHERE k = 4").head()
+    assert(got.getString(1) === "fresh")
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exist"))
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN note")
+    }
+    assert(drop.getMessage.toLowerCase.matches(
+      "(?s).*(only add column|not support).*"), s"got: ${drop.getMessage}")
+  }
+
   test("TRUNCATE TABLE routes through the DELETE door") {
     val (droot, t) = dmlStore()
     spark.sql(s"TRUNCATE TABLE $t")
