@@ -2691,7 +2691,8 @@ object SourceQueries {
     * number of leaf dirs removed.
     */
   private[graft] def snapshotVacuum(root: java.nio.file.Path,
-                                    keep: Set[Int]): Int = {
+                                    keep: Set[Int],
+                                    minAgeMs: Long = 0L): Int = {
     def canon(p: String): String = new java.io.File(p).getCanonicalPath
     val mdir = root.resolve("manifests")
     val versions = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
@@ -2699,18 +2700,47 @@ object SourceQueries {
       .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq
     val referenced = versions.filter(keep)
       .flatMap(v => readManifest(root, v).values).map(canon).toSet
+    // the grace window protecting IN-FLIGHT commits: an attempt root
+    // being written is referenced by no manifest YET, and its leaves
+    // would otherwise read as garbage to collect — only dirs whose
+    // mtime is older than the retention are eligible (the Delta
+    // retention-check shape; a dir's mtime moves with every file
+    // created in it, so active writers stay protected)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
     var removed = 0
     Option(root.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("d\\d+(-[0-9a-f]+)?"))
       .foreach { droot =>
         Option(droot.listFiles()).getOrElse(Array.empty)
           .filter(_.isDirectory).foreach { leaf =>
-            if (!referenced.contains(canon(leaf.getAbsolutePath))) {
+            if (!referenced.contains(canon(leaf.getAbsolutePath)) &&
+              oldEnough(leaf)) {
               org.apache.commons.io.FileUtils.deleteQuietly(leaf)
               removed += 1
             }
           }
       }
+    // crash-orphaned INSERT staging dirs (SnapshotAppendWrite): never
+    // referenced by any manifest, hidden from readers, swept here
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-") &&
+        oldEnough(f))
+      .foreach { st =>
+        org.apache.commons.io.FileUtils.deleteQuietly(st)
+        removed += 1
+      }
+    // an expired manifest may carry the table's winning `#schema`
+    // record: fold the EFFECTIVE schema into table.meta before the
+    // deletion, or the evolution would silently revert (evolved
+    // columns vanishing from reads — data invisible, not deleted).
+    // A racing widener publishes its superset record in a NEW (kept)
+    // manifest, which continues to overlay this floor.
+    for {
+      meta <- graft.sources.SnapshotMeta.read(root)
+      evolved <- graft.sources.SnapshotManifest.evolvedDataSchema(root)
+    } graft.sources.SnapshotMeta.write(root,
+      meta.copy(dataSchema = evolved))
     versions.filterNot(keep).foreach { v =>
       java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.manifest"))
       java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.files"))

@@ -92,13 +92,9 @@ final class GraftSnapshotCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
-    val mdir = root.resolve("manifests")
-    val versions = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.manifest"))
-      .map(f => (f.getName.stripPrefix("v").stripSuffix(".manifest").toInt,
-        f.lastModified()))
     val cutoffMs = timestamp / 1000L
-    val v = versions.filter(_._2 <= cutoffMs).map(_._1)
+    val v = SnapshotManifest.versionsWithMtime(root)
+      .filter(_._2 <= cutoffMs).map(_._1)
       .reduceOption(math.max).getOrElse(
         throw new NoSuchTableException(ident))
     load(ident, Some(v))
@@ -170,6 +166,16 @@ final class GraftSnapshotCatalog extends TableCatalog
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+        // honored or refused, never accepted-and-ignored: a position
+        // we'd silently append-last would re-bind the user's later
+        // positional INSERTs, and a default we'd silently NULL is a
+        // wrong value on every read
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported: evolved " +
+            "columns always append (old files fill them by name)")
+        require(a.defaultValue() == null,
+          "ADD COLUMN ... DEFAULT is not supported: pre-evolution " +
+            "rows read the column as NULL, not the default")
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
@@ -555,16 +561,13 @@ final class SnapshotHistoryProcedure(cat: GraftSnapshotCatalog)
   override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val root = cat.resolveRoot(input.getUTF8String(0).toString)
-    val mdir = root.resolve("manifests")
-    val rows = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.manifest"))
-      .map { f =>
-        val v = f.getName.stripPrefix("v").stripSuffix(".manifest").toInt
+    val rows = SnapshotManifest.versionsWithMtime(root)
+      .map { case (v, mtime) =>
         org.apache.spark.sql.catalyst.InternalRow(
-          v, f.lastModified() * 1000L,
+          v, mtime * 1000L,
           SnapshotManifest.read(root, v).size,
           SnapshotFiles.exists(root, v))
-      }.sortBy(_.getInt(0))
+      }.toArray
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema, rows)).iterator()
   }
@@ -588,9 +591,17 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
 
+  /** `retain_seconds` is the in-flight-writer grace window: a dir
+    * younger than it is never reclaimed even when unreferenced, since
+    * it may be a concurrent commit's attempt root that no manifest
+    * points at YET. Defaults to an hour (the Delta retention-check
+    * stance); tests pass 0 explicitly for determinism.
+    */
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("keep_last", IntegerType).build())
+      ProcedureParameter.in("keep_last", IntegerType).build(),
+      ProcedureParameter.in("retain_seconds", IntegerType)
+        .defaultValue("3600").build())
 
   private val outSchema = StructType(Seq(
     StructField("removed_dirs", IntegerType, nullable = false),
@@ -602,10 +613,11 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
     val root = cat.resolveRoot(input.getUTF8String(0).toString)
     val keepLast = input.getInt(1)
     require(keepLast >= 1, "keep_last must be >= 1 (the head must stay)")
+    val retainMs = input.getInt(2) * 1000L
     val head = SnapshotManifest.head(root)
     val keptFrom = math.max(1, head - keepLast + 1)
     val removed = graft.operators.SourceQueries.snapshotVacuum(root,
-      (keptFrom to head).toSet)
+      (keptFrom to head).toSet, retainMs)
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(

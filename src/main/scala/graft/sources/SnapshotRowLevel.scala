@@ -429,7 +429,12 @@ final class SnapshotReplaceWrite(
       }
       graft.operators.SourceQueries.snapshotReplacePartitions(spark,
         root, version, replaced, newEntries,
-        StructType(meta.dataSchema.fields.map(_.copy(nullable = true))))
+        // stats profile under the EFFECTIVE schema: files written after
+        // an ADD COLUMN carry the evolved columns, and profiling with
+        // the bootstrap schema would leave them permanently unskippable
+        StructType(SnapshotManifest.evolvedDataSchema(root)
+          .getOrElse(meta.dataSchema)
+          .fields.map(_.copy(nullable = true))))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -593,7 +598,12 @@ final class SnapshotOverwriteWrite(
       }
       graft.operators.SourceQueries.snapshotReplacePartitions(spark,
         root, version, replaced, newEntries,
-        StructType(meta.dataSchema.fields.map(_.copy(nullable = true))))
+        // stats profile under the EFFECTIVE schema: files written after
+        // an ADD COLUMN carry the evolved columns, and profiling with
+        // the bootstrap schema would leave them permanently unskippable
+        StructType(SnapshotManifest.evolvedDataSchema(root)
+          .getOrElse(meta.dataSchema)
+          .fields.map(_.copy(nullable = true))))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -702,20 +712,28 @@ final class SnapshotReplaceDataWriter(
 
   /** The INSERT-door discipline: a supplied layout-mirror value must
     * equal its source column — refused, never silently re-laid-out.
+    * The (mirror, source, type) index triples are row-invariant —
+    * resolved once per task, not per row.
     */
-  private def verifyMirrors(row: InternalRow): Unit =
-    mirrorNames.foreach { m =>
+  private lazy val mirrorChecks
+      : Seq[(String, Int, Int, org.apache.spark.sql.types.DataType)] =
+    mirrorNames.flatMap { m =>
       val mi = writeSchema.fieldNames.indexOf(m)
-      if (mi >= 0) {
+      if (mi < 0) None
+      else {
         val si = writeSchema.fieldNames.indexOf(m.stripSuffix("_p"))
-        val dt = writeSchema.fields(si).dataType
-        val mv = if (row.isNullAt(mi + opOffset)) null
-          else partValue(row, mi + opOffset, dt)
-        val sv = partValue(row, si + opOffset, dt)
-        require(mv == sv,
-          s"layout mirror $m='$mv' disagrees with source '$sv' — the " +
-            "store derives the layout; write the source value")
+        Some((m, mi + opOffset, si + opOffset,
+          writeSchema.fields(si).dataType))
       }
+    }
+
+  private def verifyMirrors(row: InternalRow): Unit =
+    mirrorChecks.foreach { case (m, mi, si, dt) =>
+      val mv = if (row.isNullAt(mi)) null else partValue(row, mi, dt)
+      val sv = partValue(row, si, dt)
+      require(mv == sv,
+        s"layout mirror $m='$mv' disagrees with source '$sv' — the " +
+          "store derives the layout; write the source value")
     }
 
   override def write(row: InternalRow): Unit = {

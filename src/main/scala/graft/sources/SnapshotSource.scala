@@ -40,14 +40,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * a crash window where a replayed batch double-commits).
   */
 object SnapshotManifest {
-  /** Highest published version, or 0 if none. */
-  def head(root: JPath): Int = {
+  /** Every published version with its manifest's mtime — the atomic
+    * publish instant `TIMESTAMP AS OF` and `CALL history` resolve
+    * against. Single home for the version-file enumeration.
+    */
+  def versionsWithMtime(root: JPath): Seq[(Int, Long)] = {
     val mdir = root.resolve("manifests").toFile
     Option(mdir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("v\\d+\\.manifest"))
-      .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
-      .foldLeft(0)(math.max)
+      .filter(_.getName.matches("v\\d+\\.manifest"))
+      .map(f => (f.getName.stripPrefix("v").stripSuffix(".manifest").toInt,
+        f.lastModified()))
+      .toSeq.sortBy(_._1)
   }
+
+  /** Highest published version, or 0 if none. */
+  def head(root: JPath): Int =
+    versionsWithMtime(root).foldLeft(0)((m, v) => math.max(m, v._1))
 
   /** partitionValue -> data dir for one published version. */
   def read(root: JPath, version: Int): Map[String, String] =

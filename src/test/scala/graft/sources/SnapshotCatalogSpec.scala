@@ -507,9 +507,15 @@ class SnapshotCatalogSpec extends SparkSpec {
       .map(_.getTimestamp(1))
     assert(ts.forall(_ != null) && !ts(0).after(ts(1)),
       "commit instants must be present and non-decreasing")
-    // vacuum to the head only: v1's superseded 2024-01 dir is
-    // reclaimed, v1 time travel fails loudly, the head is unharmed
-    val v = spark.sql(s"CALL $cat.vacuum('$tn', 1)").head()
+    // the default retention window protects anything fresh (the
+    // in-flight-writer grace): nothing is young-dir-reclaimed
+    val guarded = spark.sql(s"CALL $cat.vacuum('$tn', 1)").head()
+    assert(guarded.getInt(0) === 0,
+      "default retain_seconds must protect fresh dirs")
+    // vacuum to the head only with retention 0: v1's superseded
+    // 2024-01 dir is reclaimed, v1 time travel fails loudly, the
+    // head is unharmed
+    val v = spark.sql(s"CALL $cat.vacuum('$tn', 1, 0)").head()
     assert(v.getInt(1) === 2 && v.getInt(2) === 2,
       s"kept range must be [2,2]: $v")
     assert(v.getInt(0) >= 1, "the superseded v1 dir must be reclaimed")
@@ -547,6 +553,24 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
     assert(drop.getMessage.toLowerCase.matches(
       "(?s).*(only add column|not support).*"), s"got: ${drop.getMessage}")
+  }
+
+  test("vacuum folds the evolved schema into table.meta before " +
+    "deleting the manifest that carried it") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING") // v2: schema-only
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(4L, 40.0, '2024-02', 'kept', '2024-02')") // v3: no #schema record
+    val cat = t.split("\\.")(0)
+    // expire v1 and v2 — v2's manifest held the ONLY #schema record
+    spark.sql(s"CALL $cat.vacuum('${droot.getFileName}', 1, 0)")
+    assert(SnapshotMeta.read(droot).get.dataSchema.fieldNames
+      .contains("note"),
+      "the effective schema must persist in table.meta")
+    val got = spark.sql(s"SELECT k, note FROM $t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, null), (2L, null), (3L, null), (4L, "kept")),
+      "evolved column and its data must survive the vacuum")
   }
 
   test("TRUNCATE TABLE routes through the DELETE door") {
