@@ -141,6 +141,41 @@ object SamplingQueries {
     * exact global rank (256 hash-space buckets here; a longer prefix at
     * real scale).
     */
+  /** SOURCE-CAP SAMPLING (the RefinedWeb/DCLM "domain cap" stage): no
+    * single source may contribute more than K documents, and the K
+    * kept are its BEST by quality score (ties broken by doc_id, so
+    * ranks are total and engine-exact) — dedup-by-provenance for
+    * training mixes where one crawl domain would otherwise dominate.
+    * Output is the per-source budget accounting a pipeline gates on:
+    * kept/total doc counts, the kept docs' token budget, and the
+    * worst quality admitted.
+    *
+    * At 100 TB: the rank window partitions BY SOURCE — thousands of
+    * sources parallelize across the cluster, and no global window
+    * exists anywhere. A pathologically hot source bounds one
+    * partition's sort; since only the top K survive, that arm can
+    * swap to the `graft_min_k`-style bounded aggregate without
+    * changing semantics — the oracle pins the semantics either way.
+    */
+  def sampleSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val K = 50
+    val stats = TextQueries.textStats(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    docs.join(stats, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("rk") <= K, 1)).as("n_kept"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= K, col("n_tokens"))).cast("long")
+          .as("kept_tokens"),
+        min(when(col("rk") <= K, col("quality_score")))
+          .as("min_kept_score"))
+  }
+
   def shufflePositions(s: SparkSession, dir: String): DataFrame = {
     val keyed = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -159,6 +194,7 @@ object SamplingQueries {
     "sample_hash"       -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences"    -> packSequences _,
+    "sample_source_cap" -> sampleSourceCap _,
     "shuffle_positions" -> shufflePositions _)
 
   val oracles: Map[String, String] = Map(
@@ -185,6 +221,21 @@ object SamplingQueries {
         |      AS rank
         |  FROM documents)
         |WHERE rank <= 10""".stripMargin,
+    "sample_source_cap" ->
+      s"""WITH stats AS (${TextQueries.textStatsSql}),
+         |ranked AS (
+         |  SELECT d.source, s.doc_id, s.n_tokens, s.quality_score,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY s.quality_score DESC, s.doc_id) AS rk
+         |  FROM documents d JOIN stats s USING (doc_id))
+         |SELECT source,
+         |  COUNT(CASE WHEN rk <= 50 THEN 1 END) AS n_kept,
+         |  COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN rk <= 50 THEN n_tokens END) AS BIGINT)
+         |    AS kept_tokens,
+         |  MIN(CASE WHEN rk <= 50 THEN quality_score END)
+         |    AS min_kept_score
+         |FROM ranked GROUP BY 1""".stripMargin,
     "pack_sequences" ->
       raw"""WITH t AS (
            |  SELECT doc_id,
