@@ -737,7 +737,53 @@ object DedupQueries {
         col("n_a"), col("n_b"))
   }
 
+  /** Segment width for [[dedupSegments]]: the corpus is single-line
+    * synthetic text, so the CCNet "line" / C4 "three-sentence span"
+    * unit is a fixed 10-token chunk.
+    */
+  private val SegLen = 10
+
+  /** Segment-level exact dedup — the sub-document granularity the
+    * whole-document entries can't see (CCNet dedups at the line level;
+    * Gopher drops documents whose duplicate-line fraction exceeds 0.30
+    * — boilerplate headers/footers duplicate across a crawl while the
+    * documents containing them stay unique). Each document is cut into
+    * fixed [[SegLen]]-token segments; a segment INSTANCE is duplicated
+    * when its text occurs ≥2 times corpus-wide (including repeats
+    * inside one document). Output is per-document budget accounting —
+    * total segments, duplicated segments, and the Gopher-style `keep`
+    * verdict (duplicated fraction ≤ 0.30, compared in integer space so
+    * no float crosses the engine boundary).
+    *
+    * 100 TB shape: segments never shuffle as text — each one collapses
+    * to its md5 inside the projection, so the three keyed exchanges
+    * (doc,h), (h), (doc) move 32-byte hashes with partial aggregation;
+    * the corpus-wide occurrence count is a window partitioned by the
+    * hash, never an unpartitioned window or a self-join.
+    */
+  def dedupSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val segs = toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0L), floor((size(col("t")) - 1) / lit(SegLen))),
+        i => md5(array_join(
+          slice(col("t"), (i * SegLen + 1).cast("int"), lit(SegLen)), " "))))
+        .as("h"))
+    val perDocSeg = segs.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val corpusWide = perDocSeg
+      .withColumn("total", sum(col("c")).over(Window.partitionBy("h")))
+    corpusWide.groupBy("doc_id").agg(
+        sum(col("c")).as("n_segs"),
+        sum(when(col("total") >= 2, col("c")).otherwise(lit(0L)))
+          .as("n_dup_segs"))
+      .withColumn("keep", col("n_dup_segs") * 10 <= col("n_segs") * 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_segments"      -> dedupSegments _,
     "fuzzy_name_pairs"    -> fuzzyNamePairs _,
     "dedup_keep_best"     -> dedupKeepBest _,
     "dedup_exact"         -> dedupExact _,
@@ -953,5 +999,25 @@ object DedupQueries {
          |  JOIN capped c ON a.gh = c.gh
          |  JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 2""".stripMargin)
+         |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 2""".stripMargin,
+    "dedup_segments" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t
+         |  FROM documents WHERE len(string_split($normSql, ' ')) >= 3),
+         |segs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, (len(t)-1)//$SegLen),
+         |      i -> md5(array_to_string(
+         |        list_slice(t, i*$SegLen+1, i*$SegLen+$SegLen), ' ')))) AS h
+         |  FROM toks),
+         |pds AS (SELECT doc_id, h, COUNT(*) AS c FROM segs GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY h) AS total
+         |  FROM pds)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_segs,
+         |  CAST(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_dup_segs,
+         |  (SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) * 10 <= SUM(c) * 3)
+         |    AS keep
+         |FROM tot GROUP BY doc_id""".stripMargin)
 }
