@@ -1440,6 +1440,43 @@ object SourceQueries {
                                       version: Int): Map[String, String] =
     graft.sources.SnapshotManifest.read(root, version)
 
+  /** Roll the table back to `toVersion` by publishing a NEW head whose
+    * manifest is a verbatim copy of `toVersion`'s partition map — the
+    * Delta `RESTORE` shape: restore is a COMMIT, not a rewrite of
+    * history, so every interim version stays time-travelable and the
+    * operation is O(manifest), touching zero data bytes (data dirs are
+    * write-once and shared across versions by construction). The
+    * restored version's stats sidecar is carried verbatim (same files
+    * ⇒ same stats), and the Bloom index needs no maintenance (it is
+    * keyed by data file, and restore introduces none).
+    *
+    * Two deliberate semantics:
+    *  - schema stays CURRENT: `#schema` widening records resolve by
+    *    highest-version-wins across all manifests, so restoring past a
+    *    widening keeps the widened read schema — sound because evolved
+    *    reads declare missing columns nullable (Delta's RESTORE stance);
+    *  - no rebase on CAS conflict: restore is a whole-state
+    *    replacement, not a key delta — if a concurrent commit wins the
+    *    version, silently re-publishing would erase that commit from
+    *    the head, so the loser throws [[SnapshotConflictException]]
+    *    and the caller re-decides against the new head.
+    */
+  private[graft] def snapshotRestore(root: java.nio.file.Path,
+                                     toVersion: Int): (Int, Int) = {
+    val mf = root.resolve("manifests").resolve(s"v$toVersion.manifest")
+    require(java.nio.file.Files.exists(mf),
+      s"version $toVersion is not published (or was vacuumed) — " +
+        "cannot restore to it")
+    val entries = readManifest(root, toVersion)
+    val newV = headVersion(root) + 1
+    writeManifest(root, newV, entries)
+    graft.sources.SnapshotFiles.read(root, toVersion).foreach { fm =>
+      graft.sources.SnapshotFiles.write(root, newV,
+        fm.toSeq.sortBy(_._1).flatMap(_._2))
+    }
+    (newV, entries.size)
+  }
+
   /** Read one snapshot: the union of its manifest's partition dirs. The
     * month lives IN the data (`o_ym`); the `o_ym_p=` dir name is layout
     * only, so leaf dirs from different commit roots mix freely.
@@ -2398,6 +2435,58 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** `CALL snap.restore(table, version)` end to end — the disaster-
+    * recovery primitive (Delta `RESTORE TABLE … TO VERSION AS OF`):
+    * bootstrap (v1), corrupt the table with a bad price rewrite (v2,
+    * `INSERT INTO` upsert), then roll back by PUBLISHING v3 as a
+    * verbatim manifest copy of v1 — O(manifest), zero data bytes
+    * moved, nothing rewritten ([[snapshotRestore]]). The result reads
+    * the restored head AND `VERSION AS OF 2` side by side: the head
+    * must equal the pristine bootstrap while the interim bad version
+    * stays time-travelable (restore is a commit, not history
+    * rewriting), and the pinned head version (exactly 3) hash-fails
+    * any restore that split, no-oped, or rewrote instead of
+    * republishing. The oracle replays both states relationally.
+    */
+  def sqlRestore(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_restore")).resolve(key)
+    // restore advances the store: rebuild per call (trial idempotence)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_restore")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snaprst_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    orders.createOrReplaceTempView("graft_rst_orders_src")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5,
+         |  o_ym, o_ym
+         |FROM graft_rst_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+         |  AND o_orderkey % 17 = 0""".stripMargin)
+    s.sql(s"CALL $cat.restore('${root.getFileName}', 1)")
+    val head = graft.sources.SnapshotManifest.head(root)
+    def arm(tag: String, suffix: String): String =
+      s"""SELECT '$tag' AS arm, $head AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl $suffix
+         |GROUP BY o_orderstatus""".stripMargin
+    s.sql(s"${arm("head", "")}\nUNION ALL\n${arm("v2", "VERSION AS OF 2")}")
+  }
+
   /** SQL `UPDATE` and `MERGE INTO` on the snapshot store — the
     * GROUP-BASED copy-on-write row-level path
     * ([[graft.sources.SnapshotRowLevelOperation]]), where a group is
@@ -2984,6 +3073,7 @@ object SourceQueries {
     "source_time_travel"      -> timeTravel _,
     "sql_time_travel"         -> sqlTimeTravel _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
+    "sql_restore"             -> sqlRestore _,
     "sql_update_merge"        -> sqlUpdateMerge _,
     "sql_insert_overwrite"    -> sqlInsertOverwrite _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
@@ -3231,6 +3321,34 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM fin GROUP BY 1, 2""".stripMargin,
+    // head (v3, the restore) must equal the pristine base; v2 (the bad
+    // rewrite) must still time-travel to the upserted state
+    "sql_restore" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base
+        |  WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+        |    AND o_orderkey % 17 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT 'head' AS arm, 3 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM base GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'v2' AS arm, 3 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v2 GROUP BY 1, 2, 3""".stripMargin,
     // replay: UPDATE (×2 on expensive H1-1995 orders) then MERGE
     // (matched keys take source price, unmatched insert new keys)
     "sql_update_merge" ->

@@ -128,16 +128,18 @@ final class GraftSnapshotCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     Array(Identifier.of(namespace, "history"),
-      Identifier.of(namespace, "vacuum"))
+      Identifier.of(namespace, "vacuum"),
+      Identifier.of(namespace, "restore"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "history" => new SnapshotHistoryProcedure(this)
       case "vacuum" => new SnapshotVacuumProcedure(this)
+      case "restore" => new SnapshotRestoreProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
-          "vacuum(table, keep_last)")
+          "vacuum(table, keep_last), restore(table, version)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -622,6 +624,47 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
           removed, head, keptFrom)))).iterator()
+  }
+}
+
+/** `CALL snap.restore('t', version)` — roll the table back by
+  * publishing a NEW head whose manifest mirrors `version`'s (see
+  * [[graft.operators.SourceQueries.snapshotRestore]]): O(manifest),
+  * zero data bytes, every interim version still time-travelable, CAS
+  * conflict with a concurrent commit thrown to the caller. Returns
+  * what it published.
+  */
+final class SnapshotRestoreProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "restore"
+  override def description(): String =
+    "publish a new head mirroring an old version: restore(table, version)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // publishes a version
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("restored_from", IntegerType, nullable = false),
+    StructField("new_version", IntegerType, nullable = false),
+    StructField("n_partitions", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val from = input.getInt(1)
+    val (newV, nParts) =
+      graft.operators.SourceQueries.snapshotRestore(root, from)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          from, newV, nParts)))).iterator()
   }
 }
 

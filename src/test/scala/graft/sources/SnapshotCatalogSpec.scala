@@ -526,6 +526,45 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(tt != null) // expired version unreadable, not half-readable
   }
 
+  test("CALL restore publishes a new head mirroring an old version; " +
+    "interim history survives and data dirs are shared") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"INSERT INTO $t VALUES (2L, 25.0, '2024-01', '2024-01')")
+    spark.sql(s"DELETE FROM $t WHERE ym_p = '2024-02'")
+    assert(rowsOf(t) === Set((1L, 10.0), (2L, 25.0)))
+    val cat = t.split("\\.")(0)
+    val tn = droot.getFileName.toString
+    val r = spark.sql(s"CALL $cat.restore('$tn', 1)").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((1, 4, 2)),
+      s"restore(1) after three versions must publish v4 with v1's " +
+        s"two partitions: $r")
+    // the head now reads exactly as v1 did, the interim versions are
+    // still pinned, and the restored head is itself time-travelable
+    val v1 = Set((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    assert(rowsOf(t) === v1, "restored head must read as v1")
+    assert(rowsOf(t, "VERSION AS OF 2") ===
+      Set((1L, 10.0), (2L, 25.0), (3L, 30.0)),
+      "interim versions must survive a restore")
+    assert(rowsOf(t, "VERSION AS OF 4") === v1)
+    // metadata-only: the restored manifest points at v1's exact dirs
+    assert(SnapshotManifest.read(droot, 4) === SnapshotManifest.read(droot, 1),
+      "restore must share v1's data dirs verbatim, not rewrite them")
+    // the stats sidecar is carried, so file-skipping stays live
+    val hist = spark.sql(s"CALL $cat.history('$tn')").collect()
+      .map(r2 => (r2.getInt(0), r2.getBoolean(3))).toMap
+    assert(hist(4) === hist(1),
+      "restored version must carry the source version's stats sidecar")
+    // a restore is a normal commit: DML continues on top of it
+    spark.sql(s"INSERT INTO $t VALUES (5L, 50.0, '2024-02', '2024-02')")
+    assert(rowsOf(t) === v1 + ((5L, 50.0)))
+    // restoring to an unpublished version refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.restore('$tn', 99)").collect()
+    }
+    assert(e.getMessage.contains("not published"),
+      s"unpublished restore target must refuse: ${e.getMessage}")
+  }
+
   test("ALTER TABLE ADD COLUMN publishes a schema-only version; " +
     "other DDL changes stay refused") {
     val (droot, t) = dmlStore()
