@@ -1406,7 +1406,8 @@ object SourceQueries {
   private[operators] def writeManifest(root: java.nio.file.Path, version: Int,
                                        entries: Map[String, String],
                                        txn: Option[(String, Long)] = None,
-                                       schemaJson: Option[String] = None)
+                                       schemaJson: Option[String] = None,
+                                       extraMeta: Seq[String] = Nil)
       : Unit = {
     val mdir = root.resolve("manifests")
     java.nio.file.Files.createDirectories(mdir)
@@ -1418,6 +1419,7 @@ object SourceQueries {
     // link would leave a crash window or a last-writer-wins race
     val lines = txn.map { case (app, b) => s"#txn\t$app:$b" }.toSeq ++
       schemaJson.map(j => s"#schema\t$j").toSeq ++
+      extraMeta ++
       entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
     val tmp = mdir.resolve(
       s"v$version.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1716,6 +1718,48 @@ object SourceQueries {
         writeManifest(root, head + 1, parent, None, Some(widened.json))
         publishFilesSidecar(s, root, head + 1, Some(head), parent,
           Set.empty, widened)
+        committed = true
+      } catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+      }
+    }
+  }
+
+  /** Publish a CHECK-constraint add or drop as a metadata-only version
+    * — parent partition dirs verbatim plus the `#check`/`#checkdrop`
+    * record, CAS-serialized like [[snapshotAddColumns]] so a racing
+    * data commit can never slip unvalidated rows past a
+    * just-added constraint (the loser of the CAS re-reads and
+    * re-applies). Validation of EXISTING data is the caller's job:
+    * Spark's `AddCheckConstraintExec` scans the table for violations
+    * before `alterTable` ever reaches us.
+    */
+  private[graft] def snapshotCheckEvent(s: SparkSession,
+      root: java.nio.file.Path, record: String,
+      validatedHead: Option[Int] = None): Unit = {
+    val MaxAttempts = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val head = headVersion(root)
+      require(head >= 1, "cannot ALTER an unbootstrapped store")
+      // an ADD CONSTRAINT validated a SPECIFIC version's data: if a
+      // data commit raced in after that scan, publishing would bless
+      // rows the validation never saw — refuse, caller re-validates
+      validatedHead.foreach(v => if (head != v)
+        throw new IllegalStateException(
+          s"table advanced from v$v to v$head during constraint " +
+            "validation — re-run ADD CONSTRAINT"))
+      val parent = readManifest(root, head)
+      val dataSchema = graft.sources.SnapshotManifest.evolvedDataSchema(root)
+        .orElse(graft.sources.SnapshotMeta.read(root).map(_.dataSchema))
+        .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      try {
+        writeManifest(root, head + 1, parent, extraMeta = Seq(record))
+        publishFilesSidecar(s, root, head + 1, Some(head), parent,
+          Set.empty, dataSchema)
         committed = true
       } catch {
         case e: SnapshotConflictException =>
@@ -2487,6 +2531,65 @@ object SourceQueries {
     s.sql(s"${arm("head", "")}\nUNION ALL\n${arm("v2", "VERSION AS OF 2")}")
   }
 
+  /** Write-time CHECK constraints end to end — the Delta
+    * data-quality shape on Spark 4.1's native connector constraints
+    * API: bootstrap (v1), `ALTER TABLE … ADD CONSTRAINT … CHECK`
+    * (Spark validates EXISTING rows with its own scan, then the
+    * store publishes the check as a metadata-only `#check` version,
+    * v2 — CAS-serialized against racing writers, with the validated
+    * head pinned so a commit racing the validation scan refuses),
+    * then a violating `INSERT` must FAIL row-level (the analyzer's
+    * `CheckInvariant`, from [[graft.sources.SnapshotV2Table
+    * .constraints]]) and a passing one lands (v3). The entry
+    * `require`s the refusal — if enforcement silently breaks, the
+    * entry errors and the correctness gate fails — and the final
+    * aggregate pins the head version + live-check count. At 100 TB
+    * enforcement is one codegen'd predicate inside the write
+    * pipeline (SQL plane) or one delta-sized audit pass (DataFrame
+    * plane) — never a table scan.
+    */
+  def sqlConstraints(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_check")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_check")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snapchk_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT price_positive " +
+      "CHECK (o_totalprice > 0.0)")
+    val refused =
+      try { s.sql(s"INSERT INTO $tbl VALUES " +
+        "(-9L, 'F', -1.0, '1995-01', '1995-01')"); false }
+      catch { case _: Exception => true }
+    require(refused, "the violating INSERT must be refused row-level")
+    orders.createOrReplaceTempView("graft_chk_orders_src")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT -o_orderkey - 1, o_orderstatus, o_totalprice, o_ym, o_ym
+         |FROM graft_chk_orders_src
+         |WHERE o_ym = '1995-02' AND o_orderkey % 501 = 0""".stripMargin)
+    val head = graft.sources.SnapshotManifest.head(root)
+    val nChecks = graft.sources.SnapshotManifest.effectiveChecks(root).size
+    s.sql(
+      s"""SELECT $head AS head_version, $nChecks AS n_checks,
+         |  o_orderstatus, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** SQL `UPDATE` and `MERGE INTO` on the snapshot store — the
     * GROUP-BASED copy-on-write row-level path
     * ([[graft.sources.SnapshotRowLevelOperation]]), where a group is
@@ -3074,6 +3177,7 @@ object SourceQueries {
     "sql_time_travel"         -> sqlTimeTravel _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_restore"             -> sqlRestore _,
+    "sql_constraints"         -> sqlConstraints _,
     "sql_update_merge"        -> sqlUpdateMerge _,
     "sql_insert_overwrite"    -> sqlInsertOverwrite _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
@@ -3349,6 +3453,24 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v2 GROUP BY 1, 2, 3""".stripMargin,
+    // base + the one passing insert; head exactly 3 (bootstrap + ADD
+    // CONSTRAINT metadata version + passing INSERT), one live check
+    "sql_constraints" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice, o_ym
+        |  FROM base
+        |  WHERE o_ym = '1995-02' AND o_orderkey % 501 = 0),
+        |fin AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT 3 AS head_version, 1 AS n_checks, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM fin GROUP BY 1, 2, 3""".stripMargin,
     // replay: UPDATE (×2 on expensive H1-1995 orders) then MERGE
     // (matched keys take source price, unmatched insert new keys)
     "sql_update_merge" ->

@@ -61,6 +61,15 @@ final class GraftSnapshotCatalog extends TableCatalog
 
   override def name(): String = catName
 
+  // SUPPORT_TABLE_CONSTRAINT admits ALTER TABLE … ADD CONSTRAINT; the
+  // analyzer then injects per-row CheckInvariant enforcement into
+  // every DSv2 write against tables reporting constraints()
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
   private def rootOf(ident: Identifier): JPath = {
     val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
       .resolve(ident.name())
@@ -80,9 +89,16 @@ final class GraftSnapshotCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table =
     load(ident, None)
 
-  /** `VERSION AS OF n` — the time-travel door. */
+  /** `VERSION AS OF n` — the time-travel door. A non-numeric version
+    * is a TAG name (`VERSION AS OF 'audited'`), resolved through the
+    * store's `refs/` plane ([[SnapshotTags]]).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toInt))
+    load(ident, Some(version.toIntOption.getOrElse {
+      SnapshotTags.resolve(rootOf(ident), version).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version or tag named '$version' on ${ident.name()}"))
+    }))
 
   /** `TIMESTAMP AS OF t` — resolved to the LAST version whose manifest
     * was published at or before `t` (the Delta-Lake semantics, which
@@ -129,7 +145,9 @@ final class GraftSnapshotCatalog extends TableCatalog
       : Array[Identifier] =
     Array(Identifier.of(namespace, "history"),
       Identifier.of(namespace, "vacuum"),
-      Identifier.of(namespace, "restore"))
+      Identifier.of(namespace, "restore"),
+      Identifier.of(namespace, "tag"),
+      Identifier.of(namespace, "drop_tag"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -137,9 +155,12 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "history" => new SnapshotHistoryProcedure(this)
       case "vacuum" => new SnapshotVacuumProcedure(this)
       case "restore" => new SnapshotRestoreProcedure(this)
+      case "tag" => new SnapshotTagProcedure(this)
+      case "drop_tag" => new SnapshotDropTagProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
-          "vacuum(table, keep_last), restore(table, version)")
+          "vacuum(table, keep_last), restore(table, version), " +
+          "tag(table, name, version), drop_tag(table, name)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -162,7 +183,76 @@ final class GraftSnapshotCatalog extends TableCatalog
     * refused: each would be silent data loss or a full rewrite
     * wearing DDL's clothes.
     */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    changes.toList match {
+      case (ac: TableChange.AddConstraint) :: Nil =>
+        alterAddConstraint(ident, ac)
+      case (dc: TableChange.DropConstraint) :: Nil =>
+        alterDropConstraint(ident, dc)
+      case _ => alterAddColumns(ident, changes)
+    }
+
+  /** `ALTER TABLE … ADD CONSTRAINT n CHECK (e)` — write-time data
+    * quality enforcement, the Delta CHECK-constraint shape on Spark
+    * 4.1's native connector constraints API. Spark's
+    * `AddCheckConstraintExec` has already scanned the table for
+    * violating rows when this is called (existing data is validated
+    * BEFORE the constraint publishes); persisting it is a
+    * metadata-only `#check` version through the manifest CAS, so a
+    * racing data commit is serialized against the constraint — it
+    * either lands before (and was scanned by the validation) or
+    * rebases after (and is checked by the door). Enforcement on
+    * writes is two-plane: the analyzer's `CheckInvariant` row checks
+    * on every SQL/DSv2 write (from [[SnapshotV2Table.constraints]]),
+    * and the door's one-pass delta audit on the DataFrame/streaming
+    * path ([[SnapshotDoor]]).
+    */
+  private def alterAddConstraint(ident: Identifier,
+      ac: TableChange.AddConstraint): Table = {
+    val root = rootOf(ident)
+    ac.constraint() match {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          "NOT ENFORCED CHECK constraints are not supported: the store " +
+            "refuses to record a promise it will not keep")
+        val name = c.name()
+        require(name.forall(ch => ch != '\t' && ch != '\n' && ch != '\r'),
+          s"constraint name must not contain tab/newline: $name")
+        require(!SnapshotManifest.effectiveChecks(root).exists(_._1 == name),
+          s"constraint $name already exists")
+        val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CHECK constraint $name carries no SQL text"))
+        graft.operators.SourceQueries.snapshotCheckEvent(
+          SparkSession.active, root,
+          s"#check\t$name\t${sql.replaceAll("[\\r\\n]+", " ")}",
+          // the head Spark's validation scan actually read (from
+          // Table.version()) — publishing against any other head
+          // would bless rows the scan never saw
+          Option(ac.validatedTableVersion()).map(_.toInt))
+      case other => throw new UnsupportedOperationException(
+        "only CHECK constraints are supported (UNIQUE/PK/FK are " +
+          s"unenforceable promises here): ${other.toDDL}")
+    }
+    loadTable(ident)
+  }
+
+  private def alterDropConstraint(ident: Identifier,
+      dc: TableChange.DropConstraint): Table = {
+    val root = rootOf(ident)
+    val exists = SnapshotManifest.effectiveChecks(root)
+      .exists(_._1 == dc.name())
+    if (!exists && !dc.ifExists())
+      throw new IllegalArgumentException(
+        s"constraint ${dc.name()} does not exist")
+    if (exists)
+      graft.operators.SourceQueries.snapshotCheckEvent(
+        SparkSession.active, root, s"#checkdrop\t${dc.name()}")
+    loadTable(ident)
+  }
+
+  private def alterAddColumns(ident: Identifier,
+      changes: Seq[TableChange]): Table = {
     val root = rootOf(ident)
     val adds = changes.map {
       case a: TableChange.AddColumn =>
@@ -229,7 +319,7 @@ final class SnapshotV2Table(
     tableName: String,
     spark: SparkSession,
     root: JPath,
-    version: Int,
+    snapVersion: Int,
     meta: SnapshotMeta.Meta,
     pinned: Boolean = false)
   extends Table
@@ -240,6 +330,11 @@ final class SnapshotV2Table(
 
   override def name(): String = tableName
 
+  // Table.version() feeds TableChange.AddConstraint.validatedTableVersion:
+  // the constraint publish refuses if the head moved past the version
+  // the validation scan actually read
+  override def version(): String = snapVersion.toString
+
   /** Reads delegate to a `FileTable` (stock parquet scan machinery);
     * the PUBLIC table deliberately is NOT one — the analyzer's
     * `FallBackFileSourceV2` rule rewrites `INSERT INTO <FileTable>`
@@ -248,9 +343,27 @@ final class SnapshotV2Table(
     * FileTable can never reach a custom write path from SQL.
     */
   private val readTable =
-    new SnapshotReadFileTable(tableName, spark, root, version, meta)
+    new SnapshotReadFileTable(tableName, spark, root, snapVersion, meta)
 
   override def schema(): StructType = readTable.schema
+
+  /** Live CHECK constraints from the manifest plane's `#check`
+    * records: reported VALID + enforced, which is what makes the
+    * analyzer add `CheckInvariant` row validation to every DSv2 write
+    * against this table (INSERT, OVERWRITE, UPDATE/MERGE rewrites) —
+    * a violating row fails the write before any commit publishes.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    SnapshotManifest.effectiveChecks(root).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .rely(true)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ParquetScanBuilder =
@@ -328,7 +441,7 @@ final class SnapshotV2Table(
           case Some(filters) =>
             // versioned partition replacement — one CAS version whose
             // manifest swaps exactly the overwritten scope
-            new SnapshotOverwriteWrite(spark, root, version, meta, info,
+            new SnapshotOverwriteWrite(spark, root, snapVersion, meta, info,
               filters)
           case None =>
             // keyed upsert through the door (staged v2 write)
@@ -347,7 +460,7 @@ final class SnapshotV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseIfPinned(s"${info.command} on")
-    new SnapshotRowLevelOperationBuilder(spark, root, version, meta,
+    new SnapshotRowLevelOperationBuilder(spark, root, snapVersion, meta,
       readTable, info)
   }
 
@@ -618,8 +731,11 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
     val retainMs = input.getInt(2) * 1000L
     val head = SnapshotManifest.head(root)
     val keptFrom = math.max(1, head - keepLast + 1)
+    // a tag is a promise the snapshot stays readable: tagged versions
+    // survive the horizon (the Iceberg ref-retention rule)
+    val tagged = SnapshotTags.list(root).map(_._2).toSet
     val removed = graft.operators.SourceQueries.snapshotVacuum(root,
-      (keptFrom to head).toSet, retainMs)
+      (keptFrom to head).toSet ++ tagged, retainMs)
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
@@ -665,6 +781,82 @@ final class SnapshotRestoreProcedure(cat: GraftSnapshotCatalog)
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
           from, newV, nParts)))).iterator()
+  }
+}
+
+/** `CALL snap.tag('t', name, version)` — pin an immutable name to a
+  * published version ([[SnapshotTags]]): `VERSION AS OF '<name>'`
+  * resolves through it and vacuum retains what it points at.
+  * `version = -1` tags the current head.
+  */
+final class SnapshotTagProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a named immutable ref to a version: tag(table, name, version)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", IntegerType)
+        .defaultValue("-1").build())
+
+  private val outSchema = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString
+    val v0 = input.getInt(2)
+    val v = if (v0 == -1) SnapshotManifest.head(root) else v0
+    SnapshotTags.create(root, tag, v)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tag), v))))
+      .iterator()
+  }
+}
+
+/** `CALL snap.drop_tag('t', name)` — remove a ref; reports whether it
+  * existed (idempotent, so automation can call it uncondtionally).
+  */
+final class SnapshotDropTagProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "drop_tag"
+  override def description(): String =
+    "remove a named ref: drop_tag(table, name)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("existed", BooleanType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val existed = SnapshotTags.drop(root,
+      input.getUTF8String(1).toString)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(existed))))
+      .iterator()
   }
 }
 

@@ -123,6 +123,88 @@ object SnapshotManifest {
     if (recs.isEmpty) None
     else Some(DataType.fromJson(recs.maxBy(_._1)._2).asInstanceOf[StructType])
   }
+
+  /** The table's live CHECK constraints: `#check\t<name>\t<sql>` adds
+    * and `#checkdrop\t<name>` removals folded in version order (each a
+    * metadata-only version, atomic with its manifest and CAS-serialized
+    * against every writer — the same commit-coupled discipline as
+    * `#schema`; a sidecar would race). Names are tab-free by
+    * construction; the SQL text is everything after the second tab.
+    * Ordered by add version, oldest first.
+    */
+  def effectiveChecks(root: JPath): Seq[(String, String)] = {
+    val events = metaLines(root).sortBy(_._1).flatMap { case (_, ls) =>
+      ls.collect {
+        case l if l.startsWith("#check\t") =>
+          val body = l.stripPrefix("#check\t")
+          val i = body.indexOf('\t')
+          Left(body.substring(0, i) -> body.substring(i + 1))
+        case l if l.startsWith("#checkdrop\t") =>
+          Right(l.stripPrefix("#checkdrop\t"))
+      }
+    }
+    events.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, Left(add)) => acc :+ add
+      case (acc, Right(name)) => acc.filterNot(_._1 == name)
+    }
+  }
+}
+
+/** Named immutable version refs (`<root>/refs/<name>` → version int) —
+  * the Iceberg TAG shape: `CALL snap.tag('t', 'audited', 3)` pins a
+  * human name to a version, `VERSION AS OF 'audited'` resolves through
+  * it, and vacuum RETAINS tagged versions (a tag is a promise the
+  * snapshot stays readable). Creation is the same link(2) CAS as
+  * manifests — racing taggers get exactly one winner, and a tag never
+  * silently moves (drop + re-create is the explicit spelling).
+  */
+object SnapshotTags {
+  private def dir(root: JPath): JPath = root.resolve("refs")
+
+  /** Tag names must be filesystem-clean and must not look like a
+    * version number — a numeric tag would shadow `VERSION AS OF n`.
+    */
+  private def validate(name: String): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"tag name must match [A-Za-z][A-Za-z0-9_.-]*: '$name'")
+  }
+
+  def create(root: JPath, name: String, version: Int): Unit = {
+    validate(name)
+    require(JFiles.exists(
+      root.resolve("manifests").resolve(s"v$version.manifest")),
+      s"version $version is not published (or was vacuumed) — " +
+        "cannot tag it")
+    JFiles.createDirectories(dir(root))
+    val tmp = dir(root).resolve(
+      s".$name.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.write(tmp, java.util.List.of(version.toString))
+    try JFiles.createLink(dir(root).resolve(name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag $name already exists (tags are immutable: " +
+            "drop_tag then tag to move it)")
+    } finally JFiles.deleteIfExists(tmp)
+  }
+
+  def resolve(root: JPath, name: String): Option[Int] = {
+    val f = dir(root).resolve(name)
+    if (!JFiles.exists(f)) None
+    else Some(JFiles.readAllLines(f).asScala.head.trim.toInt)
+  }
+
+  /** Every tag and its pinned version. */
+  def list(root: JPath): Seq[(String, Int)] = {
+    val d = dir(root).toFile
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith("."))
+      .map(f => f.getName -> resolve(root, f.getName).get)
+      .toSeq.sortBy(_._1)
+  }
+
+  def drop(root: JPath, name: String): Boolean =
+    JFiles.deleteIfExists(dir(root).resolve(name))
 }
 
 /** Table-level metadata sidecar (`<root>/table.meta`, JSON): the
@@ -1096,6 +1178,28 @@ private[sources] object SnapshotDoor {
     // reads with the same option can file-skip point lookups
     val bloomIndexKey = opt(parameters, "bloomKey")
     java.nio.file.Files.createDirectories(root)
+    // CHECK-constraint audit on the DataFrame/streaming plane (SQL
+    // writes get the analyzer's CheckInvariant instead): ONE pass over
+    // the delta counts violations of every live check — ANSI
+    // semantics, a row passes on TRUE or NULL, fails only on FALSE.
+    // Delete deltas are key lists, not rows entering the table.
+    if (insert && java.nio.file.Files.isDirectory(root.resolve("manifests"))) {
+      val checks = SnapshotManifest.effectiveChecks(root)
+      if (checks.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, count, expr, lit, when, not}
+        val viols = data.agg(
+          count(lit(1)).as("c0"),
+          checks.map { case (n, sql) =>
+            count(when(not(coalesce(expr(sql).cast("boolean"), lit(true))),
+              lit(1))).as(s"viol_$n")
+          }: _*).head()
+        checks.zipWithIndex.foreach { case ((n, sql), i) =>
+          val bad = viols.getLong(i + 1)
+          if (bad > 0) throw new IllegalArgumentException(
+            s"CHECK constraint $n violated by $bad row(s): $sql")
+        }
+      }
+    }
     // CAS retry loop: of N racers exactly one publishes each version;
     // losers rebase on the new head and re-apply the key-based delta
     val MaxAttempts = 5

@@ -526,6 +526,60 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(tt != null) // expired version unreadable, not half-readable
   }
 
+  test("CHECK constraints: ADD validates existing data, every write " +
+    "door enforces, DROP re-admits") {
+    val (droot, t) = dmlStore()
+    // adding a constraint the existing data violates must refuse:
+    // Spark's AddCheckConstraintExec scans for violations first
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT cheap CHECK (price < 15.0)")
+    }
+    assert(bad.getMessage.toLowerCase.contains("check") ||
+      bad.getMessage.toLowerCase.contains("violate"),
+      s"pre-validation must catch existing violations: ${bad.getMessage}")
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT positive CHECK (price > 0.0)")
+    assert(SnapshotManifest.effectiveChecks(droot) ===
+      Seq("positive" -> "price > 0.0"))
+    assert(SnapshotManifest.head(droot) === 2,
+      "ADD CONSTRAINT must publish one metadata-only version")
+    // SQL plane: the analyzer's CheckInvariant fails the violating row
+    val sqlViol = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (9L, -1.0, '2024-01', '2024-01')")
+    }
+    assert(sqlViol.getMessage.toLowerCase.contains("check") ||
+      sqlViol.getMessage.toLowerCase.contains("positive"),
+      s"SQL INSERT must enforce the check: ${sqlViol.getMessage}")
+    // DataFrame plane: the door's one-pass delta audit refuses too
+    import spark.implicits._
+    val doorViol = intercept[Exception] {
+      Seq((9L, -2.0, "2024-01")).toDF("k", "price", "ym")
+        .write.format("graft-snapshot")
+        .option("keyCol", "k").option("partCol", "ym")
+        .mode("append").save(droot.toString)
+    }
+    assert(doorViol.getMessage.contains("positive"),
+      s"write door must enforce the check: ${doorViol.getMessage}")
+    // nothing published by either refusal; a passing row still lands
+    assert(SnapshotManifest.head(droot) === 2)
+    spark.sql(s"INSERT INTO $t VALUES (9L, 9.0, '2024-01', '2024-01')")
+    assert(rowsOf(t).contains((9L, 9.0)))
+    // NULL passes (ANSI CHECK semantics): a row whose predicate is
+    // NULL is not a violation
+    spark.sql(s"INSERT INTO $t VALUES (10L, NULL, '2024-01', '2024-01')")
+    assert(spark.sql(s"SELECT k FROM $t WHERE price IS NULL").collect()
+      .map(_.getLong(0)).toSet === Set(10L))
+    // DROP re-admits what ADD refused; unknown drop refuses
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT positive")
+    assert(SnapshotManifest.effectiveChecks(droot).isEmpty)
+    spark.sql(s"INSERT INTO $t VALUES (11L, -5.0, '2024-02', '2024-02')")
+    assert(spark.sql(s"SELECT price FROM $t WHERE k = 11").head()
+      .getDouble(0) === -5.0)
+    val unknown = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP CONSTRAINT nope")
+    }
+    assert(unknown.getMessage.contains("nope"))
+  }
+
   test("CALL restore publishes a new head mirroring an old version; " +
     "interim history survives and data dirs are shared") {
     val (droot, t) = dmlStore()
