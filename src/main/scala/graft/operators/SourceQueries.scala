@@ -2531,6 +2531,42 @@ object SourceQueries {
     s.sql(s"${arm("head", "")}\nUNION ALL\n${arm("v2", "VERSION AS OF 2")}")
   }
 
+  /** Named tags through the SQL surface — the Iceberg TAG shape:
+    * `CALL snap.tag('t', 'audited', 1)` pins an immutable
+    * filesystem-CAS ref ([[graft.sources.SnapshotTags]]) and
+    * `VERSION AS OF 'audited'` resolves through it, so releases/audits
+    * address snapshots by NAME, not by a version number someone has to
+    * remember — and vacuum retains tagged versions (spec-pinned).
+    * Tags on the shared fixture are recreated idempotently
+    * (drop_tag + tag) so bench trials re-run cleanly. The result
+    * aggregates two tagged versions side by side; the oracle
+    * recomputes both states relationally.
+    */
+  def sqlTagTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    val key = Tables.dirKey(dir)
+    val cat = s"snap_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      root.getParent.toString)
+    val tn = root.getFileName.toString
+    Seq("audited" -> 1, "pre_delete" -> 2).foreach { case (n, v) =>
+      s.sql(s"CALL $cat.drop_tag('$tn', '$n')")
+      s.sql(s"CALL $cat.tag('$tn', '$n', $v)")
+    }
+    val tbl = s"$cat.`$tn`"
+    def arm(tag: String): String =
+      s"""SELECT '$tag' AS tag_name, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl VERSION AS OF '$tag'
+         |GROUP BY o_orderstatus""".stripMargin
+    s.sql(s"${arm("audited")}\nUNION ALL\n${arm("pre_delete")}")
+  }
+
   /** Write-time CHECK constraints end to end — the Delta
     * data-quality shape on Spark 4.1's native connector constraints
     * API: bootstrap (v1), `ALTER TABLE … ADD CONSTRAINT … CHECK`
@@ -3178,6 +3214,7 @@ object SourceQueries {
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_restore"             -> sqlRestore _,
     "sql_constraints"         -> sqlConstraints _,
+    "sql_tag_travel"          -> sqlTagTravel _,
     "sql_update_merge"        -> sqlUpdateMerge _,
     "sql_insert_overwrite"    -> sqlInsertOverwrite _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
@@ -3453,6 +3490,33 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v2 GROUP BY 1, 2, 3""".stripMargin,
+    // tag 'audited' pins v1 (pristine orders), 'pre_delete' pins v2
+    // (after the ×1.1 upsert + negative-key inserts, before the delete)
+    "sql_tag_travel" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT 'audited' AS tag_name, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'pre_delete' AS tag_name, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v2 GROUP BY 1, 2""".stripMargin,
     // base + the one passing insert; head exactly 3 (bootstrap + ADD
     // CONSTRAINT metadata version + passing INSERT), one live check
     "sql_constraints" ->

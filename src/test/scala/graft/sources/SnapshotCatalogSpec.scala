@@ -526,6 +526,52 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(tt != null) // expired version unreadable, not half-readable
   }
 
+  test("tags: named refs resolve through VERSION AS OF, survive " +
+    "vacuum, and never silently move") {
+    val (droot, t) = dmlStore()
+    spark.sql(s"INSERT INTO $t VALUES (2L, 25.0, '2024-01', '2024-01')")
+    spark.sql(s"INSERT INTO $t VALUES (3L, 35.0, '2024-02', '2024-02')")
+    val cat = t.split("\\.")(0)
+    val tn = droot.getFileName.toString
+    val r = spark.sql(s"CALL $cat.tag('$tn', 'audited', 1)").head()
+    assert((r.getString(0), r.getInt(1)) === (("audited", 1)))
+    // default version (-1) pins the head
+    assert(spark.sql(s"CALL $cat.tag('$tn', 'latest')").head()
+      .getInt(1) === 3)
+    assert(rowsOf(t, "VERSION AS OF 'audited'") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "the tag must resolve to v1's exact content")
+    assert(rowsOf(t, "VERSION AS OF 'latest'") === rowsOf(t))
+    // immutable: re-tagging refuses; explicit drop + tag moves it
+    val dup = intercept[Exception] {
+      spark.sql(s"CALL $cat.tag('$tn', 'audited', 2)").collect()
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // an unknown tag refuses loudly, never resolves to something else
+    val missing = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 'nope'").collect()
+    }
+    assert(missing.getMessage.contains("nope"))
+    // vacuum keeps the TAGGED v1 alive past the keep_last horizon:
+    // only the untagged v2's superseded dirs are reclaimable
+    spark.sql(s"CALL $cat.vacuum('$tn', 1, 0)")
+    assert(rowsOf(t, "VERSION AS OF 'audited'") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "a tagged version must survive vacuum")
+    // dropping the tag releases it: the next vacuum reclaims v1
+    assert(spark.sql(s"CALL $cat.drop_tag('$tn', 'audited')").head()
+      .getBoolean(0))
+    assert(!spark.sql(s"CALL $cat.drop_tag('$tn', 'audited')").head()
+      .getBoolean(0), "drop_tag reports idempotently")
+    spark.sql(s"CALL $cat.vacuum('$tn', 1, 0)")
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(gone != null, "untagged expired version must fail loudly")
+    assert(rowsOf(t) === Set((1L, 10.0), (2L, 25.0), (3L, 35.0)),
+      "the head must be unharmed throughout")
+  }
+
   test("CHECK constraints: ADD validates existing data, every write " +
     "door enforces, DROP re-admits") {
     val (droot, t) = dmlStore()
