@@ -1769,6 +1769,97 @@ object SourceQueries {
     }
   }
 
+  /** Layout-generic incremental compaction for ANY snapshot store —
+    * the `CALL snap.compact(...)` engine. Hot partitions (≥ threshold
+    * parquet files, counted by one listing per manifest entry) are
+    * rewritten in ONE Spark job: each hot leaf dir is read under the
+    * DECLARED effective data schema (never footer inference — a
+    * compaction spanning pre/post-evolution partitions must not lose
+    * columns), its mirror columns are re-attached as the verbatim
+    * dir-name strings (so `partitionBy` reproduces byte-identical
+    * leaf names whatever the mirror's declared type renders like),
+    * and the union is range-repartitioned on (mirrors…, keyCol) with
+    * an in-file sort — compaction REGAINS key clustering, it doesn't
+    * just glue files. A partition is only rewritten when the rewrite
+    * would strictly REDUCE its file count (target = explicit
+    * `filesPerPartition` or ~256 MB auto-sizing) — so repeated CALLs
+    * converge to a no-op instead of churning versions forever when
+    * the threshold and the target overlap. Quiet partitions keep
+    * their exact dirs; a fully quiet table costs listings and
+    * publishes nothing. The winner
+    * publishes one CAS version + the stats sidecar at O(touched); a
+    * conflict re-detects hot partitions against the new head and
+    * retries. Compacted old dirs stay referenced by old versions
+    * (time travel intact) until vacuum reclaims them.
+    */
+  private[graft] def snapshotCompact(s: SparkSession,
+      root: java.nio.file.Path, threshold: Int,
+      filesPerPartition: Option[Int] = None): (Int, Int, Int, Int) = {
+    require(threshold >= 2, s"threshold must be >= 2, got $threshold")
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "compact needs a table.meta layout declaration"))
+    val mirrors = meta.partitionSchema.fields.map(_.name).toSeq
+    val dataSchema = graft.sources.SnapshotManifest.evolvedDataSchema(root)
+      .getOrElse(meta.dataSchema)
+    val declared = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.map(_.copy(nullable = true)))
+    def parquetCount(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val MaxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val head = headVersion(root)
+      val manifest = readManifest(root, head)
+      val counts = manifest.map { case (pv, p) => pv -> parquetCount(p) }
+      val overThreshold = counts.filter(_._2 >= threshold).keys.toSeq.sorted
+      if (overThreshold.isEmpty) return (0, head, 0, 0)
+      val perPart = filesPerPartition.getOrElse {
+        val maxBytes = overThreshold.map(pv => org.apache.commons.io
+          .FileUtils.sizeOf(new java.io.File(manifest(pv)))).max
+        (maxBytes / (256L << 20) + 1).toInt
+      }
+      // idempotence: rewriting a partition already at (or below) the
+      // target file count can't reduce it — leave it alone
+      val hot = overThreshold.filter(pv => counts(pv) > perPart)
+      if (hot.isEmpty) return (0, head, 0, 0)
+      val filesBefore = hot.map(counts).sum
+      val out = root.resolve(
+        s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
+        .toString
+      val unioned = hot.map { pv =>
+        val vals = pv.split("/").toSeq
+        mirrors.zip(vals).foldLeft(
+          s.read.schema(declared).parquet(manifest(pv))) {
+          case (df, (m, v)) => df.withColumn(m, lit(v))
+        }
+      }.reduce(_.unionByName(_))
+      val sortCols = (mirrors ++ meta.keyCol.toSeq).map(col)
+      unioned
+        .repartitionByRange(hot.length * perPart, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.partitionBy(mirrors: _*).parquet(out)
+      def leafOf(pv: String): String =
+        s"$out/${mirrors.zip(pv.split("/").toSeq)
+          .map { case (m, v) => s"$m=$v" }.mkString("/")}"
+      val entries = manifest ++ hot.map(pv => pv -> leafOf(pv))
+      try {
+        writeManifest(root, head + 1, entries)
+        publishFilesSidecar(s, root, head + 1, Some(head), entries,
+          hot.toSet, declared)
+        return (hot.size, head + 1, filesBefore, hot.map(pv =>
+          parquetCount(leafOf(pv))).sum)
+      } catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+        // the attempt root stays orphaned for vacuum, like any loser
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Bootstrap a snapshot store: the whole frame becomes v1, laid out
     * one leaf dir per (multi-column) partition value, published
     * through the same CAS manifest write (a racing bootstrap loses

@@ -147,7 +147,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "vacuum"),
       Identifier.of(namespace, "restore"),
       Identifier.of(namespace, "tag"),
-      Identifier.of(namespace, "drop_tag"))
+      Identifier.of(namespace, "drop_tag"),
+      Identifier.of(namespace, "compact"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -157,10 +158,12 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "restore" => new SnapshotRestoreProcedure(this)
       case "tag" => new SnapshotTagProcedure(this)
       case "drop_tag" => new SnapshotDropTagProcedure(this)
+      case "compact" => new SnapshotCompactProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
-          "tag(table, name, version), drop_tag(table, name)")
+          "tag(table, name, version), drop_tag(table, name), " +
+          "compact(table, threshold)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -823,6 +826,54 @@ final class SnapshotTagProcedure(cat: GraftSnapshotCatalog)
         Array(org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(tag), v))))
       .iterator()
+  }
+}
+
+/** `CALL snap.compact('t', threshold)` — layout-generic incremental
+  * small-file compaction ([[graft.operators.SourceQueries
+  * .snapshotCompact]]): partitions at or above `threshold` parquet
+  * files are rewritten key-clustered into one CAS version; quiet
+  * partitions keep their exact dirs and a quiet table publishes
+  * nothing (the OPTIMIZE shape). Returns what it did.
+  */
+final class SnapshotCompactProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "rewrite small-file partitions key-clustered: compact(table, threshold)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  /** `files_per_partition = -1` sizes output files at ~256 MB from the
+    * hot partitions' own bytes.
+    */
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("threshold", IntegerType).build(),
+      ProcedureParameter.in("files_per_partition", IntegerType)
+        .defaultValue("-1").build())
+
+  private val outSchema = StructType(Seq(
+    StructField("compacted_partitions", IntegerType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("files_before", IntegerType, nullable = false),
+    StructField("files_after", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val fpp = input.getInt(2)
+    val (n, v, before, after) =
+      graft.operators.SourceQueries.snapshotCompact(SparkSession.active,
+        root, input.getInt(1), if (fpp == -1) None else Some(fpp))
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          n, v, before, after)))).iterator()
   }
 }
 

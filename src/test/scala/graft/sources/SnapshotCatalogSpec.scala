@@ -526,6 +526,89 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(tt != null) // expired version unreadable, not half-readable
   }
 
+  test("CALL compact rewrites hot partitions key-clustered in one " +
+    "version; quiet partitions share dirs; quiet tables no-op") {
+    import spark.implicits._
+    val droot = java.nio.file.Files.createTempDirectory("compact_store")
+      .resolve("t")
+    // 12 keys in 2024-01 spread over 6 input partitions → ~6 small
+    // files in that leaf; 2024-02 stays cold with one file
+    val rows = (1L to 12L).map(k => (k, k * 10.0, "2024-01")) ++
+      Seq((20L, 200.0, "2024-02"))
+    rows.toDF("k", "price", "ym").repartition(6)
+      .write.format("graft-snapshot")
+      .option("keyCol", "k").option("partCol", "ym")
+      .mode("append").save(droot.toString)
+    val v1 = SnapshotManifest.read(droot, 1)
+    def filesOf(dir: String): Array[java.io.File] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(filesOf(v1("2024-01")).length >= 3, "fixture must be hot")
+    val c = s"snapcp${java.util.UUID.randomUUID.toString.take(6)}"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+      droot.getParent.toString)
+    val tn = droot.getFileName.toString
+    val r = spark.sql(s"CALL $c.compact('$tn', 3, 2)").head()
+    assert((r.getInt(0), r.getInt(1)) === ((1, 2)),
+      s"one hot partition, one new version: $r")
+    assert(r.getInt(3) < r.getInt(2),
+      s"compaction must reduce the file count: $r")
+    val v2 = SnapshotManifest.read(droot, 2)
+    assert(v2("2024-02") === v1("2024-02"),
+      "the quiet partition must keep its exact dir")
+    assert(v2("2024-01") !== v1("2024-01"))
+    // data invisible to compaction, history intact
+    val t = s"$c.`$tn`"
+    assert(spark.sql(s"SELECT SUM(price) FROM $t").head().getDouble(0)
+      === (1 to 12).map(_ * 10.0).sum + 200.0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 1")
+      .head().getLong(0) === 13L)
+    // compaction REGAINS key clustering: the rewritten files cover
+    // disjoint key ranges
+    val ranges = filesOf(v2("2024-01")).map { f =>
+      val kr = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min($"k"),
+          org.apache.spark.sql.functions.max($"k")).head()
+      (kr.getLong(0), kr.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"files must cover disjoint key ranges: ${ranges.mkString(",")}")
+    // already-compacted table: metadata-only no-op, nothing published
+    val r2 = spark.sql(s"CALL $c.compact('$tn', 3)").head()
+    assert((r2.getInt(0), r2.getInt(1)) === ((0, 2)), s"no-op: $r2")
+    // a partition at the threshold but already AT the target file
+    // count is left alone too — repeated CALLs converge, never churn
+    val r3 = spark.sql(s"CALL $c.compact('$tn', 2, 2)").head()
+    assert((r3.getInt(0), r3.getInt(1)) === ((0, 2)),
+      s"rewrite that can't reduce files must no-op: $r3")
+    // layout generality: a typed multi-column (date, string) store
+    // compacts through the same door
+    val mroot = java.nio.file.Files.createTempDirectory("compact_multi")
+      .resolve("ev")
+    val ev = Seq.tabulate(8)(i =>
+      (i.toLong, java.sql.Date.valueOf("2024-03-01"), "click", i * 1.0)) :+
+      ((99L, java.sql.Date.valueOf("2024-03-02"), "view", 9.0))
+    ev.toDF("id", "d", "typ", "v").repartition(4)
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCols", "d,typ")
+      .mode("append").save(mroot.toString)
+    spark.conf.set(s"spark.sql.catalog.${c}m",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.${c}m.warehouse",
+      mroot.getParent.toString)
+    val rm = spark.sql(
+      s"CALL ${c}m.compact('${mroot.getFileName}', 3, 1)").head()
+    assert(rm.getInt(0) === 1, s"the hot (day,type) leaf compacts: $rm")
+    assert(spark.sql(
+      s"SELECT SUM(v) FROM ${c}m.`${mroot.getFileName}`").head()
+      .getDouble(0) === (0 until 8).map(_ * 1.0).sum + 9.0,
+      "multi-column compaction must be invisible in the data")
+  }
+
   test("tags: named refs resolve through VERSION AS OF, survive " +
     "vacuum, and never silently move") {
     val (droot, t) = dmlStore()
