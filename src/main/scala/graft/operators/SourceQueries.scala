@@ -1479,6 +1479,91 @@ object SourceQueries {
     (newV, entries.size)
   }
 
+  /** Clone a snapshot version into a brand-new table — the Delta/
+    * Iceberg `CLONE` primitive, done as a HARD-LINK clone so it is
+    * zero-copy AND vacuum-safe on both sides. Delta's shallow clone
+    * shares data files by manifest pointer, which makes `VACUUM` on
+    * the source silently break every clone (their documented caveat);
+    * linking instead shares the INODES — each leaf file gets a second
+    * name under the clone's own root, zero data bytes move, and
+    * either table's vacuum only unlinks names under its own root, so
+    * the bytes live until the LAST referencing table releases them.
+    * Cost is O(files) metadata operations, never O(bytes); on a
+    * filesystem without cross-link support the per-file fallback is a
+    * real copy (correct, just not free).
+    *
+    * What carries: the cloned version's partition map (as the clone's
+    * v1), its stats sidecar (same bytes ⇒ same stats, paths rewritten
+    * to the linked names), the CURRENT effective schema folded into
+    * the clone's `table.meta` (the restore/evolution stance: evolved
+    * reads declare missing columns nullable), `keyCol`, and the
+    * table's live CHECK constraints (re-published as `#check` records
+    * in the clone's v1 manifest — a clone that silently dropped its
+    * source's data-quality gates would admit rows the source refuses).
+    * What doesn't: version history (the clone starts at v1 — history
+    * belongs to the source), tags (they name source versions), and
+    * the Bloom index (keyed by source file paths; the clone degrades
+    * to no file-skipping, which is sound and spec-pinned on the
+    * write-door side). Returns (sourceVersion, nPartitions, nFiles).
+    */
+  private[graft] def snapshotClone(srcRoot: java.nio.file.Path,
+      dstRoot: java.nio.file.Path,
+      version: Option[Int] = None): (Int, Int, Int) = {
+    import java.nio.file.{Files => JF}
+    val head = headVersion(srcRoot)
+    require(head > 0, s"$srcRoot has no published versions to clone")
+    val v = version.getOrElse(head)
+    require(JF.exists(
+      srcRoot.resolve("manifests").resolve(s"v$v.manifest")),
+      s"version $v is not published (or was vacuumed) — cannot clone it")
+    require(srcRoot.toAbsolutePath != dstRoot.toAbsolutePath,
+      "clone target must be a different table")
+    require(!JF.exists(dstRoot.resolve("manifests")),
+      s"clone target $dstRoot already exists — refusing to overwrite")
+    val meta = graft.sources.SnapshotMeta.read(srcRoot).getOrElse(
+      throw new UnsupportedOperationException(
+        "clone needs a table.meta layout declaration"))
+    val mirrors = meta.partitionSchema.fields.map(_.name).toSeq
+    val effective = graft.sources.SnapshotManifest.evolvedDataSchema(srcRoot)
+      .map(st => org.apache.spark.sql.types.StructType(
+        st.fields.map(_.copy(nullable = true))))
+      .getOrElse(meta.dataSchema)
+    val manifest = readManifest(srcRoot, v)
+    JF.createDirectories(dstRoot)
+    graft.sources.SnapshotMeta.write(dstRoot,
+      meta.copy(dataSchema = effective))
+    def leafOf(pv: String): java.nio.file.Path =
+      mirrors.zip(pv.split("/").toSeq).foldLeft(dstRoot.resolve("d1")) {
+        case (p, (m, value)) => p.resolve(s"$m=$value")
+      }
+    var linked = 0
+    val entries = manifest.map { case (pv, dir) =>
+      val dst = leafOf(pv)
+      JF.createDirectories(dst)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach { f =>
+          val target = dst.resolve(f.getName)
+          try JF.createLink(target, f.toPath)
+          catch { // cross-filesystem target: pay the copy, stay correct
+            case _: UnsupportedOperationException | _: java.io.IOException
+              if !JF.exists(target) => JF.copy(f.toPath, target)
+          }
+          linked += 1
+        }
+      pv -> dst.toAbsolutePath.toString
+    }
+    val checkLines = graft.sources.SnapshotManifest.effectiveChecks(srcRoot)
+      .map { case (n, sql) => s"#check\t$n\t$sql" }
+    writeManifest(dstRoot, 1, entries, extraMeta = checkLines)
+    graft.sources.SnapshotFiles.read(srcRoot, v).foreach { fm =>
+      val rewritten = fm.toSeq.sortBy(_._1).flatMap(_._2).map { e =>
+        e.copy(path = entries(e.pv) + "/" + new java.io.File(e.path).getName)
+      }
+      graft.sources.SnapshotFiles.write(dstRoot, 1, rewritten)
+    }
+    (v, entries.size, linked)
+  }
+
   /** Read one snapshot: the union of its manifest's partition dirs. The
     * month lives IN the data (`o_ym`); the `o_ym_p=` dir name is layout
     * only, so leaf dirs from different commit roots mix freely.
@@ -2622,6 +2707,70 @@ object SourceQueries {
     s.sql(s"${arm("head", "")}\nUNION ALL\n${arm("v2", "VERSION AS OF 2")}")
   }
 
+  /** `CALL snap.clone(table, target[, version])` end to end — the
+    * zero-copy CLONE primitive, hard-link flavored so it stays correct
+    * where Delta's shallow clone documented-breaks (vacuum on the
+    * source): bootstrap (v1), upsert (v2), clone BOTH v1 and the head
+    * into new tables, then delete on the source (v3) and VACUUM it
+    * down to one kept version — reclaiming the upsert-superseded and
+    * deleted dirs the clones were taken from. The clones keep reading
+    * those bytes because cloning hard-linked them under each clone's
+    * own root ([[snapshotClone]]): the source vacuum only unlinked the
+    * source's names. The result aggregates clone-of-v1 (the pristine
+    * bootstrap), clone-of-head (the upserted state) and the source's
+    * final head side by side with each table's pinned head version
+    * (clones start their own history at v1) — a clone that carried
+    * history, shared manifests instead of linking, or lost bytes to
+    * the vacuum hash-mismatches. The oracle replays all three states
+    * relationally.
+    */
+  def sqlClone(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_clone")).resolve(key)
+    // cloning creates sibling tables: rebuild per call (trial idempotence)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_cl")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snapcl_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    orders.createOrReplaceTempView("graft_cl_orders_src")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5,
+         |  o_ym, o_ym
+         |FROM graft_cl_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+         |  AND o_orderkey % 17 = 0""".stripMargin)
+    s.sql(s"CALL $cat.clone('${root.getFileName}', 'cl_v1', '1')")
+    s.sql(s"CALL $cat.clone('${root.getFileName}', 'cl_head')")
+    s.sql(s"DELETE FROM $tbl WHERE o_ym_p >= '1996-01'")
+    s.sql(s"CALL $cat.vacuum('${root.getFileName}', 1)")
+    val srcHead = graft.sources.SnapshotManifest.head(root)
+    def arm(tag: String, t: String, hv: Int): String =
+      s"""SELECT '$tag' AS arm, $hv AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $t
+         |GROUP BY o_orderstatus""".stripMargin
+    s.sql(Seq(
+      arm("clone_v1", s"$cat.`cl_v1`",
+        graft.sources.SnapshotManifest.head(base.resolve("cl_v1"))),
+      arm("clone_head", s"$cat.`cl_head`",
+        graft.sources.SnapshotManifest.head(base.resolve("cl_head"))),
+      arm("src", tbl, srcHead)).mkString("\nUNION ALL\n"))
+  }
+
   /** Named tags through the SQL surface — the Iceberg TAG shape:
     * `CALL snap.tag('t', 'audited', 1)` pins an immutable
     * filesystem-CAS ref ([[graft.sources.SnapshotTags]]) and
@@ -3304,6 +3453,7 @@ object SourceQueries {
     "sql_time_travel"         -> sqlTimeTravel _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_restore"             -> sqlRestore _,
+    "sql_clone"               -> sqlClone _,
     "sql_constraints"         -> sqlConstraints _,
     "sql_tag_travel"          -> sqlTagTravel _,
     "sql_update_merge"        -> sqlUpdateMerge _,
@@ -3581,6 +3731,42 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v2 GROUP BY 1, 2, 3""".stripMargin,
+    // clone_v1 = the pristine bootstrap, clone_head = after the ×1.5
+    // upsert, src = head after the >= 1996-01 partition delete; the
+    // source was vacuumed to one version between cloning and reading
+    "sql_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base
+        |  WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+        |    AND o_orderkey % 17 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |v3 AS (SELECT * FROM v2 WHERE o_ym < '1996-01')
+        |SELECT 'clone_v1' AS arm, 1 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM base GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'clone_head' AS arm, 1 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v2 GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'src' AS arm, 3 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3 GROUP BY 1, 2, 3""".stripMargin,
     // tag 'audited' pins v1 (pristine orders), 'pre_delete' pins v2
     // (after the ×1.1 upsert + negative-key inserts, before the delete)
     "sql_tag_travel" ->

@@ -148,7 +148,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "restore"),
       Identifier.of(namespace, "tag"),
       Identifier.of(namespace, "drop_tag"),
-      Identifier.of(namespace, "compact"))
+      Identifier.of(namespace, "compact"),
+      Identifier.of(namespace, "clone"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -159,15 +160,25 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "tag" => new SnapshotTagProcedure(this)
       case "drop_tag" => new SnapshotDropTagProcedure(this)
       case "compact" => new SnapshotCompactProcedure(this)
+      case "clone" => new SnapshotCloneProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
           "tag(table, name, version), drop_tag(table, name), " +
-          "compact(table, threshold)")
+          "compact(table, threshold), clone(table, target)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
     rootOf(Identifier.of(Array.empty, table))
+
+  /** Root for a table that must NOT exist yet (clone targets). */
+  private[sources] def resolveNewRoot(table: String): JPath = {
+    val root = warehouse.resolve(table)
+    if (JFiles.isDirectory(root.resolve("manifests")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(table))
+    root
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
@@ -874,6 +885,59 @@ final class SnapshotCompactProcedure(cat: GraftSnapshotCatalog)
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
           n, v, before, after)))).iterator()
+  }
+}
+
+/** `CALL snap.clone('t', 'u'[, version])` — zero-copy hard-link clone
+  * of a published version into a brand-new table in the same warehouse
+  * ([[graft.operators.SourceQueries.snapshotClone]]): the cloned
+  * version becomes the target's v1, stats sidecar + effective schema +
+  * live CHECK constraints carry, and — unlike Delta's shallow clone —
+  * vacuum on EITHER table stays safe, because each side only unlinks
+  * its own names. `version = -1` clones the current head; a tag name
+  * resolves like `VERSION AS OF`.
+  */
+final class SnapshotCloneProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy hard-link clone of a version: clone(table, target[, version])"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("version", StringType)
+        .defaultValue("'-1'").build())
+
+  private val outSchema = StructType(Seq(
+    StructField("cloned_version", IntegerType, nullable = false),
+    StructField("n_partitions", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val src = cat.resolveRoot(input.getUTF8String(0).toString)
+    val dst = cat.resolveNewRoot(input.getUTF8String(1).toString)
+    val vArg = input.getUTF8String(2).toString
+    val version = vArg.toIntOption match {
+      case Some(-1) => None
+      case Some(n) => Some(n)
+      case None => Some(SnapshotTags.resolve(src, vArg).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown tag '$vArg' — cannot clone it")))
+    }
+    val (v, nParts, nFiles) =
+      graft.operators.SourceQueries.snapshotClone(src, dst, version)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          v, nParts, nFiles)))).iterator()
   }
 }
 

@@ -609,6 +609,83 @@ class SnapshotCatalogSpec extends SparkSpec {
       "multi-column compaction must be invisible in the data")
   }
 
+  test("CALL clone: zero-copy hard-link clone — fresh history, carried " +
+    "constraints and stats, independent evolution, vacuum-safe both ways") {
+    import scala.jdk.CollectionConverters._
+    val (droot, t) = dmlStore()
+    val c = t.split("\\.")(0)
+    val tn = droot.getFileName.toString
+    // v2: one more month, so the clone spans three partitions; then a
+    // live CHECK the clone must inherit
+    spark.sql(s"INSERT INTO $t VALUES (4L, 40.0, '2024-03', '2024-03')")
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (price > 0.0)")
+    val headV = SnapshotManifest.head(droot)
+    val r = spark.sql(s"CALL $c.clone('$tn', 'u')").head()
+    assert((r.getInt(0), r.getInt(1)) === ((headV, 3)),
+      s"clone of the head across three partitions: $r")
+    assert(r.getInt(2) > 0, s"files must have been linked: $r")
+    val u = s"$c.`u`"
+    val uroot = droot.getParent.resolve("u")
+    assert(rowsOf(u) === rowsOf(t), "clone must read the cloned state")
+    assert(SnapshotManifest.head(uroot) === 1,
+      "the clone starts its own history at v1")
+    // zero-copy: the clone's parquet files are hard links (nlink >= 2),
+    // not byte copies
+    val cloneFile = java.nio.file.Files.walk(uroot).iterator().asScala
+      .find(_.toString.endsWith(".parquet"))
+      .getOrElse(fail("clone has no data files"))
+    assert(java.nio.file.Files.getAttribute(cloneFile, "unix:nlink")
+      .asInstanceOf[Number].intValue >= 2,
+      s"cloned files must be hard links: $cloneFile")
+    // the stats sidecar carries, rewritten to the linked names
+    val fm = SnapshotFiles.read(uroot, 1)
+      .getOrElse(fail("clone must carry the stats sidecar"))
+    assert(fm.values.flatten.nonEmpty)
+    fm.values.flatten.foreach(e => assert(new java.io.File(e.path).isFile,
+      s"sidecar must point at the clone's own files: ${e.path}"))
+    // the source's live CHECK came along: a violating INSERT refuses
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $u VALUES (9L, -1.0, '2024-01', '2024-01')")
+    }
+    // independent evolution: writes to the clone never touch the source
+    spark.sql(s"INSERT INTO $u VALUES (5L, 50.0, '2024-01', '2024-01')")
+    assert(rowsOf(u) === rowsOf(t) + ((5L, 50.0)))
+    assert(SnapshotManifest.head(droot) === headV,
+      "a clone write must not advance the source")
+    // tag-addressed clone; existing targets and unknown tags refuse
+    spark.sql(s"CALL $c.tag('$tn', 'audited', $headV)")
+    val rv = spark.sql(s"CALL $c.clone('$tn', 'v_aud', 'audited')").head()
+    assert(rv.getInt(0) === headV)
+    assert(rowsOf(s"$c.`v_aud`") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    intercept[Exception] {
+      spark.sql(s"CALL $c.clone('$tn', 'u')") // target exists
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL $c.clone('$tn', 'w', 'no_such_tag')")
+    }
+    // vacuum safety — where Delta's shallow clone breaks: rewrite the
+    // shared partitions on the SOURCE, expire + reclaim every version
+    // the clones were taken from (tag dropped so retention lets go),
+    // and the clones still read their bytes — vacuum only unlinked the
+    // source's NAMES; the inodes survive under each clone's root
+    spark.sql(s"DELETE FROM $t WHERE price <= 20.0") // rewrites 2024-01
+    spark.sql(s"DELETE FROM $t WHERE ym_p = '2024-02'")
+    spark.sql(s"CALL $c.drop_tag('$tn', 'audited')")
+    spark.sql(s"CALL $c.vacuum('$tn', 1)")
+    assert(rowsOf(u) ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)),
+      "the clone must survive a full source vacuum")
+    assert(rowsOf(s"$c.`v_aud`") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)),
+      "the tag-addressed clone must survive it too")
+    // and the mirror image: vacuuming the clone never touches the source
+    spark.sql(s"DELETE FROM $u WHERE ym_p = '2024-03'")
+    spark.sql(s"CALL $c.vacuum('u', 1)")
+    assert(rowsOf(t) === Set((4L, 40.0)),
+      "a clone vacuum must not reach the source's files")
+  }
+
   test("tags: named refs resolve through VERSION AS OF, survive " +
     "vacuum, and never silently move") {
     val (droot, t) = dmlStore()
