@@ -2584,6 +2584,50 @@ object SourceQueries {
     s.sql(s"${arm(1)}\nUNION ALL\n${arm(3)}")
   }
 
+  /** Dynamic partition pruning THROUGH the snapshot SQL door — the
+    * star-schema shape at the catalog surface: the quarter predicate
+    * lives on a joined calendar dimension (a real parquet datasource —
+    * a LocalRelation filter constant-folds away and leaves the DPP
+    * rule nothing to latch onto), and the fact side is the store's
+    * head read through `GraftSnapshotCatalog`. Spark's V2 file scans
+    * implement no runtime-filtering interface, so without
+    * [[graft.sources.SnapshotDppScan]] this query reads all ~80 month
+    * partitions; with it, the dimension broadcast's distinct keys
+    * arrive as a runtime `IN` on the partition mirror and the manifest
+    * index plans only the quarter's 3 — at 100 TB the difference
+    * between a dashboard join and a table scan. `SnapshotCatalogSpec`
+    * pins the planted filter and the planned-partition subset; here
+    * the oracle replays the v3 state relationally with the quarter
+    * applied as a plain month filter, so a scan that pruned the WRONG
+    * partitions (not just too few) hash-mismatches.
+    */
+  def sqlDppPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = snapshotFixture(s, dir)
+    val key = Tables.dirKey(dir)
+    val cat = s"snap_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      root.getParent.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    val dimPath = root.getParent.resolve("calendar_dim").toString
+    if (!new java.io.File(dimPath).isDirectory)
+      (1990 to 2005).flatMap(y => (1 to 12).map(m =>
+          (f"$y-$m%02d", s"$y-Q${(m + 2) / 3}")))
+        .toDF("d_ym", "quarter").coalesce(1)
+        .write.mode("overwrite").parquet(dimPath)
+    s.read.parquet(dimPath).createOrReplaceTempView("graft_snap_cal")
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl t JOIN graft_snap_cal cal ON t.o_ym_p = cal.d_ym
+         |WHERE cal.quarter = '1995-Q1'
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** The SQL DML door, end to end: bootstrap a primary-keyed snapshot
     * store through the DataFrame write door (which records `keyCol` +
     * layout in `table.meta`), then drive it ENTIRELY in SQL —
@@ -3451,6 +3495,7 @@ object SourceQueries {
     "source_schema_evolution" -> schemaEvolution _,
     "source_time_travel"      -> timeTravel _,
     "sql_time_travel"         -> sqlTimeTravel _,
+    "sql_dpp_prune"           -> sqlDppPrune _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_restore"             -> sqlRestore _,
     "sql_clone"               -> sqlClone _,
@@ -3670,6 +3715,36 @@ object SourceQueries {
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,
+    // the catalog-join DPP entry reads the fixture's v3 head; the
+    // calendar quarter 1995-Q1 = months 1995-01..03 applied literally
+    "sql_dpp_prune" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice, o_ym
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice, o_ym
+        |  FROM base WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v3
+        |WHERE o_ym IN ('1995-01', '1995-02', '1995-03')
+        |GROUP BY 1""".stripMargin,
     // final state after the SQL DML chain: upsert+insert (v2), the
     // 1995-03 partition delete (v3), the 1996-02 predicate delete (v4)
     "sql_dml_roundtrip" ->

@@ -380,7 +380,7 @@ final class SnapshotV2Table(
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ParquetScanBuilder =
+      : org.apache.spark.sql.connector.read.ScanBuilder =
     readTable.newScanBuilder(options)
 
   /** The store's partition SOURCE columns (`o_ym` for mirror `o_ym_p`)
@@ -534,7 +534,25 @@ private[sources] final class SnapshotReadFileTable(
       : Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat] =
     classOf[ParquetFileFormat]
 
+  /** The stock builder handles every static pushdown (catalyst filter
+    * split into partition/data filters, column pruning, aggregate
+    * pushdown); `build()` wraps its scan so the SQL door ALSO gets
+    * dynamic partition pruning — Spark's V2 file path implements no
+    * runtime-filtering interface at all (`FileScan` is why the
+    * built-in formats stay on V1), so without the wrapper a
+    * star-schema join through the catalog reads every partition the
+    * static filters keep ([[SnapshotDppScan]]).
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new SnapshotDppScanBuilder(newRawScanBuilder(options),
+      meta.partitionSchema)
+
+  /** The unwrapped builder — for the row-level operations, whose own
+    * scan wrapper ([[SnapshotRowLevelScan]]) handles runtime GROUP
+    * filtering and needs the raw `ParquetScan` underneath.
+    */
+  private[sources] def newRawScanBuilder(options: CaseInsensitiveStringMap)
       : ParquetScanBuilder =
     ParquetScanBuilder(spark, fileIndex, schema, dataSchema,
       mergedOptions(options))
@@ -544,6 +562,130 @@ private[sources] final class SnapshotReadFileTable(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     throw new UnsupportedOperationException(
       "internal read table — writes go through SnapshotV2Table")
+}
+
+/** Delegating builder: every static pushdown (catalyst filter split,
+  * column pruning, aggregate pushdown, variant extraction) forwards to
+  * the stock [[ParquetScanBuilder]] unchanged; only `build()` differs,
+  * wrapping the scan in [[SnapshotDppScan]] so the SQL door also gets
+  * DYNAMIC partition pruning. (A `build()` override on a subclass can't
+  * do it — `ParquetScanBuilder.build()` covariantly returns
+  * `ParquetScan`, and the wrapper isn't one.)
+  */
+private[sources] final class SnapshotDppScanBuilder(
+    inner: ParquetScanBuilder, partSchema: StructType)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    inner.pushFilters(filters)
+
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = inner.supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = inner.pushAggregation(agg)
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = inner.pushVariantExtractions(extractions)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new SnapshotDppScan(inner.build(), partSchema)
+}
+
+/** Dynamic partition pruning for the SQL door: a delegating wrapper
+  * that adds `SupportsRuntimeV2Filtering` to the stock parquet scan —
+  * the optimizer's `PartitionPruning` rule only plants a pruning
+  * subquery on scans declaring that interface, and Spark's V2
+  * `FileScan` doesn't. The runtime predicate (the dimension side's
+  * distinct join keys, `IN`-listed after its broadcast) translates
+  * onto the partition schema via the SAME
+  * [[SnapshotRowLevel.v2ToPartitionExpr]] the row-level ops use, and
+  * lands in the parquet scan's `partitionFilters` — so the store's
+  * manifest pruning (and the Bloom/stats machinery behind it) sees the
+  * runtime filter exactly like a static one: a fact-dimension join
+  * reads only the dimension-matched partitions. Statistics delegate
+  * post-filter, so AQE re-planning sees the pruned size.
+  *
+  * `filterAttributes` declares the LEADING partition column, and only
+  * when the scan actually reads it: Spark resolves the declared
+  * attributes against the scan's pruned output and a multi-key
+  * IN-subquery has no V2 predicate form (the row-level lesson at
+  * [[SnapshotRowLevelScan.filterAttributes]]) — a column-pruned or
+  * multi-column declaration would throw or silently drop the filter.
+  */
+final class SnapshotDppScan(
+    private var current: org.apache.spark.sql.execution.datasources.v2
+      .parquet.ParquetScan,
+    partSchema: StructType)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  private[sources] def partitionFilters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    current.partitionFilters
+
+  override def readSchema(): StructType = current.readSchema()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    current.toBatch
+
+  override def description(): String = current.description()
+
+  override def getMetaData(): Map[String, String] = current.getMetaData()
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
+
+  override def columnarSupportMode()
+      : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    current.supportedCustomMetrics()
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    current.reportDriverMetrics()
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val lead = partSchema.fieldNames.head
+    if (current.readSchema().fieldNames.contains(lead))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(lead))
+    else Array.empty
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(p =>
+      SnapshotRowLevel.v2ToPartitionExpr(p, partSchema))
+    // untranslatable runtime predicates are legally ignored: the scan
+    // just reads more partitions than the ideal, never fewer rows
+    if (exprs.nonEmpty)
+      current = current.copy(
+        partitionFilters = current.partitionFilters ++ exprs)
+  }
 }
 
 /** V1 `Filter` → `Column` translation for the DELETE door. Only

@@ -127,7 +127,8 @@ final class SnapshotRowLevelOperation(
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : ScanBuilder =
-    new SnapshotRowLevelScanBuilder(this, readTable.newScanBuilder(options))
+    new SnapshotRowLevelScanBuilder(this,
+      readTable.newRawScanBuilder(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

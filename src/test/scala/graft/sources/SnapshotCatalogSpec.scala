@@ -609,6 +609,69 @@ class SnapshotCatalogSpec extends SparkSpec {
       "multi-column compaction must be invisible in the data")
   }
 
+  test("catalog joins get dynamic partition pruning: the runtime IN " +
+    "filter reaches the manifest index and the scan plans only " +
+    "matched partitions") {
+    import spark.implicits._
+    // AQE off so the executed tree is directly traversable (DPP itself
+    // fires either way; the probe that found this gap ran under AQE)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val c = s"snapdpp${java.util.UUID.randomUUID.toString.take(6)}"
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", root.getParent.toString)
+    // a REAL datasource dimension: a filter over an in-memory
+    // LocalRelation constant-folds away and leaves no selective-filter
+    // node for the DPP rule to latch onto
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim")
+      .resolve("cal").toString
+    (1992 to 1999).flatMap(y => (1 to 12).map(m =>
+        (f"$y-$m%02d", s"$y-Q${(m + 2) / 3}")))
+      .toDF("d_ym", "quarter").coalesce(1).write.parquet(dimPath)
+    s.read.parquet(dimPath).createOrReplaceTempView("graft_dpp_cal")
+    val t = s"$c.`${root.getFileName}`"
+    val q = s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n
+         |FROM $t t JOIN graft_dpp_cal cal ON t.o_ym_p = cal.d_ym
+         |WHERE cal.quarter = '1995-Q1'
+         |GROUP BY 1""".stripMargin)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val literal = s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n FROM $t
+         |WHERE o_ym_p IN ('1995-01', '1995-02', '1995-03')
+         |GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === literal, "pruning may never change semantics")
+    // the fact scan carries the planted runtime filter
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[SnapshotDppScan] => b
+    }.headOption.getOrElse(fail("no snapshot scan in the plan"))
+    assert(scan.runtimeFilters.nonEmpty,
+      "no dynamic-pruning filter planted on the catalog scan")
+    // post-execution the wrapper holds the translated IN and plans
+    // ONLY the quarter's partitions of the fixture's ~80 months
+    val dpp = scan.scan.asInstanceOf[SnapshotDppScan]
+    assert(dpp.partitionFilters.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.In]),
+      s"runtime filter never reached the scan: ${dpp.partitionFilters}")
+    val planned = dpp.toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }
+    assert(planned.nonEmpty)
+    val months = Set("1995-01", "1995-02", "1995-03")
+    assert(planned.forall(p => months.exists(m => p.contains(s"o_ym_p=$m"))),
+      s"scan planned unmatched partitions: ${planned.take(3)}")
+    // a join that prunes the partition column out of the read must not
+    // trip the declared filter attribute (resolution would throw)
+    val q2 = s.sql(
+      s"""SELECT COUNT(*) FROM $t t
+         |JOIN graft_dpp_cal cal ON t.o_orderstatus = cal.quarter""".stripMargin)
+    assert(q2.collect().head.getLong(0) >= 0L)
+  }
+
   test("CALL clone: zero-copy hard-link clone — fresh history, carried " +
     "constraints and stats, independent evolution, vacuum-safe both ways") {
     import scala.jdk.CollectionConverters._
