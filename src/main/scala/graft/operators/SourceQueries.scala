@@ -1564,6 +1564,142 @@ object SourceQueries {
     (v, entries.size, linked)
   }
 
+  /** Create a branch — the fork half of write-audit-publish. The
+    * branch root becomes a complete store whose base manifest is a
+    * RE-PUBLISHED copy of the fork version's partition map (not a hard
+    * link of the manifest file: the fork version's manifest carries
+    * only ITS OWN metadata lines, while the table's effective schema
+    * and live checks fold over every manifest — a linked file would
+    * silently drop constraints and evolution published in other
+    * versions). Data is fully shared: the base manifest points at the
+    * main table's dirs, zero bytes move, and branch numbering
+    * continues from the fork version so `VERSION AS OF` on the branch
+    * reads naturally. The base-manifest publish is the same link(2)
+    * CAS as every commit — racing creators of one name get one winner.
+    */
+  private[graft] def snapshotBranchCreate(root: java.nio.file.Path,
+      name: String, version: Option[Int] = None): (Int, Int) = {
+    import graft.sources.{SnapshotBranches, SnapshotMeta, SnapshotManifest}
+    SnapshotBranches.validate(name)
+    require(graft.sources.SnapshotTags.resolve(root, name).isEmpty,
+      s"a tag named '$name' exists — branches and tags share the " +
+        "VERSION AS OF namespace")
+    val head = headVersion(root)
+    require(head > 0, s"$root has no published versions to branch from")
+    val base = version.getOrElse(head)
+    require(java.nio.file.Files.exists(
+      root.resolve("manifests").resolve(s"v$base.manifest")),
+      s"version $base is not published (or was vacuumed) — cannot " +
+        "branch from it")
+    val meta = SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "branching needs a table.meta layout declaration"))
+    val broot = SnapshotBranches.root(root, name)
+    java.nio.file.Files.createDirectories(broot)
+    val effective = SnapshotManifest.evolvedDataSchema(root)
+      .map(st => org.apache.spark.sql.types.StructType(
+        st.fields.map(_.copy(nullable = true))))
+      .getOrElse(meta.dataSchema)
+    SnapshotMeta.write(broot, meta.copy(dataSchema = effective))
+    val entries = readManifest(root, base)
+    val checkLines = SnapshotManifest.effectiveChecks(root)
+      .map { case (n, sql) => s"#check\t$n\t$sql" }
+    writeManifest(broot, base, entries, extraMeta = checkLines)
+    graft.sources.SnapshotFiles.read(root, base).foreach { fm =>
+      graft.sources.SnapshotFiles.write(broot, base,
+        fm.toSeq.sortBy(_._1).flatMap(_._2))
+    }
+    SnapshotBranches.writeBase(root, name, base)
+    (base, entries.size)
+  }
+
+  /** Fast-forward: the publish half of write-audit-publish. Publishes
+    * the branch head's partition map as the main table's next version
+    * in ONE CAS commit — the staged, audited state becomes visible
+    * atomically, and the branch's intermediate versions stay on the
+    * branch (audit history, reclaimed with it). Refuses if main moved
+    * past the fork point: a diverged fast-forward would silently erase
+    * the interleaved commits (the caller re-branches and re-applies —
+    * the Iceberg `fast_forward` ancestor rule).
+    *
+    * Branch-RESIDENT partitions (dirs the branch's own commits wrote,
+    * living under the branch root) are hard-linked under a main-owned
+    * root first — zero bytes, O(files) — so `drop_branch` after a
+    * publish can never strand data main now references; fork-shared
+    * partitions keep their main dirs verbatim. Branch-side schema
+    * widening rides the published manifest as its `#schema` record,
+    * and branch-side constraint adds/drops ride as `#check`/
+    * `#checkdrop` — main cannot have moved its own (that would have
+    * bumped main's head and refused above).
+    */
+  private[graft] def snapshotFastForward(root: java.nio.file.Path,
+      name: String): (Int, Int, Int) = {
+    import graft.sources.{SnapshotBranches, SnapshotManifest, SnapshotMeta}
+    require(SnapshotBranches.exists(root, name), s"no branch named '$name'")
+    val broot = SnapshotBranches.root(root, name)
+    val base = SnapshotBranches.base(root, name).getOrElse(
+      throw new IllegalStateException(
+        s"branch $name has no recorded fork point (half-created? " +
+          "drop_branch and re-create)"))
+    val mainHead = headVersion(root)
+    require(mainHead == base,
+      s"main advanced past the fork (head $mainHead, forked at $base) " +
+        "— a fast-forward would erase the interleaved commits; " +
+        "re-branch from the new head and re-apply")
+    val bHead = headVersion(broot)
+    if (bHead == base) return (mainHead, 0, 0) // nothing staged
+    val entries = readManifest(broot, bHead)
+    val mirrors = SnapshotMeta.read(root).get.partitionSchema
+      .fields.map(_.name).toSeq
+    def canon(p: String): String = new java.io.File(p).getCanonicalPath
+    val brootCanon = canon(broot.toString) + "/"
+    val ffRoot = root.resolve(
+      s"d${mainHead + 1}-ff${java.util.UUID.randomUUID.toString.take(8)}")
+    var linked = 0
+    val rewritten = entries.map { case (pv, dirPath) =>
+      if (!canon(dirPath).startsWith(brootCanon)) pv -> dirPath
+      else {
+        val dst = mirrors.zip(pv.split("/").toSeq).foldLeft(ffRoot) {
+          case (p, (m, v)) => p.resolve(s"$m=$v")
+        }
+        java.nio.file.Files.createDirectories(dst)
+        Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).foreach { f =>
+            java.nio.file.Files.createLink(dst.resolve(f.getName), f.toPath)
+            linked += 1
+          }
+        pv -> dst.toAbsolutePath.toString
+      }
+    }
+    // branch-side metadata deltas ride the published manifest
+    val mainChecks = SnapshotManifest.effectiveChecks(root)
+    val brChecks = SnapshotManifest.effectiveChecks(broot)
+    val checkDelta =
+      brChecks.filterNot(mainChecks.contains)
+        .map { case (n, sql) => s"#check\t$n\t$sql" } ++
+      mainChecks.filterNot(c => brChecks.exists(_._1 == c._1))
+        .map { case (n, _) => s"#checkdrop\t$n" }
+    val mainEff = SnapshotManifest.evolvedDataSchema(root)
+      .getOrElse(SnapshotMeta.read(root).get.dataSchema)
+    val brEff = SnapshotManifest.evolvedDataSchema(broot)
+      .getOrElse(SnapshotMeta.read(broot).get.dataSchema)
+    val schemaJson =
+      if (brEff.fieldNames.sameElements(mainEff.fieldNames)) None
+      else Some(org.apache.spark.sql.types.StructType(
+        brEff.fields.map(_.copy(nullable = true))).json)
+    writeManifest(root, mainHead + 1, rewritten,
+      schemaJson = schemaJson, extraMeta = checkDelta)
+    graft.sources.SnapshotFiles.read(broot, bHead).foreach { fm =>
+      val rows = fm.toSeq.sortBy(_._1).flatMap(_._2).map { e =>
+        val newDir = rewritten(e.pv)
+        if (newDir == entries(e.pv)) e
+        else e.copy(path = newDir + "/" + new java.io.File(e.path).getName)
+      }
+      graft.sources.SnapshotFiles.write(root, mainHead + 1, rows)
+    }
+    (mainHead + 1, rewritten.size, linked)
+  }
+
   /** Read one snapshot: the union of its manifest's partition dirs. The
     * month lives IN the data (`o_ym`); the `o_ym_p=` dir name is layout
     * only, so leaf dirs from different commit roots mix freely.
@@ -2815,6 +2951,65 @@ object SourceQueries {
       arm("src", tbl, srcHead)).mkString("\nUNION ALL\n"))
   }
 
+  /** Write-audit-publish through branches, end to end — the staging
+    * pattern every production lakehouse ingest runs
+    * ([[snapshotBranchCreate]]/[[snapshotFastForward]]): risky data
+    * lands on a BRANCH (a complete mini-store forked zero-copy from
+    * the head, writable through every door), gets audited there while
+    * main serves readers the untouched head, and publishes atomically
+    * as ONE main version via fastforward — or never, if the audit
+    * fails, at the cost of a `drop_branch`. The entry forks, stages an
+    * upsert + new keys on the branch in SQL, audits (the staged read
+    * must differ from main by exactly the delta — enforced by the
+    * hash), fast-forwards, drops the branch, and reads the published
+    * head NEXT TO the pristine v1 with both head versions pinned: a
+    * staged row leaking to main before publish, a publish that
+    * rewrote instead of linking, or a drop that stranded published
+    * bytes all hash-mismatch. The oracle replays both states
+    * relationally.
+    */
+  def sqlWap(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_wap")).resolve(key)
+    // the branch lifecycle mutates the store: rebuild per call
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_wap")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val cat = s"snapwap_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tn = root.getFileName.toString
+    val tbl = s"$cat.`$tn`"
+    s.sql(s"CALL $cat.branch('$tn', 'staging')")
+    orders.createOrReplaceTempView("graft_wap_orders_src")
+    s.sql(
+      s"""INSERT INTO $cat.`$tn`.`branch_staging`
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0,
+         |  o_ym, o_ym
+         |FROM graft_wap_orders_src
+         |WHERE o_ym BETWEEN '1995-07' AND '1995-12'
+         |  AND o_orderkey % 23 = 0""".stripMargin)
+    s.sql(s"CALL $cat.fastforward('$tn', 'staging')")
+    s.sql(s"CALL $cat.drop_branch('$tn', 'staging')")
+    val head = graft.sources.SnapshotManifest.head(root)
+    def arm(tag: String, suffix: String): String =
+      s"""SELECT '$tag' AS arm, $head AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl $suffix
+         |GROUP BY o_orderstatus""".stripMargin
+    s.sql(s"${arm("published", "")}\nUNION ALL\n${arm("v1", "VERSION AS OF 1")}")
+  }
+
   /** Named tags through the SQL surface — the Iceberg TAG shape:
     * `CALL snap.tag('t', 'audited', 1)` pins an immutable
     * filesystem-CAS ref ([[graft.sources.SnapshotTags]]) and
@@ -3210,8 +3405,17 @@ object SourceQueries {
     val versions = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.matches("v\\d+\\.manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq
-    val referenced = versions.filter(keep)
-      .flatMap(v => readManifest(root, v).values).map(canon).toSet
+    // every branch manifest pins its dirs — a branch may still read
+    // fork-shared partitions whose main versions have expired
+    val branchRefs = graft.sources.SnapshotBranches.list(root)
+      .flatMap { case (name, _) =>
+        val broot = graft.sources.SnapshotBranches.root(root, name)
+        graft.sources.SnapshotManifest.versionsWithMtime(broot).map(_._1)
+          .flatMap(v => graft.sources.SnapshotManifest.read(broot, v).values)
+      }
+    val referenced = (versions.filter(keep)
+      .flatMap(v => readManifest(root, v).values) ++ branchRefs)
+      .map(canon).toSet
     // the grace window protecting IN-FLIGHT commits: an attempt root
     // being written is referenced by no manifest YET, and its leaves
     // would otherwise read as garbage to collect — only dirs whose
@@ -3499,6 +3703,7 @@ object SourceQueries {
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_restore"             -> sqlRestore _,
     "sql_clone"               -> sqlClone _,
+    "sql_wap"                 -> sqlWap _,
     "sql_constraints"         -> sqlConstraints _,
     "sql_tag_travel"          -> sqlTagTravel _,
     "sql_update_merge"        -> sqlUpdateMerge _,
@@ -3806,6 +4011,35 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v2 GROUP BY 1, 2, 3""".stripMargin,
+    // published = after the branch-staged ×2.0 upsert fast-forwarded
+    // to main as v2; v1 = the pristine bootstrap (nothing leaked
+    // before the publish, history intact after it)
+    "sql_wap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_ym
+        |  FROM base
+        |  WHERE o_ym BETWEEN '1995-07' AND '1995-12'
+        |    AND o_orderkey % 23 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT 'published' AS arm, 2 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v2 GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'v1' AS arm, 2 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM base GROUP BY 1, 2, 3""".stripMargin,
     // clone_v1 = the pristine bootstrap, clone_head = after the ×1.5
     // upsert, src = head after the >= 1996-01 partition delete; the
     // source was vacuumed to one version between cloning and reading

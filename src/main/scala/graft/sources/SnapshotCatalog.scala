@@ -73,9 +73,20 @@ final class GraftSnapshotCatalog extends TableCatalog
   private def rootOf(ident: Identifier): JPath = {
     val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
       .resolve(ident.name())
-    if (!JFiles.isDirectory(root.resolve("manifests")))
-      throw new NoSuchTableException(ident)
-    root
+    if (JFiles.isDirectory(root.resolve("manifests"))) root
+    // the Iceberg branch-table spelling: `snap.t.branch_dev` reads and
+    // WRITES the branch `dev` of table `t` — every DML door works on
+    // the branch's mini-store root unchanged
+    else if (ident.name().startsWith("branch_") &&
+      ident.namespace().nonEmpty) {
+      val tableRoot = ident.namespace().dropRight(1)
+        .foldLeft(warehouse)(_.resolve(_))
+        .resolve(ident.namespace().last)
+      val broot = SnapshotBranches.root(tableRoot,
+        ident.name().stripPrefix("branch_"))
+      if (JFiles.isDirectory(broot.resolve("manifests"))) broot
+      else throw new NoSuchTableException(ident)
+    } else throw new NoSuchTableException(ident)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -91,14 +102,34 @@ final class GraftSnapshotCatalog extends TableCatalog
 
   /** `VERSION AS OF n` — the time-travel door. A non-numeric version
     * is a TAG name (`VERSION AS OF 'audited'`), resolved through the
-    * store's `refs/` plane ([[SnapshotTags]]).
+    * store's `refs/` plane ([[SnapshotTags]]); an unmatched tag falls
+    * back to a BRANCH head, read pinned (the Iceberg read spelling —
+    * branch WRITES go through the `t.branch_<name>` table instead).
+    * Tags win the shared namespace; branch creation refuses names an
+    * existing tag holds.
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toIntOption.getOrElse {
-      SnapshotTags.resolve(rootOf(ident), version).getOrElse(
-        throw new IllegalArgumentException(
-          s"no version or tag named '$version' on ${ident.name()}"))
-    }))
+    version.toIntOption match {
+      case Some(n) => load(ident, Some(n))
+      case None =>
+        val root = rootOf(ident)
+        SnapshotTags.resolve(root, version) match {
+          case Some(v) => load(ident, Some(v))
+          case None if SnapshotBranches.exists(root, version) =>
+            val broot = SnapshotBranches.root(root, version)
+            val meta = SnapshotMeta.read(broot).getOrElse(
+              throw new NoSuchTableException(ident))
+            val v = SnapshotManifest.head(broot)
+            val effective = SnapshotManifest.evolvedDataSchema(broot)
+              .map(ds => meta.copy(dataSchema = ds)).getOrElse(meta)
+            new SnapshotV2Table(
+              s"$catName.${ident.name()}@$version-v$v",
+              SparkSession.active, broot, v, effective, pinned = true)
+          case None => throw new IllegalArgumentException(
+            s"no version, tag, or branch named '$version' on " +
+              ident.name())
+        }
+    }
 
   /** `TIMESTAMP AS OF t` — resolved to the LAST version whose manifest
     * was published at or before `t` (the Delta-Lake semantics, which
@@ -149,7 +180,10 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "tag"),
       Identifier.of(namespace, "drop_tag"),
       Identifier.of(namespace, "compact"),
-      Identifier.of(namespace, "clone"))
+      Identifier.of(namespace, "clone"),
+      Identifier.of(namespace, "branch"),
+      Identifier.of(namespace, "drop_branch"),
+      Identifier.of(namespace, "fastforward"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -161,11 +195,16 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "drop_tag" => new SnapshotDropTagProcedure(this)
       case "compact" => new SnapshotCompactProcedure(this)
       case "clone" => new SnapshotCloneProcedure(this)
+      case "branch" => new SnapshotBranchProcedure(this)
+      case "drop_branch" => new SnapshotDropBranchProcedure(this)
+      case "fastforward" => new SnapshotFastForwardProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
           "tag(table, name, version), drop_tag(table, name), " +
-          "compact(table, threshold), clone(table, target)")
+          "compact(table, threshold), clone(table, target), " +
+          "branch(table, name), drop_branch(table, name), " +
+          "fastforward(table, name)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -1080,6 +1119,126 @@ final class SnapshotCloneProcedure(cat: GraftSnapshotCatalog)
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
           v, nParts, nFiles)))).iterator()
+  }
+}
+
+/** `CALL snap.branch('t', 'dev'[, version])` — fork a writable branch
+  * ([[graft.operators.SourceQueries.snapshotBranchCreate]]): the
+  * write-audit-publish staging shape. The branch is a complete
+  * mini-store sharing the fork version's data dirs; write to it
+  * through `df.write.option("branch", "dev")` or SQL DML on
+  * `snap.t.branch_dev`, read it via `VERSION AS OF 'dev'`, publish
+  * with `CALL snap.fastforward`. `version = '-1'` forks the head.
+  */
+final class SnapshotBranchProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "branch"
+  override def description(): String =
+    "fork a writable branch: branch(table, name[, version])"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", StringType)
+        .defaultValue("'-1'").build())
+
+  private val outSchema = StructType(Seq(
+    StructField("forked_from", IntegerType, nullable = false),
+    StructField("n_partitions", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val v = input.getUTF8String(2).toString.toIntOption match {
+      case Some(-1) | None => None
+      case Some(n) => Some(n)
+    }
+    val (base, nParts) = graft.operators.SourceQueries
+      .snapshotBranchCreate(root, input.getUTF8String(1).toString, v)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          base, nParts)))).iterator()
+  }
+}
+
+/** `CALL snap.fastforward('t', 'dev')` — publish the branch head as
+  * the main table's next version in one CAS commit
+  * ([[graft.operators.SourceQueries.snapshotFastForward]]); refuses if
+  * main moved past the fork point.
+  */
+final class SnapshotFastForwardProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "fastforward"
+  override def description(): String =
+    "publish a branch head as the main head: fastforward(table, name)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("n_partitions", IntegerType, nullable = false),
+    StructField("files_linked", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val (v, nParts, linked) = graft.operators.SourceQueries
+      .snapshotFastForward(root, input.getUTF8String(1).toString)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          v, nParts, linked)))).iterator()
+  }
+}
+
+/** `CALL snap.drop_branch('t', 'dev')` — remove a branch and the data
+  * dirs its commits created (safe after fastforward: publishing
+  * hard-links branch-resident dirs under main-owned roots). Reports
+  * whether it existed (idempotent).
+  */
+final class SnapshotDropBranchProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "remove a branch and its staged data: drop_branch(table, name)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("existed", BooleanType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val existed = SnapshotBranches.drop(root,
+      input.getUTF8String(1).toString)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(existed))))
+      .iterator()
   }
 }
 

@@ -207,6 +207,74 @@ object SnapshotTags {
     JFiles.deleteIfExists(dir(root).resolve(name))
 }
 
+/** BRANCHES — writable forks of a table, the Iceberg branch /
+  * write-audit-publish (WAP) staging shape. A branch is a complete
+  * mini-store at `<root>/.branch/<name>`: its own manifest chain
+  * (starting as a re-published copy of the fork version's partition
+  * map, so every door — read, write, SQL DML, row-level, streaming
+  * sink — works on it UNCHANGED by treating the branch dir as the
+  * table root), its own `table.meta` (the fork-time EFFECTIVE schema
+  * folded in) and the fork-time live CHECK constraints re-published
+  * in its base manifest. Branch commits write data dirs under the
+  * branch root; fork-shared partitions keep pointing at the main
+  * table's dirs — [[graft.operators.SourceQueries.snapshotVacuum]]
+  * counts every branch manifest in the referenced set, so a main
+  * vacuum can never reclaim data a branch still reads.
+  *
+  * This object is only the namespace plumbing; create/fast-forward
+  * live with the other commit engines in
+  * [[graft.operators.SourceQueries]].
+  */
+object SnapshotBranches {
+  def dir(root: JPath): JPath = root.resolve(".branch")
+
+  def root(tableRoot: JPath, name: String): JPath =
+    dir(tableRoot).resolve(name)
+
+  /** Same lexical rule as tags — and a branch must not shadow one:
+    * `VERSION AS OF '<name>'` resolves tags first.
+    */
+  def validate(name: String): Unit =
+    require(name.nonEmpty && name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"branch name must match [A-Za-z][A-Za-z0-9_.-]*: '$name'")
+
+  def exists(tableRoot: JPath, name: String): Boolean =
+    JFiles.isDirectory(root(tableRoot, name).resolve("manifests"))
+
+  /** Every branch and its fork-point version. */
+  def list(tableRoot: JPath): Seq[(String, Int)] = {
+    Option(dir(tableRoot).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        new java.io.File(f, "manifests").isDirectory)
+      .flatMap(f => base(tableRoot, f.getName).map(f.getName -> _))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** The main version the branch forked from. */
+  def base(tableRoot: JPath, name: String): Option[Int] = {
+    val f = root(tableRoot, name).resolve("branch.meta")
+    if (!JFiles.exists(f)) None
+    else Some(JFiles.readAllLines(f).asScala.head.trim.toInt)
+  }
+
+  private[graft] def writeBase(tableRoot: JPath, name: String,
+                               version: Int): Unit =
+    JFiles.write(root(tableRoot, name).resolve("branch.meta"),
+      java.util.List.of(version.toString))
+
+  /** Remove a branch — its manifests and every data dir its commits
+    * created. Always safe after a fast-forward: publishing hard-links
+    * branch-resident dirs under main-owned roots, so main never
+    * references bytes that live only under the branch.
+    */
+  def drop(tableRoot: JPath, name: String): Boolean = {
+    val r = root(tableRoot, name).toFile
+    val existed = r.isDirectory
+    org.apache.commons.io.FileUtils.deleteQuietly(r)
+    existed
+  }
+}
+
 /** Table-level metadata sidecar (`<root>/table.meta`, JSON): the
   * partition schema (name + type per layout column) and the data
   * schema. Written once at bootstrap; the Delta `_metadata`/Iceberg
@@ -1101,8 +1169,7 @@ final class SnapshotSourceProvider extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val root = java.nio.file.Paths.get(parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-snapshot needs a path")))
+    val root = SnapshotDoor.resolveRoot(parameters)
     val fromVersion = opt(parameters, "fromVersion").map(_.toInt).getOrElse(1)
     require(fromVersion >= 1,
       s"fromVersion must be >= 1 (versions are 1-based), got $fromVersion")
@@ -1113,8 +1180,7 @@ final class SnapshotSourceProvider extends RelationProvider
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val root = java.nio.file.Paths.get(parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-snapshot needs a path")))
+    val root = SnapshotDoor.resolveRoot(parameters)
     val version = opt(parameters, "version").map(_.toInt)
       .getOrElse(SnapshotManifest.head(root))
     SnapshotTable.relation(ctx.sparkSession, root, version,
@@ -1157,10 +1223,26 @@ private[sources] object SnapshotDoor {
   private def opt(parameters: Map[String, String], k: String) =
     parameters.get(k).orElse(parameters.get(k.toLowerCase))
 
-  def commit(spark: SparkSession, parameters: Map[String, String],
-             data: DataFrame, txn: Option[(String, Long)]): Unit = {
+  /** Table root, or the branch's mini-store root when the `branch`
+    * option names one — every arm of the door (batch read/write,
+    * streaming sink) resolves through here, which is what makes a
+    * branch writable by all of them without its own code path.
+    */
+  def resolveRoot(parameters: Map[String, String]): java.nio.file.Path = {
     val root = java.nio.file.Paths.get(parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-snapshot needs a path")))
+    opt(parameters, "branch") match {
+      case None => root
+      case Some(b) =>
+        require(SnapshotBranches.exists(root, b),
+          s"no branch named '$b' — CALL snap.branch to create it first")
+        SnapshotBranches.root(root, b)
+    }
+  }
+
+  def commit(spark: SparkSession, parameters: Map[String, String],
+             data: DataFrame, txn: Option[(String, Long)]): Unit = {
+    val root = resolveRoot(parameters)
     val keyCol = opt(parameters, "keyCol").getOrElse("o_orderkey")
     // `partCols` (comma-separated) declares a multi-column layout;
     // `partCol` is the single-column spelling (default `o_ym`)
@@ -1273,8 +1355,9 @@ final class SnapshotSink(spark: SparkSession,
   require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
     s"txnAppId must not contain tab/newline (got ${app.trim})" +
       " — it is embedded in the manifest's line format")
-  private val root = java.nio.file.Paths.get(parameters.getOrElse("path",
-    throw new IllegalArgumentException("graft-snapshot needs a path")))
+  // branch-aware: a stream can land on a staging branch, with the
+  // replay watermark read from the same mini-store it commits to
+  private val root = SnapshotDoor.resolveRoot(parameters)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (SnapshotManifest.lastTxnBatch(root, app).exists(_ >= batchId)) return

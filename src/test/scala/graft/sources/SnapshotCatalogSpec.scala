@@ -609,6 +609,84 @@ class SnapshotCatalogSpec extends SparkSpec {
       "multi-column compaction must be invisible in the data")
   }
 
+  test("branches: write-audit-publish — staged commits invisible to " +
+    "main, atomic fastforward, safe drop, divergence refusal, vacuum " +
+    "retention, carried schema + constraints") {
+    import spark.implicits._
+    val (droot, t) = dmlStore() // v1: (1,10),(2,20) in 2024-01; (3,30) in 2024-02
+    val c = t.split("\\.")(0)
+    val tn = droot.getFileName.toString
+    def branchT(n: String) = s"$c.`$tn`.`branch_$n`"
+    // fork at head; stage through BOTH doors
+    val rb = spark.sql(s"CALL $c.branch('$tn', 'ingest')").head()
+    assert((rb.getInt(0), rb.getInt(1)) === ((1, 2)), s"fork: $rb")
+    Seq((2L, 25.0, "2024-01"), (9L, 90.0, "2024-03"))
+      .toDF("k", "price", "ym")
+      .write.format("graft-snapshot").option("branch", "ingest")
+      .option("keyCol", "k").option("partCol", "ym")
+      .mode("append").save(droot.toString)
+    spark.sql(s"DELETE FROM ${branchT("ingest")} WHERE k = 1")
+    // main never saw any of it
+    assert(SnapshotManifest.head(droot) === 1, "main must not advance")
+    assert(rowsOf(t) === Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // the audit read: branch head through VERSION AS OF
+    assert(rowsOf(t, "VERSION AS OF 'ingest'") ===
+      Set((2L, 25.0), (3L, 30.0), (9L, 90.0)))
+    // and through the DataFrame door's branch option
+    assert(spark.read.format("graft-snapshot").option("branch", "ingest")
+      .load(droot.toString).count() === 3L)
+    // publish: ONE new main version, atomically the staged state
+    val ff = spark.sql(s"CALL $c.fastforward('$tn', 'ingest')").head()
+    assert(ff.getInt(0) === 2, s"publish must be main v2: $ff")
+    assert(ff.getInt(2) > 0, "branch-resident dirs must be hard-linked")
+    assert(rowsOf(t) === Set((2L, 25.0), (3L, 30.0), (9L, 90.0)))
+    assert(rowsOf(t, "VERSION AS OF 1") ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), "history intact")
+    // dropping the published branch must not strand main's data
+    assert(spark.sql(s"CALL $c.drop_branch('$tn', 'ingest')")
+      .head().getBoolean(0))
+    assert(rowsOf(t) === Set((2L, 25.0), (3L, 30.0), (9L, 90.0)),
+      "main must keep reading after the branch dirs are deleted")
+    // divergence: main moves past the fork → fastforward refuses
+    spark.sql(s"CALL $c.branch('$tn', 'late')")
+    spark.sql(s"INSERT INTO ${branchT("late")} VALUES " +
+      "(8L, 80.0, '2024-05', '2024-05')")
+    spark.sql(s"INSERT INTO $t VALUES (7L, 70.0, '2024-04', '2024-04')")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $c.fastforward('$tn', 'late')")
+    }
+    assert(e.getMessage.contains("advanced past the fork"), e.getMessage)
+    // vacuum retention: the expired fork version's dirs survive
+    // because the live branch still references them
+    spark.sql(s"CALL $c.vacuum('$tn', 1)")
+    assert(rowsOf(t, "VERSION AS OF 'late'") ===
+      Set((2L, 25.0), (3L, 30.0), (9L, 90.0), (8L, 80.0)),
+      "a live branch must survive a main vacuum past its fork point")
+    spark.sql(s"CALL $c.drop_branch('$tn', 'late')")
+    // branch-side schema widening rides the publish
+    spark.sql(s"CALL $c.branch('$tn', 'evo')")
+    spark.sql(s"ALTER TABLE ${branchT("evo")} ADD COLUMN note STRING")
+    spark.sql(s"CALL $c.fastforward('$tn', 'evo')")
+    assert(spark.sql(s"SELECT note FROM $t").columns === Array("note"),
+      "the branch's widened schema must reach main on publish")
+    // live CHECKs at fork time carry into the branch's write doors
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (price > 0.0)")
+    spark.sql(s"CALL $c.branch('$tn', 'guarded')")
+    val viol = intercept[Exception] {
+      Seq((99L, -5.0, "2024-01")).toDF("k", "price", "ym")
+        .write.format("graft-snapshot").option("branch", "guarded")
+        .option("keyCol", "k").option("partCol", "ym")
+        .mode("append").save(droot.toString)
+    }
+    assert(viol.getMessage.contains("pos"), viol.getMessage)
+    // tags and branches share the VERSION AS OF namespace
+    val head = SnapshotManifest.head(droot)
+    spark.sql(s"CALL $c.tag('$tn', 'relx', $head)")
+    intercept[Exception] {
+      spark.sql(s"CALL $c.branch('$tn', 'relx')")
+    }
+  }
+
   test("catalog joins get dynamic partition pruning: the runtime IN " +
     "filter reaches the manifest index and the scan plans only " +
     "matched partitions") {
