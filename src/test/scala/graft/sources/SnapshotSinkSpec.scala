@@ -132,6 +132,30 @@ class SnapshotSinkSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("the sink lands on a branch: staged micro-batches never touch " +
+    "main until fastforward, replay namespace lives with the branch") {
+    val root = freshBase().resolve("store")
+    frame(Seq((1L, "O", 10.0))).write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    graft.operators.SourceQueries.snapshotBranchCreate(root, "stream")
+    val params = Map("path" -> root.toString, "branch" -> "stream",
+      "txnAppId" -> "br-app", "keyCol" -> "o_orderkey",
+      "partCol" -> "o_ym")
+    val sink = new SnapshotSink(spark, params)
+    sink.addBatch(0, frame(Seq((2L, "O", 20.0))))
+    sink.addBatch(1, frame(Seq((1L, "O", 11.0))))
+    // replay of batch 1 is skipped via the BRANCH's txn watermark
+    sink.addBatch(1, frame(Seq((9L, "X", 99.0))))
+    assert(SnapshotManifest.head(root) === 1, "main must not advance")
+    assert(stateOf(root) === Set((1L, 10.0)))
+    val broot = SnapshotBranches.root(root, "stream")
+    assert(SnapshotManifest.head(broot) === 3) // base + 2 micro-batches
+    graft.operators.SourceQueries.snapshotFastForward(root, "stream")
+    assert(stateOf(root) === Set((1L, 11.0), (2L, 20.0)),
+      "fastforward publishes the streamed state atomically")
+  }
+
   test("update-mode streaming aggregation maintains a keyed table") {
     // the classic use of an upsert sink: a running per-key aggregate
     // whose UPDATE-mode changed rows land as upsert deltas, so the
