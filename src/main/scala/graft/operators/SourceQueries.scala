@@ -1532,10 +1532,8 @@ object SourceQueries {
     JF.createDirectories(dstRoot)
     graft.sources.SnapshotMeta.write(dstRoot,
       meta.copy(dataSchema = effective))
-    def leafOf(pv: String): java.nio.file.Path =
-      mirrors.zip(pv.split("/").toSeq).foldLeft(dstRoot.resolve("d1")) {
-        case (p, (m, value)) => p.resolve(s"$m=$value")
-      }
+    def leafOf(pv: String): java.nio.file.Path = dstRoot.resolve("d1")
+      .resolve(graft.sources.SnapshotPartitionValues.leafSuffix(mirrors, pv))
     var linked = 0
     val entries = manifest.map { case (pv, dir) =>
       val dst = leafOf(pv)
@@ -1544,7 +1542,12 @@ object SourceQueries {
         .filter(_.isFile).foreach { f =>
           val target = dst.resolve(f.getName)
           try JF.createLink(target, f.toPath)
-          catch { // cross-filesystem target: pay the copy, stay correct
+          catch {
+            // a crashed clone's retry: the link from the previous
+            // attempt is already there (same inode) — resume, don't die
+            case _: java.nio.file.FileAlreadyExistsException
+              if JF.isSameFile(target, f.toPath) => ()
+            // cross-filesystem target: pay the copy, stay correct
             case _: UnsupportedOperationException | _: java.io.IOException
               if !JF.exists(target) => JF.copy(f.toPath, target)
           }
@@ -1584,6 +1587,9 @@ object SourceQueries {
     require(graft.sources.SnapshotTags.resolve(root, name).isEmpty,
       s"a tag named '$name' exists — branches and tags share the " +
         "VERSION AS OF namespace")
+    require(!SnapshotBranches.exists(root, name),
+      s"branch '$name' already exists — re-creating it would silently " +
+        "discard its staged commits; drop_branch first")
     val head = headVersion(root)
     require(head > 0, s"$root has no published versions to branch from")
     val base = version.getOrElse(head)
@@ -1659,9 +1665,8 @@ object SourceQueries {
     val rewritten = entries.map { case (pv, dirPath) =>
       if (!canon(dirPath).startsWith(brootCanon)) pv -> dirPath
       else {
-        val dst = mirrors.zip(pv.split("/").toSeq).foldLeft(ffRoot) {
-          case (p, (m, v)) => p.resolve(s"$m=$v")
-        }
+        val dst = ffRoot.resolve(graft.sources.SnapshotPartitionValues
+          .leafSuffix(mirrors, pv))
         java.nio.file.Files.createDirectories(dst)
         Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
           .filter(_.isFile).foreach { f =>
@@ -1674,11 +1679,14 @@ object SourceQueries {
     // branch-side metadata deltas ride the published manifest
     val mainChecks = SnapshotManifest.effectiveChecks(root)
     val brChecks = SnapshotManifest.effectiveChecks(broot)
+    // drops FIRST (same manifest, folded in line order): a branch-side
+    // MODIFICATION (drop + re-add under one name) must retire the old
+    // text before the new one lands, or main would enforce both
     val checkDelta =
+      mainChecks.filterNot(brChecks.contains)
+        .map { case (n, _) => s"#checkdrop\t$n" } ++
       brChecks.filterNot(mainChecks.contains)
-        .map { case (n, sql) => s"#check\t$n\t$sql" } ++
-      mainChecks.filterNot(c => brChecks.exists(_._1 == c._1))
-        .map { case (n, _) => s"#checkdrop\t$n" }
+        .map { case (n, sql) => s"#check\t$n\t$sql" }
     val mainEff = SnapshotManifest.evolvedDataSchema(root)
       .getOrElse(SnapshotMeta.read(root).get.dataSchema)
     val brEff = SnapshotManifest.evolvedDataSchema(broot)
@@ -2050,7 +2058,11 @@ object SourceQueries {
         s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
         .toString
       val unioned = hot.map { pv =>
-        val vals = pv.split("/").toSeq
+        // re-attach the LOGICAL values: `partitionBy` re-escapes, so
+        // attaching the pv's escaped segments would double-escape and
+        // publish entries pointing at dirs that don't exist
+        val vals = graft.sources.SnapshotPartitionValues
+          .logicalValues(pv, mirrors.length)
         mirrors.zip(vals).foldLeft(
           s.read.schema(declared).parquet(manifest(pv))) {
           case (df, (m, v)) => df.withColumn(m, lit(v))
@@ -2062,8 +2074,8 @@ object SourceQueries {
         .sortWithinPartitions(sortCols: _*)
         .write.partitionBy(mirrors: _*).parquet(out)
       def leafOf(pv: String): String =
-        s"$out/${mirrors.zip(pv.split("/").toSeq)
-          .map { case (m, v) => s"$m=$v" }.mkString("/")}"
+        s"$out/${graft.sources.SnapshotPartitionValues
+          .leafSuffix(mirrors, pv)}"
       val entries = manifest ++ hot.map(pv => pv -> leafOf(pv))
       try {
         writeManifest(root, head + 1, entries)
@@ -3406,10 +3418,14 @@ object SourceQueries {
       .map(_.getName).filter(_.matches("v\\d+\\.manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq
     // every branch manifest pins its dirs — a branch may still read
-    // fork-shared partitions whose main versions have expired
-    val branchRefs = graft.sources.SnapshotBranches.list(root)
-      .flatMap { case (name, _) =>
-        val broot = graft.sources.SnapshotBranches.root(root, name)
+    // fork-shared partitions whose main versions have expired. Scan
+    // raw .branch dirs, not the valid-branch listing: a half-created
+    // branch (manifest linked, crash before branch.meta) must still
+    // protect what it references
+    val branchRefs = Option(graft.sources.SnapshotBranches.dir(root)
+        .toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq.flatMap { bd =>
+        val broot = bd.toPath
         graft.sources.SnapshotManifest.versionsWithMtime(broot).map(_._1)
           .flatMap(v => graft.sources.SnapshotManifest.read(broot, v).values)
       }

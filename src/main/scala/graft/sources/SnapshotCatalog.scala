@@ -183,7 +183,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "clone"),
       Identifier.of(namespace, "branch"),
       Identifier.of(namespace, "drop_branch"),
-      Identifier.of(namespace, "fastforward"))
+      Identifier.of(namespace, "fastforward"),
+      Identifier.of(namespace, "refs"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -198,20 +199,26 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "branch" => new SnapshotBranchProcedure(this)
       case "drop_branch" => new SnapshotDropBranchProcedure(this)
       case "fastforward" => new SnapshotFastForwardProcedure(this)
+      case "refs" => new SnapshotRefsProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
           "tag(table, name, version), drop_tag(table, name), " +
           "compact(table, threshold), clone(table, target), " +
           "branch(table, name), drop_branch(table, name), " +
-          "fastforward(table, name)")
+          "fastforward(table, name), refs(table)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
     rootOf(Identifier.of(Array.empty, table))
 
-  /** Root for a table that must NOT exist yet (clone targets). */
+  /** Root for a table that must NOT exist yet (clone targets). Names
+    * are validated like tags/branches — an unvalidated `../…` target
+    * would hard-link a whole table outside the warehouse.
+    */
   private[sources] def resolveNewRoot(table: String): JPath = {
+    require(table.nonEmpty && table.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"table name must match [A-Za-z][A-Za-z0-9_.-]*: '$table'")
     val root = warehouse.resolve(table)
     if (JFiles.isDirectory(root.resolve("manifests")))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -661,12 +668,16 @@ private[sources] final class SnapshotDppScanBuilder(
   * reads only the dimension-matched partitions. Statistics delegate
   * post-filter, so AQE re-planning sees the pruned size.
   *
-  * `filterAttributes` declares the LEADING partition column, and only
-  * when the scan actually reads it: Spark resolves the declared
-  * attributes against the scan's pruned output and a multi-key
-  * IN-subquery has no V2 predicate form (the row-level lesson at
-  * [[SnapshotRowLevelScan.filterAttributes]]) — a column-pruned or
-  * multi-column declaration would throw or silently drop the filter.
+  * `filterAttributes` declares every partition column the scan READS
+  * (declaring a pruned-out column would throw during the rule's
+  * resolution against the scan's output). Declaring all of them is
+  * safe HERE, unlike the row-level group filter
+  * ([[SnapshotRowLevelScan.filterAttributes]], one attribute only):
+  * the read-path `PartitionPruning` rule plants one SINGLE-KEY
+  * subquery per equi-join key that matches a declared attribute, so a
+  * multi-column layout joined on its second mirror still prunes —
+  * only the group filter builds one subquery over ALL declared
+  * attributes, which is what has no V2 multi-key predicate form.
   */
 final class SnapshotDppScan(
     private var current: org.apache.spark.sql.execution.datasources.v2
@@ -708,11 +719,9 @@ final class SnapshotDppScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val lead = partSchema.fieldNames.head
-    if (current.readSchema().fieldNames.contains(lead))
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(lead))
-    else Array.empty
+    val read = current.readSchema().fieldNames.toSet
+    partSchema.fieldNames.filter(read.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
   override def filter(predicates: Array[
@@ -880,6 +889,52 @@ final class SnapshotHistoryProcedure(cat: GraftSnapshotCatalog)
       }.toArray
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema, rows)).iterator()
+  }
+}
+
+/** `CALL snap.refs('t')` — every named ref: tags (immutable, with
+  * their pinned version) and branches (writable, with fork point and
+  * current head). The discovery half of the ref plane — `VERSION AS
+  * OF '<name>'` resolution is only useful if names are listable.
+  */
+final class SnapshotRefsProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = "refs"
+  override def description(): String =
+    "list tags and branches: refs(table)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("forked_from", IntegerType, nullable = true)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val tagRows = SnapshotTags.list(root).map { case (n, v) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(n), UTF8String.fromString("tag"), v, null)
+    }
+    val branchRows = SnapshotBranches.list(root).map { case (n, base) =>
+      val head = SnapshotManifest.head(SnapshotBranches.root(root, n))
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(n), UTF8String.fromString("branch"),
+        head, base)
+    }
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        (tagRows ++ branchRows).toArray)).iterator()
   }
 }
 
@@ -1155,9 +1210,15 @@ final class SnapshotBranchProcedure(cat: GraftSnapshotCatalog)
   override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val root = cat.resolveRoot(input.getUTF8String(0).toString)
-    val v = input.getUTF8String(2).toString.toIntOption match {
-      case Some(-1) | None => None
+    val vArg = input.getUTF8String(2).toString
+    val v = vArg.toIntOption match {
+      case Some(-1) => None
       case Some(n) => Some(n)
+      // same tag resolution as clone — a non-numeric version must
+      // resolve or refuse, never silently mean "the head"
+      case None => Some(SnapshotTags.resolve(root, vArg).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown tag '$vArg' — cannot branch from it")))
     }
     val (base, nParts) = graft.operators.SourceQueries
       .snapshotBranchCreate(root, input.getUTF8String(1).toString, v)

@@ -171,6 +171,12 @@ object SnapshotTags {
 
   def create(root: JPath, name: String, version: Int): Unit = {
     validate(name)
+    // symmetric with branch creation's tag check: a tag resolves FIRST
+    // in VERSION AS OF, so one named after a live branch would silently
+    // redirect every audit read off the branch
+    require(!SnapshotBranches.exists(root, name),
+      s"a branch named '$name' exists — tags and branches share the " +
+        "VERSION AS OF namespace")
     require(JFiles.exists(
       root.resolve("manifests").resolve(s"v$version.manifest")),
       s"version $version is not published (or was vacuumed) — " +
@@ -250,17 +256,27 @@ object SnapshotBranches {
       .toSeq.sortBy(_._1)
   }
 
-  /** The main version the branch forked from. */
+  /** The main version the branch forked from; None when absent OR
+    * unparseable (a crash mid-`writeBase` must read as half-created,
+    * not crash the refs/vacuum listings).
+    */
   def base(tableRoot: JPath, name: String): Option[Int] = {
     val f = root(tableRoot, name).resolve("branch.meta")
     if (!JFiles.exists(f)) None
-    else Some(JFiles.readAllLines(f).asScala.head.trim.toInt)
+    else JFiles.readAllLines(f).asScala.headOption
+      .flatMap(_.trim.toIntOption)
   }
 
   private[graft] def writeBase(tableRoot: JPath, name: String,
-                               version: Int): Unit =
-    JFiles.write(root(tableRoot, name).resolve("branch.meta"),
-      java.util.List.of(version.toString))
+                               version: Int): Unit = {
+    val broot = root(tableRoot, name)
+    val tmp = broot.resolve(
+      s".branch.meta.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.write(tmp, java.util.List.of(version.toString))
+    JFiles.move(tmp, broot.resolve("branch.meta"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Remove a branch — its manifests and every data dir its commits
     * created. Always safe after a fast-forward: publishing hard-links
@@ -490,7 +506,13 @@ object SnapshotFiles {
       (SnapshotBloom.fileKey(new Path(abs).toString) + "/") -> pv
     }
     rows.toSeq.map { r =>
-      val fkey = SnapshotBloom.fileKey(r.getString(0))
+      // _metadata.file_path is a URL-ENCODED URI: a '%' in a partition
+      // dir name (hive-escaped values — `a:b` → `a%3Ab`) arrives as
+      // `%25`, and Path's constructor re-quotes rather than decodes, so
+      // fileKey can't round-trip it — decode through URI before
+      // canonicalizing, or an escaped-value partition never matches its
+      // own commit dir
+      val fkey = new java.net.URI(r.getString(0)).getPath
       val pv = prefixes.collectFirst {
         case (p, v) if fkey.startsWith(p) => v
       }.getOrElse(throw new IllegalStateException(
@@ -721,6 +743,32 @@ object SnapshotBloom {
   * partition type reads exactly as Spark would parse it.
   */
 object SnapshotPartitionValues {
+  /** The pv's segments, in partition-schema order, still dir-name
+    * (Hive) escaped — exactly as the commit path recorded them.
+    */
+  def segments(pv: String, n: Int): Seq[String] =
+    (if (n == 1) Array(pv) else pv.split("/", -1)).toIndexedSeq
+
+  /** The Hive leaf-dir suffix (`m1=v1/m2=v2`) for a manifest pv. The
+    * pv is ALREADY dir-name-escaped, so segments join verbatim — one
+    * shared implementation so every rewriter (compact, clone,
+    * fastforward) produces byte-identical names to the commit path's
+    * `partitionBy`.
+    */
+  def leafSuffix(mirrors: Seq[String], pv: String): String =
+    mirrors.zip(segments(pv, mirrors.length))
+      .map { case (m, v) => s"$m=$v" }.mkString("/")
+
+  /** The LOGICAL (unescaped) string values of a pv — what a rewrite
+    * must re-attach as mirror columns before `partitionBy`, which
+    * re-escapes; feeding it the escaped form would double-escape
+    * (`a%3Ab` → `a%253Ab`) and publish manifest entries pointing at
+    * dirs that don't exist.
+    */
+  def logicalValues(pv: String, n: Int): Seq[String] =
+    segments(pv, n).map(org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.unescapePathName)
+
   def row(pv: String, schema: StructType): InternalRow = {
     val raw = if (schema.length == 1) Array(pv) else pv.split("/", -1)
     require(raw.length == schema.length,

@@ -607,6 +607,29 @@ class SnapshotCatalogSpec extends SparkSpec {
       s"SELECT SUM(v) FROM ${c}m.`${mroot.getFileName}`").head()
       .getDouble(0) === (0 until 8).map(_ * 1.0).sum + 9.0,
       "multi-column compaction must be invisible in the data")
+    // partition values needing Hive dir-name escaping: the rewrite
+    // must re-attach the LOGICAL value (partitionBy re-escapes) or the
+    // compacted manifest points at a double-escaped dir that
+    // doesn't exist
+    val eroot = java.nio.file.Files.createTempDirectory("compact_esc")
+      .resolve("esc")
+    (1L to 6L).map(k => (k, k * 1.0, "a:b")) // ':' escapes to %3A
+      .toDF("k", "v", "src").repartition(4)
+      .write.format("graft-snapshot")
+      .option("keyCol", "k").option("partCol", "src")
+      .mode("append").save(eroot.toString)
+    spark.conf.set(s"spark.sql.catalog.${c}e",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.${c}e.warehouse",
+      eroot.getParent.toString)
+    val re = spark.sql(
+      s"CALL ${c}e.compact('${eroot.getFileName}', 3, 1)").head()
+    assert(re.getInt(0) === 1, s"the escaped-value partition is hot: $re")
+    assert(re.getInt(3) === 1, s"and must actually land in 1 file: $re")
+    assert(spark.sql(
+      s"SELECT SUM(v) FROM ${c}e.`${eroot.getFileName}`").head()
+      .getDouble(0) === (1 to 6).map(_ * 1.0).sum,
+      "compaction of an escaped partition value must stay readable")
   }
 
   test("branches: write-audit-publish — staged commits invisible to " +
@@ -685,6 +708,35 @@ class SnapshotCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CALL $c.branch('$tn', 'relx')")
     }
+    // the discovery plane: refs lists what VERSION AS OF can resolve
+    val refs = spark.sql(s"CALL $c.refs('$tn')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs === Set(("relx", "tag"), ("evo", "branch"),
+      ("guarded", "branch")), s"refs: ${refs.mkString(",")}")
+    // the namespace guard is SYMMETRIC: a tag named after a live
+    // branch would silently redirect every audit read off the branch
+    intercept[Exception] {
+      spark.sql(s"CALL $c.tag('$tn', 'guarded', $head)")
+    }
+    // re-creating a live branch would silently discard staged work
+    intercept[Exception] {
+      spark.sql(s"CALL $c.branch('$tn', 'guarded')")
+    }
+    // branch-side constraint MODIFICATION (drop + re-add, same name)
+    // publishes as drop-then-add: main enforces exactly the new text
+    spark.sql(s"CALL $c.branch('$tn', 'relax')")
+    spark.sql(s"ALTER TABLE ${branchT("relax")} DROP CONSTRAINT pos")
+    spark.sql(
+      s"ALTER TABLE ${branchT("relax")} ADD CONSTRAINT pos CHECK (price > -100.0)")
+    spark.sql(s"CALL $c.fastforward('$tn', 'relax')")
+    assert(SnapshotManifest.effectiveChecks(droot)
+      .count(_._1 == "pos") === 1,
+      "a modified check must not leave both texts live")
+    // five columns now: the evo branch's published widening added `note`
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(55L, -5.0, '2024-06', CAST(NULL AS STRING), '2024-06')")
+    assert(rowsOf(t).contains((55L, -5.0)),
+      "the relaxed check must govern main after the publish")
   }
 
   test("catalog joins get dynamic partition pruning: the runtime IN " +
@@ -748,6 +800,47 @@ class SnapshotCatalogSpec extends SparkSpec {
       s"""SELECT COUNT(*) FROM $t t
          |JOIN graft_dpp_cal cal ON t.o_orderstatus = cal.quarter""".stripMargin)
     assert(q2.collect().head.getLong(0) >= 0L)
+    // multi-column layout: a join on the SECOND partition column gets
+    // its own single-key runtime filter (every read partition column
+    // is declared — only the row-level GROUP filter is one-attribute)
+    import spark.implicits._
+    val m2root = java.nio.file.Files.createTempDirectory("dppmulti")
+      .resolve("ev")
+    val types = Array("click", "view", "buy", "scroll")
+    Seq.tabulate(16)(i => (i.toLong,
+        java.sql.Date.valueOf(f"2024-03-${i % 2 + 1}%02d"),
+        types(i % 4), i * 1.0))
+      .toDF("id", "d", "typ", "v").write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCols", "d,typ")
+      .mode("append").save(m2root.toString)
+    val tdimPath = m2root.getParent.resolve("tdim").toString
+    Seq(("click", "hot"), ("buy", "hot"), ("view", "cold"))
+      .toDF("t_d", "tag").coalesce(1).write.parquet(tdimPath)
+    s.read.parquet(tdimPath).createOrReplaceTempView("graft_dpp_tdim")
+    val c2 = s"${c}m"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", m2root.getParent.toString)
+    val q3 = s.sql(
+      s"""SELECT SUM(v) FROM $c2.`ev` t
+         |JOIN graft_dpp_tdim dm ON t.typ_p = dm.t_d
+         |WHERE dm.tag = 'hot'""".stripMargin)
+    assert(q3.collect().head.getDouble(0) ===
+      (0 until 16).filter(i => i % 4 == 0 || i % 4 == 2).map(_ * 1.0).sum)
+    val scan3 = q3.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[SnapshotDppScan] => b
+    }.head
+    assert(scan3.runtimeFilters.nonEmpty,
+      "second-partition-column join must still plant a runtime filter")
+    val planned3 = scan3.scan.asInstanceOf[SnapshotDppScan]
+      .toBatch.planInputPartitions().toSeq.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }
+    assert(planned3.nonEmpty && planned3.forall(p =>
+      p.contains("typ_p=click") || p.contains("typ_p=buy")),
+      s"scan planned unmatched leaves: ${planned3.take(3)}")
   }
 
   test("CALL clone: zero-copy hard-link clone — fresh history, carried " +
@@ -805,6 +898,17 @@ class SnapshotCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CALL $c.clone('$tn', 'w', 'no_such_tag')")
     }
+    intercept[Exception] { // a ../ target must not escape the warehouse
+      spark.sql(s"CALL $c.clone('$tn', '../escape')")
+    }
+    // a clone that crashed before publishing its manifest is
+    // retryable: existing links from the dead attempt resume
+    spark.sql(s"CALL $c.clone('$tn', 'w2')")
+    val w2 = droot.getParent.resolve("w2")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(w2.resolve("manifests").toFile)
+    spark.sql(s"CALL $c.clone('$tn', 'w2')") // retry over the leftovers
+    assert(rowsOf(s"$c.`w2`").nonEmpty, "retried clone must read")
     // vacuum safety — where Delta's shallow clone breaks: rewrite the
     // shared partitions on the SOURCE, expire + reclaim every version
     // the clones were taken from (tag dropped so retention lets go),
