@@ -63,6 +63,41 @@ class SnapshotChangefeedSpec extends SparkSpec {
         r.getString(4), r.getInt(5)))
       .sortBy(t => (t._1, t._2)).toSeq
 
+  test("a branch's changefeed streams its staged versions — main's " +
+    "feed never sees them") {
+    val root = freshDir("branch_cdf").toPath.resolve("store")
+    frame(Seq((1L, "O", 10.0)), "2024-01")
+      .write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    SourceQueries.snapshotBranchCreate(root, "stage")
+    frame(Seq((2L, "O", 20.0)), "2024-01")
+      .write.format("graft-snapshot").option("branch", "stage")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    // the branch feed: base insert + the staged upsert's insert
+    val bq = spark.readStream.format("graft-snapshot")
+      .option("branch", "stage").load(root.toString)
+    val bout = freshDir("branch_cdf_out")
+    val bchk = freshDir("branch_cdf_chk")
+    bq.writeStream.format("parquet").outputMode(OutputMode.Append())
+      .option("checkpointLocation", bchk.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start(bout.getAbsolutePath).awaitTermination()
+    spark.streams.resetTerminated()
+    val br = changes(spark.read.parquet(bout.getAbsolutePath))
+    assert(br.map(c => (c._1, c._2, c._5)).toSet ===
+      Set((1, 1L, "insert"), (2, 2L, "insert")),
+      s"branch feed: $br")
+    // main's feed stops at its own head — the staged version is absent
+    val mout = freshDir("branch_cdf_main_out")
+    val mchk = freshDir("branch_cdf_main_chk")
+    drainOnce(root.toString, mout.getAbsolutePath, mchk.getAbsolutePath)
+    val mr = changes(spark.read.parquet(mout.getAbsolutePath))
+    assert(mr.map(c => (c._1, c._2, c._5)) === Seq((1, 1L, "insert")),
+      s"main feed must not leak staged versions: $mr")
+  }
+
   test("streamed feed equals the batch CDC, version by version") {
     val root = SourceQueries.snapshotFixture(spark, sf0001)
     val out = freshDir("parity_out")
