@@ -2008,7 +2008,10 @@ object SourceQueries {
     * dir-name strings (so `partitionBy` reproduces byte-identical
     * leaf names whatever the mirror's declared type renders like),
     * and the union is range-repartitioned on (mirrors…, keyCol) with
-    * an in-file sort — compaction REGAINS key clustering, it doesn't
+    * an in-file sort — or, with `zorderCols`, on (mirrors…, Morton
+    * z-address of the two named columns), the `OPTIMIZE ZORDER BY`
+    * shape: the same incremental pass converges hot partitions to the
+    * 2-D-prunable layout — compaction REGAINS key clustering, it doesn't
     * just glue files. A partition is only rewritten when the rewrite
     * would strictly REDUCE its file count (target = explicit
     * `filesPerPartition` or ~256 MB auto-sizing) — so repeated CALLs
@@ -2023,7 +2026,8 @@ object SourceQueries {
     */
   private[graft] def snapshotCompact(s: SparkSession,
       root: java.nio.file.Path, threshold: Int,
-      filesPerPartition: Option[Int] = None): (Int, Int, Int, Int) = {
+      filesPerPartition: Option[Int] = None,
+      zorderCols: Option[(String, String)] = None): (Int, Int, Int, Int) = {
     require(threshold >= 2, s"threshold must be >= 2, got $threshold")
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
@@ -2068,11 +2072,35 @@ object SourceQueries {
           case (df, (m, v)) => df.withColumn(m, lit(v))
         }
       }.reduce(_.unionByName(_))
-      val sortCols = (mirrors ++ meta.keyCol.toSeq).map(col)
-      unioned
-        .repartitionByRange(hot.length * perPart, sortCols: _*)
-        .sortWithinPartitions(sortCols: _*)
-        .write.partitionBy(mirrors: _*).parquet(out)
+      // clustering strategy: key-sorted (compact) or 2-D Morton
+      // (zorder — both dims scaled to 16 bits from the HOT partitions'
+      // own bounds, one scalar agg; files then cover compact 2-D
+      // boxes and row-group stats prune on BOTH predicate columns)
+      val clustered = zorderCols match {
+        case None =>
+          val sortCols = (mirrors ++ meta.keyCol.toSeq).map(col)
+          unioned.repartitionByRange(hot.length * perPart, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+        case Some((a, b)) =>
+          val bd = unioned.agg(
+            min(col(a).cast("long")), max(col(a).cast("long")),
+            min(col(b).cast("long")), max(col(b).cast("long"))).head()
+          require(!bd.anyNull,
+            s"zorder columns $a, $b must be non-null and castable to " +
+              "long (for DATE columns, z-order the epoch-day column)")
+          def scaled(c: Column, lo: Long, hi: Long): Column =
+            ((c.cast("long") - lit(lo)) * lit(65535L) /
+              lit(math.max(1L, hi - lo))).cast("long")
+          val sortCols = mirrors.map(col) :+ col("__z")
+          unioned
+            .withColumn("__z", zvalue16(
+              scaled(col(a), bd.getLong(0), bd.getLong(1)),
+              scaled(col(b), bd.getLong(2), bd.getLong(3))))
+            .repartitionByRange(hot.length * perPart, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+            .drop("__z")
+      }
+      clustered.write.partitionBy(mirrors: _*).parquet(out)
       def leafOf(pv: String): String =
         s"$out/${graft.sources.SnapshotPartitionValues
           .leafSuffix(mirrors, pv)}"

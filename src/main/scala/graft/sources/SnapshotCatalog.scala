@@ -184,7 +184,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "branch"),
       Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "fastforward"),
-      Identifier.of(namespace, "refs"))
+      Identifier.of(namespace, "refs"),
+      Identifier.of(namespace, "zorder"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -200,13 +201,15 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "drop_branch" => new SnapshotDropBranchProcedure(this)
       case "fastforward" => new SnapshotFastForwardProcedure(this)
       case "refs" => new SnapshotRefsProcedure(this)
+      case "zorder" => new SnapshotZorderProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
           "tag(table, name, version), drop_tag(table, name), " +
           "compact(table, threshold), clone(table, target), " +
           "branch(table, name), drop_branch(table, name), " +
-          "fastforward(table, name), refs(table)")
+          "fastforward(table, name), refs(table), " +
+          "zorder(table, col_a, col_b[, threshold])")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -1117,6 +1120,57 @@ final class SnapshotCompactProcedure(cat: GraftSnapshotCatalog)
     val (n, v, before, after) =
       graft.operators.SourceQueries.snapshotCompact(SparkSession.active,
         root, input.getInt(1), if (fpp == -1) None else Some(fpp))
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          n, v, before, after)))).iterator()
+  }
+}
+
+/** `CALL snap.zorder('t', 'a', 'b'[, threshold, files_per_partition])`
+  * — the `OPTIMIZE ZORDER BY` shape: hot partitions (≥ threshold
+  * files, default 2) rewrite Morton-clustered on the two named
+  * numeric columns through the same engine as `compact`
+  * ([[graft.operators.SourceQueries.snapshotCompact]] with a z-order
+  * strategy), converging the table to the 2-D-prunable layout one
+  * incremental CAS version at a time. Returns what it did.
+  */
+final class SnapshotZorderProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "zorder"
+  override def description(): String =
+    "rewrite hot partitions Morton-clustered: zorder(table, col_a, col_b)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("col_a", StringType).build(),
+      ProcedureParameter.in("col_b", StringType).build(),
+      ProcedureParameter.in("threshold", IntegerType)
+        .defaultValue("2").build(),
+      ProcedureParameter.in("files_per_partition", IntegerType)
+        .defaultValue("-1").build())
+
+  private val outSchema = StructType(Seq(
+    StructField("zordered_partitions", IntegerType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("files_before", IntegerType, nullable = false),
+    StructField("files_after", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val fpp = input.getInt(4)
+    val (n, v, before, after) =
+      graft.operators.SourceQueries.snapshotCompact(SparkSession.active,
+        root, input.getInt(3), if (fpp == -1) None else Some(fpp),
+        Some((input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString)))
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(

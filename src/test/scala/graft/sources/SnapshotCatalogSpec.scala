@@ -632,6 +632,61 @@ class SnapshotCatalogSpec extends SparkSpec {
       "compaction of an escaped partition value must stay readable")
   }
 
+  test("CALL zorder rewrites hot partitions Morton-clustered: per-file " +
+    "2-D boxes beat key-sorted compaction on the second dimension") {
+    import spark.implicits._
+    // b is uncorrelated with a (Knuth-hash scatter), so key-sorted
+    // files span b's full range while z-ordered files cover boxes
+    def store(tag: String): java.nio.file.Path = {
+      val r = java.nio.file.Files.createTempDirectory(s"zo_$tag")
+        .resolve("t")
+      (0L until 4096L)
+        .map(i => (i, i, (i * 2654435761L) % 4096L, "2024-01"))
+        .toDF("k", "a", "b", "ym").repartition(8)
+        .write.format("graft-snapshot")
+        .option("keyCol", "k").option("partCol", "ym")
+        .mode("append").save(r.toString)
+      r
+    }
+    def catFor(root: java.nio.file.Path): String = {
+      val c = s"snapzo${java.util.UUID.randomUUID.toString.take(6)}"
+      spark.conf.set(s"spark.sql.catalog.$c",
+        "graft.sources.GraftSnapshotCatalog")
+      spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+        root.getParent.toString)
+      c
+    }
+    def bWidthSum(root: java.nio.file.Path): Long = {
+      val dir = SnapshotManifest.read(root, 2)("2024-01")
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(org.apache.spark.sql.functions.min($"b"),
+              org.apache.spark.sql.functions.max($"b")).head()
+          r.getLong(1) - r.getLong(0) + 1
+        }.sum
+    }
+    val zroot = store("z")
+    val zc = catFor(zroot)
+    val rz = spark.sql(
+      s"CALL $zc.zorder('${zroot.getFileName}', 'a', 'b', 3, 4)").head()
+    assert((rz.getInt(0), rz.getInt(1)) === ((1, 2)), s"zorder: $rz")
+    assert(rz.getInt(3) <= 4 && rz.getInt(3) < rz.getInt(2), s"$rz")
+    val croot = store("c")
+    val cc = catFor(croot)
+    spark.sql(s"CALL $cc.compact('${croot.getFileName}', 3, 4)")
+    val (zw, cw) = (bWidthSum(zroot), bWidthSum(croot))
+    assert(zw < (cw * 3) / 4,
+      s"z-ordered files must cover tighter b-ranges: z=$zw vs compact=$cw")
+    // data invisible, history intact, and the pass converges (no churn)
+    assert(spark.sql(
+      s"SELECT SUM(b) FROM $zc.`${zroot.getFileName}`").head().getLong(0)
+      === (0L until 4096L).map(i => (i * 2654435761L) % 4096L).sum)
+    val rz2 = spark.sql(
+      s"CALL $zc.zorder('${zroot.getFileName}', 'a', 'b', 3, 4)").head()
+    assert((rz2.getInt(0), rz2.getInt(1)) === ((0, 2)), s"no-op: $rz2")
+  }
+
   test("branches: write-audit-publish — staged commits invisible to " +
     "main, atomic fastforward, safe drop, divergence refusal, vacuum " +
     "retention, carried schema + constraints") {
