@@ -2804,6 +2804,35 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** Iceberg-style METADATA TABLES through the catalog —
+    * `snap.t.files` / `t.partitions` / `t.history` as real, joinable
+    * SQL tables over the manifest plane (no data file opened). The
+    * entry aggregates the head version's per-partition `row_count`
+    * from `files` and rides the version-chain length from `history`
+    * next to it: the oracle recomputes the same numbers FROM THE DATA
+    * (the relational v3 replay), so a sidecar row_count that drifts
+    * from the files it describes, a files row for a dir the manifest
+    * dropped, or a phantom history version all hash-mismatch — the
+    * metadata plane is held to the same oracle bar as the data plane.
+    */
+  def sqlMetaTables(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotFixture(s, dir)
+    val key = Tables.dirKey(dir)
+    val cat = s"snap_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      root.getParent.toString)
+    val tn = root.getFileName.toString
+    s.sql(
+      s"""SELECT f.pv AS o_ym, SUM(f.row_count) AS n_rows,
+         |  COUNT(*) >= 1 AS has_files,
+         |  (SELECT MAX(version) FROM $cat.`$tn`.`history`)
+         |    AS head_version
+         |FROM $cat.`$tn`.`files` f
+         |GROUP BY f.pv""".stripMargin)
+  }
+
   /** The SQL DML door, end to end: bootstrap a primary-keyed snapshot
     * store through the DataFrame write door (which records `keyCol` +
     * layout in `table.meta`), then drive it ENTIRELY in SQL —
@@ -3744,6 +3773,7 @@ object SourceQueries {
     "source_time_travel"      -> timeTravel _,
     "sql_time_travel"         -> sqlTimeTravel _,
     "sql_dpp_prune"           -> sqlDppPrune _,
+    "sql_meta_tables"         -> sqlMetaTables _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_restore"             -> sqlRestore _,
     "sql_clone"               -> sqlClone _,
@@ -3964,6 +3994,33 @@ object SourceQueries {
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,
+    // the metadata plane held to the data's oracle: per-month
+    // row_count from t.files must equal the relational v3 replay's
+    // COUNT(*), and MAX(version) from t.history is exactly 3
+    "sql_meta_tables" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice, o_ym
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice, o_ym
+        |  FROM base WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE o_orderkey < 0 OR o_orderkey % 131 <> 0)
+        |SELECT o_ym, COUNT(*) AS n_rows, TRUE AS has_files,
+        |  3 AS head_version
+        |FROM v3 GROUP BY 1""".stripMargin,
     // the catalog-join DPP entry reads the fixture's v3 head; the
     // calendar quarter 1995-Q1 = months 1995-01..03 applied literally
     "sql_dpp_prune" ->

@@ -98,7 +98,27 @@ final class GraftSnapshotCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table =
-    load(ident, None)
+    try load(ident, None)
+    catch { case e: NoSuchTableException => metaTableOrThrow(ident, None, e) }
+
+  /** Iceberg-style METADATA TABLES: `snap.t.files` / `t.partitions` /
+    * `t.history` / `t.refs` resolve as real read-only tables (the
+    * manifest plane as SQL — joinable and aggregatable, where `CALL`
+    * results are one-shot). Served from the sidecar/manifest metadata
+    * only; no data file is opened.
+    */
+  private def metaTableOrThrow(ident: Identifier, v: Option[Int],
+                               orig: NoSuchTableException): Table = {
+    if (!SnapshotMetaTable.Kinds.contains(ident.name()) ||
+        ident.namespace().isEmpty) throw orig
+    val tableRoot =
+      try rootOf(Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last))
+      catch { case _: NoSuchTableException => throw orig }
+    new SnapshotMetaTable(
+      s"$catName.${ident.namespace().last}.${ident.name()}",
+      tableRoot, ident.name(), v)
+  }
 
   /** `VERSION AS OF n` — the time-travel door. A non-numeric version
     * is a TAG name (`VERSION AS OF 'audited'`), resolved through the
@@ -110,7 +130,11 @@ final class GraftSnapshotCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, version: String): Table =
     version.toIntOption match {
-      case Some(n) => load(ident, Some(n))
+      case Some(n) =>
+        try load(ident, Some(n))
+        catch {
+          case e: NoSuchTableException => metaTableOrThrow(ident, Some(n), e)
+        }
       case None =>
         val root = rootOf(ident)
         SnapshotTags.resolve(root, version) match {
@@ -1400,4 +1424,117 @@ final class SnapshotProcedureResult(
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rs
+}
+
+/** A metadata table (`snap.t.files` / `partitions` / `history` /
+  * `refs`) — the manifest plane served as a read-only SQL table. Rows
+  * come from the version's sidecar when present and from a lazy
+  * per-partition listing otherwise (a legacy store's `files` rows then
+  * carry NULL `row_count` — bytes come from the FS, row counts only
+  * from the sidecar). `VERSION AS OF n` pins `files`/`partitions` to
+  * that version's manifest; `history`/`refs` are version-free. All of
+  * it is metadata-plane work — no data file is ever opened.
+  */
+final class SnapshotMetaTable(tableName: String, root: JPath,
+                              kind: String, pinned: Option[Int])
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = tableName
+
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("pv", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true)))
+    case "partitions" => StructType(Seq(
+      StructField("pv", StringType, nullable = false),
+      StructField("dir", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true)))
+    case "history" => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("n_partitions", IntegerType, nullable = false),
+      StructField("has_stats", BooleanType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("forked_from", IntegerType, nullable = true)))
+  }
+
+  /** (pv, path, bytes, rowCount-or-null) per data file of the pinned
+    * (or head) version.
+    */
+  private def fileRows(): Seq[(String, String, Long, Any)] = {
+    val v = pinned.getOrElse(SnapshotManifest.head(root))
+    SnapshotFiles.read(root, v) match {
+      case Some(fm) => fm.toSeq.sortBy(_._1).flatMap(_._2)
+        .map(e => (e.pv, e.path, e.bytes, e.rows))
+      case None =>
+        SnapshotManifest.read(root, v).toSeq.sortBy(_._1).flatMap {
+          case (pv, dir) => SnapshotFiles.listDataFiles(
+            org.apache.spark.sql.SparkSession.active
+              .sparkContext.hadoopConfiguration, dir)
+            .map(st => (pv, st.getPath.toUri.getPath, st.getLen, null))
+        }
+    }
+  }
+
+  private def computeRows(): Array[InternalRow] = kind match {
+    case "files" => fileRows().map { case (pv, p, b, rc) =>
+      InternalRow(UTF8String.fromString(pv), UTF8String.fromString(p),
+        b, rc)
+    }.toArray
+    case "partitions" =>
+      val v = pinned.getOrElse(SnapshotManifest.head(root))
+      val manifest = SnapshotManifest.read(root, v)
+      val byPv = fileRows().groupBy(_._1)
+      manifest.toSeq.sortBy(_._1).map { case (pv, dir) =>
+        val fs = byPv.getOrElse(pv, Nil)
+        val rows: Any =
+          if (fs.exists(_._4 == null)) null
+          else fs.map(_._4.asInstanceOf[Long]).sum
+        InternalRow(UTF8String.fromString(pv), UTF8String.fromString(dir),
+          fs.size, fs.map(_._3).sum, rows)
+      }.toArray
+    case "history" =>
+      SnapshotManifest.versionsWithMtime(root).map { case (v, mtime) =>
+        InternalRow(v, mtime * 1000L, SnapshotManifest.read(root, v).size,
+          SnapshotFiles.exists(root, v))
+      }.toArray
+    case "refs" =>
+      val tags = SnapshotTags.list(root).map { case (n, v) =>
+        InternalRow(UTF8String.fromString(n), UTF8String.fromString("tag"),
+          v, null)
+      }
+      val branches = SnapshotBranches.list(root).map { case (n, base) =>
+        InternalRow(UTF8String.fromString(n),
+          UTF8String.fromString("branch"),
+          SnapshotManifest.head(SnapshotBranches.root(root, n)), base)
+      }
+      (tags ++ branches).toArray
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new SnapshotProcedureResult(SnapshotMetaTable.this.schema(),
+          computeRows())
+    }
+}
+
+object SnapshotMetaTable {
+  val Kinds: Set[String] = Set("files", "partitions", "history", "refs")
 }

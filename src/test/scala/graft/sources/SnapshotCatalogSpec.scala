@@ -632,6 +632,53 @@ class SnapshotCatalogSpec extends SparkSpec {
       "compaction of an escaped partition value must stay readable")
   }
 
+  test("metadata tables: t.files / t.partitions / t.history / t.refs " +
+    "resolve as queryable tables, consistent with the data and pinnable") {
+    val (droot, t) = dmlStore() // v1: 3 rows over 2 months
+    val c = t.split("\\.")(0)
+    val tn = droot.getFileName.toString
+    spark.sql(s"INSERT INTO $t VALUES (4L, 40.0, '2024-03', '2024-03')")
+    def meta(kind: String, suffix: String = "") =
+      spark.sql(s"SELECT * FROM $c.`$tn`.`$kind` $suffix")
+    // files: metadata row counts must agree with the data per partition
+    val fromFiles = spark.sql(
+      s"""SELECT pv, SUM(row_count) AS n FROM $c.`$tn`.`files`
+         |GROUP BY pv""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fromData = spark.sql(
+      s"SELECT ym_p, COUNT(*) FROM $t GROUP BY ym_p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromFiles === fromData,
+      s"files metadata disagrees with the data: $fromFiles vs $fromData")
+    // partitions: one row per manifest entry, aggregates consistent
+    val parts = meta("partitions").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(4))).toSet
+    assert(parts.map(_._1) === Set("2024-01", "2024-02", "2024-03"))
+    assert(parts.toSeq.map(_._3).sum === 4L,
+      s"partitions: ${parts.mkString(",")}")
+    // history: both versions, monotone commit instants
+    val hist = meta("history", "ORDER BY version").collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
+    // VERSION AS OF pins files/partitions to an old manifest
+    assert(spark.sql(
+      s"SELECT SUM(row_count) FROM $c.`$tn`.`files` VERSION AS OF 1")
+      .head().getLong(0) === 3L)
+    // refs: joinable like any table
+    spark.sql(s"CALL $c.tag('$tn', 'm1', 1)")
+    spark.sql(s"CALL $c.branch('$tn', 'mb')")
+    val refs = spark.sql(
+      s"""SELECT r.name, h.n_partitions FROM $c.`$tn`.`refs` r
+         |JOIN $c.`$tn`.`history` h ON r.version = h.version
+         |WHERE r.kind = 'tag'""".stripMargin).collect()
+    assert(refs.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("m1", 2)))
+    spark.sql(s"CALL $c.drop_branch('$tn', 'mb')")
+    // an unknown suffix still errors as a missing table
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.`$tn`.`nonsense`").collect()
+    }
+  }
+
   test("CALL zorder rewrites hot partitions Morton-clustered: per-file " +
     "2-D boxes beat key-sorted compaction on the second dimension") {
     import spark.implicits._
