@@ -1262,6 +1262,23 @@ object SourceQueries {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
+  /** Overflow-safe 16-bit scaling for [[zvalue16]] inputs: SHIFT the
+    * zero-based value down to ≤16 bits instead of multiplying by
+    * 65535 — `(c-lo)*65535` wraps Long for ranges past ~1.4e14
+    * (nanosecond epochs), silently garbling every z-address while the
+    * rewrite reports success; a shift is exact at any range (double
+    * division would round past 2^53). A narrow range lands in fewer
+    * low bits instead of stretching to 16; interleaving low bits
+    * clusters identically, so nothing is lost.
+    */
+  private[operators] def scaled16(c: Column, lo: Long, hi: Long): Column = {
+    val range = math.max(0L, hi - lo)
+    val shift =
+      if (range <= 65535L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(range >>> 16)
+    shiftright(c.cast("long") - lit(lo), shift)
+  }
+
   /** Rewrite lineitem Z-ORDERED on (ship day, partkey): scale both dims
     * to 16 bits, interleave, `repartitionByRange` on the z-address (each
     * output FILE covers a contiguous z-range = a small set of compact
@@ -2082,23 +2099,26 @@ object SourceQueries {
           unioned.repartitionByRange(hot.length * perPart, sortCols: _*)
             .sortWithinPartitions(sortCols: _*)
         case Some((a, b)) =>
+          // the scratch column must not shadow USER data (the engine is
+          // layout-generic): overwriting-then-dropping a real column
+          // would silently null it out of every rewritten file
+          val zc = "__graft_zaddr"
+          require(!unioned.columns.contains(zc),
+            s"table has a column named $zc — rename it before zorder")
           val bd = unioned.agg(
             min(col(a).cast("long")), max(col(a).cast("long")),
             min(col(b).cast("long")), max(col(b).cast("long"))).head()
           require(!bd.anyNull,
             s"zorder columns $a, $b must be non-null and castable to " +
               "long (for DATE columns, z-order the epoch-day column)")
-          def scaled(c: Column, lo: Long, hi: Long): Column =
-            ((c.cast("long") - lit(lo)) * lit(65535L) /
-              lit(math.max(1L, hi - lo))).cast("long")
-          val sortCols = mirrors.map(col) :+ col("__z")
+          val sortCols = mirrors.map(col) :+ col(zc)
           unioned
-            .withColumn("__z", zvalue16(
-              scaled(col(a), bd.getLong(0), bd.getLong(1)),
-              scaled(col(b), bd.getLong(2), bd.getLong(3))))
+            .withColumn(zc, zvalue16(
+              scaled16(col(a), bd.getLong(0), bd.getLong(1)),
+              scaled16(col(b), bd.getLong(2), bd.getLong(3))))
             .repartitionByRange(hot.length * perPart, sortCols: _*)
             .sortWithinPartitions(sortCols: _*)
-            .drop("__z")
+            .drop(zc)
       }
       clustered.write.partitionBy(mirrors: _*).parquet(out)
       def leafOf(pv: String): String =

@@ -109,15 +109,34 @@ final class GraftSnapshotCatalog extends TableCatalog
     */
   private def metaTableOrThrow(ident: Identifier, v: Option[Int],
                                orig: NoSuchTableException): Table = {
+    val tableRoot = metaParentRoot(ident).getOrElse(throw orig)
+    mkMetaTable(ident, tableRoot, v)
+  }
+
+  /** The parent table's root when `ident` spells one of its metadata
+    * tables, None otherwise.
+    */
+  private def metaParentRoot(ident: Identifier): Option[JPath] = {
     if (!SnapshotMetaTable.Kinds.contains(ident.name()) ||
-        ident.namespace().isEmpty) throw orig
-    val tableRoot =
-      try rootOf(Identifier.of(ident.namespace().dropRight(1),
-        ident.namespace().last))
-      catch { case _: NoSuchTableException => throw orig }
+        ident.namespace().isEmpty) None
+    else try Some(rootOf(Identifier.of(ident.namespace().dropRight(1),
+      ident.namespace().last)))
+    catch { case _: NoSuchTableException => None }
+  }
+
+  private def mkMetaTable(ident: Identifier, root: JPath,
+                          v: Option[Int]): Table = {
+    // history/refs describe the WHOLE chain/ref plane — a version pin
+    // has no meaning, and silently ignoring it would label head-state
+    // rows as a historical read
+    if (v.isDefined &&
+        (ident.name() == "history" || ident.name() == "refs"))
+      throw new IllegalArgumentException(
+        s"${ident.name()} is version-free — VERSION/TIMESTAMP AS OF " +
+          "applies to files/partitions")
     new SnapshotMetaTable(
       s"$catName.${ident.namespace().last}.${ident.name()}",
-      tableRoot, ident.name(), v)
+      root, ident.name(), v)
   }
 
   /** `VERSION AS OF n` — the time-travel door. A non-numeric version
@@ -136,7 +155,24 @@ final class GraftSnapshotCatalog extends TableCatalog
           case e: NoSuchTableException => metaTableOrThrow(ident, Some(n), e)
         }
       case None =>
-        val root = rootOf(ident)
+        val root =
+          try rootOf(ident)
+          catch {
+            case e: NoSuchTableException =>
+              // a metadata table under a NAMED ref: a tag pins
+              // files/partitions to the tagged version; a branch name
+              // serves the branch mini-store's own metadata
+              val parent = metaParentRoot(ident).getOrElse(throw e)
+              return SnapshotTags.resolve(parent, version) match {
+                case Some(v) => mkMetaTable(ident, parent, Some(v))
+                case None if SnapshotBranches.exists(parent, version) =>
+                  mkMetaTable(ident,
+                    SnapshotBranches.root(parent, version), None)
+                case None => throw new IllegalArgumentException(
+                  s"no version, tag, or branch named '$version' on " +
+                    ident.namespace().last)
+              }
+          }
         SnapshotTags.resolve(root, version) match {
           case Some(v) => load(ident, Some(v))
           case None if SnapshotBranches.exists(root, version) =>
@@ -162,13 +198,17 @@ final class GraftSnapshotCatalog extends TableCatalog
     * hands the timestamp in MICROSECONDS since the epoch.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val root = rootOf(ident)
     val cutoffMs = timestamp / 1000L
-    val v = SnapshotManifest.versionsWithMtime(root)
+    def at(root: JPath): Int = SnapshotManifest.versionsWithMtime(root)
       .filter(_._2 <= cutoffMs).map(_._1)
       .reduceOption(math.max).getOrElse(
         throw new NoSuchTableException(ident))
-    load(ident, Some(v))
+    try load(ident, Some(at(rootOf(ident))))
+    catch {
+      case e: NoSuchTableException =>
+        val parent = metaParentRoot(ident).getOrElse(throw e)
+        mkMetaTable(ident, parent, Some(at(parent)))
+    }
   }
 
   private def load(ident: Identifier, v: Option[Int]): Table = {
@@ -233,7 +273,7 @@ final class GraftSnapshotCatalog extends TableCatalog
           "compact(table, threshold), clone(table, target), " +
           "branch(table, name), drop_branch(table, name), " +
           "fastforward(table, name), refs(table), " +
-          "zorder(table, col_a, col_b[, threshold])")
+          "zorder(table, col_a, col_b[, threshold, files_per_partition])")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -907,15 +947,9 @@ final class SnapshotHistoryProcedure(cat: GraftSnapshotCatalog)
   override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val root = cat.resolveRoot(input.getUTF8String(0).toString)
-    val rows = SnapshotManifest.versionsWithMtime(root)
-      .map { case (v, mtime) =>
-        org.apache.spark.sql.catalyst.InternalRow(
-          v, mtime * 1000L,
-          SnapshotManifest.read(root, v).size,
-          SnapshotFiles.exists(root, v))
-      }.toArray
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
-      new SnapshotProcedureResult(outSchema, rows)).iterator()
+      new SnapshotProcedureResult(outSchema,
+        SnapshotMetaTable.historyRows(root))).iterator()
   }
 }
 
@@ -949,19 +983,9 @@ final class SnapshotRefsProcedure(cat: GraftSnapshotCatalog)
   override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val root = cat.resolveRoot(input.getUTF8String(0).toString)
-    val tagRows = SnapshotTags.list(root).map { case (n, v) =>
-      org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(n), UTF8String.fromString("tag"), v, null)
-    }
-    val branchRows = SnapshotBranches.list(root).map { case (n, base) =>
-      val head = SnapshotManifest.head(SnapshotBranches.root(root, n))
-      org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(n), UTF8String.fromString("branch"),
-        head, base)
-    }
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema,
-        (tagRows ++ branchRows).toArray)).iterator()
+        SnapshotMetaTable.refsRows(root))).iterator()
   }
 }
 
@@ -1508,22 +1532,8 @@ final class SnapshotMetaTable(tableName: String, root: JPath,
         InternalRow(UTF8String.fromString(pv), UTF8String.fromString(dir),
           fs.size, fs.map(_._3).sum, rows)
       }.toArray
-    case "history" =>
-      SnapshotManifest.versionsWithMtime(root).map { case (v, mtime) =>
-        InternalRow(v, mtime * 1000L, SnapshotManifest.read(root, v).size,
-          SnapshotFiles.exists(root, v))
-      }.toArray
-    case "refs" =>
-      val tags = SnapshotTags.list(root).map { case (n, v) =>
-        InternalRow(UTF8String.fromString(n), UTF8String.fromString("tag"),
-          v, null)
-      }
-      val branches = SnapshotBranches.list(root).map { case (n, base) =>
-        InternalRow(UTF8String.fromString(n),
-          UTF8String.fromString("branch"),
-          SnapshotManifest.head(SnapshotBranches.root(root, n)), base)
-      }
-      (tags ++ branches).toArray
+    case "history" => SnapshotMetaTable.historyRows(root)
+    case "refs" => SnapshotMetaTable.refsRows(root)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -1536,5 +1546,32 @@ final class SnapshotMetaTable(tableName: String, root: JPath,
 }
 
 object SnapshotMetaTable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
   val Kinds: Set[String] = Set("files", "partitions", "history", "refs")
+
+  /** Single source for the version-chain rows — the `history` meta
+    * table and `CALL snap.history` must never diverge.
+    */
+  def historyRows(root: JPath): Array[InternalRow] =
+    SnapshotManifest.versionsWithMtime(root).map { case (v, mtime) =>
+      InternalRow(v, mtime * 1000L, SnapshotManifest.read(root, v).size,
+        SnapshotFiles.exists(root, v))
+    }.toArray
+
+  /** Single source for the ref rows — the `refs` meta table and
+    * `CALL snap.refs` must never diverge.
+    */
+  def refsRows(root: JPath): Array[InternalRow] = {
+    val tags = SnapshotTags.list(root).map { case (n, v) =>
+      InternalRow(UTF8String.fromString(n), UTF8String.fromString("tag"),
+        v, null)
+    }
+    val branches = SnapshotBranches.list(root).map { case (n, base) =>
+      InternalRow(UTF8String.fromString(n), UTF8String.fromString("branch"),
+        SnapshotManifest.head(SnapshotBranches.root(root, n)), base)
+    }
+    (tags ++ branches).toArray
+  }
 }

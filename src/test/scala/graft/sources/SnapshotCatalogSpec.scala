@@ -673,6 +673,27 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(refs.map(r => (r.getString(0), r.getInt(1))).toSeq ===
       Seq(("m1", 2)))
     spark.sql(s"CALL $c.drop_branch('$tn', 'mb')")
+    // named-ref travel: a TAG pins files to its version; a BRANCH name
+    // serves the branch mini-store's own metadata
+    assert(spark.sql(
+      s"SELECT SUM(row_count) FROM $c.`$tn`.`files` VERSION AS OF 'm1'")
+      .head().getLong(0) === 3L, "tag-pinned files must read v1")
+    spark.sql(s"CALL $c.branch('$tn', 'mb2')")
+    spark.sql(s"INSERT INTO $c.`$tn`.`branch_mb2` VALUES " +
+      "(9L, 90.0, '2024-04', '2024-04')")
+    assert(spark.sql(
+      s"SELECT SUM(row_count) FROM $c.`$tn`.`files` VERSION AS OF 'mb2'")
+      .head().getLong(0) === 5L, "branch files must include staged rows")
+    assert(spark.sql(
+      s"SELECT SUM(row_count) FROM $c.`$tn`.`files`")
+      .head().getLong(0) === 4L, "main files must not")
+    spark.sql(s"CALL $c.drop_branch('$tn', 'mb2')")
+    // version pins are refused on the version-free kinds, never
+    // silently ignored
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.`$tn`.`history` VERSION AS OF 1")
+        .collect()
+    }
     // an unknown suffix still errors as a missing table
     intercept[Exception] {
       spark.sql(s"SELECT * FROM $c.`$tn`.`nonsense`").collect()
