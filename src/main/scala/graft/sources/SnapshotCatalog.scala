@@ -462,6 +462,22 @@ final class SnapshotV2Table(
   // the validation scan actually read
   override def version(): String = snapVersion.toString
 
+  /** `DESCRIBE TABLE EXTENDED` surface: the store's layout facts —
+    * upsert key, partition columns, pinned/head version, root path —
+    * so an operator never has to read `table.meta` by hand.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("format", "graft-snapshot")
+    m.put("location", root.toString)
+    m.put("version", snapVersion.toString)
+    m.put("partition_columns",
+      meta.partitionSchema.fieldNames.mkString(","))
+    meta.keyCol.foreach(m.put("key_column", _))
+    m.put("pinned", pinned.toString)
+    m
+  }
+
   /** Reads delegate to a `FileTable` (stock parquet scan machinery);
     * the PUBLIC table deliberately is NOT one — the analyzer's
     * `FallBackFileSourceV2` rule rewrites `INSERT INTO <FileTable>`

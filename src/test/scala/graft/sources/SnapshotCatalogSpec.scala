@@ -698,6 +698,13 @@ class SnapshotCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM $c.`$tn`.`nonsense`").collect()
     }
+    // DESCRIBE EXTENDED surfaces the layout facts as table properties
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val props = desc.getOrElse("Table Properties", "")
+    assert(props.contains("key_column=k") &&
+      props.contains("partition_columns=ym_p"),
+      s"properties must spell the layout: $props")
   }
 
   test("CALL zorder rewrites hot partitions Morton-clustered: per-file " +
