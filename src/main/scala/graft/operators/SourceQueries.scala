@@ -2655,6 +2655,89 @@ object SourceQueries {
   private val sinkRoots =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
+  private val wapRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** STREAMING write-audit-publish — the production ingest loop
+    * composed end to end from pieces this catalog already proves
+    * separately: bootstrap main (v1), fork a staging BRANCH
+    * ([[snapshotBranchCreate]] — zero-copy), stream two micro-batches
+    * of risky deltas INTO THE BRANCH (`writeStream` with the `branch`
+    * option: each batch is one CAS version on the branch's own chain,
+    * exactly-once under engine replay via the branch's `#txn`
+    * namespace) while main's head never moves — readers keep serving
+    * v1 throughout the ingest — then publish atomically with
+    * [[snapshotFastForward]] (ONE main version, branch-resident dirs
+    * hard-linked under a main-owned root) and drop the branch. The
+    * result reads the published head NEXT TO the still-pristine v1
+    * with the head version pinned at exactly 2: a staged row leaking
+    * to main mid-stream, a publish that split into multiple versions,
+    * or a drop that stranded published bytes all hash-mismatch. At
+    * 100 TB this is the nightly-ingest shape: micro-batches cost
+    * O(touched partitions + batch) on the branch, the audit reads the
+    * branch, and the publish costs O(manifest + staged-files
+    * metadata), zero data bytes.
+    */
+  def streamingWap(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_wap"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val base = java.nio.file.Paths.get(ioDir("snapshot_swap"))
+      .resolve(java.util.UUID.randomUUID.toString.take(8))
+    wapRoots.put(Tables.dirKey(dir), base).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
+    val inbox = base.resolve("inbox")
+    val store = base.resolve("store")
+    java.nio.file.Files.createDirectories(inbox)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      .filter(col("o_ym").startsWith("1995"))
+    orders.write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(store.toString)
+    snapshotBranchCreate(store, "staging")
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    val t0 = 1700000000000L
+    depositSingleParquet(updates, inbox, "b0", t0)
+    depositSingleParquet(inserts, inbox, "b1", t0 + 60000)
+    val schema = s.read.parquet(inbox.resolve("b0.parquet").toString).schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inbox.toString)
+        .writeStream.format("graft-snapshot")
+        .outputMode(OutputMode.Append())
+        .queryName(qName)
+        .option("checkpointLocation", base.resolve("chk").toString)
+        .option("branch", "staging")
+        .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+        .option("txnAppId", "graft_swap_entry")
+        .trigger(Trigger.AvailableNow())
+        .start(store.toString)
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    require(headVersion(store) == 1,
+      "staged micro-batches must never advance main")
+    val (v, _, _) = snapshotFastForward(store, "staging")
+    require(v == 2, s"the publish must be exactly main v2, got $v")
+    graft.sources.SnapshotBranches.drop(store, "staging")
+    def arm(tag: String, version: Int): DataFrame =
+      graft.sources.SnapshotTable.read(s, store, version)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(tag).as("arm"), lit(2).as("head_version"),
+          col("o_orderstatus"), col("n_orders"), col("n_keys"),
+          col("sum_price"))
+    arm("published", 2).unionByName(arm("v1", 1))
+  }
+
   /** Deposit a frame as ONE parquet file in a file-stream inbox with a
     * pinned mtime — the file source processes oldest-first, so the
     * mtimes ARE the micro-batch order and must not depend on
@@ -3811,6 +3894,7 @@ object SourceQueries {
     "source_scd2_history"     -> scd2History _,
     "source_snapshot_write_door" -> snapshotWriteDoor _,
     "streaming_snapshot_sink" -> streamingSnapshotSink _,
+    "streaming_wap"           -> streamingWap _,
     "source_snapshot_add_column" -> snapshotAddColumn _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
@@ -4132,6 +4216,39 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM v2 GROUP BY 1, 2, 3""".stripMargin,
+    // the streamed-to-branch deltas (×1.1 on %97 keys, negative-key
+    // inserts on %1013, both over 1995 orders) published as main v2;
+    // v1 = the pristine bootstrap — same replay either way the deltas
+    // arrived (batch SQL or micro-batches), which is the point
+    "streaming_wap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1995'),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_orderkey % 1013 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT 'published' AS arm, 2 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM v2 GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'v1' AS arm, 2 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM base GROUP BY 1, 2, 3""".stripMargin,
     // published = after the branch-staged ×2.0 upsert fast-forwarded
     // to main as v2; v1 = the pristine bootstrap (nothing leaked
     // before the publish, history intact after it)
