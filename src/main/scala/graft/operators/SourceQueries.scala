@@ -2320,6 +2320,68 @@ object SourceQueries {
     root
   }
 
+  /** Pristine keyed/partitioned orders store shared by the SQL-door
+    * entries (`sql_dml_roundtrip`, `sql_restore`, `sql_clone`, `sql_wap`,
+    * `sql_constraints`, `sql_update_merge`, `sql_insert_overwrite`):
+    * built ONCE per JVM per sf dir through the DataFrame write door (so
+    * `table.meta` records keyCol + layout exactly as each entry's own
+    * per-call bootstrap did), then hard-link-CLONED into each entry's
+    * private root per call via [[snapshotClone]]. A clone is O(#files)
+    * link(2) calls; the per-call bootstrap it replaces rewrote ~80
+    * partitions of parquet INSIDE the timed bench window — fixture I/O
+    * that measured nothing about the operator under test. Equivalence:
+    * the clone starts at v1 with the same bytes, stats sidecar, keyCol
+    * and layout as a fresh bootstrap; entries mutate only their private
+    * clone (data dirs are write-once and hard links share inodes, so a
+    * clone-side rewrite/vacuum only unlinks the clone's own names —
+    * the pristine copy is untouchable by construction).
+    */
+  private val ordersYmPristineRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def ordersYmFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+
+  private def ordersYmPristine(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    ordersYmPristineRoots.getOrElseUpdate(Tables.dirKey(dir), {
+      val root = java.nio.file.Paths.get(ioDir("snapshot_pristine"))
+        .resolve(Tables.dirKey(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      ordersYmFrame(s, dir).write.format("graft-snapshot")
+        .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+        .mode("append").save(root.toString)
+      root
+    })
+
+  /** Rebuild `base` virgin and clone the pristine store into it;
+    * returns the table root `base/<tableName>`.
+    */
+  private def ordersYmFixture(s: SparkSession, dir: String,
+      base: java.nio.file.Path, tableName: String): java.nio.file.Path = {
+    val pristine = ordersYmPristine(s, dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve(tableName)
+    snapshotClone(pristine, root)
+    root
+  }
+
+  /** Build the fixtures shared across catalog entries for `dir` —
+    * called by [[graft.Bench]] BEFORE measurement starts so no entry's
+    * first trial pays a one-time per-JVM fixture build inside its
+    * timed window. Safe to skip (entries build lazily); purely a
+    * bench-fairness hook.
+    */
+  def prewarmSharedFixtures(s: SparkSession, dir: String): Unit = {
+    ordersYmPristine(s, dir)
+    snapshotFixture(s, dir)
+    wapPrototype(s, dir)
+    ()
+  }
+
   /** The snapshot store read through the planner-integrated connector
     * ([[graft.sources.SnapshotFileIndex]]) with a partition predicate:
     * the 1995-01..1995-06 month filter is evaluated against the v2
@@ -2658,6 +2720,39 @@ object SourceQueries {
   private val wapRoots =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
+  private val wapProtoRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** One-time per JVM per sf dir prototype for [[streamingWap]]: the
+    * 1995-slice bootstrap store (built through the write door so
+    * `table.meta` carries keyCol + layout) plus the two deterministic
+    * micro-batch payload files. Each entry call hard-link-clones the
+    * store and hard-links the inbox files into its own fresh root —
+    * the per-call cost drops from two parquet writes + an ~12-partition
+    * bootstrap to O(#files) link(2) calls, so the timed window measures
+    * the branch/stream/fastforward lifecycle, not fixture I/O.
+    */
+  private def wapPrototype(s: SparkSession, dir: String): java.nio.file.Path =
+    wapProtoRoots.getOrElseUpdate(Tables.dirKey(dir), {
+      val proto = java.nio.file.Paths.get(ioDir("snapshot_swap_proto"))
+        .resolve(Tables.dirKey(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(proto.toFile)
+      val inbox = proto.resolve("inbox")
+      java.nio.file.Files.createDirectories(inbox)
+      val orders = ordersYmFrame(s, dir).filter(col("o_ym").startsWith("1995"))
+      orders.write.format("graft-snapshot")
+        .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+        .mode("append").save(proto.resolve("store").toString)
+      val updates = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+      val t0 = 1700000000000L
+      depositSingleParquet(updates, inbox, "b0", t0)
+      depositSingleParquet(inserts, inbox, "b1", t0 + 60000)
+      proto
+    })
+
   /** STREAMING write-audit-publish — the production ingest loop
     * composed end to end from pieces this catalog already proves
     * separately: bootstrap main (v1), fork a staging BRANCH
@@ -2689,21 +2784,19 @@ object SourceQueries {
     val inbox = base.resolve("inbox")
     val store = base.resolve("store")
     java.nio.file.Files.createDirectories(inbox)
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-      .filter(col("o_ym").startsWith("1995"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(store.toString)
-    snapshotBranchCreate(store, "staging")
-    val updates = orders.filter(col("o_orderkey") % 97 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
-    val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
-      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    // fixture from the shared prototype: store hard-link-cloned, payload
+    // files hard-linked (mtimes re-pinned — links share the inode, but
+    // the pinned values are constants, so re-pinning is idempotent)
+    val proto = wapPrototype(s, dir)
+    snapshotClone(proto.resolve("store"), store)
     val t0 = 1700000000000L
-    depositSingleParquet(updates, inbox, "b0", t0)
-    depositSingleParquet(inserts, inbox, "b1", t0 + 60000)
+    Seq("b0" -> t0, "b1" -> (t0 + 60000)).foreach { case (n, mt) =>
+      val dst = inbox.resolve(s"$n.parquet")
+      java.nio.file.Files.createLink(dst,
+        proto.resolve("inbox").resolve(s"$n.parquet"))
+      dst.toFile.setLastModified(mt)
+    }
+    snapshotBranchCreate(store, "staging")
     val schema = s.read.parquet(inbox.resolve("b0.parquet").toString).schema
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2963,16 +3056,11 @@ object SourceQueries {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_dml")).resolve(key)
     // DML advances the store: rebuild from scratch every call so the
-    // entry is idempotent across bench trials (CAS needs a virgin root)
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_dml")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // entry is idempotent across bench trials (CAS needs a virgin root) —
+    // as a hard-link clone of the shared pristine bootstrap, so the
+    // rebuild is O(#files) links, not a repeated ~80-partition write
+    val root = ordersYmFixture(s, dir, base, "orders_dml")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snapdml_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
@@ -3024,15 +3112,9 @@ object SourceQueries {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_restore")).resolve(key)
     // restore advances the store: rebuild per call (trial idempotence)
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_restore")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // via hard-link clone of the shared pristine bootstrap
+    val root = ordersYmFixture(s, dir, base, "orders_restore")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snaprst_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
@@ -3080,15 +3162,9 @@ object SourceQueries {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_clone")).resolve(key)
     // cloning creates sibling tables: rebuild per call (trial idempotence)
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_cl")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // via hard-link clone of the shared pristine bootstrap
+    val root = ordersYmFixture(s, dir, base, "orders_cl")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snapcl_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
@@ -3143,16 +3219,10 @@ object SourceQueries {
   def sqlWap(s: SparkSession, dir: String): DataFrame = {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_wap")).resolve(key)
-    // the branch lifecycle mutates the store: rebuild per call
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_wap")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // the branch lifecycle mutates the store: rebuild per call via
+    // hard-link clone of the shared pristine bootstrap
+    val root = ordersYmFixture(s, dir, base, "orders_wap")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snapwap_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
@@ -3238,15 +3308,10 @@ object SourceQueries {
   def sqlConstraints(s: SparkSession, dir: String): DataFrame = {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_check")).resolve(key)
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_check")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // constraint lifecycle mutates the store: rebuild per call via
+    // hard-link clone of the shared pristine bootstrap
+    val root = ordersYmFixture(s, dir, base, "orders_check")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snapchk_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
@@ -3304,15 +3369,9 @@ object SourceQueries {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_rl")).resolve(key)
     // DML advances the store: rebuild per call (bench-trial idempotence)
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_rl")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // via hard-link clone of the shared pristine bootstrap
+    val root = ordersYmFixture(s, dir, base, "orders_rl")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snaprl_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
@@ -3373,15 +3432,10 @@ object SourceQueries {
   def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
     val key = Tables.dirKey(dir)
     val base = java.nio.file.Paths.get(ioDir("snapshot_ow")).resolve(key)
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    java.nio.file.Files.createDirectories(base)
-    val root = base.resolve("orders_ow")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
-    orders.write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
+    // overwrite advances the store: rebuild per call via hard-link
+    // clone of the shared pristine bootstrap
+    val root = ordersYmFixture(s, dir, base, "orders_ow")
+    val orders = ordersYmFrame(s, dir)
     val cat = s"snapow_$key"
     s.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftSnapshotCatalog")
