@@ -3687,6 +3687,57 @@ object SourceQueries {
       evolved <- graft.sources.SnapshotManifest.evolvedDataSchema(root)
     } graft.sources.SnapshotMeta.write(root,
       meta.copy(dataSchema = evolved))
+    // Expiring manifests may ALSO carry commit-coupled metadata whose
+    // fold goes dark when the records vanish: live CHECK constraints
+    // (`effectiveChecks` folds over surviving manifests only — a
+    // constraint whose add-record lives only in an expired manifest
+    // would silently stop being enforced) and streaming `#txn` replay
+    // watermarks (other writers can push the head past a sink's last
+    // micro-batch; expire that batch's marker and an engine replay
+    // double-commits). Before deleting, publish ONE normalize version
+    // (same partition map as the newest kept version) that re-bases
+    // the fold in the manifest plane — NOT table.meta, whose
+    // read-modify-write overlay could resurrect a dropped check from
+    // a tag-retained add whose drop-version expired:
+    //   * `#txn` re-publishes each app's max batch id;
+    //   * a `#checkdrop` for EVERY name ever seen cancels raw adds in
+    //     older kept manifests, then `#check` re-adds the live set.
+    // CAS-published like any commit; a racing writer takes the version
+    // and the publish retries on the new head.
+    val expiring = versions.filterNot(keep)
+    val carriesFoldedMeta = expiring.exists(v =>
+      graft.sources.SnapshotManifest.headerLines(root, v).exists(l =>
+        l.startsWith("#check\t") || l.startsWith("#checkdrop\t") ||
+        l.startsWith("#txn\t")))
+    if (carriesFoldedMeta) {
+      val txns = graft.sources.SnapshotManifest.txnWatermarks(root)
+      val live = graft.sources.SnapshotManifest.effectiveChecks(root)
+      val everNamed = graft.sources.SnapshotManifest.checkNamesEverSeen(root)
+      val normalize =
+        txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t$a:$b" } ++
+        everNamed.toSeq.sorted.map(n => s"#checkdrop\t$n") ++
+        live.map { case (n, sql) => s"#check\t$n\t$sql" }
+      val newestKept = versions.filter(keep).max
+      val entries = readManifest(root, newestKept)
+      var attempts = 0
+      var published = -1
+      while (published < 0) {
+        attempts += 1
+        val next = headVersion(root) + 1
+        try { writeManifest(root, next, entries, extraMeta = normalize)
+              published = next }
+        catch {
+          case e: SnapshotConflictException =>
+            if (attempts >= 20) throw e
+        }
+      }
+      // same bytes as the newest kept version ⇒ its stats sidecar
+      // carries over verbatim (readers fall back to listing if absent)
+      graft.sources.SnapshotFiles.read(root, newestKept).foreach { fm =>
+        graft.sources.SnapshotFiles.write(root, published,
+          fm.toSeq.sortBy(_._1).flatMap(_._2))
+      }
+    }
     versions.filterNot(keep).foreach { v =>
       java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.manifest"))
       java.nio.file.Files.deleteIfExists(mdir.resolve(s"v$v.files"))

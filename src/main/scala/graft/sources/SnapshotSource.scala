@@ -148,6 +148,42 @@ object SnapshotManifest {
       case (acc, Right(name)) => acc.filterNot(_._1 == name)
     }
   }
+
+  /** One version's `#`-metadata header lines (empty if the manifest is
+    * gone). Vacuum uses this to detect commit-coupled metadata riding
+    * on manifests it is about to expire.
+    */
+  def headerLines(root: JPath, version: Int): Seq[String] =
+    metaLines(root).collectFirst { case (v, ls) if v == version => ls }
+      .getOrElse(Nil)
+
+  /** Per-app max committed micro-batch id over ALL published versions —
+    * the full replay-watermark map ([[lastTxnBatch]] is the single-app
+    * read). Vacuum re-publishes this fold before expiring the
+    * manifests that carry the per-batch records.
+    */
+  def txnWatermarks(root: JPath): Map[String, Long] =
+    metaLines(root).flatMap(_._2).collect {
+      case l if l.startsWith("#txn\t") =>
+        val body = l.stripPrefix("#txn\t")
+        val i = body.lastIndexOf(':')
+        (body.substring(0, i), body.substring(i + 1).toLong)
+    }.groupMapReduce(_._1)(_._2)(math.max)
+
+  /** Every constraint name that appears in any `#check`/`#checkdrop`
+    * record of any published version — live or dropped. Vacuum's
+    * normalize record drops all of them before re-adding the live set,
+    * so a kept old manifest's raw add (e.g. retained by a tag while
+    * the drop-version expires) can never resurrect a dropped check.
+    */
+  def checkNamesEverSeen(root: JPath): Set[String] =
+    metaLines(root).flatMap(_._2).collect {
+      case l if l.startsWith("#check\t") =>
+        val body = l.stripPrefix("#check\t")
+        body.substring(0, body.indexOf('\t'))
+      case l if l.startsWith("#checkdrop\t") =>
+        l.stripPrefix("#checkdrop\t")
+    }.toSet
 }
 
 /** Named immutable version refs (`<root>/refs/<name>` → version int) —
@@ -195,17 +231,23 @@ object SnapshotTags {
   }
 
   def resolve(root: JPath, name: String): Option[Int] = {
+    // read-then-catch, not exists-then-read: a concurrent drop_tag
+    // between the two reads as tag-absent instead of crashing
     val f = dir(root).resolve(name)
-    if (!JFiles.exists(f)) None
-    else Some(JFiles.readAllLines(f).asScala.head.trim.toInt)
+    try Some(JFiles.readAllLines(f).asScala.head.trim.toInt)
+    catch { case _: java.nio.file.NoSuchFileException => None }
   }
 
-  /** Every tag and its pinned version. */
+  /** Every tag and its pinned version. A tag dropped between the
+    * directory listing and the per-tag read is simply omitted —
+    * `CALL vacuum` builds its retention set through this listing, and
+    * a racing drop_tag must not crash it.
+    */
   def list(root: JPath): Seq[(String, Int)] = {
     val d = dir(root).toFile
     Option(d.listFiles()).getOrElse(Array.empty)
       .filterNot(_.getName.startsWith("."))
-      .map(f => f.getName -> resolve(root, f.getName).get)
+      .flatMap(f => resolve(root, f.getName).map(f.getName -> _))
       .toSeq.sortBy(_._1)
   }
 
@@ -705,23 +747,42 @@ object SnapshotBloom {
   /** Load bitsets for exactly the given file set. The membership
     * filter runs INSIDE the Spark plan — the index rows for every
     * other file are dropped by executors, never collected — so driver
-    * transfer is O(requested files), not O(index). The stored `file`
-    * column is the `_metadata.file_path` URI; the in-plan
-    * normalization (strip the `file:` scheme) mirrors [[fileKey]] for
-    * the local filesystem — a multi-scheme deployment would store the
-    * canonical key at build time instead.
+    * transfer is O(requested files), not O(index).
+    *
+    * Key normalization: the stored `file` column is the raw
+    * `_metadata.file_path` URI, which is URL-ENCODED — a hive-escaped
+    * partition dir (`a:b` on disk as `o_ym=a%3Ab`) stores as
+    * `o_ym=a%253Ab` — while the requested keys are [[fileKey]]'s
+    * decoded on-disk form. Matching the two therefore happens AFTER
+    * the same `new java.net.URI(p).getPath` decode that
+    * [[SnapshotFiles]] canonicalizes through; the in-plan membership
+    * filter matches on the FILE NAME only (parquet part names carry no
+    * escapable characters, so they read identically on both sides),
+    * which keeps driver transfer O(requested files) without asking the
+    * plan to URI-decode. Before this, `%`-containing partitions never
+    * matched their bitsets — sound (unindexed files are kept) but the
+    * skipping the index advertises was silently inert exactly where
+    * escaping was hardened elsewhere.
     */
   def load(s: SparkSession, indexPath: String,
            files: Set[String]): Map[String, Array[Long]] = {
     if (files.isEmpty) return Map.empty
+    val names = files.map(f => f.substring(f.lastIndexOf('/') + 1))
     s.read.parquet(indexPath)
-      .withColumn("fkey", regexp_replace(col("file"), "^file:/+", "/"))
-      .where(col("fkey").isin(files.toSeq: _*))
-      .select(col("fkey"), col("positions"))
-      .collect().iterator.map { r =>
-        val bits = new Array[Long](Bits / 64)
-        r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
-        r.getString(0) -> bits
+      .where(substring_index(col("file"), "/", -1).isin(names.toSeq: _*))
+      .select(col("file"), col("positions"))
+      .collect().iterator.flatMap { r =>
+        val stored = r.getString(0)
+        val fkey =
+          try new java.net.URI(stored).getPath
+          catch { case _: java.net.URISyntaxException =>
+            stored.replaceFirst("^file:/+", "/") }
+        if (!files.contains(fkey)) None
+        else {
+          val bits = new Array[Long](Bits / 64)
+          r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
+          Some(fkey -> bits)
+        }
       }.toMap
   }
 

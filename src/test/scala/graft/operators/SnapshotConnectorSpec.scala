@@ -87,6 +87,40 @@ class SnapshotConnectorSpec extends SparkSpec {
     assert(files <= 2, s"absent key still listed $files files")
   }
 
+  test("Bloom skipping survives hive-escaped partition values") {
+    import spark.implicits._
+    // ':' hive-escapes to %3A in the on-disk dir name; the stored
+    // bloom-index key (_metadata.file_path, URL-encoded) then carries
+    // %253A while the FileIndex's requested key is the decoded on-disk
+    // form — before SnapshotBloom.load decoded, these never met and
+    // escaped partitions silently lost file skipping (ADVICE r10)
+    val droot = java.nio.file.Files.createTempDirectory("bloom_esc")
+      .resolve("t")
+    (1L to 400L).map(k => (k, s"a:${k % 8}")).toDF("k", "pt")
+      .write.format("graft-snapshot")
+      .option("keyCol", "k").option("partCol", "pt")
+      .option("bloomKey", "k")
+      .mode("append").save(droot.toString)
+    val leafDirs = graft.sources.SnapshotManifest.read(droot, 1).values.toSeq
+    assert(leafDirs.nonEmpty && leafDirs.forall(_.contains("%3A")),
+      s"fixture dirs must be hive-escaped, got: $leafDirs")
+
+    val keys = Seq(3L, 77L, 202L)
+    val df = SnapshotTable.read(spark, droot, 1, bloomKey = Some("k"))
+      .filter(col("k").isin(keys: _*))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(got === keys.map(k => (k, s"a:${k % 8}")).sortBy(_._1))
+
+    val index = SnapshotTable.fileIndexOf(df)
+    val total = index.inputFiles.length
+    val (_, files) = index.lastListing
+    assert(files < total,
+      s"escaped-value partitions lost Bloom skipping: $files of $total")
+    assert(files <= keys.size * 2,
+      s"expected <=${keys.size * 2} files after Bloom skip, got $files")
+  }
+
   test("unfiltered connector read equals the plain union read") {
     val viaConnector = SnapshotTable.read(spark, root, 1)
       .agg(count(lit(1)), graft.functions.dsum(col("o_totalprice"))).head()
