@@ -2831,6 +2831,95 @@ object SourceQueries {
     arm("published", 2).unionByName(arm("v1", 1))
   }
 
+  private val bcdfRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Changefeed on a BRANCH root plus the fastforward publish seen
+    * from main — the WAP loop's last unobserved surface: the CDF
+    * source runs against `.branch/<name>` like every other door (a
+    * branch is a complete mini-store), consuming each STAGED version
+    * as its own micro-batch increment, while after the atomic publish
+    * main's changefeed sees the entire staged delta as exactly ONE
+    * version. The entry stages the familiar deterministic deltas
+    * (×1.1 updates for keys ≡ 0 mod 97, negated inserts for keys ≡ 0
+    * mod 1013) as branch v2 and v3 through the batch write door's
+    * `branch` option, streams the branch feed `fromVersion 2` (arm
+    * 'branch': two versions), fastforwards and drops the branch, then
+    * streams main `fromVersion 2` (arm 'main': one version whose
+    * totals are the union of both staged deltas). A staged change
+    * leaking to main early, a publish that split into two versions,
+    * or a branch feed that missed a staged commit all hash-mismatch;
+    * the oracle replays both planes relationally. At 100 TB each arm
+    * costs O(staged commits' touched partitions) via the
+    * manifest-scoped [[changeRows]] — never a table scan.
+    */
+  def streamingBranchCdf(s: SparkSession, dir: String): DataFrame = {
+    val qB = "graft_streaming_branch_cdf_b"
+    val qM = "graft_streaming_branch_cdf_m"
+    s.streams.active.filter(q => Option(q.name).exists(Set(qB, qM)))
+      .foreach(_.stop())
+    val base = java.nio.file.Paths.get(ioDir("snapshot_bcdf"))
+      .resolve(java.util.UUID.randomUUID.toString.take(8))
+    bcdfRoots.put(Tables.dirKey(dir), base).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(old.toFile))
+    val store = base.resolve("store")
+    java.nio.file.Files.createDirectories(base)
+    snapshotClone(wapPrototype(s, dir).resolve("store"), store)
+    snapshotBranchCreate(store, "staging")
+    val orders95 = ordersYmFrame(s, dir)
+      .filter(col("o_ym").startsWith("1995"))
+    val updates = orders95.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders95.filter(col("o_orderkey") % 1013 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    Seq(updates, inserts).foreach(
+      _.write.format("graft-snapshot").option("branch", "staging")
+        .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+        .mode("append").save(store.toString))
+    require(headVersion(store) == 1,
+      "staged commits must never advance main")
+    def feed(root: java.nio.file.Path, qName: String, arm: String)
+        : DataFrame = {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        s.readStream.format("graft-snapshot").option("fromVersion", "2")
+          .load(root.toString)
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n_changes"),
+            sum(when(col("change_type") === "insert", 1).otherwise(0))
+              .cast("bigint").as("n_inserts"),
+            sum(when(col("change_type") === "update", 1).otherwise(0))
+              .cast("bigint").as("n_updates"),
+            sum(lit(1) - col("alive")).cast("bigint").as("n_deletes"),
+            sum(col("k")).cast("bigint").as("key_sum"),
+            dsum(col("price")).as("price_sum"),
+            dsum(col("old_price")).as("old_price_sum"))
+          .writeStream
+          .outputMode(OutputMode.Complete())
+          .format("memory")
+          .queryName(qName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qName).withColumn("arm", lit(arm))
+    }
+    val branchArm = feed(
+      graft.sources.SnapshotBranches.root(store, "staging"), qB, "branch")
+    // materialize the branch arm BEFORE the publish drops the branch:
+    // the memory sink holds the snapshot, but the stream itself must
+    // have consumed staged versions while they were the branch's
+    val (v, _, _) = snapshotFastForward(store, "staging")
+    require(v == 2, s"the publish must be exactly main v2, got $v")
+    graft.sources.SnapshotBranches.drop(store, "staging")
+    val mainArm = feed(store, qM, "main")
+    branchArm.unionByName(mainArm)
+      .select(col("arm"), col("version"), col("n_changes"),
+        col("n_inserts"), col("n_updates"), col("n_deletes"),
+        col("key_sum"), col("price_sum"), col("old_price_sum"))
+  }
+
   /** Deposit a frame as ONE parquet file in a file-stream inbox with a
     * pinned mtime — the file source processes oldest-first, so the
     * mtimes ARE the micro-batch order and must not depend on
@@ -4000,6 +4089,7 @@ object SourceQueries {
     "source_snapshot_write_door" -> snapshotWriteDoor _,
     "streaming_snapshot_sink" -> streamingSnapshotSink _,
     "streaming_wap"           -> streamingWap _,
+    "streaming_branch_cdf"    -> streamingBranchCdf _,
     "source_snapshot_add_column" -> snapshotAddColumn _,
     "source_table_diff"       -> tableDiff _,
     "source_mv_refresh"       -> mvIncrementalRefresh _,
@@ -4643,6 +4733,42 @@ object SourceQueries {
         |  FROM orders WHERE o_orderkey % 131 = 0)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |UNION ALL SELECT * FROM v3""".stripMargin,
+    "streaming_branch_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1995'),
+        |up AS (
+        |  SELECT o_orderkey AS k, o_totalprice * 1.1 AS p,
+        |    o_totalprice AS old_p, 'update' AS ctype
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey - 1 AS k, o_totalprice AS p,
+        |    CAST(NULL AS DOUBLE) AS old_p, 'insert' AS ctype
+        |  FROM base WHERE o_orderkey % 1013 = 0),
+        |agg AS (
+        |  SELECT arm, version,
+        |    CAST(COUNT(*) AS BIGINT) AS n_changes,
+        |    CAST(SUM(CASE WHEN ctype = 'insert' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_inserts,
+        |    CAST(SUM(CASE WHEN ctype = 'update' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_updates,
+        |    CAST(0 AS BIGINT) AS n_deletes,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(CAST(old_p AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS old_price_sum
+        |  FROM (
+        |    SELECT 'branch' AS arm, 2 AS version, * FROM up
+        |    UNION ALL
+        |    SELECT 'branch' AS arm, 3 AS version, * FROM ins
+        |    UNION ALL
+        |    SELECT 'main' AS arm, 2 AS version, * FROM up
+        |    UNION ALL
+        |    SELECT 'main' AS arm, 2 AS version, * FROM ins)
+        |  GROUP BY arm, version)
+        |SELECT arm, version, n_changes, n_inserts, n_updates,
+        |  n_deletes, key_sum, price_sum, old_price_sum
+        |FROM agg""".stripMargin,
     "source_snapshot_add_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
