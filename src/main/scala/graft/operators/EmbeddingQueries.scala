@@ -138,7 +138,17 @@ object EmbeddingQueries {
     * (approximate: recall < 1 by design; deterministic given the pinned
     * centroid choice, so still oracle-verifiable).
     */
-  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame =
+    annIvfTopkAt(s, dir, NProbe)
+
+  /** [[annIvfTopk]] at an explicit probe width — the recall/cost knob a
+    * deployment tunes. The catalog entry pins `NProbe`; `AnnRecallSpec`
+    * sweeps this to pin the index's recall-vs-nprobe contract (recall
+    * must climb toward exact as probes widen — the property a broken
+    * assignment or probe list loses first).
+    */
+  private[operators] def annIvfTopkAt(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     // ONE corpus scan: the quantized+normed table is checkpointed and
     // shared by the centroid list, the assignment build, the probe pass
     // and the final ranking (plain multi-reference would rescan the
@@ -173,7 +183,7 @@ object EmbeddingQueries {
         (ndot(col("quv"), col("cv")).cast("double") / col("qnrm") /
           col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("quv"), col("qnrm"), col("centroid_id"))
     // search only the probed clusters
     val wRank = Window.partitionBy(col("query_id"))
