@@ -1541,10 +1541,10 @@ object SourceQueries {
       throw new UnsupportedOperationException(
         "clone needs a table.meta layout declaration"))
     val mirrors = meta.partitionSchema.fields.map(_.name).toSeq
-    val effective = graft.sources.SnapshotManifest.evolvedDataSchema(srcRoot)
-      .map(st => org.apache.spark.sql.types.StructType(
-        st.fields.map(_.copy(nullable = true))))
-      .getOrElse(meta.dataSchema)
+    val effective = org.apache.spark.sql.types.StructType(
+      graft.sources.SnapshotManifest
+        .effectiveDataSchema(srcRoot, meta.dataSchema)
+        .fields.map(_.copy(nullable = true)))
     val manifest = readManifest(srcRoot, v)
     JF.createDirectories(dstRoot)
     graft.sources.SnapshotMeta.write(dstRoot,
@@ -1572,9 +1572,14 @@ object SourceQueries {
         }
       pv -> dst.toAbsolutePath.toString
     }
-    val checkLines = graft.sources.SnapshotManifest.effectiveChecks(srcRoot)
-      .map { case (n, sql) => s"#check\t$n\t$sql" }
-    writeManifest(dstRoot, 1, entries, extraMeta = checkLines)
+    // rename chains re-publish alongside the checks: the clone's linked
+    // files keep their written-time footer names, so the clone's own
+    // readers need the same name mapping the source folded
+    val cloneMeta = graft.sources.SnapshotRename.renameLines(
+      graft.sources.SnapshotManifest.renameChains(srcRoot)) ++
+      graft.sources.SnapshotManifest.effectiveChecks(srcRoot)
+        .map { case (n, sql) => s"#check\t$n\t$sql" }
+    writeManifest(dstRoot, 1, entries, extraMeta = cloneMeta)
     graft.sources.SnapshotFiles.read(srcRoot, v).foreach { fm =>
       val rewritten = fm.toSeq.sortBy(_._1).flatMap(_._2).map { e =>
         e.copy(path = entries(e.pv) + "/" + new java.io.File(e.path).getName)
@@ -1619,14 +1624,19 @@ object SourceQueries {
         "branching needs a table.meta layout declaration"))
     val broot = SnapshotBranches.root(root, name)
     java.nio.file.Files.createDirectories(broot)
-    val effective = SnapshotManifest.evolvedDataSchema(root)
-      .map(st => org.apache.spark.sql.types.StructType(
-        st.fields.map(_.copy(nullable = true))))
-      .getOrElse(meta.dataSchema)
+    val effective = org.apache.spark.sql.types.StructType(
+      SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)
+        .fields.map(_.copy(nullable = true)))
     SnapshotMeta.write(broot, meta.copy(dataSchema = effective))
     val entries = readManifest(root, base)
-    val checkLines = SnapshotManifest.effectiveChecks(root)
-      .map { case (n, sql) => s"#check\t$n\t$sql" }
+    // rename chains re-publish with the checks: fork-shared files keep
+    // their written-time footer names, so the branch's readers need the
+    // same name mapping main folded (and [[snapshotFastForward]] keys
+    // its staged-rename delta off these base-version lines)
+    val checkLines = graft.sources.SnapshotRename.renameLines(
+      SnapshotManifest.renameChains(root)) ++
+      SnapshotManifest.effectiveChecks(root)
+        .map { case (n, sql) => s"#check\t$n\t$sql" }
     writeManifest(broot, base, entries, extraMeta = checkLines)
     graft.sources.SnapshotFiles.read(root, base).foreach { fm =>
       graft.sources.SnapshotFiles.write(broot, base,
@@ -1704,16 +1714,23 @@ object SourceQueries {
         .map { case (n, _) => s"#checkdrop\t$n" } ++
       brChecks.filterNot(mainChecks.contains)
         .map { case (n, sql) => s"#check\t$n\t$sql" }
-    val mainEff = SnapshotManifest.evolvedDataSchema(root)
-      .getOrElse(SnapshotMeta.read(root).get.dataSchema)
-    val brEff = SnapshotManifest.evolvedDataSchema(broot)
-      .getOrElse(SnapshotMeta.read(broot).get.dataSchema)
+    val mainEff = SnapshotManifest.effectiveDataSchema(root,
+      SnapshotMeta.read(root).get.dataSchema)
+    val brEff = SnapshotManifest.effectiveDataSchema(broot,
+      SnapshotMeta.read(broot).get.dataSchema)
     val schemaJson =
       if (brEff.fieldNames.sameElements(mainEff.fieldNames)) None
       else Some(org.apache.spark.sql.types.StructType(
         brEff.fields.map(_.copy(nullable = true))).json)
+    // branch-staged RENAMES (events beyond the fork version — the base
+    // manifest re-publishes main's chains at version `base`) ride the
+    // published manifest too: a published schema record lands in the
+    // SAME version, so the record is already post-rename (logical) and
+    // the rename lines exist for the reader's coalesce fold
+    val renameDelta = SnapshotManifest.renameEvents(broot)
+      .filter(_._1 > base).map { case (_, o, n) => s"#rename\t$o\t$n" }
     writeManifest(root, mainHead + 1, rewritten,
-      schemaJson = schemaJson, extraMeta = checkDelta)
+      schemaJson = schemaJson, extraMeta = renameDelta ++ checkDelta)
     graft.sources.SnapshotFiles.read(broot, bHead).foreach { fm =>
       val rows = fm.toSeq.sortBy(_._1).flatMap(_._2).map { e =>
         val newDir = rewritten(e.pv)
@@ -1727,11 +1744,24 @@ object SourceQueries {
 
   /** Read one snapshot: the union of its manifest's partition dirs. The
     * month lives IN the data (`o_ym`); the `o_ym_p=` dir name is layout
-    * only, so leaf dirs from different commit roots mix freely.
+    * only, so leaf dirs from different commit roots mix freely. A store
+    * with rename history reads through the declared name-mapping fold
+    * ([[graft.sources.SnapshotRename.readDirs]]); rename-free stores
+    * keep the historical inference read.
     */
   private[graft] def snapshotRead(s: SparkSession,
-      root: java.nio.file.Path, version: Int): DataFrame =
-    s.read.parquet(readManifest(root, version).values.toSeq.sorted: _*)
+      root: java.nio.file.Path, version: Int): DataFrame = {
+    val dirs = readManifest(root, version).values.toSeq.sorted
+    graft.sources.SnapshotMeta.read(root)
+      .map(m => graft.sources.SnapshotManifest.effectiveDataSchema(
+        root, m.dataSchema))
+      .filter(l =>
+        graft.sources.SnapshotRename.chainsFor(root, l).nonEmpty) match {
+      case Some(logical) =>
+        graft.sources.SnapshotRename.readDirs(s, root, dirs, logical)
+      case None => s.read.parquet(dirs: _*)
+    }
+  }
 
   /** Publish the [[graft.sources.SnapshotFiles]] sidecar for a freshly
     * CAS-won version: per-file stats rows are COLLECTED (one
@@ -1825,12 +1855,17 @@ object SourceQueries {
     // silently NULL the evolved columns of every kept row it rewrites.
     val tableSchema: Option[org.apache.spark.sql.types.StructType] =
       graft.sources.SnapshotMeta.read(root).map(m =>
-        graft.sources.SnapshotManifest.evolvedDataSchema(root)
-          .getOrElse(m.dataSchema))
+        graft.sources.SnapshotManifest.effectiveDataSchema(
+          root, m.dataSchema))
+    // the kept read maps former footer names through the rename fold
+    // (readDirs) — `existing` can mix pre- and post-rename dirs, and a
+    // plain declared read would NULL a renamed column on every
+    // pre-rename row this rewrite carries forward
     val kept =
       (if (existing.isEmpty) delta.limit(0)
-       else tableSchema.map(ts => s.read.schema(ts)).getOrElse(s.read)
-         .parquet(existing: _*))
+       else tableSchema.map(ts =>
+           graft.sources.SnapshotRename.readDirs(s, root, existing, ts))
+         .getOrElse(s.read.parquet(existing: _*)))
         .join(broadcast(delta.select(col(keyCol).as("d_key"))),
           col(keyCol) === col("d_key"), "left_anti")
     // SCHEMA EVOLUTION (add-column): a delta carrying columns the table
@@ -2050,8 +2085,8 @@ object SourceQueries {
       throw new UnsupportedOperationException(
         "compact needs a table.meta layout declaration"))
     val mirrors = meta.partitionSchema.fields.map(_.name).toSeq
-    val dataSchema = graft.sources.SnapshotManifest.evolvedDataSchema(root)
-      .getOrElse(meta.dataSchema)
+    val dataSchema = graft.sources.SnapshotManifest
+      .effectiveDataSchema(root, meta.dataSchema)
     val declared = org.apache.spark.sql.types.StructType(
       dataSchema.fields.map(_.copy(nullable = true)))
     def parquetCount(p: String): Int =
@@ -2084,8 +2119,11 @@ object SourceQueries {
         // publish entries pointing at dirs that don't exist
         val vals = graft.sources.SnapshotPartitionValues
           .logicalValues(pv, mirrors.length)
+        // readDirs maps former footer names through the rename fold —
+        // a hot pre-rename partition must not NULL its renamed column
         mirrors.zip(vals).foldLeft(
-          s.read.schema(declared).parquet(manifest(pv))) {
+          graft.sources.SnapshotRename.readDirs(
+            s, root, Seq(manifest(pv)), declared)) {
           case (df, (m, v)) => df.withColumn(m, lit(v))
         }
       }.reduce(_.unionByName(_))
@@ -2212,11 +2250,20 @@ object SourceQueries {
     // partitions have no old side; delete-to-empty has no new side;
     // an unchanged pair has neither) — degrade to an empty frame
     // instead of an empty-path parquet read, which throws
+    // rename history: either side may span pre-rename dirs whose
+    // footers carry a former name — map through the fold, so the
+    // changefeed of a renamed column stays continuous across the rename
+    val renameLogical = graft.sources.SnapshotMeta.read(root)
+      .map(m => graft.sources.SnapshotManifest.effectiveDataSchema(
+        root, m.dataSchema))
+      .filter(l => graft.sources.SnapshotRename.chainsFor(root, l).nonEmpty)
     def side(paths: Seq[String], keyAs: String, priceAs: String): DataFrame =
       if (paths.isEmpty)
         s.range(0).select(col("id").as(keyAs),
           lit(null).cast("double").as(priceAs))
-      else s.read.parquet(paths: _*)
+      else renameLogical.map(l =>
+          graft.sources.SnapshotRename.readDirs(s, root, paths, l))
+        .getOrElse(s.read.parquet(paths: _*))
         .select(col(keyCol).as(keyAs), col(valCol).as(priceAs))
     val oldSide = side(changed.flatMap(m1.get), "old_key", "old_price")
     val newSide = side(changed.flatMap(m2.get), "new_key", "new_price")
@@ -3564,6 +3611,63 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** METADATA-ONLY COLUMN RENAME through the SQL door, end to end
+    * ([[graft.sources.SnapshotRename]] — the Iceberg field-ID rename
+    * shape solved by name mapping): bootstrap (v1), a pre-rename
+    * upsert (v2, new negative keys — more files under the OLD name),
+    * `ALTER TABLE … RENAME COLUMN o_totalprice TO o_price` (v3, one
+    * `#rename` manifest record, zero files moved), then a POST-rename
+    * upsert (v4) that both inserts under the new name and REWRITES
+    * touched pre-rename partitions — whose kept rows must carry their
+    * values through the mapping. The final aggregate reads the whole
+    * table under the new name WITH a predicate on it (which the scan
+    * must withhold from parquet: pushed to a pre-rename file the
+    * column is missing and its row groups would drop) and pins the
+    * head version at exactly 4. A mapping that NULLs pre-rename
+    * values, a rename that rewrote data, or a pushed predicate that
+    * lost old files' rows all hash-mismatch; the oracle replays
+    * relationally under the new name. At 100 TB the rename is one
+    * manifest record; the per-query cost is the coalesce projection
+    * on renamed columns only.
+    */
+  def sqlRenameColumn(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_ren")).resolve(key)
+    // DDL+DML advance the store: rebuild per call via hard-link clone
+    val root = ordersYmFixture(s, dir, base, "orders_ren")
+    val orders = ordersYmFrame(s, dir)
+    val cat = s"snapren_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    orders.createOrReplaceTempView("graft_ren_orders_src")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT -o_orderkey - 1, o_orderstatus, o_totalprice, o_ym, o_ym
+         |FROM graft_ren_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+         |  AND o_orderkey % 1013 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO o_price")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5,
+         |  o_ym, o_ym
+         |FROM graft_ren_orders_src
+         |WHERE o_ym BETWEEN '1995-03' AND '1995-04'
+         |  AND o_orderkey % 17 = 0""".stripMargin)
+    val head = graft.sources.SnapshotManifest.head(root)
+    s.sql(
+      s"""SELECT $head AS head_version, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_price AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |WHERE o_price >= 50000.0
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -3797,12 +3901,17 @@ object SourceQueries {
     val carriesFoldedMeta = expiring.exists(v =>
       graft.sources.SnapshotManifest.headerLines(root, v).exists(l =>
         l.startsWith("#check\t") || l.startsWith("#checkdrop\t") ||
-        l.startsWith("#txn\t")))
+        l.startsWith("#txn\t") || l.startsWith("#rename\t")))
     if (carriesFoldedMeta) {
       val txns = graft.sources.SnapshotManifest.txnWatermarks(root)
       val live = graft.sources.SnapshotManifest.effectiveChecks(root)
       val everNamed = graft.sources.SnapshotManifest.checkNamesEverSeen(root)
+      // rename chains re-publish verbatim (consecutive pair lines):
+      // expiring the manifests that carry them would un-map every
+      // pre-rename file's renamed columns — silent data invisibility
       val normalize =
+        graft.sources.SnapshotRename.renameLines(
+          graft.sources.SnapshotManifest.renameChains(root)) ++
         txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t$a:$b" } ++
         everNamed.toSeq.sorted.map(n => s"#checkdrop\t$n") ++
         live.map { case (n, sql) => s"#check\t$n\t$sql" }
@@ -4079,6 +4188,7 @@ object SourceQueries {
     "sql_tag_travel"          -> sqlTagTravel _,
     "sql_update_merge"        -> sqlUpdateMerge _,
     "sql_insert_overwrite"    -> sqlInsertOverwrite _,
+    "sql_rename_column"       -> sqlRenameColumn _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -4290,6 +4400,39 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
+    // rename replay: the oracle computes the SAME final state under
+    // the NEW name — a mapping that NULLed pre-rename values changes
+    // every sum and fails the hash
+    "sql_rename_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |ins2 AS (
+        |  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus,
+        |    o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 1013 = 0),
+        |up4 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-03' AND '1995-04'
+        |    AND o_orderkey % 17 = 0),
+        |final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS o_price
+        |  FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up4)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM up4
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins2)
+        |SELECT 4 AS head_version, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_price AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM final WHERE o_price >= 50000.0
+        |GROUP BY o_orderstatus""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

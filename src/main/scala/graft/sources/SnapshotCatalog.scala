@@ -180,8 +180,8 @@ final class GraftSnapshotCatalog extends TableCatalog
             val meta = SnapshotMeta.read(broot).getOrElse(
               throw new NoSuchTableException(ident))
             val v = SnapshotManifest.head(broot)
-            val effective = SnapshotManifest.evolvedDataSchema(broot)
-              .map(ds => meta.copy(dataSchema = ds)).getOrElse(meta)
+            val effective = meta.copy(dataSchema = SnapshotManifest
+              .effectiveDataSchema(broot, meta.dataSchema))
             new SnapshotV2Table(
               s"$catName.${ident.name()}@$version-v$v",
               SparkSession.active, broot, v, effective, pinned = true)
@@ -217,9 +217,10 @@ final class GraftSnapshotCatalog extends TableCatalog
     val meta = SnapshotMeta.read(root).getOrElse(
       throw new NoSuchTableException(ident))
     // same latest-schema overlay as the DataFrame door: a widening
-    // commit's `#schema` manifest record supersedes the bootstrap meta
-    val effective = SnapshotManifest.evolvedDataSchema(root)
-      .map(ds => meta.copy(dataSchema = ds)).getOrElse(meta)
+    // commit's `#schema` manifest record supersedes the bootstrap
+    // meta, and later `#rename` records map on top
+    val effective = meta.copy(dataSchema =
+      SnapshotManifest.effectiveDataSchema(root, meta.dataSchema))
     new SnapshotV2Table(s"$catName.${ident.name()}@v$version",
       SparkSession.active, root, version, effective,
       // a `VERSION/TIMESTAMP AS OF` reference is a pinned historical
@@ -316,8 +317,73 @@ final class GraftSnapshotCatalog extends TableCatalog
         alterAddConstraint(ident, ac)
       case (dc: TableChange.DropConstraint) :: Nil =>
         alterDropConstraint(ident, dc)
+      case (rc: TableChange.RenameColumn) :: Nil =>
+        alterRenameColumn(ident, rc)
       case _ => alterAddColumns(ident, changes)
     }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — METADATA-ONLY via a
+    * `#rename` manifest record (name mapping; [[SnapshotRename]]):
+    * zero files rewritten, pre-rename footers serve the new name
+    * through the reader's coalesce fold, post-rename writes carry the
+    * new name. Refusals keep the mapping sound, loudly:
+    *
+    *  - the KEY column (upsert/delete identity and the Bloom index's
+    *    build key live under this name);
+    *  - partition mirrors and their SOURCE columns (layout derivation
+    *    is by name — relayout is a rewrite wearing DDL's clothes);
+    *  - a target already in use as a current OR FORMER name (footers
+    *    must stay unambiguous for the fold);
+    *  - a column referenced by a live CHECK constraint (its SQL text
+    *    would silently stop binding — drop/re-add the constraint
+    *    around the rename instead).
+    *
+    * DROP COLUMN and retype stay refused ([[alterAddColumns]]).
+    */
+  private def alterRenameColumn(ident: Identifier,
+      rc: TableChange.RenameColumn): Table = {
+    val root = rootOf(ident)
+    require(rc.fieldNames.length == 1,
+      s"nested RENAME COLUMN is not supported: " +
+        rc.fieldNames.mkString("."))
+    val old = rc.fieldNames.head
+    val nu = rc.newName
+    val meta = SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "legacy store without table.meta: rename needs the " +
+          "declared-schema plane"))
+    val logical = SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)
+    require(logical.fieldNames.contains(old),
+      s"column $old does not exist")
+    require(nu.nonEmpty && nu.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name: '$nu'")
+    val mirrors = meta.partitionSchema.fieldNames.toSet
+    val sources = mirrors.map(_.stripSuffix("_p"))
+    require(!mirrors(old) && !sources(old),
+      s"cannot rename $old: the partition layout (mirror columns and " +
+        "their source columns) derives by name — relayout is a " +
+        "rewrite, not a rename")
+    val key = meta.keyCol.getOrElse("o_orderkey")
+    require(old != key,
+      s"cannot rename the key column $key: upsert/delete identity and " +
+        "the Bloom index bind to it by name")
+    val taken = logical.fieldNames.toSet ++ mirrors ++
+      SnapshotManifest.renameChains(root).valuesIterator.flatten
+    require(!taken(nu),
+      s"column name $nu is already in use (as a live column or a " +
+        "former name still present in data files)")
+    val checkHit = SnapshotManifest.effectiveChecks(root).collectFirst {
+      case (n, sql) if s"\\b${java.util.regex.Pattern.quote(old)}\\b".r
+        .findFirstIn(sql).isDefined => n
+    }
+    require(checkHit.isEmpty,
+      s"cannot rename $old: live CHECK constraint ${checkHit.get} " +
+        "references it — drop the constraint, rename, re-add under " +
+        "the new name")
+    graft.operators.SourceQueries.snapshotCheckEvent(
+      SparkSession.active, root, s"#rename\t$old\t$nu")
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE … ADD CONSTRAINT n CHECK (e)` — write-time data
     * quality enforcement, the Delta CHECK-constraint shape on Spark
@@ -650,9 +716,20 @@ private[sources] final class SnapshotReadFileTable(
 
   override def name(): String = tableName
 
+  /** Rename chains over the LOGICAL schema ([[SnapshotRename]]):
+    * non-empty exactly when this table has rename history, in which
+    * case scans read the footer-facing physical names and map back.
+    */
+  private[sources] val renameChains: Map[String, Seq[String]] =
+    SnapshotRename.chainsFor(root, meta.dataSchema)
+
+  private val physicalData: StructType =
+    if (renameChains.isEmpty) meta.dataSchema
+    else SnapshotRename.physicalSchema(meta.dataSchema, renameChains)
+
   override lazy val fileIndex: PartitioningAwareFileIndex =
     new SnapshotPartitioningIndex(spark, root, version,
-      meta.partitionSchema, meta.dataSchema)
+      meta.partitionSchema, physicalData)
 
   override def inferSchema(files: Seq[FileStatus]): Option[StructType] =
     Some(meta.dataSchema)
@@ -675,16 +752,24 @@ private[sources] final class SnapshotReadFileTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new SnapshotDppScanBuilder(newRawScanBuilder(options),
-      meta.partitionSchema)
+      meta.partitionSchema, renameChains)
 
   /** The unwrapped builder — for the row-level operations, whose own
     * scan wrapper ([[SnapshotRowLevelScan]]) handles runtime GROUP
-    * filtering and needs the raw `ParquetScan` underneath.
+    * filtering and needs the raw `ParquetScan` underneath. Built over
+    * the PHYSICAL data schema when rename history exists; the scan
+    * wrappers map rows back to the logical shape.
     */
   private[sources] def newRawScanBuilder(options: CaseInsensitiveStringMap)
-      : ParquetScanBuilder =
-    ParquetScanBuilder(spark, fileIndex, schema, dataSchema,
+      : ParquetScanBuilder = {
+    val fullSchema =
+      if (renameChains.isEmpty) schema
+      else StructType(physicalData.fields ++
+        meta.partitionSchema.fields.filterNot(f =>
+          physicalData.fieldNames.contains(f.name)))
+    ParquetScanBuilder(spark, fileIndex, fullSchema, physicalData,
       mergedOptions(options))
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -702,7 +787,8 @@ private[sources] final class SnapshotReadFileTable(
   * `ParquetScan`, and the wrapper isn't one.)
   */
 private[sources] final class SnapshotDppScanBuilder(
-    inner: ParquetScanBuilder, partSchema: StructType)
+    inner: ParquetScanBuilder, partSchema: StructType,
+    chains: Map[String, Seq[String]] = Map.empty)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -710,12 +796,27 @@ private[sources] final class SnapshotDppScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+    // under rename history the footer-facing read needs the former
+    // names of every requested renamed field alongside the current one
+    inner.pruneColumns(
+      if (chains.isEmpty) requiredSchema
+      else SnapshotRename.physicalSchema(requiredSchema, chains))
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    inner.pushFilters(filters)
+    if (chains.isEmpty) inner.pushFilters(filters)
+    else {
+      // a filter on a renamed column must not reach parquet: the
+      // row-group gate evaluates a missing column as all-NULL and
+      // would silently drop pre-rename files' row groups. Withheld
+      // filters are returned post-scan (Spark evaluates them above
+      // the mapped rows).
+      val hot = SnapshotRename.hotNames(chains)
+      val (held, safe) =
+        filters.partition(_.references.exists(a => hot(a.name)))
+      held ++ inner.pushFilters(safe)
+    }
 
   override def pushedFilters()
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -723,18 +824,24 @@ private[sources] final class SnapshotDppScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = inner.supportCompletePushDown(agg)
+      : Boolean = chains.isEmpty && inner.supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = inner.pushAggregation(agg)
+      : Boolean =
+    // footer-stats aggregate pushdown over a renamed column would
+    // aggregate the missing-column epoch as absent — disabled wholesale
+    // on tables with rename history (aggregates still compute, unpushed)
+    chains.isEmpty && inner.pushAggregation(agg)
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
-      : Array[Boolean] = inner.pushVariantExtractions(extractions)
+      : Array[Boolean] =
+    if (chains.isEmpty) inner.pushVariantExtractions(extractions)
+    else extractions.map(_ => false)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new SnapshotDppScan(inner.build(), partSchema)
+    new SnapshotDppScan(inner.build(), partSchema, chains)
 }
 
 /** Dynamic partition pruning for the SQL door: a delegating wrapper
@@ -765,7 +872,8 @@ private[sources] final class SnapshotDppScanBuilder(
 final class SnapshotDppScan(
     private var current: org.apache.spark.sql.execution.datasources.v2
       .parquet.ParquetScan,
-    partSchema: StructType)
+    partSchema: StructType,
+    chains: Map[String, Seq[String]] = Map.empty)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -775,10 +883,14 @@ final class SnapshotDppScan(
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
     current.partitionFilters
 
-  override def readSchema(): StructType = current.readSchema()
+  override def readSchema(): StructType =
+    if (chains.isEmpty) current.readSchema()
+    else SnapshotRename.logicalOf(current.readSchema(), chains)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    current.toBatch
+    if (chains.isEmpty) current.toBatch
+    else new SnapshotRenameBatch(current.toBatch,
+      current.readSchema(), chains)
 
   override def description(): String = current.description()
 
@@ -790,7 +902,10 @@ final class SnapshotDppScan(
 
   override def columnarSupportMode()
       : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
-    current.columnarSupportMode()
+    if (chains.isEmpty) current.columnarSupportMode()
+    // the rename row projection is row-based by construction
+    else org.apache.spark.sql.connector.read.Scan
+      .ColumnarSupportMode.UNSUPPORTED
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1589,5 +1704,65 @@ object SnapshotMetaTable {
         SnapshotManifest.head(SnapshotBranches.root(root, n)), base)
     }
     (tags ++ branches).toArray
+  }
+}
+
+/** Rename name-mapping for V2 scans ([[SnapshotRename]]): wraps the
+  * delegate parquet batch so each emitted row is projected from the
+  * footer-facing physical shape (current + former names, exactly one
+  * non-null per file epoch) to the logical shape via the coalesce
+  * fold. Row-based by construction — the factory refuses columnar
+  * reads, which [[SnapshotDppScan.columnarSupportMode]] declares.
+  */
+private[sources] final class SnapshotRenameBatch(
+    delegate: org.apache.spark.sql.connector.read.Batch,
+    physical: StructType,
+    chains: Map[String, Seq[String]])
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate.planInputPartitions()
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new SnapshotRenameReaderFactory(delegate.createReaderFactory(),
+      physical, chains)
+}
+
+private[sources] final class SnapshotRenameReaderFactory(
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    physical: StructType,
+    chains: Map[String, Seq[String]])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    false
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, UnsafeProjection}
+    val inner = delegate.createReader(p)
+    val logical = SnapshotRename.logicalOf(physical, chains)
+    def bound(name: String) = {
+      val i = physical.fieldIndex(name)
+      BoundReference(i, physical(i).dataType, nullable = true)
+    }
+    val exprs = logical.fields.toSeq.map { f =>
+      val cs = SnapshotRename.candidates(f.name, chains)
+      if (cs.length == 1) bound(cs.head)
+      else Coalesce(cs.map(bound))
+    }
+    // codegen'd, compiled once per executor (generator caches by tree)
+    val proj = UnsafeProjection.create(exprs.toArray)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
   }
 }

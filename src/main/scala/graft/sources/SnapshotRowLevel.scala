@@ -128,7 +128,7 @@ final class SnapshotRowLevelOperation(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : ScanBuilder =
     new SnapshotRowLevelScanBuilder(this,
-      readTable.newRawScanBuilder(options))
+      readTable.newRawScanBuilder(options), readTable.renameChains)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -167,7 +167,8 @@ final class SnapshotRowLevelOperationBuilder(
   */
 final class SnapshotRowLevelScanBuilder(
     op: SnapshotRowLevelOperation,
-    inner: ParquetScanBuilder)
+    inner: ParquetScanBuilder,
+    chains: Map[String, Seq[String]] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
@@ -183,12 +184,17 @@ final class SnapshotRowLevelScanBuilder(
   override def pushedFilters(): Array[V1Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+    // under rename history the footer-facing read needs the former
+    // names of every requested renamed field ([[SnapshotRename]])
+    inner.pruneColumns(
+      if (chains.isEmpty) requiredSchema
+      else SnapshotRename.physicalSchema(requiredSchema, chains))
 
   override def build(): Scan = {
     val base = inner.build().asInstanceOf[ParquetScan]
     val scan = new SnapshotRowLevelScan(op,
-      base.copy(partitionFilters = base.partitionFilters ++ partFilters))
+      base.copy(partitionFilters = base.partitionFilters ++ partFilters),
+      chains)
     op.builtScans += scan
     scan
   }
@@ -201,15 +207,21 @@ final class SnapshotRowLevelScanBuilder(
   */
 final class SnapshotRowLevelScan(
     op: SnapshotRowLevelOperation,
-    private var current: ParquetScan)
+    private var current: ParquetScan,
+    chains: Map[String, Seq[String]] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering {
 
   private[sources] def partitionFilters: Seq[Expression] =
     current.partitionFilters
 
-  override def readSchema(): StructType = current.readSchema()
+  override def readSchema(): StructType =
+    if (chains.isEmpty) current.readSchema()
+    else SnapshotRename.logicalOf(current.readSchema(), chains)
 
-  override def toBatch: Batch = current.toBatch
+  override def toBatch: Batch =
+    if (chains.isEmpty) current.toBatch
+    else new SnapshotRenameBatch(current.toBatch,
+      current.readSchema(), chains)
 
   override def description(): String =
     s"graft-snapshot-row-level(${current.description()})"
@@ -433,8 +445,8 @@ final class SnapshotReplaceWrite(
         // stats profile under the EFFECTIVE schema: files written after
         // an ADD COLUMN carry the evolved columns, and profiling with
         // the bootstrap schema would leave them permanently unskippable
-        StructType(SnapshotManifest.evolvedDataSchema(root)
-          .getOrElse(meta.dataSchema)
+        StructType(SnapshotManifest
+          .effectiveDataSchema(root, meta.dataSchema)
           .fields.map(_.copy(nullable = true))))
     }
 
@@ -602,8 +614,8 @@ final class SnapshotOverwriteWrite(
         // stats profile under the EFFECTIVE schema: files written after
         // an ADD COLUMN carry the evolved columns, and profiling with
         // the bootstrap schema would leave them permanently unskippable
-        StructType(SnapshotManifest.evolvedDataSchema(root)
-          .getOrElse(meta.dataSchema)
+        StructType(SnapshotManifest
+          .effectiveDataSchema(root, meta.dataSchema)
           .fields.map(_.copy(nullable = true))))
     }
 

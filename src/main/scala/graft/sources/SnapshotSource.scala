@@ -124,6 +124,58 @@ object SnapshotManifest {
     else Some(DataType.fromJson(recs.maxBy(_._1)._2).asInstanceOf[StructType])
   }
 
+  /** The table's LOGICAL data schema: the latest `#schema` record (or
+    * the bootstrap meta) with every LATER `#rename` applied in version
+    * order. Rename events at or before the latest schema record are
+    * already folded into it — publishers of `#schema` records always
+    * publish the then-current logical names — and applying a rename
+    * whose old name is absent is a deliberate no-op (replayed
+    * normalize/clone records re-walk chains whose early links no
+    * longer name a field).
+    */
+  def effectiveDataSchema(root: JPath, base: StructType): StructType = {
+    val recs = metaLines(root).flatMap { case (v, ls) =>
+      ls.find(_.startsWith("#schema\t")).map(l =>
+        v -> l.stripPrefix("#schema\t"))
+    }
+    val (schemaV, schema) =
+      if (recs.isEmpty) (0, base)
+      else {
+        val (v, json) = recs.maxBy(_._1)
+        (v, DataType.fromJson(json).asInstanceOf[StructType])
+      }
+    renameEvents(root).filter(_._1 > schemaV)
+      .foldLeft(schema) { case (st, (_, old, nu)) =>
+        StructType(st.fields.map(f =>
+          if (f.name == old) f.copy(name = nu) else f))
+      }
+  }
+
+  /** `#rename\t<old>\t<new>` events, version order (line order within
+    * one manifest). A rename is a METADATA-ONLY commit: footers keep
+    * their written-time names, readers map them ([[SnapshotRename]]).
+    */
+  def renameEvents(root: JPath): Seq[(Int, String, String)] =
+    metaLines(root).sortBy(_._1).flatMap { case (v, ls) =>
+      ls.collect {
+        case l if l.startsWith("#rename\t") =>
+          val body = l.stripPrefix("#rename\t")
+          val i = body.indexOf('\t')
+          (v, body.substring(0, i), body.substring(i + 1))
+      }
+    }
+
+  /** CURRENT logical field name → its former footer names, oldest
+    * first — the names under which surviving data files may have been
+    * written. a→b then b→c folds to `c -> [a, b]`.
+    */
+  def renameChains(root: JPath): Map[String, Seq[String]] =
+    renameEvents(root).foldLeft(Map.empty[String, Seq[String]]) {
+      case (m, (_, old, nu)) =>
+        val formers = m.getOrElse(old, Seq.empty) :+ old
+        (m - old) + (nu -> formers)
+    }
+
   /** The table's live CHECK constraints: `#check\t<name>\t<sql>` adds
     * and `#checkdrop\t<name>` removals folded in version order (each a
     * metadata-only version, atomic with its manifest and CAS-serialized
@@ -184,6 +236,156 @@ object SnapshotManifest {
       case l if l.startsWith("#checkdrop\t") =>
         l.stripPrefix("#checkdrop\t")
     }.toSet
+}
+
+/** METADATA-ONLY COLUMN RENAME (field-ID-style name mapping — the
+  * Iceberg rename shape, solved by names instead of field IDs):
+  * `ALTER TABLE … RENAME COLUMN a TO b` publishes one `#rename\ta\tb`
+  * manifest record; zero files move. Footers keep their written-time
+  * names, so every reader of a table with rename history maps footer
+  * names through the fold: the DECLARED read schema carries the
+  * current name AND every former name (all nullable — a given file
+  * has exactly one of them), and the surfaced value is
+  * `coalesce(current, newest former, …, oldest)`.
+  *
+  * Pushdown soundness: a filter on a renamed column pushed to parquet
+  * would evaluate the CURRENT name as all-NULL over pre-rename files
+  * (the row-group gate treats a missing column as null) and silently
+  * drop their row groups — so filters touching renamed names are
+  * WITHHELD from every pushdown plane and evaluated post-scan (Spark
+  * re-applies them above the scan; correctness first, old-file
+  * skipping forfeited for exactly those predicates). Stats/Bloom
+  * skipping degrades the same sound way: old files carry sidecar
+  * stats under old names, a lookup by the current name misses, and a
+  * missed file is KEPT. All of this machinery activates only when a
+  * store has rename history — rename-free stores take the exact
+  * pre-rename code paths.
+  */
+object SnapshotRename {
+  /** Rename chains restricted to fields of the given logical schema. */
+  def chainsFor(root: JPath, logical: StructType): Map[String, Seq[String]] = {
+    val names = logical.fieldNames.toSet
+    SnapshotManifest.renameChains(root).filter { case (cur, _) => names(cur) }
+  }
+
+  /** Physical (footer-facing) read schema: the logical fields, all
+    * nullable, plus each renamed field's former names at its type.
+    */
+  def physicalSchema(logical: StructType,
+      chains: Map[String, Seq[String]]): StructType = {
+    val extra = logical.fields.flatMap(f =>
+      chains.getOrElse(f.name, Seq.empty).map(n =>
+        StructField(n, f.dataType, nullable = true)))
+    StructType(logical.fields.map(_.copy(nullable = true)) ++ extra)
+  }
+
+  /** Footer-name candidates for one logical field, newest first. */
+  def candidates(name: String,
+      chains: Map[String, Seq[String]]): Seq[String] =
+    name +: chains.getOrElse(name, Seq.empty).reverse
+
+  /** Every name (current or former) whose predicates must not reach
+    * any pushdown plane.
+    */
+  def hotNames(chains: Map[String, Seq[String]]): Set[String] =
+    chains.keySet ++ chains.valuesIterator.flatten
+
+  /** Inverse of [[physicalSchema]]: drop the former-name fields a
+    * read-schema expansion appended (former names can never collide
+    * with user-visible fields — rename validation refuses reusing
+    * them), recovering the logical shape a scan must emit.
+    */
+  def logicalOf(physical: StructType,
+      chains: Map[String, Seq[String]]): StructType = {
+    val formers = chains.valuesIterator.flatten.toSet
+    StructType(physical.fields.filterNot(f => formers(f.name)))
+  }
+
+  /** Re-publishable `#rename` lines reproducing the chains verbatim:
+    * consecutive pairs per field, oldest link first — vacuum's
+    * normalize version, clone and branch bases fold through these.
+    */
+  def renameLines(chains: Map[String, Seq[String]]): Seq[String] =
+    chains.toSeq.sortBy(_._1).flatMap { case (cur, formers) =>
+      (formers :+ cur).sliding(2).collect {
+        case Seq(a, b) => s"#rename\t$a\t$b"
+      }
+    }
+
+  /** Declared-schema read of raw data dirs with the rename mapping
+    * applied — internal rewrites that read mixed-epoch dirs (upsert
+    * kept-rows, compaction, changefeeds) come through here so a
+    * pre-rename file's values survive the rewrite.
+    */
+  def readDirs(s: SparkSession, root: JPath, dirs: Seq[String],
+      logical: StructType): DataFrame = {
+    val chains = chainsFor(root, logical)
+    val declared = StructType(logical.fields.map(_.copy(nullable = true)))
+    if (chains.isEmpty) s.read.schema(declared).parquet(dirs: _*)
+    else s.read.schema(physicalSchema(logical, chains)).parquet(dirs: _*)
+      .select(logical.fields.toSeq.map { f =>
+        val cs = candidates(f.name, chains)
+        (if (cs.length == 1) col(f.name)
+         else coalesce(cs.map(col): _*)).as(f.name)
+      }: _*)
+  }
+}
+
+/** [[ParquetFileFormat]] with the rename name-mapping applied per file
+  * (see [[SnapshotRename]]): the relation's dataSchema stays LOGICAL;
+  * this format expands the required schema to the footer-facing
+  * physical names, WITHHOLDS filters that touch renamed names from the
+  * parquet pushdown (a pushed filter on a name missing from an old
+  * file would drop its row groups — Spark re-evaluates all V1 data
+  * filters above the scan, so withholding is pure correctness), and
+  * projects each row back to the logical shape with the coalesce
+  * fold. Row-based only (`supportBatch = false`): the per-row
+  * projection costs one copy, paid exactly by tables WITH rename
+  * history — rename-free stores never instantiate this class.
+  */
+final class SnapshotRenameParquetFormat(chains: Map[String, Seq[String]])
+  extends ParquetFileFormat {
+
+  override def supportBatch(sparkSession: SparkSession,
+      dataSchema: StructType): Boolean = false
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] = {
+    val physData = SnapshotRename.physicalSchema(dataSchema, chains)
+    val physRequired = SnapshotRename.physicalSchema(requiredSchema, chains)
+    val hot = SnapshotRename.hotNames(chains)
+    val safeFilters = filters.filterNot(_.references.exists(hot))
+    val inner = super.buildReaderWithPartitionValues(sparkSession,
+      physData, partitionSchema, physRequired, safeFilters, options,
+      hadoopConf)
+    val inSchema = StructType(physRequired.fields ++ partitionSchema.fields)
+    def bound(name: String): Expression = {
+      val i = inSchema.fieldIndex(name)
+      BoundReference(i, inSchema(i).dataType, nullable = true)
+    }
+    val outExprs: Seq[Expression] =
+      requiredSchema.fields.toSeq.map { f =>
+        val cs = SnapshotRename.candidates(f.name, chains)
+        if (cs.length == 1) bound(cs.head)
+        else org.apache.spark.sql.catalyst.expressions.Coalesce(
+          cs.map(bound))
+      } ++ partitionSchema.fields.toSeq.map(f => bound(f.name))
+    file => {
+      // codegen'd projection, compiled once per executor (the code
+      // generator caches by canonicalized expression tree)
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(outExprs.toArray)
+      inner(file).map(proj)
+    }
+  }
 }
 
 /** Named immutable version refs (`<root>/refs/<name>` → version int) —
@@ -1094,9 +1296,11 @@ object SnapshotTable {
       case Some(m) =>
         // latest-schema semantics: a widening commit's `#schema`
         // manifest record supersedes the bootstrap meta for EVERY
-        // version read (old files fill the new columns with NULL)
+        // version read (old files fill the new columns with NULL),
+        // and later `#rename` records map on top (old files serve the
+        // renamed column through the coalesce fold)
         (m.partitionSchema,
-          SnapshotManifest.evolvedDataSchema(root).getOrElse(m.dataSchema))
+          SnapshotManifest.effectiveDataSchema(root, m.dataSchema))
       case None =>
         val dataDir = SnapshotManifest.read(root, version)
           .values.toSeq.sorted.headOption
@@ -1114,8 +1318,14 @@ object SnapshotTable {
     val (partSchema, dataSchema) = schemas(s, root, version, partitionCol)
     val index = new SnapshotFileIndex(s, root, version, partSchema,
       dataSchema, bloomKey)
+    // rename history swaps in the name-mapping format; rename-free
+    // stores keep the stock format (identical plans to before)
+    val chains = SnapshotRename.chainsFor(root, dataSchema)
+    val fmt =
+      if (chains.isEmpty) new ParquetFileFormat
+      else new SnapshotRenameParquetFormat(chains)
     HadoopFsRelation(index, partSchema, dataSchema, None,
-      new ParquetFileFormat, Map.empty[String, String])(s)
+      fmt, Map.empty[String, String])(s)
   }
 
   def read(s: SparkSession, root: JPath, version: Int,

@@ -75,15 +75,20 @@ class SnapshotSinkSpec extends SparkSpec {
     sink.addBatch(2, frame(Seq((3L, "F", 30.0))))
     // retention sweep drops v1/v2 (and their manifests) — the classic
     // vacuum; the sink must neither crash on the gap nor regress its
-    // replay watermark below the retained commits
+    // replay watermark below the retained commits. The expiring
+    // manifests carry #txn markers, so vacuum publishes ONE normalize
+    // version (v4) re-basing the per-app watermark fold — the reason a
+    // marker that lived ONLY in an expired manifest can't be lost
+    // (SnapshotVacuumMetadataSpec pins that interleaved-writer case).
     graft.operators.SourceQueries.snapshotVacuum(root, Set(3))
     assert(!root.resolve("manifests").resolve("v1.manifest")
       .toFile.exists())
+    assert(SnapshotManifest.head(root) === 4)
     assert(SnapshotManifest.lastTxnBatch(root, "vac-app") === Some(2L))
     sink.addBatch(2, frame(Seq((9L, "X", 9.0)))) // replay: skipped
-    assert(SnapshotManifest.head(root) === 3)
-    sink.addBatch(3, frame(Seq((4L, "P", 40.0)))) // next: commits
     assert(SnapshotManifest.head(root) === 4)
+    sink.addBatch(3, frame(Seq((4L, "P", 40.0)))) // next: commits
+    assert(SnapshotManifest.head(root) === 5)
     assert(stateOf(root) ===
       Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
   }
