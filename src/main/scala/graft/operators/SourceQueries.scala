@@ -1549,8 +1549,19 @@ object SourceQueries {
     JF.createDirectories(dstRoot)
     graft.sources.SnapshotMeta.write(dstRoot,
       meta.copy(dataSchema = effective))
+    // under spec evolution a manifest mixes arities: each entry's leaf
+    // name derives from ITS spec's mirror names (specs prefix-extend,
+    // so the entry's segment count picks the spec)
+    val cloneSpecs = graft.sources.SnapshotManifest.partitionSpecs(
+      srcRoot, meta.partitionSchema)
+    def mirrorsOf(pv: String): Seq[String] = {
+      val arity = pv.split("/", -1).length
+      cloneSpecs.find(_.length == arity)
+        .map(_.fieldNames.toSeq).getOrElse(mirrors)
+    }
     def leafOf(pv: String): java.nio.file.Path = dstRoot.resolve("d1")
-      .resolve(graft.sources.SnapshotPartitionValues.leafSuffix(mirrors, pv))
+      .resolve(graft.sources.SnapshotPartitionValues
+        .leafSuffix(mirrorsOf(pv), pv))
     var linked = 0
     val entries = manifest.map { case (pv, dir) =>
       val dst = leafOf(pv)
@@ -1575,8 +1586,10 @@ object SourceQueries {
     // rename chains re-publish alongside the checks: the clone's linked
     // files keep their written-time footer names, so the clone's own
     // readers need the same name mapping the source folded
-    val cloneMeta = graft.sources.SnapshotRename.renameLines(
-      graft.sources.SnapshotManifest.renameChains(srcRoot)) ++
+    val cloneMeta = cloneSpecs.drop(1)
+        .map(sp => s"#partspec\t${sp.json}") ++
+      graft.sources.SnapshotRename.renameLines(
+        graft.sources.SnapshotManifest.renameChains(srcRoot)) ++
       graft.sources.SnapshotManifest.effectiveChecks(srcRoot)
         .map { case (n, sql) => s"#check\t$n\t$sql" }
     writeManifest(dstRoot, 1, entries, extraMeta = cloneMeta)
@@ -1633,8 +1646,11 @@ object SourceQueries {
     // their written-time footer names, so the branch's readers need the
     // same name mapping main folded (and [[snapshotFastForward]] keys
     // its staged-rename delta off these base-version lines)
-    val checkLines = graft.sources.SnapshotRename.renameLines(
-      SnapshotManifest.renameChains(root)) ++
+    val checkLines = SnapshotManifest
+        .partitionSpecs(root, meta.partitionSchema).drop(1)
+        .map(sp => s"#partspec\t${sp.json}") ++
+      graft.sources.SnapshotRename.renameLines(
+        SnapshotManifest.renameChains(root)) ++
       SnapshotManifest.effectiveChecks(root)
         .map { case (n, sql) => s"#check\t$n\t$sql" }
     writeManifest(broot, base, entries, extraMeta = checkLines)
@@ -1682,8 +1698,14 @@ object SourceQueries {
     val bHead = headVersion(broot)
     if (bHead == base) return (mainHead, 0, 0) // nothing staged
     val entries = readManifest(broot, bHead)
-    val mirrors = SnapshotMeta.read(root).get.partitionSchema
-      .fields.map(_.name).toSeq
+    val ffMeta = SnapshotMeta.read(root).get
+    val ffSpecs = SnapshotManifest.partitionSpecs(
+      broot, ffMeta.partitionSchema)
+    def mirrorsOf(pv: String): Seq[String] = {
+      val arity = pv.split("/", -1).length
+      ffSpecs.find(_.length == arity).map(_.fieldNames.toSeq)
+        .getOrElse(ffMeta.partitionSchema.fieldNames.toSeq)
+    }
     def canon(p: String): String = new java.io.File(p).getCanonicalPath
     val brootCanon = canon(broot.toString) + "/"
     val ffRoot = root.resolve(
@@ -1693,7 +1715,7 @@ object SourceQueries {
       if (!canon(dirPath).startsWith(brootCanon)) pv -> dirPath
       else {
         val dst = ffRoot.resolve(graft.sources.SnapshotPartitionValues
-          .leafSuffix(mirrors, pv))
+          .leafSuffix(mirrorsOf(pv), pv))
         java.nio.file.Files.createDirectories(dst)
         Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
           .filter(_.isFile).foreach { f =>
@@ -1729,8 +1751,12 @@ object SourceQueries {
     // the rename lines exist for the reader's coalesce fold
     val renameDelta = SnapshotManifest.renameEvents(broot)
       .filter(_._1 > base).map { case (_, o, n) => s"#rename\t$o\t$n" }
+    // branch-staged partition-spec evolutions publish the same way
+    val specDelta = SnapshotManifest.partSpecEvents(broot)
+      .filter(_._1 > base).map { case (_, sp) => s"#partspec\t${sp.json}" }
     writeManifest(root, mainHead + 1, rewritten,
-      schemaJson = schemaJson, extraMeta = renameDelta ++ checkDelta)
+      schemaJson = schemaJson,
+      extraMeta = specDelta ++ renameDelta ++ checkDelta)
     graft.sources.SnapshotFiles.read(broot, bHead).foreach { fm =>
       val rows = fm.toSeq.sortBy(_._1).flatMap(_._2).map { e =>
         val newDir = rewritten(e.pv)
@@ -1818,6 +1844,19 @@ object SourceQueries {
     val head = headVersion(root)
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
+    // PARTITION-SPEC EVOLUTION: commits always lay out under the
+    // CURRENT spec — the caller's partCols are the bootstrap-time
+    // declaration, superseded once `#partspec` records exist. An
+    // old-spec parent entry whose prefix overlaps a touched partition
+    // MIGRATES: its kept rows rewrite under the current spec (the
+    // store's usual touched-partition rewrite granularity).
+    val specs = graft.sources.SnapshotMeta.read(root).map(m =>
+      graft.sources.SnapshotManifest.partitionSpecs(root, m.partitionSchema))
+      .getOrElse(Seq.empty)
+    val multiSpec = specs.lengthCompare(1) > 0
+    val effPartCols: Seq[String] =
+      if (multiSpec) specs.last.fieldNames.map(_.stripSuffix("_p")).toSeq
+      else partCols
     // manifest pv = the partition values joined by '/' in
     // partition-schema order. Each value is HIVE-ESCAPED
     // (ExternalCatalogUtils.escapePathName — the same escaping
@@ -1826,11 +1865,12 @@ object SourceQueries {
     // '=', '/', ... — an unescaped pv would miss the parent entry and
     // silently orphan the rewritten partition. NULL partition values
     // are rejected loudly (the store's partition columns are keys).
-    val touched = delta.select(partCols.map(col): _*).distinct().collect()
+    val touched = delta.select(effPartCols.map(col): _*).distinct()
+      .collect()
       .map { r =>
-        partCols.indices.map { i =>
+        effPartCols.indices.map { i =>
           if (r.isNullAt(i)) throw new IllegalArgumentException(
-            s"null value in partition column ${partCols(i)} — the " +
+            s"null value in partition column ${effPartCols(i)} — the " +
               "snapshot store requires non-null partition values")
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(String.valueOf(r.get(i)))
@@ -1845,8 +1885,23 @@ object SourceQueries {
       return
     }
     // a touched partition may be NEW (first rows of a month the parent
-    // has never seen) — only parent-known partitions have rows to keep
-    val existing = touched.flatMap(parent.get)
+    // has never seen) — only parent-known partitions have rows to keep.
+    // Under spec evolution, an OLD-SPEC parent entry whose segments
+    // prefix a touched partition also has rows to keep: it migrates
+    // (read whole, doomed keys dropped, rewritten under the current
+    // spec) — skipping it would leave the upserted keys' old rows
+    // alive in the old layout, i.e. duplicates.
+    val migrating: Map[String, String] =
+      if (!multiSpec) Map.empty
+      else {
+        val curArity = effPartCols.length
+        parent.filter { case (pv, _) =>
+          val segs = pv.split("/", -1).toSeq
+          segs.length < curArity &&
+            touched.exists(_.split("/", -1).toSeq.startsWith(segs))
+        }
+      }
+    val existing = touched.flatMap(parent.get) ++ migrating.values
     // effective table schema = bootstrap meta overlaid with the latest
     // `#schema` manifest record (a prior widening commit). The kept
     // read DECLARES it rather than inferring from a footer: `existing`
@@ -1905,9 +1960,10 @@ object SourceQueries {
     }
     val out = root.resolve(
       s"d$toV-${java.util.UUID.randomUUID.toString.take(8)}").toString
-    val pcols = partCols.map(c => s"${c}_p")
+    val pcols = effPartCols.map(c => s"${c}_p")
     def leafDir(pv: String): String = {
-      val vals = if (partCols.length == 1) Array(pv) else pv.split("/", -1)
+      val vals =
+        if (effPartCols.length == 1) Array(pv) else pv.split("/", -1)
       out + "/" + pcols.zip(vals).map { case (c, v) => s"$c=$v" }
         .mkString("/")
     }
@@ -1917,26 +1973,34 @@ object SourceQueries {
     // the data-loss guard; here missing-on-the-kept-side is always the
     // legal fill-NULL direction.
     val keptLacks = (delta.columns.toSet -- kept.columns.toSet).nonEmpty
-    partCols.foldLeft(
+    effPartCols.foldLeft(
       if (insertDelta)
         kept.unionByName(delta, allowMissingColumns = keptLacks)
       else kept)(
       (df, c) => df.withColumn(s"${c}_p", col(c)))
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(out)
-    val (present, emptied) = touched.partition(pv =>
-      new java.io.File(leafDir(pv)).isDirectory)
+    // a MIGRATING commit's kept rows fan out to current-spec leafs the
+    // delta alone can't predict (every value of the appended column in
+    // the old partition) — discover entries by walking the output; the
+    // non-migrating path keeps the cheap touched-pv check
+    val walked: Seq[(String, String)] =
+      if (migrating.nonEmpty) walkLeafDirs(new java.io.File(out), pcols)
+      else touched.filter(pv => new java.io.File(leafDir(pv)).isDirectory)
+        .map(pv => pv -> leafDir(pv))
+    val presentSet = walked.map(_._1).toSet
+    val emptied = touched.filterNot(presentSet)
     val entries =
-      (parent -- emptied) ++ present.map(pv => pv -> leafDir(pv))
+      (parent -- emptied -- migrating.keys) ++ walked
     writeManifest(root, toV, entries, txn, widenedJson)
     // publish the file-stats sidecar (new dirs profiled, the
     // rest copied from the parent's sidecar — O(touched) maintenance)
     publishFilesSidecar(s, root, toV, Some(fromV), entries,
-      present.toSet, delta.schema)
+      presentSet, delta.schema)
     // incremental Bloom maintenance: index only this commit's new dirs
     // (append — parent files are write-once, their rows stay valid)
     bloomIndexKey.foreach { k =>
-      if (present.nonEmpty)
-        graft.sources.SnapshotBloom.build(s, present.map(leafDir), k,
+      if (walked.nonEmpty)
+        graft.sources.SnapshotBloom.build(s, walked.map(_._2), k,
           root.resolve("bloomidx").toString, append = true)
     }
   }
@@ -1985,8 +2049,8 @@ object SourceQueries {
     var attempt = 0
     var committed = false
     while (!committed) {
-      val effective = graft.sources.SnapshotManifest.evolvedDataSchema(root)
-        .getOrElse(meta.dataSchema)
+      val effective = graft.sources.SnapshotManifest
+        .effectiveDataSchema(root, meta.dataSchema)
       val dup = newCols.map(_.name).filter(effective.fieldNames.contains)
       require(dup.isEmpty,
         s"column(s) ${dup.mkString(", ")} already exist")
@@ -2084,7 +2148,12 @@ object SourceQueries {
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "compact needs a table.meta layout declaration"))
-    val mirrors = meta.partitionSchema.fields.map(_.name).toSeq
+    // on a spec-evolved store compact operates on CURRENT-spec
+    // partitions only (old-spec entries migrate through upserts);
+    // mirrors therefore come from the current spec
+    val compactSpecs = graft.sources.SnapshotManifest.partitionSpecs(
+      root, meta.partitionSchema)
+    val mirrors = compactSpecs.last.fields.map(_.name).toSeq
     val dataSchema = graft.sources.SnapshotManifest
       .effectiveDataSchema(root, meta.dataSchema)
     val declared = org.apache.spark.sql.types.StructType(
@@ -2096,7 +2165,11 @@ object SourceQueries {
     var attempt = 0
     while (true) {
       val head = headVersion(root)
-      val manifest = readManifest(root, head)
+      val manifestFull = readManifest(root, head)
+      // hot-partition detection over current-spec entries only; the
+      // publish below still carries EVERY entry (old-spec included)
+      val manifest = manifestFull
+        .filter(_._1.split("/", -1).length == mirrors.length)
       val counts = manifest.map { case (pv, p) => pv -> parquetCount(p) }
       val overThreshold = counts.filter(_._2 >= threshold).keys.toSeq.sorted
       if (overThreshold.isEmpty) return (0, head, 0, 0)
@@ -2162,7 +2235,7 @@ object SourceQueries {
       def leafOf(pv: String): String =
         s"$out/${graft.sources.SnapshotPartitionValues
           .leafSuffix(mirrors, pv)}"
-      val entries = manifest ++ hot.map(pv => pv -> leafOf(pv))
+      val entries = manifestFull ++ hot.map(pv => pv -> leafOf(pv))
       try {
         writeManifest(root, head + 1, entries)
         publishFilesSidecar(s, root, head + 1, Some(head), entries,
@@ -2199,17 +2272,7 @@ object SourceQueries {
       s"d1-${java.util.UUID.randomUUID.toString.take(8)}").toString
     partCols.foldLeft(data)((df, c) => df.withColumn(s"${c}_p", col(c)))
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(d1)
-    // walk the hive-style nested layout: one manifest entry per leaf
-    // dir, pv = values joined by '/' in partition-schema order
-    def walk(dir: java.io.File, rest: Seq[String],
-             acc: List[String]): Seq[(String, String)] = rest match {
-      case Nil => Seq((acc.reverse.mkString("/"), dir.getAbsolutePath))
-      case c +: tail =>
-        Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(f => f.isDirectory && f.getName.startsWith(s"$c="))
-          .flatMap(f => walk(f, tail, f.getName.stripPrefix(s"$c=") :: acc))
-    }
-    val parts = walk(new java.io.File(d1), pcols, Nil)
+    val parts = walkLeafDirs(new java.io.File(d1), pcols)
     writeManifest(root, 1, parts.toMap, txn)
     graft.sources.SnapshotMeta.write(root, graft.sources.SnapshotMeta.Meta(
       StructType(partCols.map(c =>
@@ -2227,6 +2290,68 @@ object SourceQueries {
         graft.sources.SnapshotBloom.build(s, parts.map(_._2).toSeq, k,
           root.resolve("bloomidx").toString)
     }
+  }
+
+  /** Walk a hive-style nested commit root: one (pv, leafDir) per leaf,
+    * pv = dir-name values joined by '/' in `pcols` order (still
+    * escaped — exactly the manifest form). Shared by the bootstrap and
+    * by spec-migrating commits, whose output leafs aren't knowable
+    * from the delta alone.
+    */
+  private def walkLeafDirs(rootDir: java.io.File,
+      pcols: Seq[String]): Seq[(String, String)] = {
+    def walk(dir: java.io.File, rest: Seq[String],
+             acc: List[String]): Seq[(String, String)] = rest match {
+      case Nil => Seq((acc.reverse.mkString("/"), dir.getAbsolutePath))
+      case c +: tail =>
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith(s"$c="))
+          .flatMap(f => walk(f, tail, f.getName.stripPrefix(s"$c=") :: acc))
+    }
+    walk(rootDir, pcols, Nil)
+  }
+
+  /** PARTITION-SPEC EVOLUTION publish (`CALL snap.evolve_partitioning`):
+    * append one layout column to the current spec as a metadata-only
+    * `#partspec` version — zero files move, old entries keep reading
+    * and pruning under their own spec (the union read), new commits
+    * lay out under the new one, and a commit touching an old-spec
+    * partition MIGRATES it ([[snapshotCommit]]). The new spec must
+    * strictly prefix-extend the current one — in-place relayout,
+    * dropping or reordering layout columns is a rewrite wearing DDL's
+    * clothes and refuses loudly.
+    */
+  private[graft] def snapshotEvolvePartitioning(s: SparkSession,
+      root: java.nio.file.Path, sourceCol: String): (Int, Int) = {
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "legacy store without table.meta: partition-spec evolution " +
+          "needs the declared-layout plane"))
+    val specs = graft.sources.SnapshotManifest.partitionSpecs(
+      root, meta.partitionSchema)
+    val current = specs.last
+    val dataSchema = graft.sources.SnapshotManifest.effectiveDataSchema(
+      root, meta.dataSchema)
+    val field = dataSchema.fields.find(_.name == sourceCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition source column $sourceCol does not exist"))
+    import org.apache.spark.sql.types._
+    require(field.dataType == StringType || field.dataType == DateType ||
+      field.dataType == IntegerType || field.dataType == LongType,
+      s"unsupported partition column type ${field.dataType}")
+    val mirror = s"${sourceCol}_p"
+    require(!current.fieldNames.contains(mirror),
+      s"$sourceCol already partitions this table")
+    require(!dataSchema.fieldNames.contains(mirror),
+      s"mirror name $mirror collides with a data column")
+    require(graft.sources.SnapshotRename.chainsFor(root, dataSchema)
+      .valuesIterator.flatten.forall(_ != mirror),
+      s"mirror name $mirror collides with a former column name")
+    val newSpec = org.apache.spark.sql.types.StructType(
+      current.fields :+ StructField(mirror, field.dataType,
+        nullable = true))
+    snapshotCheckEvent(s, root, s"#partspec\t${newSpec.json}")
+    (headVersion(root), newSpec.length)
   }
 
   /** Change rows between two adjacent snapshot versions, scoped to the
@@ -3668,6 +3793,61 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** PARTITION-SPEC EVOLUTION end to end (the Iceberg spec-v2 shape,
+    * scoped to appended layout columns): bootstrap month-partitioned
+    * (v1), `CALL evolve_partitioning('t','o_orderstatus')` appends
+    * `o_orderstatus_p` as a metadata-only `#partspec` version (v2,
+    * zero files moved), then an upsert touching two months (v3) lays
+    * out under the NEW (month, status) spec and MIGRATES exactly those
+    * months — every other month keeps its exact old-spec dir. The
+    * result reads the PRE-evolution version and the post-evolution
+    * head in one statement through the union-of-specs door: the head
+    * arm filters on BOTH layout planes (`o_ym_p` range and the
+    * appended `o_orderstatus_p`), which prunes migrated months'
+    * (month, status) leafs on the partition plane and becomes a plain
+    * data filter over unmigrated months (the appended mirror derives
+    * from its source column — exact, never null-kept). The oracle
+    * replays both states relationally; a migration that lost rows,
+    * leaked the upsert into v1, or a union arm double-serving a
+    * partition all hash-mismatch. At 100 TB: evolution is one manifest
+    * record; per-commit migration cost is O(touched partitions) — the
+    * granularity every commit already rewrites.
+    */
+  def partspecEvolution(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_pse")).resolve(key)
+    // DDL+DML advance the store: rebuild per call via hard-link clone
+    val root = ordersYmFixture(s, dir, base, "orders_pse")
+    val cat = s"snappse_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    s.sql(s"CALL $cat.evolve_partitioning('${root.getFileName}', " +
+      "'o_orderstatus')")
+    val orders = ordersYmFrame(s, dir)
+    orders.filter(col("o_ym").between("1995-01", "1995-02") &&
+        col("o_orderkey") % 17 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.5))
+      .write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val head = graft.sources.SnapshotManifest.head(root)
+    def agg(df: DataFrame, arm: String): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(lit(arm).as("arm"), lit(head).as("head_version"),
+        col("o_orderstatus"), col("n_orders"), col("n_keys"),
+        col("sum_price"))
+    val headArm = agg(
+      graft.sources.SnapshotTable.read(s, root, head)
+        .filter(col("o_ym_p").between("1995-01", "1995-06") &&
+          col("o_orderstatus_p") === "F"), "head_f")
+    val v1Arm = agg(graft.sources.SnapshotTable.read(s, root, 1), "v1")
+    headArm.unionByName(v1Arm)
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -3848,17 +4028,35 @@ object SourceQueries {
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
     var removed = 0
+    // descend to the LEAF dirs: a multi-column layout nests mirror
+    // levels (`a_p=x/b_p=y`) and manifests reference only the leaves —
+    // a one-level sweep would read the intermediate `a_p=x` as
+    // unreferenced and delete it WITH its referenced children (data
+    // loss; caught by SnapshotPartSpecEvolutionSpec's vacuum arm).
+    // A referenced dir prunes the whole descent; an unreferenced dir
+    // with subdirs recurses and is itself removed only once emptied.
+    def sweep(dir: java.io.File): Unit = {
+      if (!referenced.contains(canon(dir.getAbsolutePath))) {
+        val subdirs = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+        if (subdirs.isEmpty) {
+          if (oldEnough(dir)) {
+            org.apache.commons.io.FileUtils.deleteQuietly(dir)
+            removed += 1
+          }
+        } else {
+          subdirs.foreach(sweep)
+          val remaining = Option(dir.listFiles()).getOrElse(Array.empty)
+          if (remaining.isEmpty && oldEnough(dir))
+            org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        }
+      }
+    }
     Option(root.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("d\\d+(-[0-9a-f]+)?"))
       .foreach { droot =>
         Option(droot.listFiles()).getOrElse(Array.empty)
-          .filter(_.isDirectory).foreach { leaf =>
-            if (!referenced.contains(canon(leaf.getAbsolutePath)) &&
-              oldEnough(leaf)) {
-              org.apache.commons.io.FileUtils.deleteQuietly(leaf)
-              removed += 1
-            }
-          }
+          .filter(_.isDirectory).foreach(sweep)
       }
     // crash-orphaned INSERT staging dirs (SnapshotAppendWrite): never
     // referenced by any manifest, hidden from readers, swept here
@@ -3901,7 +4099,8 @@ object SourceQueries {
     val carriesFoldedMeta = expiring.exists(v =>
       graft.sources.SnapshotManifest.headerLines(root, v).exists(l =>
         l.startsWith("#check\t") || l.startsWith("#checkdrop\t") ||
-        l.startsWith("#txn\t") || l.startsWith("#rename\t")))
+        l.startsWith("#txn\t") || l.startsWith("#rename\t") ||
+        l.startsWith("#partspec\t")))
     if (carriesFoldedMeta) {
       val txns = graft.sources.SnapshotManifest.txnWatermarks(root)
       val live = graft.sources.SnapshotManifest.effectiveChecks(root)
@@ -3909,7 +4108,13 @@ object SourceQueries {
       // rename chains re-publish verbatim (consecutive pair lines):
       // expiring the manifests that carry them would un-map every
       // pre-rename file's renamed columns — silent data invisibility
+      val meta0 = graft.sources.SnapshotMeta.read(root)
+      val specLines = meta0.toSeq.flatMap(m =>
+        graft.sources.SnapshotManifest
+          .partitionSpecs(root, m.partitionSchema).drop(1)
+          .map(sp => s"#partspec\t${sp.json}"))
       val normalize =
+        specLines ++
         graft.sources.SnapshotRename.renameLines(
           graft.sources.SnapshotManifest.renameChains(root)) ++
         txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t$a:$b" } ++
@@ -4189,6 +4394,7 @@ object SourceQueries {
     "sql_update_merge"        -> sqlUpdateMerge _,
     "sql_insert_overwrite"    -> sqlInsertOverwrite _,
     "sql_rename_column"       -> sqlRenameColumn _,
+    "source_partspec_evolution" -> partspecEvolution _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -4433,6 +4639,41 @@ object SourceQueries {
         |    AS sum_price
         |FROM final WHERE o_price >= 50000.0
         |GROUP BY o_orderstatus""".stripMargin,
+    // spec-evolution replay: head = base with the two-month upsert
+    // applied; the head arm filters status F inside H1-1995 (the mirror
+    // equals its source by the layout invariant), v1 = pristine base
+    "source_partspec_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 17 = 0),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |a1 AS (
+        |  SELECT 'head_f' AS arm, 3 AS head_version, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM head
+        |  WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+        |    AND o_orderstatus = 'F'
+        |  GROUP BY o_orderstatus),
+        |a2 AS (
+        |  SELECT 'v1' AS arm, 3 AS head_version, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM base GROUP BY o_orderstatus)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

@@ -180,6 +180,15 @@ final class GraftSnapshotCatalog extends TableCatalog
             val meta = SnapshotMeta.read(broot).getOrElse(
               throw new NoSuchTableException(ident))
             val v = SnapshotManifest.head(broot)
+            // same two-layout refusal as load(): a branch inherits (or
+            // stages) spec evolution exactly like main
+            if (SnapshotManifest
+                .partitionSpecs(broot, meta.partitionSchema)
+                .lengthCompare(1) > 0)
+              throw new UnsupportedOperationException(
+                s"branch $version has partition-spec evolution: SQL-door " +
+                  "reads cannot span two layouts yet — read through the " +
+                  "DataFrame door")
             val effective = meta.copy(dataSchema = SnapshotManifest
               .effectiveDataSchema(broot, meta.dataSchema))
             new SnapshotV2Table(
@@ -216,6 +225,17 @@ final class GraftSnapshotCatalog extends TableCatalog
     val version = v.getOrElse(SnapshotManifest.head(root))
     val meta = SnapshotMeta.read(root).getOrElse(
       throw new NoSuchTableException(ident))
+    // a spec-evolved table spans two layouts; one DSv2 relation has one
+    // partition schema, and null-filling the appended mirror for
+    // old-spec files would break pruning exactness — refuse loudly
+    // (the DataFrame door's union-of-specs read serves it)
+    if (SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
+        .lengthCompare(1) > 0)
+      throw new UnsupportedOperationException(
+        s"table ${ident.name()} has partition-spec evolution: SQL-door " +
+          "reads/DML cannot span two layouts yet — read through " +
+          "spark.read via graft.sources.SnapshotTable.read and write " +
+          "through the DataFrame door")
     // same latest-schema overlay as the DataFrame door: a widening
     // commit's `#schema` manifest record supersedes the bootstrap
     // meta, and later `#rename` records map on top
@@ -250,7 +270,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "fastforward"),
       Identifier.of(namespace, "refs"),
-      Identifier.of(namespace, "zorder"))
+      Identifier.of(namespace, "zorder"),
+      Identifier.of(namespace, "evolve_partitioning"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -267,6 +288,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "fastforward" => new SnapshotFastForwardProcedure(this)
       case "refs" => new SnapshotRefsProcedure(this)
       case "zorder" => new SnapshotZorderProcedure(this)
+      case "evolve_partitioning" =>
+        new SnapshotEvolvePartitioningProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
@@ -274,7 +297,8 @@ final class GraftSnapshotCatalog extends TableCatalog
           "compact(table, threshold), clone(table, target), " +
           "branch(table, name), drop_branch(table, name), " +
           "fastforward(table, name), refs(table), " +
-          "zorder(table, col_a, col_b[, threshold, files_per_partition])")
+          "zorder(table, col_a, col_b[, threshold, files_per_partition]), " +
+          "evolve_partitioning(table, source_col)")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -1354,6 +1378,49 @@ final class SnapshotZorderProcedure(cat: GraftSnapshotCatalog)
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
           n, v, before, after)))).iterator()
+  }
+}
+
+/** `CALL snap.evolve_partitioning('t', 'source_col')` — PARTITION-SPEC
+  * EVOLUTION ([[graft.operators.SourceQueries
+  * .snapshotEvolvePartitioning]], the Iceberg spec-v2 shape scoped to
+  * APPENDED layout columns): publishes one metadata-only `#partspec`
+  * version appending `<source_col>_p` to the current spec. Zero files
+  * move; old partitions keep reading AND pruning under their own spec
+  * (the DataFrame door's union-of-specs read), new commits lay out
+  * under the new spec, and a commit touching an old-spec partition
+  * migrates it. Non-prefix changes (drop/reorder/in-place relayout)
+  * refuse loudly — those are rewrites wearing DDL's clothes.
+  */
+final class SnapshotEvolvePartitioningProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "evolve_partitioning"
+  override def description(): String =
+    "append a layout column to the partition spec: " +
+      "evolve_partitioning(table, source_col)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("source_col", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("spec_columns", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val (v, n) = graft.operators.SourceQueries.snapshotEvolvePartitioning(
+      SparkSession.active, root, input.getUTF8String(1).toString)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(v, n)))).iterator()
   }
 }
 

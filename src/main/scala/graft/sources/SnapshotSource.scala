@@ -176,6 +176,38 @@ object SnapshotManifest {
         (m - old) + (nu -> formers)
     }
 
+  /** PARTITION-SPEC EVOLUTION (the Iceberg spec-v2 shape, scoped to
+    * APPENDED layout columns): the bootstrap spec from `table.meta`
+    * plus every `#partspec` record in version order. Each record
+    * publishes the FULL new partition schema and must strictly
+    * prefix-extend the previous one (enforced at publish), so specs
+    * have strictly increasing arity and a manifest ENTRY's spec is
+    * identified by its segment count — old entries keep reading (and
+    * pruning) under their own spec, new writes lay out under the
+    * current one, and a rewrite that touches an old-spec partition
+    * migrates it.
+    */
+  def partitionSpecs(root: JPath, base: StructType): Seq[StructType] =
+    base +: metaLines(root).sortBy(_._1).flatMap { case (_, ls) =>
+      ls.collect {
+        case l if l.startsWith("#partspec\t") =>
+          DataType.fromJson(l.stripPrefix("#partspec\t"))
+            .asInstanceOf[StructType]
+      }
+    }
+
+  /** `#partspec` events with versions — fastforward republishes the
+    * branch-staged suffix to main.
+    */
+  def partSpecEvents(root: JPath): Seq[(Int, StructType)] =
+    metaLines(root).sortBy(_._1).flatMap { case (v, ls) =>
+      ls.collect {
+        case l if l.startsWith("#partspec\t") =>
+          v -> DataType.fromJson(l.stripPrefix("#partspec\t"))
+            .asInstanceOf[StructType]
+      }
+    }
+
   /** The table's live CHECK constraints: `#check\t<name>\t<sql>` adds
     * and `#checkdrop\t<name>` removals folded in version order (each a
     * metadata-only version, atomic with its manifest and CAS-serialized
@@ -1084,9 +1116,17 @@ final class SnapshotFileIndex(
     val version: Int,
     override val partitionSchema: StructType,
     dataSchema: StructType,
-    bloomKey: Option[String] = None) extends FileIndex {
+    bloomKey: Option[String] = None,
+    onlyPvs: Option[Set[String]] = None) extends FileIndex {
 
-  private val manifest: Map[String, String] = SnapshotManifest.read(root, version)
+  /** `onlyPvs` scopes this index to a subset of the version's entries
+    * — the spec-evolution union read builds one index per partition
+    * spec over exactly the entries laid out under it.
+    */
+  private val manifest: Map[String, String] = {
+    val full = SnapshotManifest.read(root, version)
+    onlyPvs.map(keep => full.filter(e => keep(e._1))).getOrElse(full)
+  }
 
   /** File-manifest sidecar: partitionValue -> entries (None = legacy
     * version, fall back to lazy listing).
@@ -1312,9 +1352,28 @@ object SnapshotTable {
     }
 
   /** The relation (also used by the `graft-snapshot` format). */
+  /** Partition specs of a store (bootstrap spec + `#partspec`
+    * records); a single-element result means no spec evolution.
+    */
+  private def specsOf(root: JPath): Seq[StructType] =
+    SnapshotMeta.read(root) match {
+      case Some(m) =>
+        SnapshotManifest.partitionSpecs(root, m.partitionSchema)
+      case None => Seq.empty
+    }
+
   def relation(s: SparkSession, root: JPath, version: Int,
                bloomKey: Option[String] = None,
                partitionCol: String = "o_ym_p"): HadoopFsRelation = {
+    // a spec-evolved store spans TWO layouts; one HadoopFsRelation has
+    // one partition schema, and serving the appended mirror as NULL
+    // for old-spec files would break pruning exactness (partition-only
+    // filters are removed post-scan). The union read [[read]] serves
+    // it; a raw relation request refuses loudly.
+    require(specsOf(root).lengthCompare(1) <= 0,
+      s"$root has partition-spec evolution: read it through " +
+        "SnapshotTable.read (the union-of-specs door) — a single " +
+        "relation cannot span two layouts")
     val (partSchema, dataSchema) = schemas(s, root, version, partitionCol)
     val index = new SnapshotFileIndex(s, root, version, partSchema,
       dataSchema, bloomKey)
@@ -1330,9 +1389,53 @@ object SnapshotTable {
 
   def read(s: SparkSession, root: JPath, version: Int,
            bloomKey: Option[String] = None,
-           partitionCol: String = "o_ym_p"): DataFrame =
-    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation(s, root, version, bloomKey, partitionCol))
+           partitionCol: String = "o_ym_p"): DataFrame = {
+    val specs = specsOf(root)
+    if (specs.lengthCompare(1) <= 0)
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(
+          relation(s, root, version, bloomKey, partitionCol))
+    else readEvolved(s, root, version, bloomKey, specs)
+  }
+
+  /** The union-of-specs read for a partition-spec-evolved store: one
+    * arm per spec over exactly the entries laid out under it (entry
+    * spec = segment count — specs strictly prefix-extend, so arities
+    * are unique). Arms missing the appended mirror columns derive
+    * them from their SOURCE data columns (`mirror == source` is the
+    * store's layout invariant), so a predicate on an appended mirror
+    * prunes the new-spec arm on the partition plane and becomes a
+    * plain DATA filter on the old-spec arm (parquet pushdown) — both
+    * exact, no null-keep over-approximation anywhere. Catalyst pushes
+    * filters through the per-arm projections and the union, so each
+    * arm prunes under its own spec.
+    */
+  private def readEvolved(s: SparkSession, root: JPath, version: Int,
+      bloomKey: Option[String], specs: Seq[StructType]): DataFrame = {
+    val m = SnapshotMeta.read(root).get
+    val dataSchema = SnapshotManifest.effectiveDataSchema(root, m.dataSchema)
+    val chains = SnapshotRename.chainsFor(root, dataSchema)
+    val fmt =
+      if (chains.isEmpty) new ParquetFileFormat
+      else new SnapshotRenameParquetFormat(chains)
+    val current = specs.last
+    val manifest = SnapshotManifest.read(root, version)
+    val arms = specs.map { spec =>
+      val pvs = manifest.keySet.filter(
+        _.split("/", -1).length == spec.length)
+      val index = new SnapshotFileIndex(s, root, version, spec,
+        dataSchema, bloomKey, onlyPvs = Some(pvs))
+      val df = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(HadoopFsRelation(index, spec, dataSchema,
+          None, fmt, Map.empty[String, String])(s))
+      current.fields.drop(spec.length).foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          col(f.name.stripSuffix("_p")).cast(f.dataType))
+      }
+    }
+    val cols = dataSchema.fieldNames.toSeq ++ current.fieldNames.toSeq
+    arms.reduce(_.unionByName(_)).select(cols.map(col): _*)
+  }
 
   /** The FileIndex behind a DataFrame built by [[read]] — spec hook. */
   def fileIndexOf(df: DataFrame): SnapshotFileIndex = {
@@ -1515,7 +1618,21 @@ final class SnapshotSourceProvider extends RelationProvider
       s"graft-snapshot only supports SaveMode.Append (a snapshot store " +
         s"never overwrites history); got $mode")
     SnapshotDoor.commit(ctx.sparkSession, parameters, data, txn = None)
-    createRelation(ctx, parameters)
+    // the returned relation is `save()`'s unused ceremony — on a
+    // spec-evolved store (where one relation cannot exist) return a
+    // schema-only stub instead of refusing a WRITE that already
+    // committed; reads resolve through SnapshotTable.read
+    val root = SnapshotDoor.resolveRoot(parameters)
+    val multiSpec = SnapshotMeta.read(root).exists(m =>
+      SnapshotManifest.partitionSpecs(root, m.partitionSchema)
+        .lengthCompare(1) > 0)
+    if (!multiSpec) createRelation(ctx, parameters)
+    else new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType =
+        SnapshotTable.read(ctx.sparkSession, root,
+          SnapshotManifest.head(root)).schema
+    }
   }
 
   // ---- streaming sink arm (see SnapshotSink) ------------------------

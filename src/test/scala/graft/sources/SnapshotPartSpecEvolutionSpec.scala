@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SourceQueries
+
+/** PARTITION-SPEC EVOLUTION end to end ([[SnapshotManifest
+  * .partitionSpecs]], the union-of-specs read in [[SnapshotTable]],
+  * and migration-on-touch in `snapshotCommit`):
+  *
+  *  1. `CALL evolve_partitioning` publishes a metadata-only
+  *     `#partspec` version; zero files move;
+  *  2. a post-evolution upsert lays out under the NEW spec and
+  *     MIGRATES exactly the old-spec partitions it touches — untouched
+  *     old partitions keep their exact dirs;
+  *  3. the union read serves both layouts and PRUNES each arm under
+  *     its own spec: a predicate on the appended mirror prunes
+  *     new-spec partitions on the partition plane and becomes a plain
+  *     data filter on old-spec files (exact, never null-kept);
+  *  4. refusals stay loud: SQL-door reads on evolved tables (one
+  *     relation cannot span two layouts), the raw relation door,
+  *     non-existent/duplicate source columns;
+  *  5. vacuum preserves `#partspec` records past manifest expiry.
+  */
+class SnapshotPartSpecEvolutionSpec extends SparkSpec {
+
+  private def allIndexes(df: DataFrame): Seq[SnapshotFileIndex] =
+    df.queryExecution.analyzed.collect {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+        if r.location.isInstanceOf[SnapshotFileIndex] =>
+        r.location.asInstanceOf[SnapshotFileIndex]
+    }
+
+  /** 120 rows, 3 day-partitions, 2 event types, keyed by id. */
+  private def freshStore(name: String): (java.nio.file.Path, String) = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(name)
+    val root = base.resolve("t")
+    (1L to 120L).map(id =>
+        (id, s"t${id % 2}", s"d${id % 3}", id.toDouble))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)
+    val cat = name.replaceAll("[^A-Za-z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    (root, cat)
+  }
+
+  test("evolve publishes metadata-only; upsert migrates touched " +
+    "old-spec partitions; union read serves both layouts exactly") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_main")
+    val v1Dirs = SnapshotManifest.read(root, 1)
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')") // v2
+    assert(SnapshotManifest.head(root) === 2)
+    assert(SnapshotManifest.read(root, 2) === v1Dirs,
+      "evolution must move zero files")
+    // post-evolution upsert: update id 3 (day d0), insert 200/201 (d0)
+    Seq((3L, "t1", "d0", 1003.0), (200L, "t0", "d0", 1200.0),
+        (201L, "t1", "d0", 1201.0))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                       // v3
+    val m3 = SnapshotManifest.read(root, 3)
+    val arities = m3.keys.groupBy(_.split("/", -1).length)
+      .view.mapValues(_.toSet).toMap
+    assert(arities(1) === Set("d1", "d2"),
+      s"untouched old-spec partitions must stay: $arities")
+    assert(arities(2) === Set("d0/t0", "d0/t1"),
+      s"the touched day must migrate to (day, etype): $arities")
+    assert(m3("d1") === v1Dirs("d1") && m3("d2") === v1Dirs("d2"),
+      "untouched old partitions must keep their exact dirs")
+
+    val df = SnapshotTable.read(spark, root, 3)
+    assert(df.columns.toSeq ===
+      Seq("id", "etype", "day", "v", "day_p", "etype_p"))
+    val total = df.agg(count(lit(1)), sum(col("v")).cast("long")).head()
+    assert(total.getLong(0) === 122L)
+    val expectSum = (1L to 120L).map(_.toDouble).sum - 3.0 +
+      1003.0 + 1200.0 + 1201.0
+    assert(total.getLong(1) === expectSum.toLong)
+
+    // pruning, old-spec arm: (day d1, etype t0) — day prunes the old
+    // arm to ONE partition; the etype predicate is a data filter there
+    val q1 = df.filter(col("day_p") === "d1" && col("etype_p") === "t0")
+    val got1 = q1.agg(count(lit(1)), sum(col("id")).cast("long")).head()
+    val ids1 = (1L to 120L).filter(i => i % 3 == 1 && i % 2 == 0)
+    assert(got1.getLong(0) === ids1.length.toLong)
+    assert(got1.getLong(1) === ids1.sum)
+    val listings1 = allIndexes(q1).map(_.lastListing._1).filter(_ >= 0)
+    assert(listings1.sum === 1,
+      s"expected exactly one partition listed across arms: $listings1")
+
+    // pruning, new-spec arm: (day d0, etype t0) — the appended mirror
+    // prunes the migrated day's leafs on the partition plane
+    val q2 = df.filter(col("day_p") === "d0" && col("etype_p") === "t0")
+    val got2 = q2.agg(count(lit(1)), sum(col("id")).cast("long")).head()
+    val ids2 = (1L to 120L).filter(i => i % 3 == 0 && i % 2 == 0) :+ 200L
+    assert(got2.getLong(0) === ids2.length.toLong)
+    assert(got2.getLong(1) === ids2.sum)
+    val listings2 = allIndexes(q2).map(_.lastListing._1).filter(_ >= 0)
+    assert(listings2.sum === 1,
+      s"expected exactly the (d0, t0) leaf listed: $listings2")
+  }
+
+  test("refusals: SQL-door reads, raw relation door, bad evolutions") {
+    val (root, cat) = freshStore("pse_ref")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $cat.`t`").head()
+    }
+    assert(e1.getMessage.contains("partition-spec"),
+      s"SQL read must refuse loudly, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-snapshot").load(root.toString).count()
+    }
+    assert(e2.getMessage.contains("partition-spec"))
+    // the union door still serves it
+    assert(SnapshotTable.read(spark, root, 2).count() === 120L)
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.evolve_partitioning('t', 'no_such_col')")
+    }
+    intercept[Exception] { // already a layout column
+      spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")
+    }
+    intercept[Exception] { // unsupported layout type
+      spark.sql(s"CALL $cat.evolve_partitioning('t', 'v')")
+    }
+  }
+
+  test("vacuum preserves #partspec records past manifest expiry") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_vac")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')") // v2
+    Seq((200L, "t0", "d0", 1200.0)).toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                     // v3
+    SourceQueries.snapshotVacuum(root, Set(3))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("manifests").resolve("v2.manifest")),
+      "the #partspec-bearing manifest must actually have expired")
+    val meta = SnapshotMeta.read(root).get
+    assert(SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
+      .map(_.length) === Seq(1, 2),
+      "vacuum lost the spec fold: mixed-arity entries unreadable")
+    assert(SnapshotTable.read(spark, root,
+      SnapshotManifest.head(root)).count() === 121L)
+  }
+}
