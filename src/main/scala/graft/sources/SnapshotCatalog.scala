@@ -404,8 +404,12 @@ final class GraftSnapshotCatalog extends TableCatalog
       s"cannot rename $old: live CHECK constraint ${checkHit.get} " +
         "references it — drop the constraint, rename, re-add under " +
         "the new name")
+    // validated-head pin: the CAS retry must not republish a rename
+    // validated against a head that moved (a racing DDL could have
+    // taken the target name or added a referencing check)
     graft.operators.SourceQueries.snapshotCheckEvent(
-      SparkSession.active, root, s"#rename\t$old\t$nu")
+      SparkSession.active, root, s"#rename\t$old\t$nu",
+      validatedHead = Some(SnapshotManifest.head(root)))
     loadTable(ident)
   }
 

@@ -187,14 +187,40 @@ object SnapshotManifest {
     * current one, and a rewrite that touches an old-spec partition
     * migrates it.
     */
-  def partitionSpecs(root: JPath, base: StructType): Seq[StructType] =
-    base +: metaLines(root).sortBy(_._1).flatMap { case (_, ls) =>
+  def partitionSpecs(root: JPath, base: StructType): Seq[StructType] = {
+    val raw = base +: metaLines(root).sortBy(_._1).flatMap { case (_, ls) =>
       ls.collect {
         case l if l.startsWith("#partspec\t") =>
           DataType.fromJson(l.stripPrefix("#partspec\t"))
             .asInstanceOf[StructType]
       }
     }
+    // DEDUPE by arity, first record wins: vacuum's normalize version,
+    // clone/branch bases and fastforward all RE-PUBLISH spec records,
+    // so the raw fold repeats — and a repeated spec would build a
+    // duplicate union-read arm that double-serves every one of its
+    // partitions. (Specs strictly prefix-extend at publish, so equal
+    // arity ⇒ the same spec.)
+    raw.foldLeft(Vector.empty[StructType]) { (acc, sp) =>
+      if (acc.exists(_.length == sp.length)) acc else acc :+ sp
+    }
+  }
+
+  /** The spec a manifest entry was laid out under: its segment count
+    * picks the spec (arities are unique — see [[partitionSpecs]]).
+    * Single source for clone, fastforward, compact and the union read.
+    */
+  def specFor(pv: String, specs: Seq[StructType]): Option[StructType] = {
+    val arity = pv.split("/", -1).length
+    specs.find(_.length == arity)
+  }
+
+  /** Every manifest's header lines, one pass — vacuum's record scan
+    * (per-version [[headerLines]] would re-read all manifests per
+    * version).
+    */
+  def allHeaderLines(root: JPath): Seq[(Int, Seq[String])] =
+    metaLines(root)
 
   /** `#partspec` events with versions — fastforward republishes the
     * branch-staged suffix to main.
