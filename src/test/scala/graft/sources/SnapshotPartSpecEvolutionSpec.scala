@@ -135,6 +135,45 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("a normalize-republished #partspec alongside a surviving record " +
+    "folds to ONE spec per arity (no duplicate union arms)") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_dup")
+    // v2 = a rename record (will expire and force the normalize);
+    // v3 = the spec evolution (will SURVIVE); v4 = data
+    spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN v TO val")    // v2
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")    // v3
+    Seq((200L, "t0", "d0", 1200.0)).toDF("id", "etype", "day", "val")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                        // v4
+    SourceQueries.snapshotVacuum(root, Set(3, 4))
+    // the normalize (v5) republished the #partspec line while v3's
+    // copy survives — the fold must still be one spec per arity, or
+    // the union read double-serves every new-spec partition
+    val meta = SnapshotMeta.read(root).get
+    assert(SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
+      .map(_.length) === Seq(1, 2))
+    val df = SnapshotTable.read(spark, root, SnapshotManifest.head(root))
+    assert(df.count() === 121L, "duplicate union arms double-served rows")
+    // and the rename chain survived the same normalize: pre-rename
+    // files still serve their values under the new name
+    assert(df.columns.contains("val"))
+    assert(df.agg(sum(col("val")).cast("long")).head().getLong(0) ===
+      (1L to 120L).sum + 1200L)
+  }
+
+  test("evolving on a column with NULLs refuses at DDL time") {
+    val (_, cat) = freshStore("pse_null")
+    // ADD COLUMN fills old rows with NULL — exactly the poisoned shape
+    spark.sql(s"ALTER TABLE $cat.`t` ADD COLUMN region STRING")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.evolve_partitioning('t', 'region')")
+    }
+    assert(e.getMessage.contains("NULL"),
+      s"null-valued source must refuse, got: ${e.getMessage}")
+  }
+
   test("vacuum preserves #partspec records past manifest expiry") {
     import spark.implicits._
     val (root, cat) = freshStore("pse_vac")

@@ -105,9 +105,13 @@ class SnapshotRenameSpec extends SparkSpec {
       "live check references the column")
     spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT pos")
     spark.sql(s"ALTER TABLE $tbl RENAME COLUMN price TO amount")
-    // a FORMER name can never be reused
+    // a FORMER name can never be reused — by rename OR by ADD COLUMN
+    // (two same-named footer fields would make the physical read
+    // schema ambiguous and resurrect pre-rename values)
     refused(s"ALTER TABLE $tbl RENAME COLUMN amount TO price",
       "former name still lives in footers")
+    refused(s"ALTER TABLE $tbl ADD COLUMN price DOUBLE",
+      "ADD COLUMN must refuse a former name")
     refused(s"ALTER TABLE $tbl DROP COLUMN amount", "drop refused")
   }
 
