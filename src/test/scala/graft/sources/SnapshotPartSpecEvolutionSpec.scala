@@ -135,6 +135,29 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("delete-mode commits migrate touched old-spec partitions too") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_del")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")   // v2
+    // doomed keys 3 and 6 live in day d0 — a key-list delete must
+    // migrate d0 (kept rows rewritten under (day, etype)) and drop
+    // exactly those keys; the delta carries the CURRENT spec's sources
+    Seq((3L, "t1", "d0", 3.0), (6L, "t0", "d0", 6.0))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .option("commitMode", "delete")
+      .mode("append").save(root.toString)                       // v3
+    val m3 = SnapshotManifest.read(root, 3)
+    assert(m3.keySet.filter(_.startsWith("d0")) ===
+      Set("d0/t0", "d0/t1"), s"d0 must migrate: ${m3.keySet}")
+    val df = SnapshotTable.read(spark, root, 3)
+    assert(df.count() === 118L)
+    assert(df.filter(col("id").isin(3L, 6L)).count() === 0L)
+    assert(df.agg(sum(col("v")).cast("long")).head().getLong(0) ===
+      (1L to 120L).sum - 3L - 6L)
+  }
+
   test("a normalize-republished #partspec alongside a surviving record " +
     "folds to ONE spec per arity (no duplicate union arms)") {
     import spark.implicits._
