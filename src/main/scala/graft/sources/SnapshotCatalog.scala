@@ -569,6 +569,15 @@ final class SnapshotV2Table(
       meta.partitionSchema.fieldNames.mkString(","))
     meta.keyCol.foreach(m.put("key_column", _))
     m.put("pinned", pinned.toString)
+    // evolution facts, so DESCRIBE EXTENDED tells an operator what the
+    // metadata planes changed: rename chains (current<-formers) — the
+    // spec-evolution case never reaches here (evolved tables refuse the
+    // SQL door), but renamed tables serve normally
+    val chains = SnapshotManifest.renameChains(root)
+    if (chains.nonEmpty)
+      m.put("renamed_columns", chains.toSeq.sortBy(_._1)
+        .map { case (cur, formers) =>
+          s"$cur<-${formers.mkString("<-")}" }.mkString(","))
     m
   }
 

@@ -84,6 +84,12 @@ class SnapshotRenameSpec extends SparkSpec {
       s"SELECT CAST(SUM(amount) AS BIGINT) FROM $tbl").head().getLong(0)
     assert(sum4 === 8207L + 10L)
     assert(SnapshotManifest.head(root) === 4)
+    // DESCRIBE EXTENDED surfaces the rename chain
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter(col("col_name") === "Table Properties")
+      .head().getString(1)
+    assert(props.contains("amount<-price"),
+      s"rename chain missing from table properties: $props")
   }
 
   test("rename refusals: key column, layout columns, taken names, " +
