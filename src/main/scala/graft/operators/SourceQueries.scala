@@ -2389,6 +2389,77 @@ object SourceQueries {
     (headVersion(root), newSpec.length)
   }
 
+  /** `CALL snap.migrate_layout('t'[, max_partitions])` — converge a
+    * spec-evolved table to its CURRENT partition spec: rewrite up to
+    * `maxPartitions` old-spec partitions under the current layout in
+    * ONE job and one CAS version. Upserts migrate the partitions they
+    * touch; this is the maintenance pass for the COLD remainder — and
+    * once no old-spec entries remain in the head, the SQL door serves
+    * the table again (its refusal is per-version mixed-arity, not
+    * spec-history). Mirrors re-derive from their SOURCE columns (the
+    * door's own write discipline — no pv string round-trip), old dirs
+    * read through the rename fold, and a NULL in an appended source
+    * column refuses loudly before any write (the evolve-time audit
+    * covers pre-evolution rows; this guards rows that arrived through
+    * doors that predate the audit). Incremental and idempotent:
+    * repeated CALLs walk the old-spec set down to zero, then no-op.
+    * At 100 TB: O(migrated partitions) per call, caller-bounded.
+    */
+  private[graft] def snapshotMigrateLayout(s: SparkSession,
+      root: java.nio.file.Path, maxPartitions: Int): (Int, Int) = {
+    require(maxPartitions >= 1, "max_partitions must be >= 1")
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "migrate_layout needs a table.meta layout declaration"))
+    val specs = graft.sources.SnapshotManifest.partitionSpecs(
+      root, meta.partitionSchema)
+    val current = specs.last
+    val pcols = current.fieldNames.toSeq
+    val dataSchema = graft.sources.SnapshotManifest.effectiveDataSchema(
+      root, meta.dataSchema)
+    val declared = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.map(_.copy(nullable = true)))
+    val MaxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val head = headVersion(root)
+      val manifest = readManifest(root, head)
+      val old = manifest.toSeq
+        .filter(_._1.split("/", -1).length < current.length)
+        .sortBy(_._1).take(maxPartitions)
+      if (old.isEmpty) return (0, head)
+      val unioned = graft.sources.SnapshotRename.readDirs(
+        s, root, old.map(_._2), declared)
+      val srcCols = pcols.map(_.stripSuffix("_p"))
+      val nullRow = unioned
+        .filter(srcCols.map(c => col(c).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(nullRow == 0L,
+        s"NULL value(s) in partition source column(s) " +
+          s"${srcCols.mkString(", ")} — backfill before migrating")
+      val out = root.resolve(
+        s"d${head + 1}-mig${java.util.UUID.randomUUID.toString.take(8)}")
+        .toString
+      pcols.foldLeft(unioned)((df, m) =>
+          df.withColumn(m, col(m.stripSuffix("_p"))))
+        .write.partitionBy(pcols: _*).parquet(out)
+      val walked = walkLeafDirs(new java.io.File(out), pcols)
+      val entries = (manifest -- old.map(_._1)) ++ walked
+      try {
+        writeManifest(root, head + 1, entries)
+        publishFilesSidecar(s, root, head + 1, Some(head), entries,
+          walked.map(_._1).toSet, declared)
+        return (old.size, head + 1)
+      } catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+        // the attempt root stays orphaned for vacuum, like any loser
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Change rows between two adjacent snapshot versions, scoped to the
     * MANIFEST diff (the `tableDiff` discipline: unmoved partition
     * pointers are the same files, provably identical, never read).

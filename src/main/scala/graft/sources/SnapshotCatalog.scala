@@ -182,15 +182,16 @@ final class GraftSnapshotCatalog extends TableCatalog
             val v = SnapshotManifest.head(broot)
             // same two-layout refusal as load(): a branch inherits (or
             // stages) spec evolution exactly like main
-            if (SnapshotManifest
-                .partitionSpecs(broot, meta.partitionSchema)
-                .lengthCompare(1) > 0)
+            if (SnapshotTable.hasOldSpecEntries(broot, v))
               throw new UnsupportedOperationException(
-                s"branch $version has partition-spec evolution: SQL-door " +
-                  "reads cannot span two layouts yet — read through the " +
-                  "DataFrame door")
-            val effective = meta.copy(dataSchema = SnapshotManifest
-              .effectiveDataSchema(broot, meta.dataSchema))
+                s"branch $version spans two partition layouts: " +
+                  "converge with CALL migrate_layout or read through " +
+                  "the DataFrame door")
+            val effective = meta.copy(
+              partitionSchema = SnapshotManifest
+                .partitionSpecs(broot, meta.partitionSchema).last,
+              dataSchema = SnapshotManifest
+                .effectiveDataSchema(broot, meta.dataSchema))
             new SnapshotV2Table(
               s"$catName.${ident.name()}@$version-v$v",
               SparkSession.active, broot, v, effective, pinned = true)
@@ -225,22 +226,26 @@ final class GraftSnapshotCatalog extends TableCatalog
     val version = v.getOrElse(SnapshotManifest.head(root))
     val meta = SnapshotMeta.read(root).getOrElse(
       throw new NoSuchTableException(ident))
-    // a spec-evolved table spans two layouts; one DSv2 relation has one
-    // partition schema, and null-filling the appended mirror for
-    // old-spec files would break pruning exactness — refuse loudly
-    // (the DataFrame door's union-of-specs read serves it)
-    if (SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
-        .lengthCompare(1) > 0)
+    // a VERSION spanning two layouts can't be one DSv2 relation (one
+    // partition schema; null-filling the appended mirror for old-spec
+    // files would break pruning exactness) — refuse loudly, pointing
+    // at both remedies. A fully migrated head (CALL migrate_layout)
+    // serves normally under the current spec.
+    if (SnapshotTable.hasOldSpecEntries(root, version))
       throw new UnsupportedOperationException(
-        s"table ${ident.name()} has partition-spec evolution: SQL-door " +
-          "reads/DML cannot span two layouts yet — read through " +
-          "spark.read via graft.sources.SnapshotTable.read and write " +
-          "through the DataFrame door")
+        s"table ${ident.name()} version $version spans two partition " +
+          "layouts: converge it with CALL migrate_layout, or read " +
+          "through the DataFrame door's union-of-specs read")
     // same latest-schema overlay as the DataFrame door: a widening
     // commit's `#schema` manifest record supersedes the bootstrap
-    // meta, and later `#rename` records map on top
-    val effective = meta.copy(dataSchema =
-      SnapshotManifest.effectiveDataSchema(root, meta.dataSchema))
+    // meta, later `#rename` records map on top, and the partition
+    // schema is the CURRENT spec (this table only serves versions
+    // whose entries all sit under it)
+    val effective = meta.copy(
+      partitionSchema = SnapshotManifest
+        .partitionSpecs(root, meta.partitionSchema).last,
+      dataSchema =
+        SnapshotManifest.effectiveDataSchema(root, meta.dataSchema))
     new SnapshotV2Table(s"$catName.${ident.name()}@v$version",
       SparkSession.active, root, version, effective,
       // a `VERSION/TIMESTAMP AS OF` reference is a pinned historical
@@ -271,7 +276,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "fastforward"),
       Identifier.of(namespace, "refs"),
       Identifier.of(namespace, "zorder"),
-      Identifier.of(namespace, "evolve_partitioning"))
+      Identifier.of(namespace, "evolve_partitioning"),
+      Identifier.of(namespace, "migrate_layout"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -290,6 +296,7 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "zorder" => new SnapshotZorderProcedure(this)
       case "evolve_partitioning" =>
         new SnapshotEvolvePartitioningProcedure(this)
+      case "migrate_layout" => new SnapshotMigrateLayoutProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
@@ -298,7 +305,8 @@ final class GraftSnapshotCatalog extends TableCatalog
           "branch(table, name), drop_branch(table, name), " +
           "fastforward(table, name), refs(table), " +
           "zorder(table, col_a, col_b[, threshold, files_per_partition]), " +
-          "evolve_partitioning(table, source_col)")
+          "evolve_partitioning(table, source_col), " +
+          "migrate_layout(table[, max_partitions])")
     }
 
   private[sources] def resolveRoot(table: String): JPath =
@@ -1434,6 +1442,46 @@ final class SnapshotEvolvePartitioningProcedure(cat: GraftSnapshotCatalog)
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(v, n)))).iterator()
+  }
+}
+
+/** `CALL snap.migrate_layout('t'[, max_partitions])` — converge a
+  * spec-evolved table to its current partition spec
+  * ([[graft.operators.SourceQueries.snapshotMigrateLayout]]): rewrite
+  * up to `max_partitions` old-spec partitions under the current layout
+  * as one CAS version. Incremental and idempotent; once the head holds
+  * no old-spec entries the SQL door serves the table again.
+  */
+final class SnapshotMigrateLayoutProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "migrate_layout"
+  override def description(): String =
+    "rewrite old-spec partitions under the current layout: " +
+      "migrate_layout(table[, max_partitions])"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_partitions", IntegerType)
+        .defaultValue("100").build())
+
+  private val outSchema = StructType(Seq(
+    StructField("migrated_partitions", IntegerType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val (n, v) = graft.operators.SourceQueries.snapshotMigrateLayout(
+      SparkSession.active, root, input.getInt(1))
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(n, v)))).iterator()
   }
 }
 

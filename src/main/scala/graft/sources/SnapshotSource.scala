@@ -1363,9 +1363,11 @@ object SnapshotTable {
         // latest-schema semantics: a widening commit's `#schema`
         // manifest record supersedes the bootstrap meta for EVERY
         // version read (old files fill the new columns with NULL),
-        // and later `#rename` records map on top (old files serve the
-        // renamed column through the coalesce fold)
-        (m.partitionSchema,
+        // later `#rename` records map on top (old files serve the
+        // renamed column through the coalesce fold), and the partition
+        // schema is the CURRENT spec — single-relation reads only ever
+        // serve versions whose entries all sit under it
+        (SnapshotManifest.partitionSpecs(root, m.partitionSchema).last,
           SnapshotManifest.effectiveDataSchema(root, m.dataSchema))
       case None =>
         val dataDir = SnapshotManifest.read(root, version)
@@ -1388,18 +1390,31 @@ object SnapshotTable {
       case None => Seq.empty
     }
 
+  /** True when the VERSION's manifest holds entries not laid out under
+    * the current spec — the condition that actually needs the
+    * union-of-specs read. A fully migrated head (CALL migrate_layout)
+    * reads as a plain single-layout table again.
+    */
+  def hasOldSpecEntries(root: JPath, version: Int): Boolean = {
+    val specs = specsOf(root)
+    specs.lengthCompare(1) > 0 && SnapshotManifest.read(root, version)
+      .keys.exists(_.split("/", -1).length != specs.last.length)
+  }
+
   def relation(s: SparkSession, root: JPath, version: Int,
                bloomKey: Option[String] = None,
                partitionCol: String = "o_ym_p"): HadoopFsRelation = {
-    // a spec-evolved store spans TWO layouts; one HadoopFsRelation has
+    // a version spanning TWO layouts can't be one HadoopFsRelation:
     // one partition schema, and serving the appended mirror as NULL
     // for old-spec files would break pruning exactness (partition-only
     // filters are removed post-scan). The union read [[read]] serves
-    // it; a raw relation request refuses loudly.
-    require(specsOf(root).lengthCompare(1) <= 0,
-      s"$root has partition-spec evolution: read it through " +
-        "SnapshotTable.read (the union-of-specs door) — a single " +
-        "relation cannot span two layouts")
+    // it; a raw relation request refuses loudly. Versions whose every
+    // entry sits under ONE spec (pre-evolution or fully migrated)
+    // serve normally under that spec.
+    require(!hasOldSpecEntries(root, version),
+      s"$root version $version spans two partition layouts: read it " +
+        "through SnapshotTable.read (the union-of-specs door), or " +
+        "converge it with CALL migrate_layout")
     val (partSchema, dataSchema) = schemas(s, root, version, partitionCol)
     val index = new SnapshotFileIndex(s, root, version, partSchema,
       dataSchema, bloomKey)
@@ -1416,12 +1431,11 @@ object SnapshotTable {
   def read(s: SparkSession, root: JPath, version: Int,
            bloomKey: Option[String] = None,
            partitionCol: String = "o_ym_p"): DataFrame = {
-    val specs = specsOf(root)
-    if (specs.lengthCompare(1) <= 0)
+    if (!hasOldSpecEntries(root, version))
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(
           relation(s, root, version, bloomKey, partitionCol))
-    else readEvolved(s, root, version, bloomKey, specs)
+    else readEvolved(s, root, version, bloomKey, specsOf(root))
   }
 
   /** The union-of-specs read for a partition-spec-evolved store: one

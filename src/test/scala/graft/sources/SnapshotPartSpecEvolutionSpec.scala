@@ -116,12 +116,12 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       spark.sql(s"SELECT COUNT(*) FROM $cat.`t`").head()
     }
-    assert(e1.getMessage.contains("partition-spec"),
+    assert(e1.getMessage.contains("partition layouts"),
       s"SQL read must refuse loudly, got: ${e1.getMessage}")
     val e2 = intercept[Exception] {
       spark.read.format("graft-snapshot").load(root.toString).count()
     }
-    assert(e2.getMessage.contains("partition-spec"))
+    assert(e2.getMessage.contains("partition layouts"))
     // the union door still serves it
     assert(SnapshotTable.read(spark, root, 2).count() === 120L)
     intercept[Exception] {
@@ -195,6 +195,49 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL"),
       s"null-valued source must refuse, got: ${e.getMessage}")
+  }
+
+  test("migrate_layout converges cold partitions and unlocks the SQL " +
+    "door; idempotent once converged") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_mig")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")   // v2
+    // touch d0 so the store is MIXED (upsert-migrated + cold old)
+    Seq((200L, "t0", "d0", 1200.0)).toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                       // v3
+    // mixed head: SQL read refuses, pointing at the remedy
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $cat.`t`").head()
+    }
+    assert(e.getMessage.contains("migrate_layout"))
+    // bounded first pass migrates ONE cold partition, second the rest
+    val r1 = spark.sql(s"CALL $cat.migrate_layout('t', 1)").head()
+    assert(r1.getInt(0) === 1 && r1.getInt(1) === 4)
+    val r2 = spark.sql(s"CALL $cat.migrate_layout('t', 100)").head()
+    assert(r2.getInt(0) === 1 && r2.getInt(1) === 5)
+    val m5 = SnapshotManifest.read(root, 5)
+    assert(m5.keys.forall(_.split("/", -1).length == 2),
+      s"head must be fully current-spec: ${m5.keySet}")
+    // converged: the SQL door serves again, under the current spec,
+    // with the appended mirror a REAL partition column
+    val got = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(v) AS BIGINT) AS sv
+         |FROM $cat.`t` WHERE etype_p = 't0'""".stripMargin).head()
+    val evens = (1L to 120L).filter(_ % 2 == 0)
+    assert(got.getLong(0) === evens.length + 1L)
+    assert(got.getLong(1) === evens.sum + 1200L)
+    // idempotent: nothing left to migrate, no version published
+    val r3 = spark.sql(s"CALL $cat.migrate_layout('t', 100)").head()
+    assert(r3.getInt(0) === 0 && r3.getInt(1) === 5)
+    // pre-migration versions still time-travel through the union door
+    assert(SnapshotTable.read(spark, root, 3).count() === 121L)
+    // ...and still refuse the single-relation SQL door
+    intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $cat.`t` VERSION AS OF 3").head()
+    }
   }
 
   test("vacuum preserves #partspec records past manifest expiry") {
