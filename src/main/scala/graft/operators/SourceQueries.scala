@@ -2411,19 +2411,23 @@ object SourceQueries {
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "migrate_layout needs a table.meta layout declaration"))
-    val specs = graft.sources.SnapshotManifest.partitionSpecs(
-      root, meta.partitionSchema)
-    val current = specs.last
-    val pcols = current.fieldNames.toSeq
-    val dataSchema = graft.sources.SnapshotManifest.effectiveDataSchema(
-      root, meta.dataSchema)
-    val declared = org.apache.spark.sql.types.StructType(
-      dataSchema.fields.map(_.copy(nullable = true)))
     val MaxAttempts = 5
     var attempt = 0
     while (true) {
       val head = headVersion(root)
       val manifest = readManifest(root, head)
+      // spec/schema resolution lives INSIDE the retry loop, like the
+      // head/manifest reads above: a concurrent evolve_partitioning
+      // winning a version between attempts would otherwise have this
+      // retry rewrite old-spec partitions under a stale spec and
+      // report them migrated while they stay old-spec relative to
+      // the new current layout
+      val current = graft.sources.SnapshotManifest.partitionSpecs(
+        root, meta.partitionSchema).last
+      val pcols = current.fieldNames.toSeq
+      val declared = org.apache.spark.sql.types.StructType(
+        graft.sources.SnapshotManifest.effectiveDataSchema(
+          root, meta.dataSchema).fields.map(_.copy(nullable = true)))
       val old = manifest.toSeq
         .filter(_._1.split("/", -1).length < current.length)
         .sortBy(_._1).take(maxPartitions)

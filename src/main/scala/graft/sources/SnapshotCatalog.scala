@@ -389,7 +389,14 @@ final class GraftSnapshotCatalog extends TableCatalog
       s"column $old does not exist")
     require(nu.nonEmpty && nu.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid column name: '$nu'")
-    val mirrors = meta.partitionSchema.fieldNames.toSet
+    // the layout refusal set must be the CURRENT spec, not the
+    // bootstrap one: evolve_partitioning publishes #partspec records
+    // without rewriting table.meta, so appended mirrors (and their
+    // source columns) only appear in partitionSpecs(...).last —
+    // deriving from meta.partitionSchema would accept a rename of an
+    // appended source column and permanently brick every later commit
+    val mirrors = SnapshotManifest
+      .partitionSpecs(root, meta.partitionSchema).last.fieldNames.toSet
     val sources = mirrors.map(_.stripSuffix("_p"))
     require(!mirrors(old) && !sources(old),
       s"cannot rename $old: the partition layout (mirror columns and " +

@@ -240,6 +240,43 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("RENAME COLUMN refuses the appended layout's source and mirror " +
+    "names on a fully migrated table (refusal set = CURRENT spec)") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_ren")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")   // v2
+    spark.sql(s"CALL $cat.migrate_layout('t', 100)")            // v3
+    // fully migrated: the SQL door loads normally — exactly the state
+    // where a bootstrap-spec refusal set would accept this rename and
+    // permanently write-brick the table (every later commit selects
+    // the old source name; the old name becomes a refused former name)
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN etype TO kind")
+    }
+    assert(e1.getMessage.contains("partition layout"),
+      s"appended source column must refuse, got: ${e1.getMessage}")
+    // renaming TO the appended mirror's name must refuse too (footers
+    // would collide with the layout column)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN v TO etype_p")
+    }
+    // refused by Spark's analyzer (the mirror is in the table's
+    // reported schema) or, on paths that bypass resolution, by the
+    // catalog's taken-name set — either way, loudly
+    assert(e2.getMessage.contains("already in use") ||
+        e2.getMessage.contains("already exists"),
+      s"taken-name set must include evolved mirrors: ${e2.getMessage}")
+    // a NON-layout column still renames fine post-evolution, and
+    // commits keep flowing afterwards (the table is not bricked)
+    spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN v TO val")    // v4
+    Seq((300L, "t0", "d0", 9.0)).toDF("id", "etype", "day", "val")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                        // v5
+    assert(spark.sql(s"SELECT CAST(SUM(val) AS BIGINT) AS s " +
+      s"FROM $cat.`t`").head().getLong(0) === (1L to 120L).sum + 9L)
+  }
+
   test("vacuum preserves #partspec records past manifest expiry") {
     import spark.implicits._
     val (root, cat) = freshStore("pse_vac")
