@@ -3958,6 +3958,64 @@ object SourceQueries {
     headArm.unionByName(v1Arm)
   }
 
+  /** SQL-door reads on an UNMIGRATED spec-evolved head (round 12,
+    * VERDICT r11 #1): same fixture shape as
+    * [[partspecEvolution]] — evolve `o_orderstatus` onto the month
+    * layout, upsert two months so the head MIXES migrated
+    * (month, status) leafs with cold old-spec months — but the whole
+    * query runs through `spark.sql` against the catalog table, which
+    * now resolves to [[graft.sources.SnapshotEvolvedV2Table]]: ONE
+    * DSv2 union-of-specs scan, one parquet arm per spec. The first arm
+    * of the result filters on the appended mirror (`o_orderstatus_p`),
+    * exercising both exactness sides — partition-plane pruning on the
+    * migrated arm, source-column parquet data filter on the cold arm;
+    * the second aggregates the whole head so a double-served or
+    * dropped partition in either arm hash-mismatches. The oracle
+    * replays the upsert relationally. DML against the same table
+    * refuses until `CALL migrate_layout` converges
+    * (`SnapshotPartSpecEvolutionSpec`). At 100 TB this is the Iceberg
+    * transparency guarantee: layout evolution never takes the SQL
+    * surface away from readers, and never costs more than the
+    * per-spec pruned listings.
+    */
+  def sqlPartspecRead(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_psesql")).resolve(key)
+    val root = ordersYmFixture(s, dir, base, "orders_psr")
+    val cat = s"snappsr_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    s.sql(s"CALL $cat.evolve_partitioning('${root.getFileName}', " +
+      "'o_orderstatus')")
+    ordersYmFrame(s, dir)
+      .filter(col("o_ym").between("1995-01", "1995-02") &&
+        col("o_orderkey") % 17 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.5))
+      .write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    s.sql(
+      s"""SELECT 'head_f' AS arm, o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |WHERE o_ym_p BETWEEN '1995-01' AND '1995-06'
+         |  AND o_orderstatus_p = 'F'
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'head_all' AS arm, o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -4514,6 +4572,7 @@ object SourceQueries {
     "sql_insert_overwrite"    -> sqlInsertOverwrite _,
     "sql_rename_column"       -> sqlRenameColumn _,
     "source_partspec_evolution" -> partspecEvolution _,
+    "sql_partspec_read"       -> sqlPartspecRead _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -4793,6 +4852,40 @@ object SourceQueries {
         |      AS sum_price
         |  FROM base GROUP BY o_orderstatus)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin,
+    // SQL-door union scan on the unmigrated evolved head: replay the
+    // two-month upsert; head_f = status F inside H1-1995 (the mirror
+    // equals its source), head_all = the whole mixed head by status
+    "sql_partspec_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 17 = 0),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT 'head_f' AS arm, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head
+        |WHERE o_ym BETWEEN '1995-01' AND '1995-06'
+        |  AND o_orderstatus = 'F'
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'head_all' AS arm, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head
+        |GROUP BY o_orderstatus""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

@@ -180,13 +180,15 @@ final class GraftSnapshotCatalog extends TableCatalog
             val meta = SnapshotMeta.read(broot).getOrElse(
               throw new NoSuchTableException(ident))
             val v = SnapshotManifest.head(broot)
-            // same two-layout refusal as load(): a branch inherits (or
-            // stages) spec evolution exactly like main
+            // same union-of-specs serving as load(): a branch inherits
+            // (or stages) spec evolution exactly like main
             if (SnapshotTable.hasOldSpecEntries(broot, v))
-              throw new UnsupportedOperationException(
-                s"branch $version spans two partition layouts: " +
-                  "converge with CALL migrate_layout or read through " +
-                  "the DataFrame door")
+              return new SnapshotEvolvedV2Table(
+                s"$catName.${ident.name()}@$version-v$v",
+                SparkSession.active, broot, v,
+                SnapshotManifest.effectiveDataSchema(broot, meta.dataSchema),
+                SnapshotManifest.partitionSpecs(broot, meta.partitionSchema),
+                pinned = true)
             val effective = meta.copy(
               partitionSchema = SnapshotManifest
                 .partitionSpecs(broot, meta.partitionSchema).last,
@@ -226,16 +228,19 @@ final class GraftSnapshotCatalog extends TableCatalog
     val version = v.getOrElse(SnapshotManifest.head(root))
     val meta = SnapshotMeta.read(root).getOrElse(
       throw new NoSuchTableException(ident))
-    // a VERSION spanning two layouts can't be one DSv2 relation (one
-    // partition schema; null-filling the appended mirror for old-spec
-    // files would break pruning exactness) — refuse loudly, pointing
-    // at both remedies. A fully migrated head (CALL migrate_layout)
-    // serves normally under the current spec.
+    // a VERSION spanning two layouts can't be one single-layout DSv2
+    // relation (one partition schema; null-filling the appended mirror
+    // for old-spec files would break pruning exactness) — serve it
+    // through the union-of-specs table instead: reads plan one parquet
+    // arm per spec (the Iceberg transparency); DML on it stays refused
+    // until CALL migrate_layout converges the head.
     if (SnapshotTable.hasOldSpecEntries(root, version))
-      throw new UnsupportedOperationException(
-        s"table ${ident.name()} version $version spans two partition " +
-          "layouts: converge it with CALL migrate_layout, or read " +
-          "through the DataFrame door's union-of-specs read")
+      return new SnapshotEvolvedV2Table(
+        s"$catName.${ident.name()}@v$version", SparkSession.active, root,
+        version,
+        SnapshotManifest.effectiveDataSchema(root, meta.dataSchema),
+        SnapshotManifest.partitionSpecs(root, meta.partitionSchema),
+        pinned = v.isDefined)
     // same latest-schema overlay as the DataFrame door: a widening
     // commit's `#schema` manifest record supersedes the bootstrap
     // meta, later `#rename` records map on top, and the partition
@@ -1053,12 +1058,20 @@ final class SnapshotPartitioningIndex(
     version: Int,
     partSchema: StructType,
     dataSchema: StructType,
-    cache: FileStatusCache = NoopCache)
+    cache: FileStatusCache = NoopCache,
+    onlyPvs: Option[Set[String]] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(dataSchema),
     cache) {
 
-  private val manifest: Map[String, String] =
-    SnapshotManifest.read(root, version)
+  /** `onlyPvs` scopes this index to a subset of the version's entries —
+    * the per-spec ARM of the SQL door's union-of-specs read
+    * ([[SnapshotEvolvedV2Table]]), mirroring [[SnapshotFileIndex]]'s
+    * parameter of the same name on the DataFrame door.
+    */
+  private val manifest: Map[String, String] = {
+    val full = SnapshotManifest.read(root, version)
+    onlyPvs.map(keep => full.filter(e => keep(e._1))).getOrElse(full)
+  }
   private val sidecar = SnapshotFiles.read(root, version)
 
   /** `listStatus` calls made — spec hook (0 with a sidecar). */

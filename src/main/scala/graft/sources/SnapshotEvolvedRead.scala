@@ -1,0 +1,405 @@
+package graft.sources
+
+import java.nio.file.{Path => JPath}
+import java.util.OptionalLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Cast, Coalesce, Expression, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL door for a partition-spec-EVOLVED snapshot version: one
+  * DSv2 table whose scan is the union-of-specs read — one parquet scan
+  * ARM per spec over exactly the manifest entries laid out under it
+  * (entry spec = path segment count; specs strictly prefix-extend, so
+  * arities are unique), re-expressing [[SnapshotTable.readEvolved]]'s
+  * V1 union at the scan level so `spark.sql` serves an UNMIGRATED
+  * evolved head instead of refusing (the Iceberg behavior: spec
+  * evolution is transparent to readers).
+  *
+  * Exactness is the same two-sided story as the DataFrame door:
+  *
+  *  - arms missing an appended mirror column derive it from its SOURCE
+  *    data column (`mirror == source` is the store's layout
+  *    invariant), so a predicate on the appended mirror PRUNES the
+  *    new-spec arm on the partition plane and pushes to parquet as a
+  *    plain DATA filter on the old-spec arm — never a null-keep
+  *    over-approximation;
+  *  - every pushed filter is also returned as a post-scan residual, so
+  *    a filter one arm could not translate still evaluates exactly
+  *    above the union.
+  *
+  * DML stays refused ([[SnapshotEvolvedV2Table.newWriteBuilder]]): a
+  * commit needs ONE current layout to lay rows out under — the remedy
+  * is `CALL migrate_layout`, same message as before. Rename history
+  * composes: each arm reads footer-facing physical names and the
+  * per-arm row projection folds the coalesce mapping together with the
+  * mirror derivation (one codegen'd `UnsafeProjection` per arm).
+  *
+  * At 100 TB this plans exactly like the single-layout door, twice:
+  * per-arm manifest pruning (sidecar-served listings, zero
+  * `listStatus`), parquet pushdown, and runtime (DPP) predicates
+  * translated onto each arm's own spec. The union adds no shuffle —
+  * arms concatenate as input partitions of one scan.
+  */
+final class SnapshotEvolvedV2Table(
+    tableName: String,
+    spark: SparkSession,
+    root: JPath,
+    snapVersion: Int,
+    dataSchema: StructType,
+    specs: Seq[StructType],
+    pinned: Boolean = false)
+  extends Table
+  with SupportsRead
+  with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  private val current: StructType = specs.last
+
+  override def name(): String = tableName
+
+  override def version(): String = snapVersion.toString
+
+  /** Same column order as the single-layout table and the DataFrame
+    * door's union read: declared data columns, then the CURRENT
+    * spec's mirror columns.
+    */
+  override def schema(): StructType = StructType(
+    dataSchema.fields ++ current.fields.filterNot(f =>
+      dataSchema.fieldNames.contains(f.name)))
+
+  override def partitioning(): Array[Transform] =
+    current.fieldNames.map(Expressions.identity)
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft-snapshot")
+    m.put("location", root.toString)
+    m.put("version", snapVersion.toString)
+    m.put("partition_columns", current.fieldNames.mkString(","))
+    m.put("pinned", pinned.toString)
+    // the DESCRIBE-visible fact that this version spans layouts (and
+    // how many arms serve it)
+    m.put("partition_spec_evolution",
+      specs.map(_.fieldNames.mkString("(", ",", ")")).mkString(" -> "))
+    val chains = SnapshotManifest.renameChains(root)
+    if (chains.nonEmpty)
+      m.put("renamed_columns", chains.toSeq.sortBy(_._1)
+        .map { case (cur, formers) =>
+          s"$cur<-${formers.mkString("<-")}" }.mkString(","))
+    m
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    // BATCH_WRITE is declared so INSERT reaches newWriteBuilder and
+    // gets the store's remedy message instead of a generic
+    // capability-check failure; the builder always refuses
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SnapshotEvolvedScanBuilder(spark, root, snapVersion, specs,
+      dataSchema, options)
+
+  private def refuse(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op on $tableName: version $snapVersion spans two partition " +
+        "layouts — reads are served by the union-of-specs scan, but a " +
+        "commit needs ONE current layout; converge with CALL " +
+        "migrate_layout first")
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = refuse("DML")
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    refuse("row-level DML")
+}
+
+/** Per-spec-arm pushdown: every call fans out to one stock
+  * [[ParquetScanBuilder]] per arm, with mirror references rewritten to
+  * their source column for arms that predate the mirror. All filters
+  * are returned as residuals — per-arm pushdown is an optimization,
+  * the union's exactness never depends on it.
+  */
+private[sources] final class SnapshotEvolvedScanBuilder(
+    spark: SparkSession,
+    root: JPath,
+    version: Int,
+    specs: Seq[StructType],
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private val current = specs.last
+  private val chains = SnapshotRename.chainsFor(root, dataSchema)
+  private val physicalData =
+    if (chains.isEmpty) dataSchema
+    else SnapshotRename.physicalSchema(dataSchema, chains)
+  private val manifest = SnapshotManifest.read(root, version)
+
+  private case class Arm(spec: StructType, builder: ParquetScanBuilder,
+                         derived: Set[String])
+
+  // one arm per spec that actually has entries in this version (a
+  // fully migrated-away arity contributes nothing and plans nothing)
+  private val arms: Seq[Arm] = specs.flatMap { spec =>
+    val pvs = manifest.keySet.filter(
+      _.split("/", -1).length == spec.length)
+    if (pvs.isEmpty) None
+    else {
+      val index = new SnapshotPartitioningIndex(spark, root, version,
+        spec, physicalData, onlyPvs = Some(pvs))
+      val fullSchema = StructType(physicalData.fields ++
+        spec.fields.filterNot(f =>
+          physicalData.fieldNames.contains(f.name)))
+      Some(Arm(spec,
+        ParquetScanBuilder(spark, index, fullSchema, physicalData, options),
+        current.fields.drop(spec.length).map(_.name).toSet))
+    }
+  }
+
+  private def sourceOf(mirror: String): String = mirror.stripSuffix("_p")
+
+  private var required: StructType = StructType(
+    dataSchema.fields ++ current.fields.filterNot(f =>
+      dataSchema.fieldNames.contains(f.name)))
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+    arms.foreach { arm =>
+      // an appended mirror reads through its SOURCE data column on
+      // arms that predate it; everything else reads by name
+      val names = scala.collection.mutable.LinkedHashSet.empty[String]
+      requiredSchema.fields.foreach { f =>
+        names += (if (arm.derived(f.name)) sourceOf(f.name) else f.name)
+      }
+      val armReq = StructType(names.toSeq.flatMap { n =>
+        dataSchema.find(_.name == n)
+          .orElse(arm.spec.find(_.name == n)).toSeq
+      })
+      arm.builder.pruneColumns(
+        if (chains.isEmpty) armReq
+        else SnapshotRename.physicalSchema(armReq, chains))
+    }
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val hot = SnapshotRename.hotNames(chains)
+    arms.foreach { arm =>
+      val safe = filters.flatMap { f =>
+        var translatable = true
+        val rewritten = f.transform {
+          case a: AttributeReference if arm.derived(a.name) =>
+            dataSchema.find(_.name == sourceOf(a.name)) match {
+              // only a type-preserving rewrite is sound as a pushdown
+              case Some(sf) if sf.dataType == a.dataType =>
+                a.withName(sf.name)
+              case _ => translatable = false; a
+            }
+        }
+        // a filter on a renamed column must not reach parquet (the
+        // row-group gate reads a missing column as all-NULL and would
+        // drop pre-rename files) — same withholding as the
+        // single-layout door's SnapshotDppScanBuilder
+        if (translatable &&
+            !rewritten.references.exists(a => hot(a.name)))
+          Some(rewritten)
+        else None
+      }
+      arm.builder.pushFilters(safe)
+    }
+    // everything re-evaluates above the union: per-arm pushdown prunes
+    // IO, the residual guarantees exactness regardless of what each
+    // arm accepted
+    filters
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    // EXPLAIN surface: the distinct union of what the arms pushed
+    arms.flatMap(_.builder.pushedFilters.toSeq)
+      .groupBy(_.toString).map(_._2.head).toArray
+
+  override def build(): Scan = new SnapshotEvolvedScan(
+    arms.map(a =>
+      SnapshotEvolvedScan.Arm(a.builder.build(), a.spec, a.derived)),
+    current, required, dataSchema, chains)
+}
+
+private[sources] object SnapshotEvolvedScan {
+  /** One built arm: its parquet scan, the spec its entries sit under,
+    * and the mirror names it derives from source columns.
+    */
+  final case class Arm(scan: ParquetScan, spec: StructType,
+                       derived: Set[String])
+}
+
+/** The union scan: arms concatenate as input partitions of ONE batch;
+  * each arm's rows project to the unified logical schema (rename
+  * coalesce fold + mirror derivation) in the reader. Runtime (DPP)
+  * predicates translate per-arm onto that arm's own spec — an
+  * untranslatable predicate on some arm is legally ignored there (the
+  * arm reads more partitions, never fewer rows).
+  */
+final class SnapshotEvolvedScan(
+    private var arms: Seq[SnapshotEvolvedScan.Arm],
+    currentSpec: StructType,
+    unified: StructType,
+    dataSchema: StructType,
+    chains: Map[String, Seq[String]])
+  extends Scan
+  with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  /** The arms as built/runtime-filtered — spec hook (per-arm pruning
+    * assertions read each arm's `ParquetScan.partitionFilters` and
+    * `dataFilters`).
+    */
+  private[graft] def currentArms: Seq[SnapshotEvolvedScan.Arm] = arms
+
+  override def readSchema(): StructType = unified
+
+  override def toBatch: Batch = new SnapshotEvolvedBatch(
+    arms.map(a => (a.scan.toBatch, a.scan.readSchema(), a.derived)),
+    unified, chains)
+
+  override def description(): String =
+    s"graft-snapshot union-of-specs (${arms.size} arms: " +
+      arms.map(_.spec.fieldNames.mkString("(", ",", ")"))
+        .mkString(", ") + ")"
+
+  override def getMetaData(): Map[String, String] =
+    Map("Format" -> "graft-snapshot (union-of-specs)",
+      "Arms" -> arms.map(_.spec.fieldNames.mkString("(", ",", ")"))
+        .mkString(", "),
+      "ReadSchema" -> unified.catalogString)
+
+  /** Sum of the arms' estimates (each is the stock file-scan estimate
+    * over that arm's pruned listing), so AQE and join planning see the
+    * union's true post-pruning size.
+    */
+  override def estimateStatistics(): Statistics = {
+    val ss = arms.map(_.scan.estimateStatistics())
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        if (ss.forall(_.sizeInBytes().isPresent))
+          OptionalLong.of(ss.map(_.sizeInBytes().getAsLong).sum)
+        else OptionalLong.empty()
+      override def numRows(): OptionalLong =
+        if (ss.forall(_.numRows().isPresent))
+          OptionalLong.of(ss.map(_.numRows().getAsLong).sum)
+        else OptionalLong.empty()
+    }
+  }
+
+  override def columnarSupportMode()
+      : Scan.ColumnarSupportMode =
+    // the per-arm row projection is row-based by construction
+    Scan.ColumnarSupportMode.UNSUPPORTED
+
+  override def filterAttributes(): Array[NamedReference] = {
+    val read = unified.fieldNames.toSet
+    currentSpec.fieldNames.filter(read.contains)
+      .map(Expressions.column)
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    arms = arms.map { arm =>
+      val exprs = predicates.toSeq.flatMap(p =>
+        SnapshotRowLevel.v2ToPartitionExpr(p, arm.spec))
+      if (exprs.isEmpty) arm
+      else arm.copy(scan = arm.scan.copy(
+        partitionFilters = arm.scan.partitionFilters ++ exprs))
+    }
+  }
+}
+
+/** An arm-tagged input partition: the union batch needs to route each
+  * partition back to the factory (and row projection) of the arm that
+  * planned it.
+  */
+private[sources] final case class SnapshotEvolvedPartition(
+    arm: Int, inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+private[sources] final class SnapshotEvolvedBatch(
+    arms: Seq[(Batch, StructType, Set[String])],
+    unified: StructType,
+    chains: Map[String, Seq[String]])
+  extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    arms.zipWithIndex.flatMap { case ((b, _, _), i) =>
+      b.planInputPartitions().map(SnapshotEvolvedPartition(i, _))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotEvolvedReaderFactory(
+      arms.map { case (b, phys, derived) =>
+        (b.createReaderFactory(), phys, derived)
+      },
+      unified, chains,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+}
+
+/** Projects each arm's physical rows (footer-facing names + that
+  * arm's partition columns) to the unified logical schema: rename
+  * candidates coalesce newest-first ([[SnapshotRenameReaderFactory]]'s
+  * fold), appended mirrors copy their source column (cast when the
+  * mirror type differs). One codegen'd projection per arm.
+  */
+private[sources] final class SnapshotEvolvedReaderFactory(
+    arms: Seq[(PartitionReaderFactory, StructType, Set[String])],
+    unified: StructType,
+    chains: Map[String, Seq[String]],
+    timeZoneId: String)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  private def sourceOf(mirror: String): String = mirror.stripSuffix("_p")
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val tagged = p.asInstanceOf[SnapshotEvolvedPartition]
+    val (factory, armSchema, derived) = arms(tagged.arm)
+    val inner = factory.createReader(tagged.inner)
+    def bound(name: String): Expression = {
+      val i = armSchema.fieldIndex(name)
+      BoundReference(i, armSchema(i).dataType, nullable = true)
+    }
+    val exprs = unified.fields.toSeq.map { f =>
+      val armName = if (derived(f.name)) sourceOf(f.name) else f.name
+      val cs = SnapshotRename.candidates(armName, chains)
+        .filter(armSchema.fieldNames.contains)
+      require(cs.nonEmpty,
+        s"arm read schema ${armSchema.fieldNames.mkString(",")} is " +
+          s"missing $armName for output column ${f.name}")
+      val read = if (cs.length == 1) bound(cs.head) else Coalesce(cs.map(bound))
+      if (read.dataType == f.dataType) read
+      else Cast(read, f.dataType, Some(timeZoneId))
+    }
+    val proj = UnsafeProjection.create(exprs.toArray)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -20,12 +20,33 @@ import graft.operators.SourceQueries
   *     its own spec: a predicate on the appended mirror prunes
   *     new-spec partitions on the partition plane and becomes a plain
   *     data filter on old-spec files (exact, never null-kept);
-  *  4. refusals stay loud: SQL-door reads on evolved tables (one
-  *     relation cannot span two layouts), the raw relation door,
-  *     non-existent/duplicate source columns;
+  *  4. the SQL door serves evolved versions through the union-of-specs
+  *     scan ([[SnapshotEvolvedV2Table]], round 12) with the same
+  *     per-arm pruning; DML on a mixed-arity version, the raw relation
+  *     door, and bad evolutions still refuse loudly;
   *  5. vacuum preserves `#partspec` records past manifest expiry.
   */
 class SnapshotPartSpecEvolutionSpec extends SparkSpec {
+
+  /** Union scans in an EXECUTED plan, drilling through AQE wrappers. */
+  private def unionScans(df: DataFrame): Seq[SnapshotEvolvedScan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[SnapshotEvolvedScan] = {
+      val self = p match {
+        case b: BatchScanExec if b.scan.isInstanceOf[SnapshotEvolvedScan] =>
+          Seq(b.scan.asInstanceOf[SnapshotEvolvedScan])
+        case _ => Nil
+      }
+      self ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s => s.children.flatMap(walk)
+      })
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   private def allIndexes(df: DataFrame): Seq[SnapshotFileIndex] =
     df.queryExecution.analyzed.collect {
@@ -110,14 +131,20 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
       s"expected exactly the (d0, t0) leaf listed: $listings2")
   }
 
-  test("refusals: SQL-door reads, raw relation door, bad evolutions") {
+  test("SQL door serves an evolved head via the union scan; raw " +
+    "relation door and bad evolutions still refuse") {
     val (root, cat) = freshStore("pse_ref")
     spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")
+    // round 12: the SQL door serves spec-evolved versions through the
+    // union-of-specs scan instead of refusing (the Iceberg behavior)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`t`")
+      .head().getLong(0) === 120L)
+    // DML stays refused until migrate_layout converges the head
     val e1 = intercept[Exception] {
-      spark.sql(s"SELECT COUNT(*) FROM $cat.`t`").head()
+      spark.sql(s"DELETE FROM $cat.`t` WHERE id = 3")
     }
-    assert(e1.getMessage.contains("partition layouts"),
-      s"SQL read must refuse loudly, got: ${e1.getMessage}")
+    assert(e1.getMessage.contains("migrate_layout"),
+      s"DML must refuse with the remedy, got: ${e1.getMessage}")
     val e2 = intercept[Exception] {
       spark.read.format("graft-snapshot").load(root.toString).count()
     }
@@ -207,9 +234,12 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
       .write.format("graft-snapshot")
       .option("keyCol", "id").option("partCol", "day")
       .mode("append").save(root.toString)                       // v3
-    // mixed head: SQL read refuses, pointing at the remedy
+    // mixed head: SQL READS serve through the union scan; DML refuses,
+    // pointing at the remedy
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`t`")
+      .head().getLong(0) === 121L)
     val e = intercept[Exception] {
-      spark.sql(s"SELECT COUNT(*) FROM $cat.`t`").head()
+      spark.sql(s"UPDATE $cat.`t` SET v = 0.0 WHERE id = 1")
     }
     assert(e.getMessage.contains("migrate_layout"))
     // bounded first pass migrates ONE cold partition, second the rest
@@ -234,10 +264,65 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     assert(r3.getInt(0) === 0 && r3.getInt(1) === 5)
     // pre-migration versions still time-travel through the union door
     assert(SnapshotTable.read(spark, root, 3).count() === 121L)
-    // ...and still refuse the single-relation SQL door
-    intercept[Exception] {
-      spark.sql(s"SELECT COUNT(*) FROM $cat.`t` VERSION AS OF 3").head()
-    }
+    // ...and through the SQL door's union scan (round 12)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $cat.`t` VERSION AS OF 3")
+      .head().getLong(0) === 121L)
+  }
+
+  test("SQL-door union scan: per-arm pushdown — the appended mirror " +
+    "prunes the new arm's partitions and is a parquet DATA filter on " +
+    "the old arm; values match the DataFrame door exactly") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_sql")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")   // v2
+    Seq((3L, "t1", "d0", 1003.0), (200L, "t0", "d0", 1200.0))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                       // v3
+    // mixed head: d0 migrated to (day, etype); d1, d2 still old-spec
+    val q = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(id) AS BIGINT) AS s
+         |FROM $cat.`t` WHERE etype_p = 't0'""".stripMargin)
+    val evens = (1L to 120L).filter(_ % 2 == 0)
+    val got = q.head()
+    assert(got.getLong(0) === evens.length + 1L)
+    assert(got.getLong(1) === evens.sum + 200L)
+    // plan audit: one union scan, two arms; the old arm carries the
+    // mirror predicate REWRITTEN to its source column as a pushed
+    // parquet data filter, the new arm as a partition filter
+    val scans = unionScans(q)
+    assert(scans.size === 1, "expected exactly one union scan")
+    val arms = scans.head.currentArms
+    assert(arms.map(_.spec.length) === Seq(1, 2))
+    val oldArm = arms.head.scan
+    assert(oldArm.dataFilters.exists(_.references.exists(_.name == "etype")),
+      s"old arm must push etype as a data filter: ${oldArm.dataFilters}")
+    assert(oldArm.partitionFilters.isEmpty,
+      s"no partition predicate applies to the old arm: " +
+        s"${oldArm.partitionFilters}")
+    val newArm = arms.last.scan
+    assert(newArm.partitionFilters.exists(
+        _.references.exists(_.name == "etype_p")),
+      s"new arm must prune on the mirror: ${newArm.partitionFilters}")
+    // a day predicate prunes BOTH arms on their shared prefix — and
+    // the new arm (only d0 entries) plans zero input partitions
+    val q2 = spark.sql(
+      s"SELECT CAST(SUM(id) AS BIGINT) AS s FROM $cat.`t` " +
+        "WHERE day_p = 'd1' AND etype_p = 't0'")
+    val ids = (1L to 120L).filter(i => i % 3 == 1 && i % 2 == 0)
+    assert(q2.head().getLong(0) === ids.sum)
+    val arms2 = unionScans(q2).head.currentArms
+    assert(arms2.last.scan.toBatch.planInputPartitions().isEmpty,
+      "day_p='d1' must prune the new arm (d0-only) to nothing")
+    // DESCRIBE surfaces the evolution facts
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.`t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("Table Properties").exists(
+        _.contains("partition_spec_evolution=(day_p) -> (day_p,etype_p)")),
+      s"DESCRIBE must surface the spec chain: $props")
   }
 
   test("RENAME COLUMN refuses the appended layout's source and mirror " +
