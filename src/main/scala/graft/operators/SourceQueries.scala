@@ -1588,6 +1588,10 @@ object SourceQueries {
         .map(sp => s"#partspec\t${sp.json}") ++
       graft.sources.SnapshotRename.renameLines(
         graft.sources.SnapshotManifest.renameChains(srcRoot)) ++
+      // linked files keep dropped columns' footer bytes: the clone
+      // carries the tombstones so its own re-add refusals hold
+      graft.sources.SnapshotManifest.droppedColumns(srcRoot).toSeq
+        .sorted.map(n => s"#drop\t$n") ++
       graft.sources.SnapshotManifest.effectiveChecks(srcRoot)
         .map { case (n, sql) => s"#check\t$n\t$sql" }
     writeManifest(dstRoot, 1, entries, extraMeta = cloneMeta)
@@ -1649,6 +1653,8 @@ object SourceQueries {
         .map(sp => s"#partspec\t${sp.json}") ++
       graft.sources.SnapshotRename.renameLines(
         SnapshotManifest.renameChains(root)) ++
+      SnapshotManifest.droppedColumns(root).toSeq
+        .sorted.map(n => s"#drop\t$n") ++
       SnapshotManifest.effectiveChecks(root)
         .map { case (n, sql) => s"#check\t$n\t$sql" }
     writeManifest(broot, base, entries, extraMeta = checkLines)
@@ -1747,12 +1753,15 @@ object SourceQueries {
     // the rename lines exist for the reader's coalesce fold
     val renameDelta = SnapshotManifest.renameEvents(broot)
       .filter(_._1 > base).map { case (_, o, n) => s"#rename\t$o\t$n" }
+    // branch-staged DROP COLUMN tombstones publish the same way
+    val dropDelta = SnapshotManifest.dropEvents(broot)
+      .filter(_._1 > base).map { case (_, n) => s"#drop\t$n" }
     // branch-staged partition-spec evolutions publish the same way
     val specDelta = SnapshotManifest.partSpecEvents(broot)
       .filter(_._1 > base).map { case (_, sp) => s"#partspec\t${sp.json}" }
     writeManifest(root, mainHead + 1, rewritten,
       schemaJson = schemaJson,
-      extraMeta = specDelta ++ renameDelta ++ checkDelta)
+      extraMeta = specDelta ++ renameDelta ++ dropDelta ++ checkDelta)
     graft.sources.SnapshotFiles.read(broot, bHead).foreach { fm =>
       val rows = fm.toSeq.sortBy(_._1).flatMap(_._2).map { e =>
         val newDir = rewritten(e.pv)
@@ -1958,6 +1967,14 @@ object SourceQueries {
       require(formerDup.isEmpty,
         s"widening column(s) ${formerDup.mkString(", ")} are former " +
           "names of renamed columns — footer names must stay unambiguous")
+      // same dropped-name guard as ALTER ADD COLUMN: a widening delta
+      // must not resurrect a dropped column's footer values
+      val droppedNames =
+        graft.sources.SnapshotManifest.droppedFooterNames(root)
+      val dropDup = addedCols.map(_.name).filter(droppedNames)
+      require(dropDup.isEmpty,
+        s"widening column(s) ${dropDup.mkString(", ")} were DROPPED — " +
+          "pre-drop files still carry their values; use a fresh name")
     }
     val widenedJson: Option[String] = tableSchema match {
       case Some(ts) if addedCols.nonEmpty =>
@@ -2044,6 +2061,55 @@ object SourceQueries {
     * CAS on a racing commit (a schema publish composes with any
     * parent, so rebasing is just re-reading the head).
     */
+  /** SAFE TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE t`) — a
+    * `#schema` overlay exactly like ADD COLUMN: one metadata-only CAS
+    * version publishing the effective schema with `c` at its widened
+    * type, zero files rewritten. Pre-widening files keep their
+    * written-time physical type and readers CAST UP at scan time
+    * (Spark's parquet readers serve int32 under a declared LONG and
+    * float under a declared DOUBLE — the Iceberg/Delta safe-promotion
+    * set); DML doors accept the widened type immediately; narrowing
+    * and unrelated retypes are refused by the caller
+    * ([[graft.sources.GraftSnapshotCatalog]] gate). Everything
+    * re-validates inside the CAS retry loop (the migrate_layout
+    * lesson): a racing rename/drop/widen re-reads the effective
+    * schema, so the published record is a superset of whatever won.
+    */
+  private[graft] def snapshotWidenColumn(s: SparkSession,
+      root: java.nio.file.Path, name: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "legacy store without table.meta: type widening needs the " +
+          "declared-schema plane"))
+    val MaxAttempts = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val effective = graft.sources.SnapshotManifest
+        .effectiveDataSchema(root, meta.dataSchema)
+      require(effective.fieldNames.contains(name),
+        s"column $name does not exist")
+      val widened = org.apache.spark.sql.types.StructType(
+        effective.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to, nullable = true)
+          else f))
+      val head = headVersion(root)
+      require(head >= 1, "cannot ALTER an unbootstrapped store")
+      val parent = readManifest(root, head)
+      try {
+        writeManifest(root, head + 1, parent, None, Some(widened.json))
+        publishFilesSidecar(s, root, head + 1, Some(head), parent,
+          Set.empty, widened)
+        committed = true
+      } catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+      }
+    }
+  }
+
   private[graft] def snapshotAddColumns(s: SparkSession,
       root: java.nio.file.Path,
       newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
@@ -2070,6 +2136,16 @@ object SourceQueries {
       require(formerDup.isEmpty,
         s"column(s) ${formerDup.mkString(", ")} are former names of " +
           "renamed columns — footer names must stay unambiguous")
+      // a DROPPED name's values still live in pre-drop footers: a new
+      // column under that name would resurrect them on every old-file
+      // read — revival must be spelled as a rewrite into a fresh name
+      val droppedNames =
+        graft.sources.SnapshotManifest.droppedFooterNames(root)
+      val dropDup = newCols.map(_.name).filter(droppedNames)
+      require(dropDup.isEmpty,
+        s"column(s) ${dropDup.mkString(", ")} were DROPPED — pre-drop " +
+          "files still carry their values, and re-adding the name " +
+          "would silently resurrect them")
       val widened = org.apache.spark.sql.types.StructType(
         effective.fields ++ newCols.map(_.copy(nullable = true)))
       val head = headVersion(root)
@@ -4016,6 +4092,112 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** METADATA-ONLY DROP COLUMN end to end (round 12, VERDICT r11 #4 —
+    * the complement of `#rename` on the name-mapping plane):
+    * `ALTER TABLE … DROP COLUMN o_orderstatus` publishes one `#drop`
+    * tombstone (zero files moved), then a post-drop upsert touching
+    * two months rewrites their kept rows WITHOUT the column while
+    * every other month keeps its pre-drop files — whose footers still
+    * carry the status bytes that no reader declares anymore. The head
+    * aggregate spans both epochs (rewritten + pre-drop files) grouped
+    * by order year, so a reader that resurrected the column, dropped
+    * rows with it, or double-counted a rewritten month
+    * hash-mismatches the relational replay. Re-ADD of the dropped
+    * name is refused at every widening door
+    * ([[graft.sources.SnapshotDropColumnSpec]]-pinned along with the
+    * key/layout/CHECK refusals, vacuum-normalize survival, clone and
+    * branch carry). At 100 TB: a drop is O(1) metadata; the storage
+    * of dropped values reclaims incrementally as rewrites touch old
+    * partitions — exactly the Iceberg field-ID-drop economics.
+    */
+  def sqlDropColumn(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_drop")).resolve(key)
+    val root = ordersYmFixture(s, dir, base, "orders_drop")
+    val cat = s"snapdrop_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    s.sql(s"ALTER TABLE $tbl DROP COLUMN o_orderstatus")          // v2
+    // post-drop upsert: the delta carries the post-drop shape
+    ordersYmFrame(s, dir)
+      .filter(col("o_ym").between("1995-01", "1995-02") &&
+        col("o_orderkey") % 17 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.5))
+      .drop("o_orderstatus")
+      .write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)                         // v3
+    val head = graft.sources.SnapshotManifest.head(root)
+    s.sql(
+      s"""SELECT $head AS head_version, SUBSTRING(o_ym_p, 1, 4) AS yr,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY SUBSTRING(o_ym_p, 1, 4)""".stripMargin)
+  }
+
+  /** SAFE TYPE WIDENING end to end (round 12, VERDICT r11 #5 — the
+    * Iceberg safe-promotion set as a `#schema` overlay): bootstrap a
+    * store carrying an INT day-of-month and a FLOAT price, widen both
+    * (`ALTER COLUMN o_day TYPE BIGINT`, `o_price_f TYPE DOUBLE` — two
+    * metadata-only CAS versions, zero files rewritten), then insert
+    * rows whose values only FIT the wide types (a day beyond int
+    * range, double-precision prices). The head aggregate reads
+    * pre-widening files under the widened declared schema — parquet
+    * casts int32→int64 and float→double at scan time, IEEE-exactly —
+    * mixed with the wide rows, per month: a reader that lost
+    * precision, refused the old physical type, or dropped the wide
+    * rows hash-mismatches the oracle (which replays the same
+    * float-upcast with `CAST(CAST(x AS REAL) AS DOUBLE)`). Narrowing
+    * and cross-family retypes refuse in two layers
+    * (`SnapshotWidenColumnSpec`). At 100 TB: a widening is O(1)
+    * metadata — the alternative is a full-table rewrite.
+    */
+  def sqlWidenColumn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.dayofmonth
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_widen")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val root = base.resolve("orders_widen")
+    Tables.orders(s, dir)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM")
+        .between("1995-01", "1995-06"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        col("o_totalprice").cast("float").as("o_price_f"))
+      .write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)                         // v1
+    val cat = s"snapwiden_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`${root.getFileName}`"
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN o_day TYPE BIGINT")     // v2
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN o_price_f TYPE DOUBLE") // v3
+    import s.implicits._
+    (1 to 5).map(i => (-i.toLong, "1995-01", 40000000000L + i, i + 0.1))
+      .toDF("o_orderkey", "o_ym", "o_day", "o_price_f")
+      .write.format("graft-snapshot")
+      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
+      .mode("append").save(root.toString)                         // v4
+    s.sql(
+      s"""SELECT 4 AS head_version, o_ym,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(o_day) AS BIGINT) AS sum_day,
+         |  MAX(o_price_f) AS max_price_f,
+         |  CAST(SUM(CASE WHEN o_price_f >= 100000.0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_expensive
+         |FROM $tbl
+         |GROUP BY o_ym""".stripMargin)
+  }
+
   /** Changefeed (CDC) between two snapshots, partition-scoped by the
     * MANIFEST diff: months whose dir pointer didn't move are shared
     * files and provably identical, so only repointed months are read —
@@ -4271,7 +4453,7 @@ object SourceQueries {
       .exists { case (v, ls) => expiring(v) && ls.exists(l =>
         l.startsWith("#check\t") || l.startsWith("#checkdrop\t") ||
         l.startsWith("#txn\t") || l.startsWith("#rename\t") ||
-        l.startsWith("#partspec\t")) }
+        l.startsWith("#partspec\t") || l.startsWith("#drop\t")) }
     if (carriesFoldedMeta) {
       var attempts = 0
       var published = -1
@@ -4300,6 +4482,10 @@ object SourceQueries {
           specLines ++
           graft.sources.SnapshotRename.renameLines(
             graft.sources.SnapshotManifest.renameChains(root)) ++
+          // `#drop` tombstones re-publish so the schema subtraction and
+          // the re-add refusals survive their carrier manifests
+          graft.sources.SnapshotManifest.droppedColumns(root).toSeq
+            .sorted.map(n => s"#drop\t$n") ++
           txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t$a:$b" } ++
           everNamed.toSeq.sorted.map(n => s"#checkdrop\t$n") ++
           live.map { case (n, sql) => s"#check\t$n\t$sql" }
@@ -4573,6 +4759,8 @@ object SourceQueries {
     "sql_rename_column"       -> sqlRenameColumn _,
     "source_partspec_evolution" -> partspecEvolution _,
     "sql_partspec_read"       -> sqlPartspecRead _,
+    "sql_drop_column"         -> sqlDropColumn _,
+    "sql_widen_column"        -> sqlWidenColumn _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -4886,6 +5074,51 @@ object SourceQueries {
         |    AS sum_price
         |FROM head
         |GROUP BY o_orderstatus""".stripMargin,
+    // metadata-only DROP COLUMN: replay the post-drop two-month
+    // upsert; the dropped status column never appears
+    "sql_drop_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 17 = 0),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT 3 AS head_version, SUBSTRING(o_ym, 1, 4) AS yr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head
+        |GROUP BY SUBSTRING(o_ym, 1, 4)""".stripMargin,
+    // safe type widening: replay the same float-upcast and the wide
+    // post-widening rows; IEEE float->double is engine-identical
+    "sql_widen_column" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_ym,
+        |    CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+        |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_price_f
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m')
+        |    BETWEEN '1995-01' AND '1995-06'),
+        |wide AS (
+        |  SELECT -CAST(i AS BIGINT) AS o_orderkey, '1995-01' AS o_ym,
+        |    40000000000 + i AS o_day,
+        |    CAST(i AS DOUBLE) + 0.1 AS o_price_f
+        |  FROM range(1, 6) t(i)),
+        |head AS (SELECT * FROM src UNION ALL SELECT * FROM wide)
+        |SELECT 4 AS head_version, o_ym,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_day) AS BIGINT) AS sum_day,
+        |  MAX(o_price_f) AS max_price_f,
+        |  CAST(SUM(CASE WHEN o_price_f >= 100000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_expensive
+        |FROM head GROUP BY o_ym""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

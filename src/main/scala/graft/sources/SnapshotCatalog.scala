@@ -356,8 +356,137 @@ final class GraftSnapshotCatalog extends TableCatalog
         alterDropConstraint(ident, dc)
       case (rc: TableChange.RenameColumn) :: Nil =>
         alterRenameColumn(ident, rc)
+      case (dc: TableChange.DeleteColumn) :: Nil =>
+        alterDropColumn(ident, dc)
+      case (ut: TableChange.UpdateColumnType) :: Nil =>
+        alterWidenColumn(ident, ut)
       case _ => alterAddColumns(ident, changes)
     }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` — SAFE TYPE WIDENING only
+    * (the Iceberg safe-promotion set): int→bigint, float→double, and
+    * decimal PRECISION growth at fixed scale. Metadata-only: one
+    * `#schema` overlay version, zero files rewritten — pre-widening
+    * files keep their written-time physical type and cast up at scan
+    * time. Anything else (narrowing, cross-family retypes, scale
+    * changes) is refused loudly: each either loses data or changes
+    * values. The KEY column and layout mirror/source columns refuse
+    * too — the Bloom index hashes key BYTES (an int64 hash of what was
+    * written as int32 misses), and partition values parse under the
+    * layout's declared types.
+    */
+  private def alterWidenColumn(ident: Identifier,
+      ut: TableChange.UpdateColumnType): Table = {
+    val root = rootOf(ident)
+    require(ut.fieldNames.length == 1,
+      s"nested ALTER COLUMN is not supported: " +
+        ut.fieldNames.mkString("."))
+    val name = ut.fieldNames.head
+    val meta = SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "legacy store without table.meta: type widening needs the " +
+          "declared-schema plane"))
+    val logical = SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)
+    val field = logical.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name does not exist"))
+    val to = ut.newDataType()
+    import org.apache.spark.sql.types._
+    val safe = (field.dataType, to) match {
+      case (a, b) if a == b => false // no-op spelled as DDL: refuse
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType, IntegerType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+    require(safe,
+      s"unsafe type change ${field.dataType.simpleString} -> " +
+        s"${to.simpleString}: only widening promotions are " +
+        "metadata-only (int->bigint, float->double, decimal " +
+        "precision growth); anything else is a rewrite or data loss")
+    val mirrors = SnapshotManifest
+      .partitionSpecs(root, meta.partitionSchema).last.fieldNames.toSet
+    val sources = mirrors.map(_.stripSuffix("_p"))
+    require(!mirrors(name) && !sources(name),
+      s"cannot widen $name: partition values parse under the layout's " +
+        "declared types — relayout is a rewrite, not a retype")
+    val key = meta.keyCol.getOrElse("o_orderkey")
+    require(name != key,
+      s"cannot widen the key column $key: the Bloom index hashes key " +
+        "BYTES, and an int64 hash of int32-written keys misses")
+    graft.operators.SourceQueries.snapshotWidenColumn(
+      SparkSession.active, root, name, to)
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE … DROP COLUMN c` — METADATA-ONLY via a `#drop`
+    * manifest tombstone (the complement of `#rename` on the same
+    * name-mapping plane; Iceberg's field-ID drop shape): zero files
+    * rewritten, pre-drop footers keep the column's bytes, and every
+    * reader simply stops DECLARING it — the effective schema subtracts
+    * tombstoned names, so parquet projects the column out of pre-drop
+    * files and rewrites (upserts, compaction) carry rows forward
+    * without it. Refusals keep the plane sound, loudly:
+    *
+    *  - the KEY column (upsert/delete identity, Bloom build key);
+    *  - CURRENT-spec partition mirrors and their SOURCE columns
+    *    (layout derivation is by name — a layout change is a rewrite,
+    *    not a drop);
+    *  - a column referenced by a live CHECK constraint (its SQL text
+    *    would stop binding — drop the constraint first);
+    *  - the last data column (an empty relation is not a table).
+    *
+    * Re-ADD of a dropped name (or any former name of one) is REFUSED
+    * at every widening door — pre-drop footers still carry the values,
+    * and a new column under that name would silently resurrect them;
+    * spell revival as a rewrite into a fresh column name instead.
+    */
+  private def alterDropColumn(ident: Identifier,
+      dc: TableChange.DeleteColumn): Table = {
+    val root = rootOf(ident)
+    require(dc.fieldNames.length == 1,
+      s"nested DROP COLUMN is not supported: " +
+        dc.fieldNames.mkString("."))
+    val name = dc.fieldNames.head
+    val meta = SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "legacy store without table.meta: drop needs the " +
+          "declared-schema plane"))
+    val logical = SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)
+    if (!logical.fieldNames.contains(name)) {
+      require(dc.ifExists(), s"column $name does not exist")
+      return loadTable(ident)
+    }
+    require(logical.length > 1,
+      s"cannot drop $name: it is the table's only data column")
+    // CURRENT evolved spec, not the bootstrap one (the rename-refusal
+    // lesson: evolve_partitioning never rewrites table.meta)
+    val mirrors = SnapshotManifest
+      .partitionSpecs(root, meta.partitionSchema).last.fieldNames.toSet
+    val sources = mirrors.map(_.stripSuffix("_p"))
+    require(!mirrors(name) && !sources(name),
+      s"cannot drop $name: the partition layout (mirror columns and " +
+        "their source columns) derives by name — a layout change is a " +
+        "rewrite, not a drop")
+    val key = meta.keyCol.getOrElse("o_orderkey")
+    require(name != key,
+      s"cannot drop the key column $key: upsert/delete identity and " +
+        "the Bloom index bind to it by name")
+    val checkHit = SnapshotManifest.effectiveChecks(root).collectFirst {
+      case (n, sql) if s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+        .findFirstIn(sql).isDefined => n
+    }
+    require(checkHit.isEmpty,
+      s"cannot drop $name: live CHECK constraint ${checkHit.get} " +
+        "references it — drop the constraint first")
+    // validated-head pin: same CAS discipline as #rename — the retry
+    // must not republish a drop validated against a head that moved
+    graft.operators.SourceQueries.snapshotCheckEvent(
+      SparkSession.active, root, s"#drop\t$name",
+      validatedHead = Some(SnapshotManifest.head(root)))
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new` — METADATA-ONLY via a
     * `#rename` manifest record (name mapping; [[SnapshotRename]]):
@@ -412,10 +541,13 @@ final class GraftSnapshotCatalog extends TableCatalog
       s"cannot rename the key column $key: upsert/delete identity and " +
         "the Bloom index bind to it by name")
     val taken = logical.fieldNames.toSet ++ mirrors ++
-      SnapshotManifest.renameChains(root).valuesIterator.flatten
+      SnapshotManifest.renameChains(root).valuesIterator.flatten ++
+      // dropped names (and their formers) still carry values in
+      // pre-drop footers — a rename landing on one would resurrect them
+      SnapshotManifest.droppedFooterNames(root)
     require(!taken(nu),
-      s"column name $nu is already in use (as a live column or a " +
-        "former name still present in data files)")
+      s"column name $nu is already in use (as a live column, a former " +
+        "name, or a dropped column still present in data files)")
     val checkHit = SnapshotManifest.effectiveChecks(root).collectFirst {
       case (n, sql) if s"\\b${java.util.regex.Pattern.quote(old)}\\b".r
         .findFirstIn(sql).isDefined => n
@@ -590,14 +722,18 @@ final class SnapshotV2Table(
     meta.keyCol.foreach(m.put("key_column", _))
     m.put("pinned", pinned.toString)
     // evolution facts, so DESCRIBE EXTENDED tells an operator what the
-    // metadata planes changed: rename chains (current<-formers) — the
-    // spec-evolution case never reaches here (evolved tables refuse the
-    // SQL door), but renamed tables serve normally
+    // metadata planes changed: rename chains (current<-formers) and
+    // dropped-column tombstones — a mixed-arity spec-evolved VERSION
+    // is served by SnapshotEvolvedV2Table, which surfaces its own
+    // partition_spec_evolution property
     val chains = SnapshotManifest.renameChains(root)
     if (chains.nonEmpty)
       m.put("renamed_columns", chains.toSeq.sortBy(_._1)
         .map { case (cur, formers) =>
           s"$cur<-${formers.mkString("<-")}" }.mkString(","))
+    val droppedCols = SnapshotManifest.droppedColumns(root)
+    if (droppedCols.nonEmpty)
+      m.put("dropped_columns", droppedCols.toSeq.sorted.mkString(","))
     m
   }
 
@@ -1199,7 +1335,8 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
 
   override def name(): String = "vacuum"
   override def description(): String =
-    "reclaim unreferenced data dirs: vacuum(table, keep_last)"
+    "reclaim unreferenced data dirs: " +
+      "vacuum(table, keep_last[, retain_seconds, older_than_hours])"
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
 
@@ -1208,12 +1345,22 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
     * it may be a concurrent commit's attempt root that no manifest
     * points at YET. Defaults to an hour (the Delta retention-check
     * stance); tests pass 0 explicitly for determinism.
+    *
+    * `older_than_hours` is TIME-BASED retention (the Delta
+    * `RETAIN n HOURS` / Iceberg `older_than` shape — operators reason
+    * in hours, not version counts): when >= 0, versions whose manifest
+    * PUBLISH instant (its link mtime — the same clock `TIMESTAMP AS
+    * OF` resolves against) is within the window are kept TOO. The kept
+    * set is the UNION of both retention planes plus the head and every
+    * tagged version — each plane is a promise, and promises only add.
     */
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).build(),
       ProcedureParameter.in("retain_seconds", IntegerType)
-        .defaultValue("3600").build())
+        .defaultValue("3600").build(),
+      ProcedureParameter.in("older_than_hours", DoubleType)
+        .defaultValue("-1.0").build())
 
   private val outSchema = StructType(Seq(
     StructField("removed_dirs", IntegerType, nullable = false),
@@ -1226,13 +1373,23 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
     val keepLast = input.getInt(1)
     require(keepLast >= 1, "keep_last must be >= 1 (the head must stay)")
     val retainMs = input.getInt(2) * 1000L
+    val olderThanHours = input.getDouble(3)
     val head = SnapshotManifest.head(root)
     val keptFrom = math.max(1, head - keepLast + 1)
     // a tag is a promise the snapshot stays readable: tagged versions
     // survive the horizon (the Iceberg ref-retention rule)
     val tagged = SnapshotTags.list(root).map(_._2).toSet
+    // time-based plane: anything published inside the age window stays
+    val recent: Set[Int] =
+      if (olderThanHours < 0) Set.empty
+      else {
+        val cutoffMs =
+          System.currentTimeMillis() - (olderThanHours * 3600000L).toLong
+        SnapshotManifest.versionsWithMtime(root)
+          .filter(_._2 >= cutoffMs).map(_._1).toSet
+      }
     val removed = graft.operators.SourceQueries.snapshotVacuum(root,
-      (keptFrom to head).toSet ++ tagged, retainMs)
+      (keptFrom to head).toSet ++ tagged ++ recent, retainMs)
     java.util.List.of[org.apache.spark.sql.connector.read.Scan](
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(

@@ -126,12 +126,12 @@ object SnapshotManifest {
 
   /** The table's LOGICAL data schema: the latest `#schema` record (or
     * the bootstrap meta) with every LATER `#rename` applied in version
-    * order. Rename events at or before the latest schema record are
-    * already folded into it — publishers of `#schema` records always
-    * publish the then-current logical names — and applying a rename
-    * whose old name is absent is a deliberate no-op (replayed
-    * normalize/clone records re-walk chains whose early links no
-    * longer name a field).
+    * order, then every `#drop` tombstone subtracted. Rename events at
+    * or before the latest schema record are already folded into it —
+    * publishers of `#schema` records always publish the then-current
+    * logical names — and applying a rename whose old name is absent is
+    * a deliberate no-op (replayed normalize/clone records re-walk
+    * chains whose early links no longer name a field).
     */
   def effectiveDataSchema(root: JPath, base: StructType): StructType = {
     val recs = metaLines(root).flatMap { case (v, ls) =>
@@ -144,11 +144,17 @@ object SnapshotManifest {
         val (v, json) = recs.maxBy(_._1)
         (v, DataType.fromJson(json).asInstanceOf[StructType])
       }
-    renameEvents(root).filter(_._1 > schemaV)
+    val renamed = renameEvents(root).filter(_._1 > schemaV)
       .foldLeft(schema) { case (st, (_, old, nu)) =>
         StructType(st.fields.map(f =>
           if (f.name == old) f.copy(name = nu) else f))
       }
+    // `#drop` tombstones subtract last: pre-drop footers keep the
+    // column (readers simply never declare it), re-adds are refused,
+    // so the set is monotone and order-free against renames
+    val dropped = droppedColumns(root)
+    if (dropped.isEmpty) renamed
+    else StructType(renamed.fields.filterNot(f => dropped(f.name)))
   }
 
   /** `#rename\t<old>\t<new>` events, version order (line order within
@@ -175,6 +181,36 @@ object SnapshotManifest {
         val formers = m.getOrElse(old, Seq.empty) :+ old
         (m - old) + (nu -> formers)
     }
+
+  /** `#drop\t<name>` events — metadata-only DROP COLUMN tombstones,
+    * version order. Re-ADD of a dropped name is refused at every
+    * widening door (the dropped set is monotone), so the schema fold
+    * subtracts the whole set after the rename fold: a record whose
+    * name is already absent (replayed normalize/clone lines, or a
+    * later `#schema` publisher that already excluded it) is a no-op.
+    */
+  def dropEvents(root: JPath): Seq[(Int, String)] =
+    metaLines(root).sortBy(_._1).flatMap { case (v, ls) =>
+      ls.collect {
+        case l if l.startsWith("#drop\t") => v -> l.stripPrefix("#drop\t")
+      }
+    }
+
+  /** Every logical name ever dropped. */
+  def droppedColumns(root: JPath): Set[String] =
+    dropEvents(root).map(_._2).toSet
+
+  /** Dropped logical names PLUS the former footer names they were
+    * written under — the full set that must stay refused as ADD-COLUMN
+    * and RENAME targets: pre-drop footers keep the dropped values, and
+    * a new column landing on any of these names would silently
+    * resurrect them through footer reads.
+    */
+  def droppedFooterNames(root: JPath): Set[String] = {
+    val chains = renameChains(root)
+    droppedColumns(root).flatMap(d =>
+      (d +: chains.getOrElse(d, Seq.empty)).toSet)
+  }
 
   /** PARTITION-SPEC EVOLUTION (the Iceberg spec-v2 shape, scoped to
     * APPENDED layout columns): the bootstrap spec from `table.meta`
@@ -840,14 +876,30 @@ object SnapshotFiles {
   * provably cannot. Unsupported conjunct shapes contribute nothing.
   */
 object StatsSkipping {
-  private def parseStored(dt: DataType, s: String): Option[Any] = dt match {
+  /** `isMin` widens DOUBLE stats to the interval HULL of both parse
+    * interpretations: after a float→double TYPE WIDENING
+    * (`ALTER COLUMN … TYPE DOUBLE`), a pre-widening file's stored text
+    * came from a FLOAT ("1.1" for 1.1f) whose rows now read as the
+    * upcast double (1.10000002…) — parsing that text as a plain double
+    * would wrongly skip the file for a literal equal to the upcast
+    * value. The hull (min of both readings for min, max for max) is
+    * sound for pre- AND post-widening files; un-widened doubles lose
+    * nothing (the two readings agree wherever the text round-trips).
+    */
+  private def parseStored(dt: DataType, s: String,
+                          isMin: Boolean): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType => s.toLongOption
     // FLOAT must round-trip through float before widening: the stored
     // text of 1.1f is "1.1", which parses to the DOUBLE 1.1 — but the
     // literal side widens the float (1.10000002...), and comparing the
     // two would wrongly skip a file whose rows match exactly
     case FloatType => s.toFloatOption.map(_.toDouble)
-    case DoubleType => s.toDoubleOption
+    case DoubleType =>
+      (s.toDoubleOption, s.toFloatOption.map(_.toDouble)) match {
+        case (Some(d), Some(f)) =>
+          Some(if (isMin) math.min(d, f) else math.max(d, f))
+        case (d, f) => d.orElse(f)
+      }
     case _: DecimalType => Try(BigDecimal(s)).toOption
     case StringType => Some(s)
     case DateType =>
@@ -895,7 +947,8 @@ object StatsSkipping {
         fromLiteral(f.dataType, v).map { lv => (st: Stats) =>
           st.get(f.name) match {
             case Some((mnS, mxS)) =>
-              (parseStored(f.dataType, mnS), parseStored(f.dataType, mxS)) match {
+              (parseStored(f.dataType, mnS, isMin = true),
+                parseStored(f.dataType, mxS, isMin = false)) match {
                 case (Some(mn), Some(mx)) => op(mn, mx, lv)
                 case _ => true
               }
