@@ -1222,11 +1222,16 @@ class SnapshotCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
     }
     assert(dup.getMessage.toLowerCase.contains("exist"))
-    val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $t DROP COLUMN note")
+    // round 12: DROP COLUMN is now a metadata-only #drop tombstone
+    // (SnapshotDropColumnSpec owns the full surface); the key column
+    // still refuses
+    spark.sql(s"ALTER TABLE $t DROP COLUMN note")
+    assert(!spark.sql(s"SELECT * FROM $t").columns.contains("note"))
+    val dropKey = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN k")
     }
-    assert(drop.getMessage.toLowerCase.matches(
-      "(?s).*(only add column|not support).*"), s"got: ${drop.getMessage}")
+    assert(dropKey.getMessage.contains("key column"),
+      s"got: ${dropKey.getMessage}")
   }
 
   test("vacuum folds the evolved schema into table.meta before " +

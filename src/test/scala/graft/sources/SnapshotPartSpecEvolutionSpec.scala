@@ -213,6 +213,32 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
       (1L to 120L).sum + 1200L)
   }
 
+  test("rename history composes with the SQL-door union scan: each " +
+    "arm coalesces former footer names AND derives appended mirrors") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_rensql")
+    spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN v TO val")    // v2
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")    // v3
+    Seq((200L, "t0", "d0", 1200.0)).toDF("id", "etype", "day", "val")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                        // v4
+    // mixed head: d0 rewritten post-rename/post-evolution; d1, d2 are
+    // PRE-rename, pre-evolution files (footer name `v`, one segment).
+    // The SQL union scan must fold both planes per arm — and a filter
+    // on the renamed column must NOT reach parquet (all-NULL
+    // row-group drop on pre-rename files), so the value check below
+    // catches a lost withholding too.
+    val got = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(val) AS BIGINT) AS sv
+         |FROM $cat.`t` WHERE val >= 1.0 AND etype_p = 't0'"""
+        .stripMargin).head()
+    val evens = (1L to 120L).filter(_ % 2 == 0)
+    assert(got.getLong(0) === evens.length + 1L)
+    assert(got.getLong(1) === evens.sum + 1200L)
+  }
+
   test("evolving on a column with NULLs refuses at DDL time") {
     val (_, cat) = freshStore("pse_null")
     // ADD COLUMN fills old rows with NULL — exactly the poisoned shape

@@ -118,7 +118,15 @@ class SnapshotRenameSpec extends SparkSpec {
       "former name still lives in footers")
     refused(s"ALTER TABLE $tbl ADD COLUMN price DOUBLE",
       "ADD COLUMN must refuse a former name")
-    refused(s"ALTER TABLE $tbl DROP COLUMN amount", "drop refused")
+    // round 12: DROP COLUMN of a renamed column is a metadata-only
+    // #drop tombstone — and BOTH its names stay refused afterwards
+    // (pre-drop footers carry values under either)
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN amount")
+    assert(!spark.sql(s"SELECT * FROM $tbl").columns.contains("amount"))
+    refused(s"ALTER TABLE $tbl ADD COLUMN amount DOUBLE",
+      "re-ADD of a dropped name must refuse")
+    refused(s"ALTER TABLE $tbl ADD COLUMN price DOUBLE",
+      "re-ADD of a dropped column's former name must refuse")
   }
 
   test("vacuum preserves rename chains; clone and branch carry them") {
