@@ -1975,6 +1975,18 @@ object SourceQueries {
       require(dropDup.isEmpty,
         s"widening column(s) ${dropDup.mkString(", ")} were DROPPED — " +
           "pre-drop files still carry their values; use a fresh name")
+      // a layout MIRROR name (`<col>_p`, any spec) is derived, never a
+      // data column: tableCols is the DATA schema so a delta carrying
+      // one (e.g. round-tripped from a read) would otherwise publish a
+      // #schema declaring it as data — a permanent collision with the
+      // partition schema that no later commit can retract
+      val mirrorNames = effPartCols.map(c => s"${c}_p").toSet
+      val mirrorDup = addedCols.map(_.name).filter(mirrorNames)
+      require(mirrorDup.isEmpty,
+        s"column(s) ${mirrorDup.mkString(", ")} are layout MIRROR " +
+          "columns — they derive from their source columns at commit " +
+          "time and cannot widen the data schema; drop them from the " +
+          "delta")
     }
     val widenedJson: Option[String] = tableSchema match {
       case Some(ts) if addedCols.nonEmpty =>
@@ -2086,10 +2098,30 @@ object SourceQueries {
     var attempt = 0
     var committed = false
     while (!committed) {
+      // the FULL gate re-runs inside the retry loop, not just
+      // existence: a losing racer's retry sees whatever won between
+      // attempts — another widening (this retype could now be a
+      // NARROWING over already-written wide values), a rename, a drop,
+      // or an evolve_partitioning that just made the column a layout
+      // source. Validating once outside the loop and republishing is
+      // exactly the migrate_layout stale-spec bug.
       val effective = graft.sources.SnapshotManifest
         .effectiveDataSchema(root, meta.dataSchema)
-      require(effective.fieldNames.contains(name),
-        s"column $name does not exist")
+      val field = effective.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name does not exist"))
+      require(graft.sources.SnapshotWiden.safe(field.dataType, to),
+        s"unsafe type change ${field.dataType.simpleString} -> " +
+          s"${to.simpleString}: only widening promotions are " +
+          "metadata-only (int->bigint, float->double, decimal " +
+          "precision growth)")
+      val mirrors = graft.sources.SnapshotManifest
+        .partitionSpecs(root, meta.partitionSchema).last.fieldNames.toSet
+      require(!mirrors(name) && !mirrors.map(_.stripSuffix("_p"))(name),
+        s"cannot widen $name: partition values parse under the " +
+          "layout's declared types")
+      require(name != meta.keyCol.getOrElse("o_orderkey"),
+        s"cannot widen the key column $name: the Bloom index hashes " +
+          "key BYTES")
       val widened = org.apache.spark.sql.types.StructType(
         effective.fields.map(f =>
           if (f.name == name) f.copy(dataType = to, nullable = true)

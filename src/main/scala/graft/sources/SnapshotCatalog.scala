@@ -390,17 +390,10 @@ final class GraftSnapshotCatalog extends TableCatalog
     val field = logical.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"column $name does not exist"))
     val to = ut.newDataType()
-    import org.apache.spark.sql.types._
-    val safe = (field.dataType, to) match {
-      case (a, b) if a == b => false // no-op spelled as DDL: refuse
-      case (ByteType | ShortType | IntegerType, LongType) => true
-      case (ByteType | ShortType, IntegerType) => true
-      case (FloatType, DoubleType) => true
-      case (a: DecimalType, b: DecimalType) =>
-        b.scale == a.scale && b.precision > a.precision
-      case _ => false
-    }
-    require(safe,
+    // the same table the CAS retry loop re-validates against
+    // ([[graft.operators.SourceQueries.snapshotWidenColumn]]); this
+    // pre-check exists for the analysis-time error message
+    require(SnapshotWiden.safe(field.dataType, to),
       s"unsafe type change ${field.dataType.simpleString} -> " +
         s"${to.simpleString}: only widening promotions are " +
         "metadata-only (int->bigint, float->double, decimal " +
@@ -1195,17 +1188,20 @@ final class SnapshotPartitioningIndex(
     partSchema: StructType,
     dataSchema: StructType,
     cache: FileStatusCache = NoopCache,
-    onlyPvs: Option[Set[String]] = None)
+    onlyPvs: Option[Set[String]] = None,
+    preRead: Option[Map[String, String]] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(dataSchema),
     cache) {
 
   /** `onlyPvs` scopes this index to a subset of the version's entries —
     * the per-spec ARM of the SQL door's union-of-specs read
     * ([[SnapshotEvolvedV2Table]]), mirroring [[SnapshotFileIndex]]'s
-    * parameter of the same name on the DataFrame door.
+    * parameter of the same name on the DataFrame door. `preRead` hands
+    * in the version's already-read manifest so a multi-arm planner
+    * doesn't re-open it once per arm.
     */
   private val manifest: Map[String, String] = {
-    val full = SnapshotManifest.read(root, version)
+    val full = preRead.getOrElse(SnapshotManifest.read(root, version))
     onlyPvs.map(keep => full.filter(e => keep(e._1))).getOrElse(full)
   }
   private val sidecar = SnapshotFiles.read(root, version)

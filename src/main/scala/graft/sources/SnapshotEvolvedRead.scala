@@ -93,6 +93,13 @@ final class SnapshotEvolvedV2Table(
       m.put("renamed_columns", chains.toSeq.sortBy(_._1)
         .map { case (cur, formers) =>
           s"$cur<-${formers.mkString("<-")}" }.mkString(","))
+    // DESCRIBE parity with the single-layout table: the tombstone and
+    // key facts must not disappear while the head is mid-evolution
+    val droppedCols = SnapshotManifest.droppedColumns(root)
+    if (droppedCols.nonEmpty)
+      m.put("dropped_columns", droppedCols.toSeq.sorted.mkString(","))
+    SnapshotMeta.read(root).flatMap(_.keyCol)
+      .foreach(m.put("key_column", _))
     m
   }
 
@@ -160,7 +167,8 @@ private[sources] final class SnapshotEvolvedScanBuilder(
     if (pvs.isEmpty) None
     else {
       val index = new SnapshotPartitioningIndex(spark, root, version,
-        spec, physicalData, onlyPvs = Some(pvs))
+        spec, physicalData, onlyPvs = Some(pvs),
+        preRead = Some(manifest))
       val fullSchema = StructType(physicalData.fields ++
         spec.fields.filterNot(f =>
           physicalData.fieldNames.contains(f.name)))
@@ -228,9 +236,11 @@ private[sources] final class SnapshotEvolvedScanBuilder(
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    // EXPLAIN surface: the distinct union of what the arms pushed
+    // EXPLAIN surface: the distinct union of what the arms pushed,
+    // SORTED — hash-map iteration order would make EXPLAIN (and any
+    // golden-plan diff) nondeterministic across runs
     arms.flatMap(_.builder.pushedFilters.toSeq)
-      .groupBy(_.toString).map(_._2.head).toArray
+      .groupBy(_.toString).toSeq.sortBy(_._1).map(_._2.head).toArray
 
   override def build(): Scan = new SnapshotEvolvedScan(
     arms.map(a =>

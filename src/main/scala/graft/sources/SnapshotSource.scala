@@ -134,7 +134,11 @@ object SnapshotManifest {
     * chains whose early links no longer name a field).
     */
   def effectiveDataSchema(root: JPath, base: StructType): StructType = {
-    val recs = metaLines(root).flatMap { case (v, ls) =>
+    // ONE manifest-header sweep serves all three record kinds —
+    // metaLines re-opens every manifest per call, and this is the
+    // hottest metadata fold (every table load runs it)
+    val all = metaLines(root)
+    val recs = all.flatMap { case (v, ls) =>
       ls.find(_.startsWith("#schema\t")).map(l =>
         v -> l.stripPrefix("#schema\t"))
     }
@@ -144,15 +148,24 @@ object SnapshotManifest {
         val (v, json) = recs.maxBy(_._1)
         (v, DataType.fromJson(json).asInstanceOf[StructType])
       }
-    val renamed = renameEvents(root).filter(_._1 > schemaV)
-      .foldLeft(schema) { case (st, (_, old, nu)) =>
-        StructType(st.fields.map(f =>
-          if (f.name == old) f.copy(name = nu) else f))
+    val renames = all.sortBy(_._1).flatMap { case (v, ls) =>
+      ls.collect {
+        case l if l.startsWith("#rename\t") && v > schemaV =>
+          val body = l.stripPrefix("#rename\t")
+          val i = body.indexOf('\t')
+          (body.substring(0, i), body.substring(i + 1))
       }
+    }
+    val renamed = renames.foldLeft(schema) { case (st, (old, nu)) =>
+      StructType(st.fields.map(f =>
+        if (f.name == old) f.copy(name = nu) else f))
+    }
     // `#drop` tombstones subtract last: pre-drop footers keep the
     // column (readers simply never declare it), re-adds are refused,
     // so the set is monotone and order-free against renames
-    val dropped = droppedColumns(root)
+    val dropped = all.flatMap(_._2).collect {
+      case l if l.startsWith("#drop\t") => l.stripPrefix("#drop\t")
+    }.toSet
     if (dropped.isEmpty) renamed
     else StructType(renamed.fields.filterNot(f => dropped(f.name)))
   }
@@ -330,6 +343,23 @@ object SnapshotManifest {
       case l if l.startsWith("#checkdrop\t") =>
         l.stripPrefix("#checkdrop\t")
     }.toSet
+}
+
+/** The SAFE type-promotion table (the Iceberg set): the ONE source
+  * both the catalog's ALTER gate and the CAS retry loop's
+  * re-validation consult — two copies would drift, and the retry copy
+  * is the one that matters under races.
+  */
+object SnapshotWiden {
+  def safe(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => false // no-op spelled as DDL: refuse
+    case (ByteType | ShortType | IntegerType, LongType) => true
+    case (ByteType | ShortType, IntegerType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale == a.scale && b.precision > a.precision
+    case _ => false
+  }
 }
 
 /** METADATA-ONLY COLUMN RENAME (field-ID-style name mapping — the

@@ -45,7 +45,7 @@ class AnnRecallSpec extends SparkSpec {
     * near-random, which caps recall at ~the scanned fraction — a real
     * retrieval-quality regression is invisible against them. This
     * fixture has honest cluster structure: 16 deterministic unit
-    * centers (seeded Gaussians), vectors = center + σ=0.05 noise,
+    * centers (seeded Gaussians), vectors = center + σ=0.02 noise,
     * cluster membership hash-SCATTERED over vec_id so both the strided
     * IVF seeds (`vec_id % stride == 0`) and the `vec_id < 10` query
     * set land across clusters rather than inside one. On data like

@@ -138,6 +138,52 @@ class SnapshotWidenColumnSpec extends SparkSpec {
     assert(eKey.getMessage.contains("key column"), eKey.getMessage)
   }
 
+  test("decimal precision growth serves PRE-widening decimal DATA " +
+    "exactly, and wide decimals insert afterwards") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("wc_dec")
+    val root = base.resolve("t")
+    (1L to 90L).map(id => (id, s"d${id % 3}", BigDecimal(id) / 4))
+      .toDF("id", "day", "d")
+      .selectExpr("id", "day", "CAST(d AS DECIMAL(10,2)) AS d")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                          // v1
+    val cat = "wcdec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    spark.sql(s"ALTER TABLE $cat.`t` ALTER COLUMN d TYPE DECIMAL(20,2)")
+    // pre-widening files (physical DECIMAL(10,2)) read under (20,2):
+    // sum of id/4 at 2 dp — every addend exact
+    val preSum = spark.sql(s"SELECT SUM(d) AS s FROM $cat.`t`").head()
+      .getDecimal(0)
+    assert(preSum.compareTo(new java.math.BigDecimal("1023.75")) === 0,
+      s"pre-widening decimal data must read exactly, got $preSum")
+    // a value needing 20 digits of precision inserts post-widening
+    spark.sql(s"INSERT INTO $cat.`t` VALUES " +
+      "(200L, 'd0', CAST('123456789012345678.25' AS DECIMAL(20,2)), 'd0')")
+    val got = spark.sql(s"SELECT SUM(d) AS s FROM $cat.`t`").head()
+      .getDecimal(0)
+    assert(got.compareTo(
+      new java.math.BigDecimal("123456789012346702.00")) === 0,
+      s"got $got")
+  }
+
+  test("a widening delta carrying a layout MIRROR name refuses " +
+    "(it would publish a #schema colliding with the partition plane)") {
+    import spark.implicits._
+    val (root, _) = freshStore("wc_mirror")
+    val e = intercept[Exception] {
+      Seq((300L, "d0", 1, 1.0f, "d0"))
+        .toDF("id", "day", "n", "x", "day_p")
+        .write.format("graft-snapshot")
+        .option("keyCol", "id").option("partCol", "day")
+        .mode("append").save(root.toString)
+    }
+    assert(e.getMessage.contains("MIRROR"), e.getMessage)
+  }
+
   test("the widened schema survives vacuum and serves time travel") {
     import spark.implicits._
     val (root, cat) = freshStore("wc_vac")
