@@ -4096,14 +4096,19 @@ object SourceQueries {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
     s.sql(s"CALL $cat.evolve_partitioning('${root.getFileName}', " +
       "'o_orderstatus')")
-    ordersYmFrame(s, dir)
-      .filter(col("o_ym").between("1995-01", "1995-02") &&
-        col("o_orderkey") % 17 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * lit(1.5))
-      .write.format("graft-snapshot")
-      .option("keyCol", "o_orderkey").option("partCol", "o_ym")
-      .mode("append").save(root.toString)
     val tbl = s"$cat.`${root.getFileName}`"
+    // the two-month upsert goes through SQL INSERT on the UNMIGRATED
+    // evolved head (round 12): the staged write rides the door's
+    // migrate-on-touch commit — new rows lay out under (month, status)
+    // and exactly the touched months migrate
+    ordersYmFrame(s, dir).createOrReplaceTempView("graft_psr_orders")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5, o_ym,
+         |  o_ym, o_orderstatus
+         |FROM graft_psr_orders
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+         |  AND o_orderkey % 17 = 0""".stripMargin)
     s.sql(
       s"""SELECT 'head_f' AS arm, o_orderstatus,
          |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -186,7 +186,8 @@ final class GraftSnapshotCatalog extends TableCatalog
               return new SnapshotEvolvedV2Table(
                 s"$catName.${ident.name()}@$version-v$v",
                 SparkSession.active, broot, v,
-                SnapshotManifest.effectiveDataSchema(broot, meta.dataSchema),
+                meta.copy(dataSchema = SnapshotManifest
+                  .effectiveDataSchema(broot, meta.dataSchema)),
                 SnapshotManifest.partitionSpecs(broot, meta.partitionSchema),
                 pinned = true)
             val effective = meta.copy(
@@ -238,7 +239,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       return new SnapshotEvolvedV2Table(
         s"$catName.${ident.name()}@v$version", SparkSession.active, root,
         version,
-        SnapshotManifest.effectiveDataSchema(root, meta.dataSchema),
+        meta.copy(dataSchema =
+          SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)),
         SnapshotManifest.partitionSpecs(root, meta.partitionSchema),
         pinned = v.isDefined)
     // same latest-schema overlay as the DataFrame door: a widening

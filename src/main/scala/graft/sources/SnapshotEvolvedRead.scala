@@ -52,7 +52,7 @@ final class SnapshotEvolvedV2Table(
     spark: SparkSession,
     root: JPath,
     snapVersion: Int,
-    dataSchema: StructType,
+    meta: SnapshotMeta.Meta,
     specs: Seq[StructType],
     pinned: Boolean = false)
   extends Table
@@ -60,6 +60,7 @@ final class SnapshotEvolvedV2Table(
   with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  private val dataSchema: StructType = meta.dataSchema
   private val current: StructType = specs.last
 
   override def name(): String = tableName
@@ -98,15 +99,11 @@ final class SnapshotEvolvedV2Table(
     val droppedCols = SnapshotManifest.droppedColumns(root)
     if (droppedCols.nonEmpty)
       m.put("dropped_columns", droppedCols.toSeq.sorted.mkString(","))
-    SnapshotMeta.read(root).flatMap(_.keyCol)
-      .foreach(m.put("key_column", _))
+    meta.keyCol.foreach(m.put("key_column", _))
     m
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    // BATCH_WRITE is declared so INSERT reaches newWriteBuilder and
-    // gets the store's remedy message instead of a generic
-    // capability-check failure; the builder always refuses
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE)
 
@@ -118,13 +115,40 @@ final class SnapshotEvolvedV2Table(
   private def refuse(op: String): Nothing =
     throw new UnsupportedOperationException(
       s"$op on $tableName: version $snapVersion spans two partition " +
-        "layouts — reads are served by the union-of-specs scan, but a " +
-        "commit needs ONE current layout; converge with CALL " +
-        "migrate_layout first")
+        "layouts — reads are served by the union-of-specs scan and " +
+        "INSERT rides the door's migrate-on-touch commit, but a " +
+        "row-level rewrite needs ONE relation over one layout; " +
+        "converge with CALL migrate_layout first")
 
+  /** `INSERT INTO` WORKS on an unmigrated evolved head: the staged
+    * append write feeds the same [[graft.operators.SourceQueries
+    * .snapshotCommit]] door as the DataFrame writer, which already
+    * lays new rows out under the CURRENT spec and MIGRATES exactly
+    * the old-spec partitions it touches — SQL inserts are how a head
+    * converges, refusing them would be backwards. The keyed-upsert
+    * semantics, mirror-vs-source check, and CAS publish are identical
+    * to the single-layout table's INSERT. OVERWRITE stays refused by
+    * capability (replacing a partition needs one layout to scope it),
+    * and UPDATE/MERGE/rewrite-DELETE refuse below (the group rewrite
+    * needs one single-layout relation to scan).
+    */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder = refuse("DML")
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (pinned) throw new UnsupportedOperationException(
+      s"writing on a VERSION/TIMESTAMP AS OF reference: snapshot " +
+        "history is immutable — run DML against the bare (head) table")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new SnapshotAppendWrite(spark, root,
+          meta.copy(partitionSchema = current),
+          Map("path" -> root.toString,
+            "keyCol" -> meta.keyCol.getOrElse("o_orderkey"),
+            "partCols" -> current.fieldNames.toSeq
+              .map(_.stripSuffix("_p")).mkString(",")),
+          info)
+    }
+  }
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)

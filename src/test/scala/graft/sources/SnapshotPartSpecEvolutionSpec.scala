@@ -139,12 +139,24 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     // union-of-specs scan instead of refusing (the Iceberg behavior)
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`t`")
       .head().getLong(0) === 120L)
-    // DML stays refused until migrate_layout converges the head
+    // INSERT rides the door's migrate-on-touch commit: the upserted
+    // day migrates to (day, etype), everything else stays old-spec
+    spark.sql(s"INSERT INTO $cat.`t` VALUES " +
+      "(200L, 't0', 'd0', 1200.0, 'd0', 't0')")
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) AS s " +
+      s"FROM $cat.`t`").head().getLong(0) === (1L to 120L).sum + 1200L)
+    assert(SnapshotManifest.read(root, SnapshotManifest.head(root))
+      .keySet.filter(_.startsWith("d0")) === Set("d0/t0", "d0/t1"),
+      "the SQL insert must migrate the touched day to the current spec")
+    // row-level DML stays refused until migrate_layout converges
     val e1 = intercept[Exception] {
       spark.sql(s"DELETE FROM $cat.`t` WHERE id = 3")
     }
     assert(e1.getMessage.contains("migrate_layout"),
-      s"DML must refuse with the remedy, got: ${e1.getMessage}")
+      s"row-level DML must refuse with the remedy, got: ${e1.getMessage}")
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.`t` SET v = 0.0 WHERE id = 1")
+    }
     val e2 = intercept[Exception] {
       spark.read.format("graft-snapshot").load(root.toString).count()
     }
