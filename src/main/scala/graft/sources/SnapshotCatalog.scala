@@ -316,8 +316,19 @@ final class GraftSnapshotCatalog extends TableCatalog
           "migrate_layout(table[, max_partitions])")
     }
 
-  private[sources] def resolveRoot(table: String): JPath =
-    rootOf(Identifier.of(Array.empty, table))
+  /** Procedure-arg table resolution: a dotted name resolves exactly
+    * like a SQL multipart identifier, so every maintenance procedure
+    * also targets a BRANCH mini-store via the Iceberg branch-table
+    * spelling — `CALL snap.evolve_partitioning('t.branch_dev', …)`
+    * stages a spec evolution on the branch, `migrate_layout`
+    * converges it there, `history`/`vacuum`/`compact` operate on the
+    * branch root. Without this, fastforward's branch-staged
+    * `#partspec` carry had no public door that could stage one.
+    */
+  private[sources] def resolveRoot(table: String): JPath = {
+    val parts = table.split("\\.")
+    rootOf(Identifier.of(parts.dropRight(1), parts.last))
+  }
 
   /** Root for a table that must NOT exist yet (clone targets). Names
     * are validated like tags/branches — an unvalidated `../…` target

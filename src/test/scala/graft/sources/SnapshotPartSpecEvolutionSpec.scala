@@ -400,6 +400,47 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
       s"FROM $cat.`t`").head().getLong(0) === (1L to 120L).sum + 9L)
   }
 
+  test("branch-staged spec evolution: procedures target t.branch_dev, " +
+    "the mixed branch head serves reads+INSERT, fastforward publishes " +
+    "the staged spec to main") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_br")
+    spark.sql(s"CALL $cat.branch('t', 'dev')")
+    // stage the evolution ON THE BRANCH (round 12: dotted procedure
+    // args resolve like multipart identifiers) — main stays 1-spec
+    spark.sql(s"CALL $cat.evolve_partitioning('t.branch_dev', 'etype')")
+    val meta = SnapshotMeta.read(root).get
+    assert(SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
+      .map(_.length) === Seq(1), "staging must not leak to main")
+    // INSERT through the branch table migrates the touched day there
+    spark.sql(s"INSERT INTO $cat.`t`.`branch_dev` VALUES " +
+      "(200L, 't0', 'd0', 1200.0, 'd0', 't0')")
+    val broot = SnapshotBranches.root(root, "dev")
+    assert(SnapshotManifest.read(broot, SnapshotManifest.head(broot))
+      .keySet.filter(_.startsWith("d0")) === Set("d0/t0", "d0/t1"))
+    // the mixed branch head serves the union read via both spellings
+    assert(spark.sql(
+      s"SELECT CAST(SUM(v) AS BIGINT) AS s FROM $cat.`t`.`branch_dev`")
+      .head().getLong(0) === (1L to 120L).sum + 1200L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $cat.`t` VERSION AS OF 'dev' " +
+        "WHERE etype_p = 't0'").head().getLong(0) ===
+      (1L to 120L).count(_ % 2 == 0) + 1L)
+    // converge the branch, then publish: main gets the staged spec
+    spark.sql(s"CALL $cat.migrate_layout('t.branch_dev', 100)")
+    spark.sql(s"CALL $cat.fastforward('t', 'dev')")
+    assert(SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
+      .map(_.length) === Seq(1, 2),
+      "fastforward must carry the branch-staged #partspec")
+    val got = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(v) AS BIGINT) AS sv
+         |FROM $cat.`t` WHERE etype_p = 't0'""".stripMargin).head()
+    val evens = (1L to 120L).filter(_ % 2 == 0)
+    assert(got.getLong(0) === evens.length + 1L)
+    assert(got.getLong(1) === evens.map(_.toDouble).sum.toLong + 1200L)
+  }
+
   test("vacuum preserves #partspec records past manifest expiry") {
     import spark.implicits._
     val (root, cat) = freshStore("pse_vac")
