@@ -154,6 +154,32 @@ class SnapshotDropColumnSpec extends SparkSpec {
       SnapshotManifest.head(root)).count() === 121L)
   }
 
+  test("DROP COLUMN on a MIXED-arity evolved head: the union scan " +
+    "serves the subtracted schema across both arms") {
+    import spark.implicits._
+    val (root, cat) = freshStore("dc_evo")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")     // v2
+    // touch d0 so the head MIXES migrated and old-spec partitions
+    Seq((200L, "t0", "d0", 1200.0)).toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                         // v3
+    // drop a non-layout column while the head is still unmigrated:
+    // the DDL resolves against the evolved table, the tombstone
+    // publishes, and the union scan stops declaring the name on BOTH
+    // arms (old-spec footers keep it, migrated files keep it — no
+    // reader sees it)
+    spark.sql(s"ALTER TABLE $cat.`t` DROP COLUMN v")              // v4
+    val df = spark.sql(s"SELECT * FROM $cat.`t` WHERE etype_p = 't0'")
+    assert(df.columns.toSeq ===
+      Seq("id", "etype", "day", "day_p", "etype_p"))
+    assert(df.count() === (1L to 120L).count(_ % 2 == 0) + 1L)
+    // and the DataFrame union door agrees
+    val un = SnapshotTable.read(spark, root, SnapshotManifest.head(root))
+    assert(!un.columns.contains("v"))
+    assert(un.count() === 121L)
+  }
+
   test("clone carries the tombstone; branch-staged drops fastforward " +
     "to main") {
     import spark.implicits._
