@@ -184,6 +184,32 @@ class SnapshotWidenColumnSpec extends SparkSpec {
     assert(e.getMessage.contains("MIRROR"), e.getMessage)
   }
 
+  test("widening a RENAMED column composes: old footers carry the " +
+    "FORMER name at the narrow physical type, read upcast under the " +
+    "current name") {
+    import spark.implicits._
+    val (root, cat) = freshStore("wc_ren")
+    spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN n TO cnt")      // v2
+    spark.sql(s"ALTER TABLE $cat.`t` ALTER COLUMN cnt TYPE BIGINT") // v3
+    // post-both upsert: wide value under the NEW name; d0's kept rows
+    // rewrite post-rename/post-widening, d1/d2 keep files whose
+    // footers say `n` (int32)
+    Seq((200L, "d0", 10_000_000_000L, 0.5f))
+      .toDF("id", "day", "cnt", "x")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                          // v4
+    // both doors: the coalesce fold reads footer `n` (int32) AND
+    // footer `cnt` (int64) into one declared BIGINT `cnt`
+    val df = SnapshotTable.read(spark, root, 4)
+    assert(df.schema("cnt").dataType.simpleString === "bigint")
+    assert(df.agg(sum(col("cnt"))).head().getLong(0) ===
+      (1L to 120L).sum + 10_000_000_000L)
+    assert(spark.sql(s"SELECT CAST(SUM(cnt) AS BIGINT) AS s " +
+      s"FROM $cat.`t` WHERE cnt > 100").head().getLong(0) ===
+      (101L to 120L).sum + 10_000_000_000L)
+  }
+
   test("the widened schema survives vacuum and serves time travel") {
     import spark.implicits._
     val (root, cat) = freshStore("wc_vac")
