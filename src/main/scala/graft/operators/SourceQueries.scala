@@ -2087,6 +2087,34 @@ object SourceQueries {
     * lesson): a racing rename/drop/widen re-reads the effective
     * schema, so the published record is a superset of whatever won.
     */
+  /** `CREATE TABLE` bootstrap (round 12): an EMPTY store with its
+    * layout declared up front — `table.meta` (data schema, mirror
+    * partition schema, upsert key) plus an empty v1 manifest through
+    * the same link(2) CAS as every commit (of N racing creators
+    * exactly one publishes v1; the rest see the conflict and the
+    * catalog's existence check). The first INSERT/append then commits
+    * v2 through the ordinary door — CTAS is exactly this plus Spark's
+    * append. An empty sidecar rides along so v1 reads list zero files
+    * without falling back to directory listing.
+    */
+  private[graft] def snapshotCreateTable(root: java.nio.file.Path,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      keyCol: String): Unit = {
+    java.nio.file.Files.createDirectories(root)
+    graft.sources.SnapshotMeta.write(root,
+      graft.sources.SnapshotMeta.Meta(partitionSchema, dataSchema,
+        Some(keyCol)))
+    try writeManifest(root, 1, Map.empty)
+    catch {
+      // a racing creator already published the identical empty v1:
+      // CREATE is idempotent on content, the catalog's existence
+      // check arbitrates the DDL-level race
+      case _: SnapshotConflictException => ()
+    }
+    graft.sources.SnapshotFiles.write(root, 1, Nil)
+  }
+
   private[graft] def snapshotWidenColumn(s: SparkSession,
       root: java.nio.file.Path, name: String,
       to: org.apache.spark.sql.types.DataType): Unit = {
@@ -4177,6 +4205,64 @@ object SourceQueries {
          |GROUP BY SUBSTRING(o_ym_p, 1, 4)""".stripMargin)
   }
 
+  /** SQL `CREATE TABLE` / CTAS end to end (round 12): the catalog
+    * bootstraps an EMPTY keyed store from DDL — previously only
+    * `df.write` could — so a SQL-only user gets the full lifecycle:
+    * CTAS declares the layout (`PARTITIONED BY (o_ym_p)`) and key
+    * (`TBLPROPERTIES ('key_column'='o_orderkey')`) and lands the
+    * seed rows as the first commit through the ordinary write door;
+    * a second INSERT exercises the keyed-upsert semantics the
+    * property declared (same keys replace, new keys append). The head
+    * aggregate carries the exact version count, so a CTAS that
+    * double-committed, an upsert that duplicated keys, or layout
+    * values that landed in the wrong partition all hash-mismatch the
+    * relational replay. At 100 TB: CREATE is O(1) metadata; CTAS
+    * costs exactly its SELECT plus the door's one-commit publish.
+    */
+  def sqlCreateTable(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_ct")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snapct_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    ordersYmFrame(s, dir).createOrReplaceTempView("graft_ct_orders")
+    val tbl = s"$cat.`orders_ct`"
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |PARTITIONED BY (o_ym_p)
+         |TBLPROPERTIES ('key_column' = 'o_orderkey')
+         |AS SELECT o_orderkey, o_orderstatus, o_totalprice, o_ym,
+         |  o_ym AS o_ym_p
+         |FROM graft_ct_orders
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'""".stripMargin)
+    // upsert proof: re-price two months' %17 keys, add synthetic rows
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5, o_ym,
+         |  o_ym
+         |FROM graft_ct_orders
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+         |  AND o_orderkey % 17 = 0
+         |UNION ALL
+         |SELECT -o_orderkey, o_orderstatus, o_totalprice + 1.0, o_ym,
+         |  o_ym
+         |FROM graft_ct_orders
+         |WHERE o_ym = '1995-03' AND o_orderkey % 701 = 0""".stripMargin)
+    val head = graft.sources.SnapshotManifest.head(
+      base.resolve("orders_ct"))
+    s.sql(
+      s"""SELECT $head AS head_version, o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** SAFE TYPE WIDENING end to end (round 12, VERDICT r11 #5 — the
     * Iceberg safe-promotion set as a `#schema` overlay): bootstrap a
     * store carrying an INT day-of-month and a FLOAT price, widen both
@@ -4798,6 +4884,7 @@ object SourceQueries {
     "sql_partspec_read"       -> sqlPartspecRead _,
     "sql_drop_column"         -> sqlDropColumn _,
     "sql_widen_column"        -> sqlWidenColumn _,
+    "sql_create_table"        -> sqlCreateTable _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -5156,6 +5243,37 @@ object SourceQueries {
         |  CAST(SUM(CASE WHEN o_price_f >= 100000.0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_expensive
         |FROM head GROUP BY o_ym""".stripMargin,
+    // CTAS + keyed-upsert INSERT replay: CTAS seeds H1-1995, the
+    // INSERT re-prices two months' %17 keys and appends negative-key
+    // synthetics; head is exactly 3 (CREATE's empty v1 + the CTAS
+    // seed commit + one INSERT)
+    "sql_create_table" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m')
+        |    BETWEEN '1995-01' AND '1995-06'),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 17 = 0),
+        |ins AS (
+        |  SELECT -o_orderkey AS o_orderkey, o_orderstatus,
+        |    o_totalprice + 1.0 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym = '1995-03' AND o_orderkey % 701 = 0),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT 3 AS head_version, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head GROUP BY o_orderstatus""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

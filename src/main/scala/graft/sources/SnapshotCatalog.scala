@@ -344,12 +344,72 @@ final class GraftSnapshotCatalog extends TableCatalog
     root
   }
 
+  /** `CREATE TABLE snap.t (…) PARTITIONED BY (col_p, …)
+    * TBLPROPERTIES ('key_column'='k')` — SQL bootstrap of an EMPTY
+    * store (round 12; previously only `df.write` could bootstrap).
+    * The column list includes the layout MIRRORS (the SQL table
+    * schema always has — they're what `PARTITIONED BY` names), each
+    * an identity transform over a `<source>_p` column whose source
+    * column exists at the same type; `key_column` declares the
+    * upsert/delete key, required (the store is primary-keyed by
+    * construction — an implicit default would silently bind DML
+    * semantics). CTAS works as this plus Spark's append through the
+    * ordinary write door; a failed CTAS cleans up through
+    * [[dropTable]].
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "read-only catalog: bootstrap stores through " +
-        "df.write.format(\"graft-snapshot\")")
+      properties: util.Map[String, String]): Table = {
+    val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
+      .resolve(ident.name())
+    if (JFiles.isDirectory(root.resolve("manifests")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.namespace() :+ ident.name())
+    require(ident.name().matches("[A-Za-z][A-Za-z0-9_-]*"),
+      s"invalid table name: '${ident.name()}'")
+    require(partitions.nonEmpty,
+      "the store is partition-laid-out by construction: declare at " +
+        "least one PARTITIONED BY (<source>_p) mirror column")
+    val mirrors = partitions.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"only identity partition transforms are supported: $other")
+    }
+    mirrors.foreach { m =>
+      require(m.endsWith("_p") && m.length > 2,
+        s"partition column $m must be a '<source>_p' MIRROR (the " +
+          "store derives layout values from source columns by name)")
+      val src = m.stripSuffix("_p")
+      val srcField = schema.find(_.name == src).getOrElse(
+        throw new IllegalArgumentException(
+          s"mirror $m has no source column $src in the schema"))
+      val mField = schema.find(_.name == m).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $m is not in the column list"))
+      require(mField.dataType == srcField.dataType,
+        s"mirror $m (${mField.dataType.simpleString}) must have its " +
+          s"source's type (${srcField.dataType.simpleString})")
+    }
+    val key = Option(properties.get("key_column")).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs TBLPROPERTIES ('key_column'='<col>'): the " +
+          "store is primary-keyed — INSERT is an upsert on this column"))
+    require(schema.fieldNames.contains(key),
+      s"key_column '$key' is not in the column list")
+    require(!mirrors.contains(key),
+      s"key_column '$key' cannot be a layout mirror")
+    val mirrorSet = mirrors.toSet
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => mirrorSet(f.name)))
+    require(dataSchema.nonEmpty, "no data columns besides the layout")
+    val partitionSchema = StructType(
+      mirrors.map(m => schema(schema.fieldIndex(m)).copy(nullable = true)))
+    graft.operators.SourceQueries.snapshotCreateTable(
+      root, dataSchema, partitionSchema, key)
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — the one DDL the store's
     * append-only discipline admits: a schema-only widening commit
@@ -657,11 +717,27 @@ final class GraftSnapshotCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  /** `DROP TABLE snap.t` — deletes the store (manifests, data dirs,
+    * refs, branches: the whole root). Standard DSv2 semantics, and
+    * what makes a failed (non-atomic) CTAS clean up after itself.
+    */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+    try {
+      val root = rootOf(ident)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      true
+    } catch { case _: NoSuchTableException => false }
 
+  /** Table RENAME stays refused honestly: the stats sidecars and the
+    * Bloom index store ABSOLUTE file paths — a directory move would
+    * leave every `v<N>.files` entry pointing at dead paths (a read
+    * failure, not a graceful degrade). Spell it as CALL clone + DROP.
+    */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported: the stats sidecar and Bloom " +
+        "index bind to absolute paths — use CALL clone(old, new) " +
+        "(zero-copy hard links) then DROP TABLE old")
 }
 
 /** One snapshot version as a DSv2 table: `FileTable` over a

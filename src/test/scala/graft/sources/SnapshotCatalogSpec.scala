@@ -129,12 +129,23 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
-  test("DDL stays unsupported: DROP is refused") {
-    val drop = intercept[Exception] {
-      spark.sql(s"DROP TABLE $tbl")
+  test("DROP TABLE deletes a store; RENAME refuses with the " +
+    "clone+drop remedy") {
+    // round 12: DROP TABLE works (SnapshotCreateTableSpec owns the
+    // full CREATE/CTAS/DROP surface) — exercise it on a THROWAWAY
+    // store, never the suite's shared fixture
+    val droppable = root.getParent.resolve("droppable_store")
+    import spark.implicits._
+    Seq((1L, "x", 1.0)).toDF("k", "d", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "k").option("partCol", "d")
+      .mode("append").save(droppable.toString)
+    spark.sql(s"DROP TABLE $cat.`droppable_store`")
+    assert(!java.nio.file.Files.exists(droppable))
+    val ren = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl RENAME TO $cat.`elsewhere`")
     }
-    assert(drop.getMessage.contains("read-only") ||
-      drop.getMessage.toLowerCase.contains("not support"))
+    assert(ren.getMessage.contains("clone"), ren.getMessage)
   }
 
   // ---- the SQL DML door (own store: DML advances versions, and the

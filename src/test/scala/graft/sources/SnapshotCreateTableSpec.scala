@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SQL `CREATE TABLE` / CTAS / `DROP TABLE` on the snapshot catalog
+  * (round 12 — previously only `df.write` could bootstrap a store):
+  *
+  *  1. CREATE TABLE publishes table.meta + an empty v1 manifest; both
+  *     doors read it empty; INSERT commits v2 with keyed-upsert
+  *     semantics; row-level DML works immediately;
+  *  2. CTAS = CREATE + append through the ordinary write door;
+  *  3. refusals: missing/invalid key_column, non-mirror partition
+  *     columns, sourceless or type-mismatched mirrors, duplicate
+  *     CREATE; DROP TABLE deletes the store and re-CREATE works;
+  *     RENAME TABLE refuses with the clone+drop remedy.
+  */
+class SnapshotCreateTableSpec extends SparkSpec {
+
+  private def freshCat(name: String): (java.nio.file.Path, String) = {
+    val base = java.nio.file.Files.createTempDirectory(name)
+    val cat = name.replaceAll("[^A-Za-z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    (base, cat)
+  }
+
+  test("CREATE TABLE bootstraps an empty keyed store; INSERT upserts; " +
+    "UPDATE works; both doors serve it") {
+    val (base, cat) = freshCat("ct_main")
+    spark.sql(
+      s"""CREATE TABLE $cat.`t`
+         |  (id BIGINT, day STRING, v DOUBLE, day_p STRING)
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    val root = base.resolve("t")
+    assert(SnapshotManifest.head(root) === 1)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`t`")
+      .head().getLong(0) === 0L)
+    assert(SnapshotTable.read(spark, root, 1).count() === 0L)
+    // first INSERT commits v2; a same-key re-INSERT is an upsert
+    spark.sql(s"INSERT INTO $cat.`t` VALUES " +
+      "(1L, 'd0', 1.0, 'd0'), (2L, 'd1', 2.0, 'd1')")
+    spark.sql(s"INSERT INTO $cat.`t` VALUES (1L, 'd0', 10.0, 'd0')")
+    val got = spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) AS s, " +
+      s"COUNT(*) AS n FROM $cat.`t`").head()
+    assert(got.getLong(0) === 12L, "INSERT must upsert on the key")
+    assert(got.getLong(1) === 2L)
+    // the whole DML plane binds immediately (key from table.meta)
+    spark.sql(s"UPDATE $cat.`t` SET v = v + 1.0 WHERE id = 2")
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 2")
+      .head().getDouble(0) === 3.0)
+    // DESCRIBE surfaces the declared key
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.`t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("Table Properties").exists(_.contains("key_column=id")),
+      s"missing key fact: $props")
+  }
+
+  test("CTAS: CREATE TABLE ... AS SELECT bootstraps and loads in one " +
+    "statement") {
+    import spark.implicits._
+    val (_, cat) = freshCat("ct_ctas")
+    (1L to 60L).map(i => (i, s"d${i % 3}", i.toDouble))
+      .toDF("id", "day", "v").createOrReplaceTempView("ct_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.`t2`
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id')
+         |AS SELECT id, day, v, day AS day_p FROM ct_src""".stripMargin)
+    val got = spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) AS s, " +
+      s"COUNT(*) AS n FROM $cat.`t2` WHERE day_p = 'd1'").head()
+    val ids = (1L to 60L).filter(_ % 3 == 1)
+    assert(got.getLong(0) === ids.sum)
+    assert(got.getLong(1) === ids.length.toLong)
+  }
+
+  test("refusals, DROP TABLE, re-CREATE, RENAME remedy") {
+    val (base, cat) = freshCat("ct_ref")
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.contains(frag), s"$sql → ${e.getMessage}")
+    }
+    refuse(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING, d_p STRING) " +
+      "PARTITIONED BY (d_p)", "key_column")
+    refuse(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING, d_p STRING) " +
+      "PARTITIONED BY (d_p) TBLPROPERTIES ('key_column'='nope')",
+      "not in the column list")
+    refuse(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING) " +
+      "PARTITIONED BY (d) TBLPROPERTIES ('key_column'='id')",
+      "MIRROR")
+    refuse(s"CREATE TABLE $cat.`a` (id BIGINT, x_p STRING) " +
+      "PARTITIONED BY (x_p) TBLPROPERTIES ('key_column'='id')",
+      "no source column")
+    refuse(s"CREATE TABLE $cat.`a` (id BIGINT, d INT, d_p STRING) " +
+      "PARTITIONED BY (d_p) TBLPROPERTIES ('key_column'='id')",
+      "source's type")
+    refuse(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING, d_p STRING) " +
+      "TBLPROPERTIES ('key_column'='id')", "PARTITIONED BY")
+    // a good one, then duplicate-create refuses
+    spark.sql(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING, d_p STRING) " +
+      "PARTITIONED BY (d_p) TBLPROPERTIES ('key_column'='id')")
+    spark.sql(s"INSERT INTO $cat.`a` VALUES (1L, 'x', 'x')")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING, d_p STRING) " +
+        "PARTITIONED BY (d_p) TBLPROPERTIES ('key_column'='id')")
+    }
+    // DROP deletes the store; re-CREATE starts fresh
+    spark.sql(s"DROP TABLE $cat.`a`")
+    assert(!java.nio.file.Files.exists(base.resolve("a")))
+    spark.sql(s"CREATE TABLE $cat.`a` (id BIGINT, d STRING, d_p STRING) " +
+      "PARTITIONED BY (d_p) TBLPROPERTIES ('key_column'='id')")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`a`")
+      .head().getLong(0) === 0L)
+    refuse(s"ALTER TABLE $cat.`a` RENAME TO $cat.`b`", "clone")
+  }
+}
