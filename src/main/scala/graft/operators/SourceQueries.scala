@@ -2102,15 +2102,27 @@ object SourceQueries {
       partitionSchema: org.apache.spark.sql.types.StructType,
       keyCol: String): Unit = {
     java.nio.file.Files.createDirectories(root)
-    graft.sources.SnapshotMeta.write(root,
+    // if-absent meta publish arbitrates racing CREATEs (and a CREATE
+    // racing a df.write bootstrap): of two creators with DIFFERENT
+    // schemas, exactly one places table.meta — a replace-existing
+    // write here would let the LOSER clobber the winner's declared
+    // schema and key after both reported success
+    try graft.sources.SnapshotMeta.writeIfAbsent(root,
       graft.sources.SnapshotMeta.Meta(partitionSchema, dataSchema,
         Some(keyCol)))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(Seq(root.getFileName.toString))
+    }
     try writeManifest(root, 1, Map.empty)
     catch {
-      // a racing creator already published the identical empty v1:
-      // CREATE is idempotent on content, the catalog's existence
-      // check arbitrates the DDL-level race
-      case _: SnapshotConflictException => ()
+      // someone published v1 between our meta write and this link — a
+      // racing bootstrap committed real data; refuse loudly rather
+      // than report a CREATE that didn't happen
+      case _: SnapshotConflictException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(Seq(root.getFileName.toString))
     }
     graft.sources.SnapshotFiles.write(root, 1, Nil)
   }

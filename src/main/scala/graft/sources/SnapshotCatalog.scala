@@ -70,7 +70,22 @@ final class GraftSnapshotCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_TABLE_CONSTRAINT)
 
+  /** Every identifier segment must be a plain directory name: `..`,
+    * `.`, separators, or empty segments would make warehouse-relative
+    * resolution escape the warehouse — harmless when resolution only
+    * READ, but [[dropTable]] deletes what resolves and
+    * [[createTable]] writes there, so the gate is load-bearing.
+    */
+  private def validateSegments(ident: Identifier): Unit =
+    (ident.namespace() :+ ident.name()).foreach { seg =>
+      require(seg.nonEmpty && seg != "." && seg != ".." &&
+          !seg.contains('/') && !seg.contains('\\'),
+        s"invalid identifier segment '$seg' in " +
+          (ident.namespace() :+ ident.name()).mkString("."))
+    }
+
   private def rootOf(ident: Identifier): JPath = {
+    validateSegments(ident)
     val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
       .resolve(ident.name())
     if (JFiles.isDirectory(root.resolve("manifests"))) root
@@ -316,19 +331,28 @@ final class GraftSnapshotCatalog extends TableCatalog
           "migrate_layout(table[, max_partitions])")
     }
 
-  /** Procedure-arg table resolution: a dotted name resolves exactly
-    * like a SQL multipart identifier, so every maintenance procedure
-    * also targets a BRANCH mini-store via the Iceberg branch-table
-    * spelling — `CALL snap.evolve_partitioning('t.branch_dev', …)`
-    * stages a spec evolution on the branch, `migrate_layout`
-    * converges it there, `history`/`vacuum`/`compact` operate on the
-    * branch root. Without this, fastforward's branch-staged
-    * `#partspec` carry had no public door that could stage one.
+  /** Procedure-arg table resolution. The WHOLE string is tried as the
+    * table name first — dotted table names are legal (clone targets
+    * allow them), and splitting eagerly would strand e.g. a table
+    * named `archive.2025` beyond every maintenance procedure. Only
+    * when no such table exists does a dotted arg resolve like a SQL
+    * multipart identifier, which is what lets procedures target a
+    * BRANCH mini-store via the Iceberg branch-table spelling —
+    * `CALL snap.evolve_partitioning('t.branch_dev', …)` stages a spec
+    * evolution on the branch, `migrate_layout` converges it there,
+    * `history`/`vacuum`/`compact` operate on the branch root. Without
+    * this, fastforward's branch-staged `#partspec` carry had no
+    * public door that could stage one.
     */
-  private[sources] def resolveRoot(table: String): JPath = {
-    val parts = table.split("\\.")
-    rootOf(Identifier.of(parts.dropRight(1), parts.last))
-  }
+  private[sources] def resolveRoot(table: String): JPath =
+    try rootOf(Identifier.of(Array.empty, table))
+    catch {
+      case e: NoSuchTableException =>
+        val parts = table.split("\\.")
+        if (parts.length < 2 || parts.exists(_.isEmpty)) throw e
+        try rootOf(Identifier.of(parts.dropRight(1), parts.last))
+        catch { case _: NoSuchTableException => throw e }
+    }
 
   /** Root for a table that must NOT exist yet (clone targets). Names
     * are validated like tags/branches — an unvalidated `../…` target
@@ -360,6 +384,7 @@ final class GraftSnapshotCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
+    validateSegments(ident)
     val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
       .resolve(ident.name())
     if (JFiles.isDirectory(root.resolve("manifests")))
@@ -808,12 +833,11 @@ final class SnapshotV2Table(
     // dropped-column tombstones — a mixed-arity spec-evolved VERSION
     // is served by SnapshotEvolvedV2Table, which surfaces its own
     // partition_spec_evolution property
-    val chains = SnapshotManifest.renameChains(root)
+    val (chains, droppedCols) = SnapshotManifest.nameFacts(root)
     if (chains.nonEmpty)
       m.put("renamed_columns", chains.toSeq.sortBy(_._1)
         .map { case (cur, formers) =>
           s"$cur<-${formers.mkString("<-")}" }.mkString(","))
-    val droppedCols = SnapshotManifest.droppedColumns(root)
     if (droppedCols.nonEmpty)
       m.put("dropped_columns", droppedCols.toSeq.sorted.mkString(","))
     m

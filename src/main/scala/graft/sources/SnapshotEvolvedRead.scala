@@ -34,12 +34,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    a filter one arm could not translate still evaluates exactly
   *    above the union.
   *
-  * DML stays refused ([[SnapshotEvolvedV2Table.newWriteBuilder]]): a
-  * commit needs ONE current layout to lay rows out under — the remedy
-  * is `CALL migrate_layout`, same message as before. Rename history
-  * composes: each arm reads footer-facing physical names and the
-  * per-arm row projection folds the coalesce mapping together with the
-  * mirror derivation (one codegen'd `UnsafeProjection` per arm).
+  * `INSERT INTO` works too ([[SnapshotEvolvedV2Table.newWriteBuilder]]
+  * rides the door's migrate-on-touch commit — inserts are how a head
+  * converges); OVERWRITE and row-level DML stay refused with the
+  * `CALL migrate_layout` remedy (a group rewrite needs one
+  * single-layout relation to scan). Rename history composes: each arm
+  * reads footer-facing physical names and the per-arm row projection
+  * folds the coalesce mapping together with the mirror derivation
+  * (one codegen'd `UnsafeProjection` per arm).
   *
   * At 100 TB this plans exactly like the single-layout door, twice:
   * per-arm manifest pruning (sidecar-served listings, zero
@@ -89,14 +91,14 @@ final class SnapshotEvolvedV2Table(
     // how many arms serve it)
     m.put("partition_spec_evolution",
       specs.map(_.fieldNames.mkString("(", ",", ")")).mkString(" -> "))
-    val chains = SnapshotManifest.renameChains(root)
+    // DESCRIBE parity with the single-layout table (the tombstone and
+    // key facts must not disappear mid-evolution) — one header sweep
+    // serves both folds
+    val (chains, droppedCols) = SnapshotManifest.nameFacts(root)
     if (chains.nonEmpty)
       m.put("renamed_columns", chains.toSeq.sortBy(_._1)
         .map { case (cur, formers) =>
           s"$cur<-${formers.mkString("<-")}" }.mkString(","))
-    // DESCRIBE parity with the single-layout table: the tombstone and
-    // key facts must not disappear while the head is mid-evolution
-    val droppedCols = SnapshotManifest.droppedColumns(root)
     if (droppedCols.nonEmpty)
       m.put("dropped_columns", droppedCols.toSeq.sorted.mkString(","))
     meta.keyCol.foreach(m.put("key_column", _))

@@ -189,11 +189,31 @@ object SnapshotManifest {
     * written. a→b then b→c folds to `c -> [a, b]`.
     */
   def renameChains(root: JPath): Map[String, Seq[String]] =
-    renameEvents(root).foldLeft(Map.empty[String, Seq[String]]) {
-      case (m, (_, old, nu)) =>
+    nameFacts(root)._1
+
+  /** (rename chains, dropped names) from ONE manifest-header sweep —
+    * the consumers that need both (DESCRIBE properties, the re-add
+    * refusal set) would otherwise re-open every manifest twice.
+    */
+  def nameFacts(root: JPath): (Map[String, Seq[String]], Set[String]) = {
+    val all = metaLines(root).sortBy(_._1)
+    val chains = all.flatMap { case (_, ls) =>
+      ls.collect {
+        case l if l.startsWith("#rename\t") =>
+          val body = l.stripPrefix("#rename\t")
+          val i = body.indexOf('\t')
+          (body.substring(0, i), body.substring(i + 1))
+      }
+    }.foldLeft(Map.empty[String, Seq[String]]) {
+      case (m, (old, nu)) =>
         val formers = m.getOrElse(old, Seq.empty) :+ old
         (m - old) + (nu -> formers)
     }
+    val dropped = all.flatMap(_._2).collect {
+      case l if l.startsWith("#drop\t") => l.stripPrefix("#drop\t")
+    }.toSet
+    (chains, dropped)
+  }
 
   /** `#drop\t<name>` events — metadata-only DROP COLUMN tombstones,
     * version order. Re-ADD of a dropped name is refused at every
@@ -220,9 +240,8 @@ object SnapshotManifest {
     * resurrect them through footer reads.
     */
   def droppedFooterNames(root: JPath): Set[String] = {
-    val chains = renameChains(root)
-    droppedColumns(root).flatMap(d =>
-      (d +: chains.getOrElse(d, Seq.empty)).toSet)
+    val (chains, dropped) = nameFacts(root)
+    dropped.flatMap(d => (d +: chains.getOrElse(d, Seq.empty)).toSet)
   }
 
   /** PARTITION-SPEC EVOLUTION (the Iceberg spec-v2 shape, scoped to
@@ -701,6 +720,27 @@ object SnapshotMeta {
     JFiles.move(tmp, file(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The CREATE TABLE flavor: place `table.meta` only if the store has
+    * none — racing CREATEs declare potentially DIFFERENT schemas/keys,
+    * so last-writer-wins replace (fine for the write door's identical
+    * re-bootstraps) would let a losing CREATE silently clobber the
+    * winner's declaration. link(2) refuses on an existing target, the
+    * same primitive the manifest CAS arbitrates with.
+    */
+  def writeIfAbsent(root: JPath, m: Meta): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("partitionSchema" -> m.partitionSchema.json) ~
+      ("dataSchema" -> m.dataSchema.json) ~
+      ("keyCol" -> m.keyCol)
+    val tmp = root.resolve(
+      s".table.meta.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.write(tmp,
+      JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
+    try JFiles.createLink(file(root), tmp)
+    finally JFiles.deleteIfExists(tmp)
   }
 
   def read(root: JPath): Option[Meta] = {

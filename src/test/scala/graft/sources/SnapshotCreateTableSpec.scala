@@ -77,6 +77,65 @@ class SnapshotCreateTableSpec extends SparkSpec {
     assert(got.getLong(1) === ids.length.toLong)
   }
 
+  test("identifier hygiene: traversal segments refuse everywhere; " +
+    "dotted TABLE NAMES keep working through procedures; a racing " +
+    "half-created store refuses CREATE") {
+    import spark.implicits._
+    val (base, cat) = freshCat("ct_sec")
+    // '..' segments must refuse for DDL that WRITES or DELETES (and
+    // reads, uniformly) — resolution would otherwise escape the
+    // warehouse and dropTable would delete what it resolves
+    val eDrop = intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.`..`.`somewhere`")
+    }
+    assert(eDrop.getMessage.contains("invalid identifier segment"),
+      eDrop.getMessage)
+    val eCreate = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`..`.`t` (id BIGINT, d STRING, " +
+        "d_p STRING) PARTITIONED BY (d_p) " +
+        "TBLPROPERTIES ('key_column'='id')")
+    }
+    assert(eCreate.getMessage.contains("invalid identifier segment"),
+      eCreate.getMessage)
+    // a DOTTED table name stays addressable by every procedure: the
+    // whole string resolves first, multipart splitting is only the
+    // branch-spelling fallback
+    Seq((1L, "x", 1.0)).toDF("k", "d", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "k").option("partCol", "d")
+      .mode("append").save(base.resolve("t").toString)
+    spark.sql(s"CALL $cat.clone('t', 'archive.2025')")
+    assert(spark.sql(s"CALL $cat.history('archive.2025')")
+      .collect().length === 1)
+    // degenerate procedure args refuse loudly, never crash resolution
+    val eDeg = intercept[Exception] { spark.sql(s"CALL $cat.history('..')") }
+    assert(eDeg.getMessage.contains("invalid identifier segment"),
+      eDeg.getMessage)
+    // a root holding table.meta but no manifests (a racing creator
+    // mid-publish, or a crashed bootstrap): CREATE must refuse rather
+    // than clobber the declaration
+    val half = base.resolve("half")
+    java.nio.file.Files.createDirectories(half)
+    SnapshotMeta.write(half, SnapshotMeta.Meta(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d_p",
+          org.apache.spark.sql.types.StringType))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))), Some("k")))
+    val eHalf = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`half` (id BIGINT, d STRING, " +
+        "d_p STRING) PARTITIONED BY (d_p) " +
+        "TBLPROPERTIES ('key_column'='id')")
+    }
+    assert(eHalf.getMessage.toUpperCase.contains("ALREADY EXISTS"),
+      eHalf.getMessage)
+    val keptMeta = SnapshotMeta.read(half).get
+    assert(keptMeta.keyCol === Some("k") &&
+      keptMeta.dataSchema.fieldNames.toSeq === Seq("k"),
+      "a refused CREATE must not clobber the existing declaration")
+  }
+
   test("refusals, DROP TABLE, re-CREATE, RENAME remedy") {
     val (base, cat) = freshCat("ct_ref")
     def refuse(sql: String, frag: String): Unit = {
