@@ -2073,6 +2073,80 @@ object SourceQueries {
     * CAS on a racing commit (a schema publish composes with any
     * parent, so rebasing is just re-reading the head).
     */
+  /** `CALL snap.compute_stats('t')` — BACKFILL the head version's
+    * `v<N>.files` stats sidecar (bytes, rows, per-column min/max) for
+    * stores that predate the sidecar plane or whose sidecar publish
+    * crashed: one scan of the head's files, one link(2) publish. With
+    * it, planning gets zero-`listStatus` listings and min/max range
+    * skipping on a store that never had them — the ANALYZE TABLE
+    * analog for the store's own metadata plane. A version that
+    * already HAS a sidecar is left verbatim (the sidecar is
+    * commit-published and immutable; -1 files reported). Columns with
+    * rename history are excluded from stats (pre-rename footers would
+    * contribute all-NULL min/max — sound but useless; their skipping
+    * recovers as rewrites re-write files under the current name).
+    */
+  private[graft] def snapshotComputeStats(s: SparkSession,
+      root: java.nio.file.Path): (Int, Int) = {
+    val head = headVersion(root)
+    require(head >= 1, s"$root has no published versions")
+    if (graft.sources.SnapshotFiles.exists(root, head)) return (head, -1)
+    val entries = readManifest(root, head)
+    val declared = graft.sources.SnapshotMeta.read(root)
+      .map(m => org.apache.spark.sql.types.StructType(
+        graft.sources.SnapshotManifest
+          .effectiveDataSchema(root, m.dataSchema)
+          .fields.map(_.copy(nullable = true))))
+      .getOrElse {
+        val first = entries.values.toSeq.sorted.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"head version $head has no partitions to infer a schema " +
+              "from"))
+        s.read.parquet(first).schema
+      }
+    val chains = graft.sources.SnapshotRename.chainsFor(root, declared)
+    val statSchema = org.apache.spark.sql.types.StructType(
+      declared.fields.filterNot(f => chains.contains(f.name)))
+    val rows = graft.sources.SnapshotFiles.collect(
+      s, entries.toSeq.sorted, statSchema)
+    graft.sources.SnapshotFiles.write(root, head, rows)
+    (head, rows.size)
+  }
+
+  /** `CALL snap.build_bloom('t', 'col')` — RETROFIT the per-file
+    * Bloom point-lookup index over an existing store's head files
+    * (the write door maintains one incrementally only when the
+    * bootstrap passed `bloomKey`; stores created before that option,
+    * through SQL CREATE, or with a different lookup key had no door
+    * to gain one without a rewrite). One scan building the
+    * fixed-size bitsets, published under `bloomidx/`; readers opt in
+    * per read with the `bloomKey` option, exactly as before — an
+    * index for files since vacuumed is dead weight, never a
+    * correctness issue, and unindexed files are never skipped.
+    */
+  private[graft] def snapshotBuildBloom(s: SparkSession,
+      root: java.nio.file.Path, keyCol: String): (Int, Int) = {
+    val head = headVersion(root)
+    require(head >= 1, s"$root has no published versions")
+    val meta = graft.sources.SnapshotMeta.read(root)
+    meta.foreach { m =>
+      val eff = graft.sources.SnapshotManifest
+        .effectiveDataSchema(root, m.dataSchema)
+      require(eff.fieldNames.contains(keyCol),
+        s"column $keyCol does not exist")
+      val hot = graft.sources.SnapshotRename.chainsFor(root, eff)
+      require(!hot.contains(keyCol),
+        s"cannot index $keyCol: it has rename history — pre-rename " +
+          "files carry it under a former name and would index as NULL; " +
+          "compact/rewrite first")
+    }
+    val dirs = readManifest(root, head).values.toSeq.sorted
+    require(dirs.nonEmpty, s"head version $head has no partitions")
+    graft.sources.SnapshotBloom.build(s, dirs, keyCol,
+      root.resolve("bloomidx").toString)
+    (head, dirs.size)
+  }
+
   /** SAFE TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE t`) — a
     * `#schema` overlay exactly like ADD COLUMN: one metadata-only CAS
     * version publishing the effective schema with `c` at its widened

@@ -299,7 +299,9 @@ final class GraftSnapshotCatalog extends TableCatalog
       Identifier.of(namespace, "refs"),
       Identifier.of(namespace, "zorder"),
       Identifier.of(namespace, "evolve_partitioning"),
-      Identifier.of(namespace, "migrate_layout"))
+      Identifier.of(namespace, "migrate_layout"),
+      Identifier.of(namespace, "compute_stats"),
+      Identifier.of(namespace, "build_bloom"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -319,6 +321,8 @@ final class GraftSnapshotCatalog extends TableCatalog
       case "evolve_partitioning" =>
         new SnapshotEvolvePartitioningProcedure(this)
       case "migrate_layout" => new SnapshotMigrateLayoutProcedure(this)
+      case "compute_stats" => new SnapshotComputeStatsProcedure(this)
+      case "build_bloom" => new SnapshotBuildBloomProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other — available: history(table), " +
           "vacuum(table, keep_last), restore(table, version), " +
@@ -328,7 +332,8 @@ final class GraftSnapshotCatalog extends TableCatalog
           "fastforward(table, name), refs(table), " +
           "zorder(table, col_a, col_b[, threshold, files_per_partition]), " +
           "evolve_partitioning(table, source_col), " +
-          "migrate_layout(table[, max_partitions])")
+          "migrate_layout(table[, max_partitions]), " +
+          "compute_stats(table), build_bloom(table, column)")
     }
 
   /** Procedure-arg table resolution. The WHOLE string is tried as the
@@ -1503,6 +1508,79 @@ final class SnapshotVacuumProcedure(cat: GraftSnapshotCatalog)
       new SnapshotProcedureResult(outSchema,
         Array(org.apache.spark.sql.catalyst.InternalRow(
           removed, head, keptFrom)))).iterator()
+  }
+}
+
+/** `CALL snap.compute_stats('t')` — backfill the head's stats sidecar
+  * ([[graft.operators.SourceQueries.snapshotComputeStats]]): the
+  * ANALYZE TABLE analog for the store's metadata plane, giving legacy
+  * (pre-sidecar) stores zero-`listStatus` planning and min/max range
+  * skipping. `files` = -1 when the head already has one (immutable,
+  * left verbatim).
+  */
+final class SnapshotComputeStatsProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "compute_stats"
+  override def description(): String =
+    "backfill the head stats sidecar: compute_stats(table)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("files", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val (v, n) = graft.operators.SourceQueries.snapshotComputeStats(
+      SparkSession.active, root)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(v, n)))).iterator()
+  }
+}
+
+/** `CALL snap.build_bloom('t', 'col')` — retrofit the per-file Bloom
+  * point-lookup index over the head's files
+  * ([[graft.operators.SourceQueries.snapshotBuildBloom]]); readers
+  * opt in per read with the `bloomKey` option.
+  */
+final class SnapshotBuildBloomProcedure(cat: GraftSnapshotCatalog)
+  extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "build_bloom"
+  override def description(): String =
+    "retrofit the Bloom point-lookup index: build_bloom(table, column)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build())
+
+  private val outSchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("dirs_indexed", IntegerType, nullable = false)))
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val root = cat.resolveRoot(input.getUTF8String(0).toString)
+    val (v, n) = graft.operators.SourceQueries.snapshotBuildBloom(
+      SparkSession.active, root, input.getUTF8String(1).toString)
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new SnapshotProcedureResult(outSchema,
+        Array(org.apache.spark.sql.catalyst.InternalRow(v, n)))).iterator()
   }
 }
 
