@@ -1437,7 +1437,12 @@ object SourceQueries {
     val lines = txn.map { case (app, b) => s"#txn\t$app:$b" }.toSeq ++
       schemaJson.map(j => s"#schema\t$j").toSeq ++
       extraMeta ++
-      entries.toSeq.sorted.map { case (ym, p) => s"$ym\t$p" }
+      // dirs under the TABLE root store RELATIVE (round 13): the root
+      // becomes one movable unit — RENAME TABLE and the staged-CTAS
+      // publish are a single directory rename, no metadata rewrites
+      entries.toSeq.sorted.map { case (ym, p) =>
+        s"$ym\t${graft.sources.SnapshotManifest.relativizePath(root, p)}"
+      }
     val tmp = mdir.resolve(
       s"v$version.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     java.nio.file.Files.write(tmp, lines.asJava)
@@ -1859,9 +1864,24 @@ object SourceQueries {
       graft.sources.SnapshotManifest.partitionSpecs(root, m.partitionSchema))
       .getOrElse(Seq.empty)
     val multiSpec = specs.lengthCompare(1) > 0
+    // the CURRENT spec is the layout authority whenever the store
+    // declares one — it also carries the hidden-partitioning transform
+    // tags (days/bucket mirrors derive f(source), not source); the
+    // caller's `partCols` only drives meta-less legacy stores
+    val curSpec: Option[Seq[org.apache.spark.sql.types.StructField]] =
+      specs.lastOption.map(_.fields.toSeq)
     val effPartCols: Seq[String] =
-      if (multiSpec) specs.last.fieldNames.map(_.stripSuffix("_p")).toSeq
-      else partCols
+      curSpec.map(_.map(_.name.stripSuffix("_p"))).getOrElse(partCols)
+    def mirrorExpr(frame: DataFrame, c: String)
+        : org.apache.spark.sql.Column =
+      curSpec.flatMap(_.find(_.name == s"${c}_p")) match {
+        case Some(f)
+          if graft.sources.SnapshotTransforms.of(f) !=
+            graft.sources.SnapshotTransforms.Identity =>
+          graft.sources.SnapshotTransforms.deriveCol(
+            f, col(c), frame.schema(c).dataType)
+        case _ => col(c)
+      }
     // manifest pv = the partition values joined by '/' in
     // partition-schema order. Each value is HIVE-ESCAPED
     // (ExternalCatalogUtils.escapePathName — the same escaping
@@ -1870,7 +1890,9 @@ object SourceQueries {
     // '=', '/', ... — an unescaped pv would miss the parent entry and
     // silently orphan the rewritten partition. NULL partition values
     // are rejected loudly (the store's partition columns are keys).
-    val touched = delta.select(effPartCols.map(col): _*).distinct()
+    val touched = delta
+      .select(effPartCols.map(c => mirrorExpr(delta, c).as(c)): _*)
+      .distinct()
       .collect()
       .map { r =>
         effPartCols.indices.map { i =>
@@ -2008,11 +2030,12 @@ object SourceQueries {
     // the data-loss guard; here missing-on-the-kept-side is always the
     // legal fill-NULL direction.
     val keptLacks = (delta.columns.toSet -- kept.columns.toSet).nonEmpty
-    effPartCols.foldLeft(
+    val unionedOut =
       if (insertDelta)
         kept.unionByName(delta, allowMissingColumns = keptLacks)
-      else kept)(
-      (df, c) => df.withColumn(s"${c}_p", col(c)))
+      else kept
+    effPartCols.foldLeft(unionedOut)(
+      (df, c) => df.withColumn(s"${c}_p", mirrorExpr(unionedOut, c)))
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(out)
     // a MIGRATING commit's kept rows fan out to current-spec leafs the
     // delta alone can't predict (every value of the appended column in
@@ -2181,13 +2204,23 @@ object SourceQueries {
     // schemas, exactly one places table.meta — a replace-existing
     // write here would let the LOSER clobber the winner's declared
     // schema and key after both reported success
-    try graft.sources.SnapshotMeta.writeIfAbsent(root,
-      graft.sources.SnapshotMeta.Meta(partitionSchema, dataSchema,
-        Some(keyCol)))
+    val wanted = graft.sources.SnapshotMeta.Meta(partitionSchema,
+      dataSchema, Some(keyCol))
+    try graft.sources.SnapshotMeta.writeIfAbsent(root, wanted)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new org.apache.spark.sql.catalyst.analysis
-          .TableAlreadyExistsException(Seq(root.getFileName.toString))
+        // a crash between the meta publish and the v1 manifest link
+        // leaves a WEDGED half-table: table.meta exists (CREATE throws
+        // AlreadyExists) but no manifest does (loadTable throws
+        // NoSuchTable) — with no SQL-level way out. A re-run of the
+        // SAME declaration completes the bootstrap below; a DIFFERENT
+        // declaration refuses (the first creator's schema won the CAS)
+        val noManifest = headVersion(root) == 0
+        val sameDecl = graft.sources.SnapshotMeta.read(root)
+          .contains(wanted)
+        if (!(noManifest && sameDecl))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(Seq(root.getFileName.toString))
     }
     try writeManifest(root, 1, Map.empty)
     catch {
@@ -2233,9 +2266,9 @@ object SourceQueries {
       require(!mirrors(name) && !mirrors.map(_.stripSuffix("_p"))(name),
         s"cannot widen $name: partition values parse under the " +
           "layout's declared types")
-      require(name != meta.keyCol.getOrElse("o_orderkey"),
+      meta.keyCol.foreach(key => require(name != key,
         s"cannot widen the key column $name: the Bloom index hashes " +
-          "key BYTES")
+          "key BYTES"))
       val widened = org.apache.spark.sql.types.StructType(
         effective.fields.map(f =>
           if (f.name == name) f.copy(dataType = to, nullable = true)
@@ -2666,8 +2699,13 @@ object SourceQueries {
       val out = root.resolve(
         s"d${head + 1}-mig${java.util.UUID.randomUUID.toString.take(8)}")
         .toString
-      pcols.foldLeft(unioned)((df, m) =>
-          df.withColumn(m, col(m.stripSuffix("_p"))))
+      // mirrors re-derive through their declared transform (identity
+      // verbatim, days/bucket compute f(source) — the door's own
+      // write discipline)
+      current.fields.foldLeft(unioned)((df, f) =>
+          df.withColumn(f.name, graft.sources.SnapshotTransforms
+            .deriveCol(f, col(f.name.stripSuffix("_p")),
+              unioned.schema(f.name.stripSuffix("_p")).dataType)))
         .write.partitionBy(pcols: _*).parquet(out)
       val walked = walkLeafDirs(new java.io.File(out), pcols)
       val entries = (manifest -- old.map(_._1)) ++ walked
@@ -2706,19 +2744,23 @@ object SourceQueries {
     // either side may reference NO dirs (insert-only diff: brand-new
     // partitions have no old side; delete-to-empty has no new side;
     // an unchanged pair has neither) — degrade to an empty frame
-    // instead of an empty-path parquet read, which throws
-    // rename history: either side may span pre-rename dirs whose
-    // footers carry a former name — map through the fold, so the
-    // changefeed of a renamed column stays continuous across the rename
-    val renameLogical = graft.sources.SnapshotMeta.read(root)
+    // instead of an empty-path parquet read, which throws.
+    // Both sides read under the DECLARED effective schema whenever the
+    // store has one (readDirs also folds rename history): either side
+    // can mix pre- and post-evolution dirs — including mixed partition
+    // ARITIES across an evolve_partitioning boundary — and schema
+    // INFERENCE would take whichever file lists first, silently
+    // nulling a widened column (or crashing on a renamed one) out of
+    // the changefeed. Mirrors never ride in data files, so flat dir
+    // reads are arity-agnostic by construction.
+    val declaredLogical = graft.sources.SnapshotMeta.read(root)
       .map(m => graft.sources.SnapshotManifest.effectiveDataSchema(
         root, m.dataSchema))
-      .filter(l => graft.sources.SnapshotRename.chainsFor(root, l).nonEmpty)
     def side(paths: Seq[String], keyAs: String, priceAs: String): DataFrame =
       if (paths.isEmpty)
         s.range(0).select(col("id").as(keyAs),
           lit(null).cast("double").as(priceAs))
-      else renameLogical.map(l =>
+      else declaredLogical.map(l =>
           graft.sources.SnapshotRename.readDirs(s, root, paths, l))
         .getOrElse(s.read.parquet(paths: _*))
         .select(col(keyCol).as(keyAs), col(valCol).as(priceAs))
@@ -3125,11 +3167,14 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
       .filter(col("o_ym").startsWith("1995"))
-    orders.write.format("graft-snapshot").mode("append").save(root.toString)
+    orders.write.format("graft-snapshot").option("keyCol", "o_orderkey")
+      .mode("append").save(root.toString)
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
     val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
       .withColumn("o_orderkey", -col("o_orderkey") - lit(1))
+    // later commits resolve the key from table.meta — only the
+    // bootstrap must declare it
     updates.unionByName(inserts)
       .write.format("graft-snapshot").mode("append").save(root.toString)
     orders.filter(col("o_orderkey") % 131 === 0)
@@ -3466,7 +3511,8 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
       .filter(col("o_ym").startsWith("1995"))
-    orders.write.format("graft-snapshot").mode("append").save(root.toString)
+    orders.write.format("graft-snapshot").option("keyCol", "o_orderkey")
+      .mode("append").save(root.toString)
     // v2: price bump + channel attribution for %97 keys, channel-tagged
     // inserts for %1013 keys — the first commit that knows the column
     val channel = concat(lit("ch_"),
@@ -4349,6 +4395,67 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** HIDDEN PARTITIONING end to end (round 13, VERDICT r12 #1 — the
+    * Iceberg headline layout feature, [[graft.sources
+    * .SnapshotTransforms]]): `CREATE TABLE … PARTITIONED BY
+    * (days(o_orderdate), bucket(4, o_orderkey))` lays six weeks of
+    * orders out by DERIVED values the user never writes — the SQL
+    * schema carries only the four source columns, INSERT derives
+    * `(day, xxhash64-bucket)` per row, a keyed upsert re-prices %19
+    * keys through the hidden layout, and the head aggregate filters
+    * on the SOURCE date column, which prunes the partition plane
+    * through the days transform (range → inclusive day bounds) while
+    * the oracle replays the same upsert relationally. A door that
+    * mis-derived a bucket, dropped the upsert into a fresh partition,
+    * or broke the day truncation hash-mismatches. At 100 TB: the
+    * alternative is users hand-maintaining `<src>_p` columns on every
+    * writer — the exact failure mode hidden partitioning exists to
+    * kill. Pruning strictness is spec-pinned
+    * (`SnapshotHiddenPartitioningSpec`).
+    */
+  def sqlHiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_hp")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snaphp_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-02-16"))
+      .createOrReplaceTempView("graft_hp_orders")
+    val tbl = s"$cat.`orders_hp`"
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |  (o_orderkey BIGINT, o_orderstatus STRING,
+         |   o_totalprice DOUBLE, o_orderdate DATE)
+         |PARTITIONED BY (days(o_orderdate), bucket(4, o_orderkey))
+         |TBLPROPERTIES ('key_column' = 'o_orderkey')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_hp_orders")
+    // keyed upsert through the hidden layout: same keys, same derived
+    // partitions, re-priced values
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5,
+         |  o_orderdate
+         |FROM graft_hp_orders
+         |WHERE o_orderkey % 19 = 0
+         |  AND o_orderdate < DATE'1995-02-01'""".stripMargin)
+    s.sql(
+      s"""SELECT CAST(o_orderdate AS STRING) AS o_day,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |WHERE o_orderdate BETWEEN DATE'1995-01-10'
+         |  AND DATE'1995-02-10'
+         |GROUP BY o_orderdate""".stripMargin)
+  }
+
   /** SAFE TYPE WIDENING end to end (round 12, VERDICT r11 #5 — the
     * Iceberg safe-promotion set as a `#schema` overlay): bootstrap a
     * store carrying an INT day-of-month and a FLOAT price, widen both
@@ -4971,6 +5078,7 @@ object SourceQueries {
     "sql_drop_column"         -> sqlDropColumn _,
     "sql_widen_column"        -> sqlWidenColumn _,
     "sql_create_table"        -> sqlCreateTable _,
+    "sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -5360,6 +5468,32 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM head GROUP BY o_orderstatus""".stripMargin,
+    // hidden partitioning: the oracle replays the keyed upsert
+    // relationally — the Spark side's days/bucket layout and its
+    // source-predicate pruning must be invisible to the result
+    "sql_hidden_partitioning" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01'
+        |    AND o_orderdate < DATE '1995-02-16'),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_orderdate
+        |  FROM base WHERE o_orderkey % 19 = 0
+        |    AND o_orderdate < DATE '1995-02-01'),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head
+        |WHERE o_orderdate BETWEEN DATE '1995-01-10'
+        |  AND DATE '1995-02-10'
+        |GROUP BY o_day""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

@@ -10,7 +10,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, NoopCache, PartitioningAwareFileIndex, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, NoopCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionPath, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -47,6 +47,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * door, which still supports schema inference.
   */
 final class GraftSnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var warehouse: JPath = _
@@ -78,7 +79,10 @@ final class GraftSnapshotCatalog extends TableCatalog
     */
   private def validateSegments(ident: Identifier): Unit =
     (ident.namespace() :+ ident.name()).foreach { seg =>
-      require(seg.nonEmpty && seg != "." && seg != ".." &&
+      // leading-dot segments are the store's own hidden plumbing
+      // (`.staging` CTAS attempts, `.branch` mini-stores) — never
+      // user-addressable tables
+      require(seg.nonEmpty && seg != ".." && !seg.startsWith(".") &&
           !seg.contains('/') && !seg.contains('\\'),
         s"invalid identifier segment '$seg' in " +
           (ident.namespace() :+ ident.name()).mkString("."))
@@ -373,22 +377,38 @@ final class GraftSnapshotCatalog extends TableCatalog
     root
   }
 
-  /** `CREATE TABLE snap.t (…) PARTITIONED BY (col_p, …)
+  /** `CREATE TABLE snap.t (…) PARTITIONED BY (…)
     * TBLPROPERTIES ('key_column'='k')` — SQL bootstrap of an EMPTY
     * store (round 12; previously only `df.write` could bootstrap).
-    * The column list includes the layout MIRRORS (the SQL table
-    * schema always has — they're what `PARTITIONED BY` names), each
-    * an identity transform over a `<source>_p` column whose source
-    * column exists at the same type; `key_column` declares the
-    * upsert/delete key, required (the store is primary-keyed by
-    * construction — an implicit default would silently bind DML
-    * semantics). CTAS works as this plus Spark's append through the
-    * ordinary write door; a failed CTAS cleans up through
-    * [[dropTable]].
+    * `PARTITIONED BY` accepts three transform shapes:
+    *
+    *  - `col_p` (identity) — the mirror column IS in the column list,
+    *    typed like its `col` source; the historical layout;
+    *  - `days(ts)` / `bucket(n, key)` — HIDDEN partitioning
+    *    ([[SnapshotTransforms]], round 13): the mirror (`ts_p` DATE /
+    *    `key_p` INT) is synthesized, carries its transform as field
+    *    metadata, and never appears in the SQL schema — write doors
+    *    derive it, reads prune source-column predicates through it.
+    *
+    * `key_column` declares the upsert/delete key, required (the store
+    * is primary-keyed by construction — an implicit default would
+    * silently bind DML semantics). CTAS works as this plus Spark's
+    * append through the ordinary write door; a failed CTAS cleans up
+    * through [[dropTable]].
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
+    val root = createRootOf(ident)
+    val (dataSchema, partitionSchema, key) =
+      declaredLayout(schema, partitions, properties)
+    graft.operators.SourceQueries.snapshotCreateTable(
+      root, dataSchema, partitionSchema, key)
+    loadTable(ident)
+  }
+
+  /** Validated final root for a CREATE — refuses existing tables. */
+  private def createRootOf(ident: Identifier): JPath = {
     validateSegments(ident)
     val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
       .resolve(ident.name())
@@ -397,31 +417,81 @@ final class GraftSnapshotCatalog extends TableCatalog
         .TableAlreadyExistsException(ident.namespace() :+ ident.name())
     require(ident.name().matches("[A-Za-z][A-Za-z0-9_-]*"),
       s"invalid table name: '${ident.name()}'")
+    root
+  }
+
+  /** CREATE-time layout validation shared by the direct and STAGED
+    * doors: the declared (data schema, partition spec with transform
+    * tags, upsert key).
+    */
+  private def declaredLayout(schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String])
+      : (StructType, StructType, String) = {
     require(partitions.nonEmpty,
       "the store is partition-laid-out by construction: declare at " +
-        "least one PARTITIONED BY (<source>_p) mirror column")
-    val mirrors = partitions.map {
-      case t if t.name() == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        t.references()(0).fieldNames()(0)
-      case other => throw new UnsupportedOperationException(
-        s"only identity partition transforms are supported: $other")
+        "least one PARTITIONED BY column (a '<source>_p' identity " +
+        "mirror, days(<ts>), or bucket(<n>, <col>))")
+    def singleRef(
+        t: org.apache.spark.sql.connector.expressions.Transform): String = {
+      require(t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"unsupported partition transform shape: $t")
+      t.references()(0).fieldNames()(0)
     }
-    mirrors.foreach { m =>
-      require(m.endsWith("_p") && m.length > 2,
-        s"partition column $m must be a '<source>_p' MIRROR (the " +
-          "store derives layout values from source columns by name)")
-      val src = m.stripSuffix("_p")
-      val srcField = schema.find(_.name == src).getOrElse(
+    def sourceField(src: String, what: String): org.apache.spark.sql
+        .types.StructField =
+      schema.find(_.name == src).getOrElse(
         throw new IllegalArgumentException(
-          s"mirror $m has no source column $src in the schema"))
-      val mField = schema.find(_.name == m).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column $m is not in the column list"))
-      require(mField.dataType == srcField.dataType,
-        s"mirror $m (${mField.dataType.simpleString}) must have its " +
-          s"source's type (${srcField.dataType.simpleString})")
-    }
+          s"$what has no source column $src in the schema"))
+    val partFields: Array[org.apache.spark.sql.types.StructField] =
+      partitions.map { t =>
+        t.name() match {
+          case "identity" =>
+            val m = singleRef(t)
+            require(m.endsWith("_p") && m.length > 2,
+              s"partition column $m must be a '<source>_p' MIRROR " +
+                "(the store derives layout values from source columns " +
+                "by name) — or use days(<ts>) / bucket(<n>, <col>) " +
+                "hidden partitioning")
+            val src = m.stripSuffix("_p")
+            val srcField = sourceField(src, s"mirror $m")
+            val mField = schema.find(_.name == m).getOrElse(
+              throw new IllegalArgumentException(
+                s"partition column $m is not in the column list"))
+            require(mField.dataType == srcField.dataType,
+              s"mirror $m (${mField.dataType.simpleString}) must have " +
+                s"its source's type (${srcField.dataType.simpleString})")
+            mField.copy(nullable = true)
+          case "days" =>
+            val src = singleRef(t)
+            val srcField = sourceField(src, s"days($src)")
+            require(!schema.fieldNames.contains(s"${src}_p"),
+              s"hidden mirror ${src}_p collides with a declared column")
+            SnapshotTransforms.mirrorField(SnapshotTransforms.Days,
+              srcField)
+          case "bucket" =>
+            val src = singleRef(t)
+            val srcField = sourceField(src, s"bucket($src)")
+            require(!schema.fieldNames.contains(s"${src}_p"),
+              s"hidden mirror ${src}_p collides with a declared column")
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions
+                .Literal[_] if l.value().isInstanceOf[Number] =>
+                l.value().asInstanceOf[Number].intValue()
+            }.getOrElse(throw new IllegalArgumentException(
+              s"bucket($src) needs a literal bucket count"))
+            SnapshotTransforms.mirrorField(SnapshotTransforms.Bucket(n),
+              srcField)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported partition transform '$other': identity " +
+              "mirrors, days(<ts>) and bucket(<n>, <col>) are the " +
+              "store's layout vocabulary")
+        }
+      }
+    val mirrors = partFields.map(_.name)
+    require(mirrors.distinct.length == mirrors.length,
+      s"duplicate partition columns: ${mirrors.mkString(", ")}")
     val key = Option(properties.get("key_column")).getOrElse(
       throw new IllegalArgumentException(
         "CREATE TABLE needs TBLPROPERTIES ('key_column'='<col>'): the " +
@@ -434,12 +504,51 @@ final class GraftSnapshotCatalog extends TableCatalog
     val dataSchema = StructType(
       schema.fields.filterNot(f => mirrorSet(f.name)))
     require(dataSchema.nonEmpty, "no data columns besides the layout")
-    val partitionSchema = StructType(
-      mirrors.map(m => schema(schema.fieldIndex(m)).copy(nullable = true)))
-    graft.operators.SourceQueries.snapshotCreateTable(
-      root, dataSchema, partitionSchema, key)
-    loadTable(ident)
+    (dataSchema, StructType(partFields), key)
   }
+
+  /** ATOMIC CTAS (round 13, VERDICT r12 #3 — Spark's
+    * `StagingTableCatalog` shape): `stageCreate` bootstraps the whole
+    * store under a hidden `.staging/<uuid>` root — the CTAS query
+    * writes its rows THERE through the ordinary door — and
+    * `commitStagedChanges` publishes with ONE atomic directory move
+    * onto the final root. A failed or killed CTAS therefore leaves
+    * NOTHING visible (previously the empty table was live mid-flight
+    * and cleanup trusted Spark to call [[dropTable]]); a racing
+    * creator of the same name loses the rename and surfaces
+    * TableAlreadyExists. Crashed attempts leave only hidden
+    * `.staging` garbage, never a catalog-visible table.
+    */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val finalRoot = createRootOf(ident)
+    val (dataSchema, partitionSchema, key) =
+      declaredLayout(info.schema(), info.partitions(), info.properties())
+    val stagingRoot = warehouse.resolve(".staging").resolve(
+      s"${ident.name()}-${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.createDirectories(stagingRoot)
+    graft.operators.SourceQueries.snapshotCreateTable(
+      stagingRoot, dataSchema, partitionSchema, key)
+    val meta = SnapshotMeta.read(stagingRoot).get
+    val inner = new SnapshotV2Table(
+      s"$catName.${ident.name()} (staged)", SparkSession.active,
+      stagingRoot, 1, meta)
+    new StagedSnapshotTable(inner, stagingRoot, finalRoot,
+      ident.namespace() :+ ident.name())
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE is not supported: a snapshot store's history is " +
+        "its point — DROP then CREATE spells the destructive intent")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplace(ident, info)
 
   /** `ALTER TABLE … ADD COLUMN(S)` — the one DDL the store's
     * append-only discipline admits: a schema-only widening commit
@@ -507,10 +616,10 @@ final class GraftSnapshotCatalog extends TableCatalog
     require(!mirrors(name) && !sources(name),
       s"cannot widen $name: partition values parse under the layout's " +
         "declared types — relayout is a rewrite, not a retype")
-    val key = meta.keyCol.getOrElse("o_orderkey")
-    require(name != key,
+    // keyless legacy meta: no key to protect (DML refuses separately)
+    meta.keyCol.foreach(key => require(name != key,
       s"cannot widen the key column $key: the Bloom index hashes key " +
-        "BYTES, and an int64 hash of int32-written keys misses")
+        "BYTES, and an int64 hash of int32-written keys misses"))
     graft.operators.SourceQueries.snapshotWidenColumn(
       SparkSession.active, root, name, to)
     loadTable(ident)
@@ -565,10 +674,9 @@ final class GraftSnapshotCatalog extends TableCatalog
       s"cannot drop $name: the partition layout (mirror columns and " +
         "their source columns) derives by name — a layout change is a " +
         "rewrite, not a drop")
-    val key = meta.keyCol.getOrElse("o_orderkey")
-    require(name != key,
+    meta.keyCol.foreach(key => require(name != key,
       s"cannot drop the key column $key: upsert/delete identity and " +
-        "the Bloom index bind to it by name")
+        "the Bloom index bind to it by name"))
     val checkHit = SnapshotManifest.effectiveChecks(root).collectFirst {
       case (n, sql) if s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
         .findFirstIn(sql).isDefined => n
@@ -632,10 +740,9 @@ final class GraftSnapshotCatalog extends TableCatalog
       s"cannot rename $old: the partition layout (mirror columns and " +
         "their source columns) derives by name — relayout is a " +
         "rewrite, not a rename")
-    val key = meta.keyCol.getOrElse("o_orderkey")
-    require(old != key,
+    meta.keyCol.foreach(key => require(old != key,
       s"cannot rename the key column $key: upsert/delete identity and " +
-        "the Bloom index bind to it by name")
+        "the Bloom index bind to it by name"))
     val taken = logical.fieldNames.toSet ++ mirrors ++
       SnapshotManifest.renameChains(root).valuesIterator.flatten ++
       // dropped names (and their formers) still carry values in
@@ -750,13 +857,27 @@ final class GraftSnapshotCatalog extends TableCatalog
   /** `DROP TABLE snap.t` — deletes the store (manifests, data dirs,
     * refs, branches: the whole root). Standard DSv2 semantics, and
     * what makes a failed (non-atomic) CTAS clean up after itself.
+    * A WEDGED half-bootstrap (a crash between the `table.meta`
+    * publish and the v1 manifest link left meta with no manifests —
+    * not resolvable as a table) is droppable too: without this, the
+    * wedge had no SQL-level recovery at all.
     */
   override def dropTable(ident: Identifier): Boolean =
     try {
       val root = rootOf(ident)
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       true
-    } catch { case _: NoSuchTableException => false }
+    } catch {
+      case _: NoSuchTableException =>
+        validateSegments(ident)
+        val root = ident.namespace().foldLeft(warehouse)(_.resolve(_))
+          .resolve(ident.name())
+        if (JFiles.exists(root.resolve("table.meta")) &&
+            !JFiles.isDirectory(root.resolve("manifests"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+          true
+        } else false
+    }
 
   /** Table RENAME stays refused honestly: the stats sidecars and the
     * Bloom index store ABSOLUTE file paths — a directory move would
@@ -768,6 +889,58 @@ final class GraftSnapshotCatalog extends TableCatalog
       "RENAME TABLE is not supported: the stats sidecar and Bloom " +
         "index bind to absolute paths — use CALL clone(old, new) " +
         "(zero-copy hard links) then DROP TABLE old")
+}
+
+/** A mid-CTAS table: delegates reads/writes to a [[SnapshotV2Table]]
+  * rooted in the hidden staging area, so the CTAS query's rows commit
+  * through the ordinary CAS door — just against a root nothing can
+  * see. `commitStagedChanges` is ONE atomic `rename(2)` onto the
+  * final root (same filesystem by construction — both live under the
+  * warehouse); a non-empty target (a racing creator won) surfaces
+  * TableAlreadyExists and the staging root is removed either way.
+  */
+private[sources] final class StagedSnapshotTable(
+    inner: SnapshotV2Table,
+    stagingRoot: JPath,
+    finalRoot: JPath,
+    nameParts: Array[String])
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    try JFiles.move(stagingRoot, finalRoot,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
+        val ex = new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(nameParts.toSeq)
+        ex.addSuppressed(e)
+        throw ex
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
 }
 
 /** One snapshot version as a DSv2 table: `FileTable` over a
@@ -858,7 +1031,16 @@ final class SnapshotV2Table(
   private val readTable =
     new SnapshotReadFileTable(tableName, spark, root, snapVersion, meta)
 
-  override def schema(): StructType = readTable.schema
+  /** HIDDEN partitioning: transform mirrors (`days`/`bucket` layout
+    * columns) are not part of the SQL schema — users never write or
+    * query them; identity mirrors stay visible (the historical
+    * contract, and what `PARTITION (m = v)` overwrite scoping names).
+    */
+  override def schema(): StructType = {
+    val hidden = SnapshotTransforms.hiddenMirrors(meta.partitionSchema)
+    if (hidden.isEmpty) readTable.schema
+    else StructType(readTable.schema.fields.filterNot(f => hidden(f.name)))
+  }
 
   /** Live CHECK constraints from the manifest plane's `#check`
     * records: reported VALID + enforced, which is what makes the
@@ -888,9 +1070,22 @@ final class SnapshotV2Table(
   private def sourcePartCols: Seq[String] =
     meta.partitionSchema.fieldNames.toSeq.map(_.stripSuffix("_p"))
 
+  /** The store's declared upsert/delete key. REFUSES when absent
+    * rather than defaulting: a legacy/foreign store whose `table.meta`
+    * predates the field would otherwise have DML silently bind to a
+    * fixed column name — wrong the moment such a column exists without
+    * being the key. Reads never come through here.
+    */
+  private def tableKey: String = meta.keyCol.getOrElse(
+    throw new UnsupportedOperationException(
+      s"$tableName declares no key_column in table.meta — DML binds " +
+        "upsert/delete semantics to the key; re-bootstrap through the " +
+        "write door (keyCol option) or CREATE TABLE with " +
+        "TBLPROPERTIES ('key_column'='<col>')"))
+
   private def doorParams: Map[String, String] = Map(
     "path" -> root.toString,
-    "keyCol" -> meta.keyCol.getOrElse("o_orderkey"),
+    "keyCol" -> tableKey,
     "partCols" -> sourcePartCols.mkString(","))
 
   private def refuseIfPinned(op: String): Unit =
@@ -898,14 +1093,24 @@ final class SnapshotV2Table(
       s"$op on a VERSION/TIMESTAMP AS OF reference: snapshot history " +
         "is immutable — run DML against the bare (head) table")
 
-  /** The store's layout, declared: one identity transform per
-    * partition-mirror column. This is what lets SQL spell
-    * `INSERT OVERWRITE … PARTITION (o_ym_p = '1995-01')`.
+  /** The store's layout, declared: identity transforms over visible
+    * mirror columns (what lets SQL spell `INSERT OVERWRITE …
+    * PARTITION (o_ym_p = '1995-01')`), and `days`/`bucket` transforms
+    * over their SOURCE columns for hidden-partitioned layouts (the
+    * DESCRIBE-visible layout fact).
     */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    meta.partitionSchema.fieldNames.map(
-      org.apache.spark.sql.connector.expressions.Expressions.identity)
+    meta.partitionSchema.fields.map { f =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      SnapshotTransforms.of(f) match {
+        case SnapshotTransforms.Identity => Expressions.identity(f.name)
+        case SnapshotTransforms.Days =>
+          Expressions.days(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Bucket(n) =>
+          Expressions.bucket(n, f.name.stripSuffix("_p"))
+      }
+    }
 
   /** Every write is a real DSv2 batch write through the hidden-temp
     * task protocol: INSERT stages the delta and feeds the door's
@@ -994,7 +1199,7 @@ final class SnapshotV2Table(
     refuseIfPinned("DELETE FROM")
     val head = SnapshotTable.read(spark, root, SnapshotManifest.head(root))
     val pred = SnapshotDml.toColumn(filters, head.columns.toSet)
-    val keyCol = meta.keyCol.getOrElse("o_orderkey")
+    val keyCol = tableKey
     val doomed = head.filter(pred)
       .select((keyCol +: sourcePartCols.filterNot(_ == keyCol))
         .map(org.apache.spark.sql.functions.col): _*)
@@ -1056,7 +1261,7 @@ private[sources] final class SnapshotReadFileTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new SnapshotDppScanBuilder(newRawScanBuilder(options),
-      meta.partitionSchema, renameChains)
+      meta.partitionSchema, renameChains, Some((root, version)))
 
   /** The unwrapped builder — for the row-level operations, whose own
     * scan wrapper ([[SnapshotRowLevelScan]]) handles runtime GROUP
@@ -1092,7 +1297,8 @@ private[sources] final class SnapshotReadFileTable(
   */
 private[sources] final class SnapshotDppScanBuilder(
     inner: ParquetScanBuilder, partSchema: StructType,
-    chains: Map[String, Seq[String]] = Map.empty)
+    chains: Map[String, Seq[String]] = Map.empty,
+    statsSource: Option[(JPath, Int)] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1145,7 +1351,7 @@ private[sources] final class SnapshotDppScanBuilder(
     else extractions.map(_ => false)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new SnapshotDppScan(inner.build(), partSchema, chains)
+    new SnapshotDppScan(inner.build(), partSchema, chains, statsSource)
 }
 
 /** Dynamic partition pruning for the SQL door: a delegating wrapper
@@ -1177,7 +1383,8 @@ final class SnapshotDppScan(
     private var current: org.apache.spark.sql.execution.datasources.v2
       .parquet.ParquetScan,
     partSchema: StructType,
-    chains: Map[String, Seq[String]] = Map.empty)
+    chains: Map[String, Seq[String]] = Map.empty,
+    statsSource: Option[(JPath, Int)] = None)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1186,6 +1393,11 @@ final class SnapshotDppScan(
   private[sources] def partitionFilters
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
     current.partitionFilters
+
+  /** The wrapped parquet scan as runtime-filtered — spec hook. */
+  private[sources] def delegate
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    current
 
   override def readSchema(): StructType =
     if (chains.isEmpty) current.readSchema()
@@ -1200,9 +1412,37 @@ final class SnapshotDppScan(
 
   override def getMetaData(): Map[String, String] = current.getMetaData()
 
+  /** Post-pruning size from the delegate, plus a TRUE ROW COUNT summed
+    * from the version's file-stats sidecar over exactly the files the
+    * pruned scan will read — the stock `FileScan` estimate reports
+    * only bytes (`numRows` empty), which leaves AQE/broadcast planning
+    * to guess cardinality from a compression-sensitive byte heuristic.
+    * Sidecar-less versions (legacy stores) keep the delegate estimate.
+    */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    current.estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = current.estimateStatistics()
+    val rows: Option[Long] = statsSource.flatMap { case (root, version) =>
+      SnapshotFiles.read(root, version).map { fm =>
+        val rowsByKey = fm.valuesIterator.flatten
+          .map(e => SnapshotBloom.fileKey(e.path) -> e.rows).toMap
+        current.fileIndex
+          .listFiles(current.partitionFilters, current.dataFilters)
+          .iterator.flatMap(_.files).map(st =>
+            rowsByKey.getOrElse(
+              SnapshotBloom.fileKey(st.getPath.toString), 0L)).sum
+      }
+    }
+    rows match {
+      case None => base
+      case Some(n) => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(n)
+      }
+    }
+  }
 
   override def columnarSupportMode()
       : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
@@ -1344,6 +1584,19 @@ final class SnapshotPartitioningIndex(
     PartitionSpec(partSchema, manifest.keys.toSeq.sorted.map(pv =>
       PartitionPath(SnapshotPartitionValues.row(pv, partSchema),
         new Path(manifest(pv)))))
+
+  /** Transform-plane pruning for the SQL door (the V1 door's twin in
+    * [[SnapshotFileIndex.listFiles]]): SOURCE-column data filters
+    * rewrite onto the mirror columns as extra partition filters —
+    * necessary conditions only, the data filter still runs post-scan.
+    */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] =
+    super.listFiles(partitionFilters ++
+      SnapshotTransforms.translateFilters(dataFilters, partSchema),
+      dataFilters)
 
   override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     filesByDir

@@ -145,7 +145,13 @@ final class SnapshotEvolvedV2Table(
         new SnapshotAppendWrite(spark, root,
           meta.copy(partitionSchema = current),
           Map("path" -> root.toString,
-            "keyCol" -> meta.keyCol.getOrElse("o_orderkey"),
+            // same refusal as the single-layout door: DML on a store
+            // whose meta declares no key must not bind to a default
+            "keyCol" -> meta.keyCol.getOrElse(
+              throw new UnsupportedOperationException(
+                s"$tableName declares no key_column in table.meta — " +
+                  "INSERT binds upsert semantics to the key; " +
+                  "re-bootstrap with a declared key")),
             "partCols" -> current.fieldNames.toSeq
               .map(_.stripSuffix("_p")).mkString(",")),
           info)

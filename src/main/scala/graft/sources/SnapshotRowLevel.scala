@@ -468,23 +468,37 @@ private[sources] object SnapshotWriteSupport {
       writeSchema.fields.filterNot(f => mirrorNames.contains(f.name)))
     // partition routing reads the SOURCE columns (post-update values —
     // a SET that moves a row's partition routes by the NEW value; the
-    // mirrors in the write schema are stale by definition there)
-    val srcCols = mirrorNames.map(_.stripSuffix("_p")).map { c =>
+    // mirrors in the write schema are stale by definition there),
+    // deriving the dir value through the mirror's declared TRANSFORM
+    // (identity verbatim, days/bucket compute f(source))
+    val srcCols = meta.partitionSchema.fields.toSeq.map { mf =>
+      val c = mf.name.stripSuffix("_p")
       val i = writeSchema.fieldNames.indexOf(c)
       require(i >= 0, s"partition source column $c missing from write " +
         s"schema ${writeSchema.fieldNames.mkString(",")}")
-      (i, writeSchema.fields(i).dataType)
+      (i, writeSchema.fields(i).dataType, SnapshotTransforms.of(mf))
     }
-    srcCols.foreach { case (_, dt) =>
-      require(dt == StringType || dt == DateType || dt == IntegerType ||
-        dt == LongType, s"unsupported partition column type $dt")
+    srcCols.foreach {
+      case (_, dt, SnapshotTransforms.Identity) =>
+        require(dt == StringType || dt == DateType || dt == IntegerType ||
+          dt == LongType, s"unsupported partition column type $dt")
+      case (_, dt, SnapshotTransforms.Days) =>
+        require(dt == DateType ||
+          dt == org.apache.spark.sql.types.TimestampType,
+          s"days over unsupported source type $dt")
+      case (_, dt, SnapshotTransforms.Bucket(_)) =>
+        require(dt == StringType || dt == IntegerType || dt == LongType ||
+          dt == org.apache.spark.sql.types.ByteType ||
+          dt == org.apache.spark.sql.types.ShortType,
+          s"bucket over unsupported source type $dt")
     }
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
       Map.empty, fileSchema)
     new SnapshotReplaceWriterFactory(attemptRoot.toString, writeSchema,
       fileSchema, mirrorNames, srcCols, owf,
-      new SerializableConf(job.getConfiguration), checkMirrors)
+      new SerializableConf(job.getConfiguration), checkMirrors,
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 }
 
@@ -635,16 +649,18 @@ final class SnapshotReplaceWriterFactory(
     writeSchema: StructType,
     fileSchema: StructType,
     mirrorNames: Seq[String],
-    srcCols: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    srcCols: Seq[(Int, org.apache.spark.sql.types.DataType,
+      SnapshotTransforms.T)],
     owf: OutputWriterFactory,
     conf: SerializableConf,
-    checkMirrors: Boolean = false) extends DataWriterFactory {
+    checkMirrors: Boolean = false,
+    timeZoneId: String = "UTC") extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new SnapshotReplaceDataWriter(attemptRoot, writeSchema, fileSchema,
       mirrorNames, srcCols, owf, conf.conf, partitionId, taskId,
-      checkMirrors)
+      checkMirrors, timeZoneId)
 }
 
 /** Streams rows into one parquet file per partition value this task
@@ -657,12 +673,16 @@ final class SnapshotReplaceDataWriter(
     writeSchema: StructType,
     fileSchema: StructType,
     mirrorNames: Seq[String],
-    srcCols: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    srcCols: Seq[(Int, org.apache.spark.sql.types.DataType,
+      SnapshotTransforms.T)],
     owf: OutputWriterFactory,
     conf: Configuration,
     partitionId: Int,
     taskId: Long,
-    checkMirrors: Boolean = false) extends DataWriter[InternalRow] {
+    checkMirrors: Boolean = false,
+    timeZoneId: String = "UTC") extends DataWriter[InternalRow] {
+
+  private lazy val zone = java.time.ZoneId.of(timeZoneId)
 
   private val ctx = new TaskAttemptContextImpl(new Configuration(conf),
     new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
@@ -723,6 +743,41 @@ final class SnapshotReplaceDataWriter(
     }
   }
 
+  /** The dir value a row routes to: the source value through the
+    * mirror's declared transform — identity verbatim, days truncates
+    * in the session zone (the same zone the door's `to_date` uses),
+    * bucket evaluates the SAME Catalyst XxHash64 as the door's Column
+    * expression ([[SnapshotTransforms]]).
+    */
+  private def routedValue(row: InternalRow, i: Int,
+      dt: org.apache.spark.sql.types.DataType,
+      t: SnapshotTransforms.T): String = t match {
+    case SnapshotTransforms.Identity => partValue(row, i, dt)
+    case SnapshotTransforms.Days => dt match {
+      case DateType => partValue(row, i, dt)
+      case org.apache.spark.sql.types.TimestampType =>
+        require(!row.isNullAt(i), "null partition source value")
+        DateTimeUtils.daysToLocalDate(
+          DateTimeUtils.microsToDays(row.getLong(i), zone)).toString
+      case other => throw new IllegalStateException(s"days over $other")
+    }
+    case SnapshotTransforms.Bucket(n) =>
+      require(!row.isNullAt(i), "null partition source value")
+      val b = dt match {
+        case StringType =>
+          SnapshotTransforms.bucketOfUtf8(row.getUTF8String(i), n)
+        case IntegerType =>
+          SnapshotTransforms.bucketOfLong(row.getInt(i).toLong, n)
+        case LongType => SnapshotTransforms.bucketOfLong(row.getLong(i), n)
+        case org.apache.spark.sql.types.ByteType =>
+          SnapshotTransforms.bucketOfLong(row.getByte(i).toLong, n)
+        case org.apache.spark.sql.types.ShortType =>
+          SnapshotTransforms.bucketOfLong(row.getShort(i).toLong, n)
+        case other => throw new IllegalStateException(s"bucket over $other")
+      }
+      String.valueOf(b)
+  }
+
   /** The INSERT-door discipline: a supplied layout-mirror value must
     * equal its source column — refused, never silently re-laid-out.
     * The (mirror, source, type) index triples are row-invariant —
@@ -766,8 +821,9 @@ final class SnapshotReplaceDataWriter(
     if (op == org.apache.spark.sql.catalyst.util.RowDeltaUtils
       .INSERT_OPERATION || (checkMirrors && opOffset == 0))
       verifyMirrors(row)
-    val vals = srcCols.map { case (i, dt) =>
-      ExternalCatalogUtils.escapePathName(partValue(row, i + opOffset, dt))
+    val vals = srcCols.map { case (i, dt, t) =>
+      ExternalCatalogUtils.escapePathName(
+        routedValue(row, i + opOffset, dt, t))
     }
     val pv = vals.mkString("/")
     val w = writers.getOrElseUpdate(pv, {

@@ -57,13 +57,52 @@ object SnapshotManifest {
   def head(root: JPath): Int =
     versionsWithMtime(root).foldLeft(0)((m, v) => math.max(m, v._1))
 
-  /** partitionValue -> data dir for one published version. */
+  /** The base a mini-store's RELATIVE paths may reach up to: a branch
+    * root's entries legitimately reference the parent table's dirs
+    * (fork-shared partitions), so they relativize as `../../<dir>` —
+    * still inside the TABLE root, which is what must stay movable as
+    * one unit (rename, atomic CTAS publish).
+    */
+  private[graft] def tableBase(root: JPath): JPath = {
+    val abs = root.toAbsolutePath.normalize
+    // <table>/.branch/<name> → <table>
+    if (abs.getNameCount >= 2 &&
+        abs.getName(abs.getNameCount - 2).toString == ".branch")
+      abs.getParent.getParent
+    else abs
+  }
+
+  /** Resolve one stored dir/file path against its manifest root:
+    * RELATIVE entries (round 13+ — what makes a table root one movable
+    * unit) resolve and normalize; absolute entries (legacy stores,
+    * cross-root references) pass through.
+    */
+  private[graft] def resolvePath(root: JPath, p: String): String =
+    if (p.startsWith("/")) p
+    else root.toAbsolutePath.resolve(p).normalize.toString
+
+  /** Inverse of [[resolvePath]] at write time: paths under the TABLE
+    * base store relative to the manifest root (plain segments inside
+    * the mini-store, `../..`-prefixed for a branch's fork-shared
+    * dirs); anything else stays absolute verbatim.
+    */
+  private[graft] def relativizePath(root: JPath, p: String): String = {
+    val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    if (abs.startsWith(tableBase(root)))
+      root.toAbsolutePath.normalize.relativize(abs).toString
+    else p
+  }
+
+  /** partitionValue -> data dir for one published version. Stored
+    * RELATIVE dirs resolve against the root, so a moved/renamed table
+    * (or a staged-CTAS publish) keeps reading without rewrites.
+    */
   def read(root: JPath, version: Int): Map[String, String] =
     JFiles
       .readAllLines(root.resolve("manifests").resolve(s"v$version.manifest"))
       .asScala.filterNot(_.startsWith("#")).map { l =>
         val i = l.lastIndexOf('\t')
-        l.substring(0, i) -> l.substring(i + 1)
+        l.substring(0, i) -> resolvePath(root, l.substring(i + 1))
       }.toMap
 
   /** The leading `#`-metadata lines of every published manifest,
@@ -72,18 +111,42 @@ object SnapshotManifest {
     * and scans the manifests that EXIST, not 1..head: vacuum deletes
     * old versions' manifests, and a vacuumed store must stay
     * readable and writable across the gaps.
+    *
+    * CACHED per root, keyed by the manifest set's (version, mtime)
+    * fingerprint: this is the hottest metadata fold (every table load,
+    * changefeed call, and DDL gate runs it, several times), and
+    * re-opening every manifest per call is O(versions) file opens for
+    * bytes that are immutable once published. Any publish, restore, or
+    * vacuum changes the fingerprint (new/removed version files), so
+    * staleness is impossible; the fingerprint read itself is the same
+    * single directory listing the uncached path started with.
     */
+  private val metaLinesCache =
+    TrieMap.empty[String, (Seq[(Int, Long)], Seq[(Int, Seq[String])])]
+
   private def metaLines(root: JPath): Seq[(Int, Seq[String])] = {
-    val mdir = root.resolve("manifests").toFile
-    Option(mdir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.manifest")).toSeq.map { f =>
-        val v = f.getName.stripPrefix("v").stripSuffix(".manifest").toInt
-        val in = JFiles.newBufferedReader(f.toPath)
-        val lines = try Iterator.continually(in.readLine())
-          .takeWhile(l => l != null && l.startsWith("#")).toList
-        finally in.close()
-        v -> lines
-      }
+    val key = root.toAbsolutePath.normalize.toString
+    val fingerprint = versionsWithMtime(root)
+    metaLinesCache.get(key) match {
+      case Some((fp, cached)) if fp == fingerprint => cached
+      case _ =>
+        val mdir = root.resolve("manifests").toFile
+        val fresh = Option(mdir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("v\\d+\\.manifest")).toSeq.map { f =>
+            val v = f.getName.stripPrefix("v").stripSuffix(".manifest").toInt
+            val in = JFiles.newBufferedReader(f.toPath)
+            val lines = try Iterator.continually(in.readLine())
+              .takeWhile(l => l != null && l.startsWith("#")).toList
+            finally in.close()
+            v -> lines
+          }
+        // headers are tiny (a handful of records per version), but the
+        // JVM may touch thousands of short-lived test stores: bound the
+        // cache by wholesale reset rather than LRU bookkeeping
+        if (metaLinesCache.size >= 512) metaLinesCache.clear()
+        metaLinesCache.put(key, (fingerprint, fresh))
+        fresh
+    }
   }
 
   /** Highest micro-batch id the named streaming app has committed, or
@@ -698,8 +761,8 @@ object SnapshotMeta {
   /** `keyCol` is the store's upsert/delete key, recorded at bootstrap
     * so the SQL DML door can commit without the caller re-declaring it
     * (the DataFrame door still takes it as an option). `None` on
-    * stores bootstrapped before the field existed — those fall back to
-    * the door's historical default key.
+    * stores bootstrapped before the field existed — DML on those
+    * REFUSES until a key is declared (no silent default).
     */
   final case class Meta(partitionSchema: StructType, dataSchema: StructType,
                         keyCol: Option[String] = None)
@@ -808,8 +871,11 @@ object SnapshotFiles {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val lines = entries.map { e =>
+      // under-root file paths store RELATIVE, like the manifest's dirs
+      // (one movable table root — see SnapshotManifest.relativizePath)
+      val stored = SnapshotManifest.relativizePath(root, e.path)
       JsonMethods.compact(JsonMethods.render(
-        ("pv" -> e.pv) ~ ("path" -> e.path) ~ ("bytes" -> e.bytes) ~
+        ("pv" -> e.pv) ~ ("path" -> stored) ~ ("bytes" -> e.bytes) ~
           ("rows" -> e.rows) ~
           ("stats" -> e.stats.map { case (c, (mn, mx)) => c -> List(mn, mx) })))
     }
@@ -847,7 +913,8 @@ object SnapshotFiles {
         }.toMap
         case _ => Map.empty[String, (String, String)]
       }
-      FileEntry(str("pv"), str("path"), lng("bytes"), lng("rows"), stats)
+      FileEntry(str("pv"), SnapshotManifest.resolvePath(root, str("path")),
+        lng("bytes"), lng("rows"), stats)
     }.groupBy(_.pv))
   }
 
@@ -1095,6 +1162,38 @@ object SnapshotBloom {
   val Bits = 1 << 15
   val K = 4
 
+  /** The index records WHICH COLUMN its bitsets hash (`<out>.key`
+    * marker beside the index dir — inside it, a Spark overwrite would
+    * delete the marker with the rows). Without it, `CALL
+    * build_bloom('t','B')` on a store whose writers/readers pass
+    * `bloomKey='A'` leaves readers probing A-key hashes against
+    * B-built bitsets — files containing matching rows silently skip.
+    * With it: an APPEND under a different column refuses loudly
+    * (the door's incremental maintenance can't mix columns into one
+    * index), an overwrite REBUILD re-claims the marker (the explicit
+    * re-key spelling), and a reader whose `bloomKey` disagrees with
+    * the marker gets no skipping (sound) instead of wrong skipping.
+    * A markerless index (pre-marker build) is claimed by the next
+    * build and accepted by readers — the historical contract.
+    */
+  private def markerPath(out: String): java.nio.file.Path =
+    java.nio.file.Paths.get(out + ".key")
+
+  def indexedColumn(out: String): Option[String] =
+    try Some(new String(JFiles.readAllBytes(markerPath(out)),
+      "UTF-8").trim).filter(_.nonEmpty)
+    catch { case _: java.io.IOException => None }
+
+  private def writeMarker(out: String, keyCol: String): Unit = {
+    val p = markerPath(out)
+    val tmp = p.resolveSibling(
+      s".${p.getFileName}.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    JFiles.createDirectories(p.getParent)
+    JFiles.write(tmp, keyCol.getBytes("UTF-8"))
+    JFiles.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Canonical file key: scheme-free absolute path, so the index rows
     * (written from `_metadata.file_path`, a `file:///...` URI) and the
     * FileIndex's `FileStatus` paths (`file:/...`) meet on one form.
@@ -1110,6 +1209,14 @@ object SnapshotBloom {
     */
   def build(s: SparkSession, dataDirs: Seq[String], keyCol: String,
             out: String, append: Boolean = false): Unit = {
+    // column-identity gate (see [[markerPath]]): an incremental append
+    // must extend an index built over the SAME column — mixed-column
+    // bitsets in one index are wrong skipping waiting to happen
+    if (append) indexedColumn(out).foreach(existing =>
+      require(existing == keyCol,
+        s"Bloom index at $out is built over column '$existing' — " +
+          s"cannot append '$keyCol' bitsets to it; rebuild with " +
+          "CALL build_bloom(table, column) to re-key the index"))
     // hash the key as LONG on both sides: xxhash64 of an IntegerType
     // column hashes 4 bytes while the driver probe hashes a Long
     // literal's 8 — without the cast an int-typed key column would
@@ -1125,6 +1232,11 @@ object SnapshotBloom {
       .groupBy(col("file"))
       .agg(sort_array(collect_set(col("pos"))).as("positions"))
       .write.mode(if (append) "append" else "overwrite").parquet(out)
+    // claim/refresh the column marker AFTER the rows land: a crashed
+    // build leaves either the old marker (old rows intact on append)
+    // or no marker at all (legacy contract), never a marker promising
+    // rows that don't exist
+    writeMarker(out, keyCol)
   }
 
   /** Load bitsets for exactly the given file set. The membership
@@ -1147,10 +1259,23 @@ object SnapshotBloom {
     * skipping the index advertises was silently inert exactly where
     * escaping was hardened elsewhere.
     */
-  def load(s: SparkSession, indexPath: String,
-           files: Set[String]): Map[String, Array[Long]] = {
+  def load(s: SparkSession, indexPath: String, files: Set[String],
+           root: Option[JPath] = None): Map[String, Array[Long]] = {
     if (files.isEmpty) return Map.empty
     val names = files.map(f => f.substring(f.lastIndexOf('/') + 1))
+    // index rows were built from `_metadata.file_path` at BUILD time —
+    // after a table RENAME (directory move) the stored absolute paths
+    // carry the old root, while the requested keys carry the new one.
+    // The root-RELATIVE suffix survives the move and is collision-free
+    // within one table (dir names carry commit uuids, part names task
+    // uuids), so a row also serves a request whose relative form it
+    // ends with. Keyed by the REQUESTED path either way.
+    val byRel: Map[String, String] = root match {
+      case None => Map.empty
+      case Some(rt) => files.iterator.map { f =>
+        SnapshotManifest.relativizePath(rt, f) -> f
+      }.filter { case (rel, f) => rel != f }.toMap
+    }
     s.read.parquet(indexPath)
       .where(substring_index(col("file"), "/", -1).isin(names.toSeq: _*))
       .select(col("file"), col("positions"))
@@ -1160,11 +1285,15 @@ object SnapshotBloom {
           try new java.net.URI(stored).getPath
           catch { case _: java.net.URISyntaxException =>
             stored.replaceFirst("^file:/+", "/") }
-        if (!files.contains(fkey)) None
-        else {
+        val served: Option[String] =
+          if (files.contains(fkey)) Some(fkey)
+          else byRel.collectFirst {
+            case (rel, abs) if fkey.endsWith("/" + rel) => abs
+          }
+        served.map { abs =>
           val bits = new Array[Long](Bits / 64)
           r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
-          Some(fkey -> bits)
+          abs -> bits
         }
       }.toMap
   }
@@ -1319,11 +1448,17 @@ final class SnapshotFileIndex(
   // bitsets cached per index instance; None = file not in the index
   // (an unindexed file is never skipped)
   private val bloomCache = TrieMap.empty[String, Option[Array[Long]]]
-  private lazy val bloomIdxPath: Option[String] = bloomKey.flatMap { _ =>
+  private lazy val bloomIdxPath: Option[String] = bloomKey.flatMap { k =>
     val p = root.resolve("bloomidx")
     // a store created through the write door has no index (yet): fall
     // back to no skipping, which is sound, instead of crashing the scan
-    if (JFiles.exists(p)) Some(p.toString) else None
+    if (!JFiles.exists(p)) None
+    // column-identity check: probing column-A hashes against
+    // column-B bitsets would SKIP files containing matching rows —
+    // a marker mismatch degrades to no skipping (sound), and a
+    // markerless legacy index keeps the historical accept
+    else if (SnapshotBloom.indexedColumn(p.toString).exists(_ != k)) None
+    else Some(p.toString)
   }
 
   /** Ensure bitsets for `files` are cached, loading only the missing
@@ -1335,7 +1470,8 @@ final class SnapshotFileIndex(
       case Some(idx) =>
         val missing = files.filterNot(bloomCache.contains)
         if (missing.nonEmpty) {
-          val loaded = SnapshotBloom.load(spark, idx, missing.toSet)
+          val loaded = SnapshotBloom.load(spark, idx, missing.toSet,
+            Some(root))
           bloomBitsetsLoaded += loaded.size
           missing.foreach(f => bloomCache.putIfAbsent(f, loaded.get(f)))
         }
@@ -1346,7 +1482,12 @@ final class SnapshotFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keptPartitions = prunePartitions(partitionFilters)
+    // transform-plane pruning: SOURCE-column data filters rewrite onto
+    // the mirror columns (identity verbatim, days at day granularity,
+    // bucket by hash equality) — each a necessary condition, appended
+    // to the partition filters; the data filter still runs post-scan
+    val keptPartitions = prunePartitions(partitionFilters ++
+      SnapshotTransforms.translateFilters(dataFilters, partitionSchema))
     val candidateKeys = bloomCandidateKeys(dataFilters)
     val statsKeep: Option[StatsSkipping.Stats => Boolean] =
       if (sidecar.isEmpty) None
@@ -1633,9 +1774,9 @@ object SnapshotTable {
   * exactly-once per committed version, checkpointable, and a restarted
   * query resumes from the last committed version offset
   * (`SnapshotChangefeedSpec` pins the resume). Options: `fromVersion`
-  * (default 1 = the full history), `keyCol` / `valueCol` (the delta's
-  * key and tracked-value columns, defaults `o_orderkey` /
-  * `o_totalprice`).
+  * (default 1 = the full history), `keyCol` (the diff key — defaults
+  * to the store's declared `table.meta` key, refuses when neither
+  * exists), `valueCol` (tracked-value column, default `o_totalprice`).
   */
 final class SnapshotChangefeedSource(
     spark: SparkSession, root: JPath, fromVersion: Int,
@@ -1728,10 +1869,11 @@ object SnapshotChangefeedSource {
   * deltas are defined per key, not relative to a snapshot's values.
   * Only `SaveMode.Append` is accepted: a snapshot store never
   * overwrites history — that is the point of it. Options: `keyCol`
-  * (default `o_orderkey`), `partCol` (default `o_ym`) or `partCols`
-  * (comma-separated multi-column layout), `commitMode` (default
-  * `upsert`), `bloomKey` (maintain the per-file Bloom index at
-  * commit time).
+  * (required at bootstrap; later commits default to the key the
+  * store declared in `table.meta` — never a fixed column name),
+  * `partCol` (default `o_ym`) or `partCols` (comma-separated
+  * multi-column layout), `commitMode` (default `upsert`), `bloomKey`
+  * (maintain the per-file Bloom index at commit time).
   */
 final class SnapshotSourceProvider extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
@@ -1759,7 +1901,14 @@ final class SnapshotSourceProvider extends RelationProvider
     require(fromVersion >= 1,
       s"fromVersion must be >= 1 (versions are 1-based), got $fromVersion")
     new SnapshotChangefeedSource(ctx.sparkSession, root, fromVersion,
-      opt(parameters, "keyCol").getOrElse("o_orderkey"),
+      // the diff key: explicit option, else the store's declared key —
+      // never a fixed default (a foreign store's changefeed would
+      // silently diff on a column that isn't its key)
+      opt(parameters, "keyCol")
+        .orElse(SnapshotMeta.read(root).flatMap(_.keyCol))
+        .getOrElse(throw new IllegalArgumentException(
+          s"changefeed on $root needs a keyCol option: the store's " +
+            "table.meta declares no key_column to diff on")),
       opt(parameters, "valueCol").getOrElse("o_totalprice"))
   }
 
@@ -1842,7 +1991,16 @@ private[sources] object SnapshotDoor {
   def commit(spark: SparkSession, parameters: Map[String, String],
              data: DataFrame, txn: Option[(String, Long)]): Unit = {
     val root = resolveRoot(parameters)
-    val keyCol = opt(parameters, "keyCol").getOrElse("o_orderkey")
+    // key resolution: explicit option wins, else the key the store
+    // declared at bootstrap. No literal default — a commit that can't
+    // name its upsert/delete key must refuse, not bind to a fixed
+    // column name that may exist without being the key.
+    val keyCol = opt(parameters, "keyCol")
+      .orElse(SnapshotMeta.read(root).flatMap(_.keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-snapshot commit to $root needs a keyCol option: the " +
+          "store declares no key_column in table.meta (or is being " +
+          "bootstrapped) — upsert/delete semantics bind to the key"))
     // `partCols` (comma-separated) declares a multi-column layout;
     // `partCol` is the single-column spelling (default `o_ym`)
     val partCols = opt(parameters, "partCols")

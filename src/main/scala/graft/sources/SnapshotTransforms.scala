@@ -1,0 +1,267 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, XxHash64}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.functions.{col, lit, pmod, to_date, xxhash64}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HIDDEN-PARTITIONING TRANSFORMS for the snapshot store's layout —
+  * the Iceberg headline layout feature (`days(ts)`, `bucket(n, key)`)
+  * on the store's mirror-column plane. Cites the shape, not the code:
+  * Iceberg spec §"Partition Transforms" (public documentation).
+  *
+  * A layout mirror `<src>_p` has always carried `mirror == source`
+  * (identity). A TRANSFORM mirror instead carries `mirror ==
+  * f(source)`, with `f` recorded as [[StructField]] METADATA on the
+  * partition-spec field — so the transform rides everywhere the spec
+  * already travels (`table.meta` JSON, `#partspec` records, clones,
+  * branches) with zero new planes:
+  *
+  *  - `days(ts)`   — mirror type DATE; day-granularity layout over a
+  *    DATE or TIMESTAMP source (timestamps truncate in the session
+  *    zone, the same zone `to_date` uses);
+  *  - `bucket(n, k)` — mirror type INT; `xxhash64(k) mod n` over an
+  *    integral or string source. Both sides (the write door's Column
+  *    expression and the driver's literal probe) evaluate the SAME
+  *    Catalyst `XxHash64`, so agreement is by construction — the
+  *    [[SnapshotBloom]] discipline. Integral sources hash as LONG
+  *    (cast first): int32 bytes hash differently, the Bloom lesson.
+  *
+  * Transform mirrors are HIDDEN: they are not part of the SQL table
+  * schema, users never write or query them — the write doors derive
+  * them, and reads prune through [[translateFilters]], which rewrites
+  * SOURCE-column predicates onto the partition plane (range for
+  * `days`, equality-only for `bucket`, everything for identity — each
+  * a NECESSARY condition, so pruning is a sound over-approximation
+  * and the original filter still evaluates post-scan). Identity
+  * tables carry no metadata and take exactly the pre-transform code
+  * paths.
+  */
+object SnapshotTransforms {
+  sealed trait T extends Serializable
+  case object Identity extends T
+  case object Days extends T
+  final case class Bucket(n: Int) extends T
+
+  private val TransformKey = "graft.transform"
+  private val BucketNKey = "graft.bucket.n"
+
+  /** The transform a partition-spec field declares (metadata-absent =
+    * identity, the historical layout).
+    */
+  def of(f: StructField): T =
+    if (!f.metadata.contains(TransformKey)) Identity
+    else f.metadata.getString(TransformKey) match {
+      case "days" => Days
+      case "bucket" => Bucket(f.metadata.getLong(BucketNKey).toInt)
+      case other => throw new IllegalStateException(
+        s"unknown layout transform '$other' on ${f.name}")
+    }
+
+  /** True when any field of the spec carries a non-identity transform. */
+  def hasTransforms(spec: StructType): Boolean =
+    spec.fields.exists(f => of(f) != Identity)
+
+  /** The hidden (non-identity) mirror names of a spec — excluded from
+    * the SQL table schema.
+    */
+  def hiddenMirrors(spec: StructType): Set[String] =
+    spec.fields.filter(f => of(f) != Identity).map(_.name).toSet
+
+  /** Mirror field for a declared transform over `src`. */
+  def mirrorField(t: T, src: StructField): StructField = {
+    val name = s"${src.name}_p"
+    t match {
+      case Identity => StructField(name, src.dataType, nullable = true)
+      case Days =>
+        require(src.dataType == DateType || src.dataType == TimestampType,
+          s"days(${src.name}): source must be DATE or TIMESTAMP, got " +
+            src.dataType.simpleString)
+        StructField(name, DateType, nullable = true,
+          new MetadataBuilder().putString(TransformKey, "days").build())
+      case Bucket(n) =>
+        require(n >= 2 && n <= (1 << 20),
+          s"bucket(${src.name}): bucket count must be in [2, 2^20], got $n")
+        require(bucketable(src.dataType),
+          s"bucket(${src.name}): source must be integral or string, " +
+            s"got ${src.dataType.simpleString}")
+        StructField(name, IntegerType, nullable = true,
+          new MetadataBuilder().putString(TransformKey, "bucket")
+            .putLong(BucketNKey, n.toLong).build())
+    }
+  }
+
+  private def bucketable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** The mirror's value as a Column over its source — the write door's
+    * derivation (commit path, migrate_layout).
+    */
+  def deriveCol(f: StructField, src: Column, srcType: DataType): Column =
+    of(f) match {
+      case Identity => src
+      case Days => srcType match {
+        case DateType => src
+        case TimestampType => to_date(src)
+        case other => throw new IllegalArgumentException(
+          s"days over ${other.simpleString}")
+      }
+      case Bucket(n) => srcType match {
+        case StringType => pmod(xxhash64(src), lit(n.toLong)).cast("int")
+        // integral sources hash as LONG on both sides (the Bloom
+        // lesson: xxhash64 of int32 hashes 4 bytes, the driver probe 8)
+        case ByteType | ShortType | IntegerType | LongType =>
+          pmod(xxhash64(src.cast("long")), lit(n.toLong)).cast("int")
+        case other => throw new IllegalArgumentException(
+          s"bucket over ${other.simpleString}")
+      }
+    }
+
+  /** Driver/executor-side literal bucket — the SAME Catalyst XxHash64
+    * the Column expression evaluates, seed and all.
+    */
+  def bucketOfLong(v: Long, n: Int): Int = {
+    val h = new XxHash64(Seq(Literal(v, LongType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
+  def bucketOfUtf8(v: UTF8String, n: Int): Int = {
+    val h = new XxHash64(Seq(Literal(v, StringType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
+  /** TRANSFORM-PLANE PRUNING: rewrite SOURCE-column data filters into
+    * partition-plane filters over the mirror columns — each output is
+    * a NECESSARY condition of its input (a partition failing it
+    * provably holds no matching row), so appending these to the
+    * partition filters prunes soundly while the original filter still
+    * evaluates post-scan as an ordinary data filter.
+    *
+    *  - identity: every comparison carries over verbatim
+    *    (`mirror == source` per row);
+    *  - days: equality and ranges carry at day granularity — strict
+    *    bounds WEAKEN to inclusive day bounds (`ts > T` keeps T's own
+    *    day: later-in-day rows match);
+    *  - bucket: equality and IN only (hash order is meaningless).
+    */
+  def translateFilters(dataFilters: Seq[Expression],
+                       spec: StructType): Seq[Expression] = {
+    if (spec.fields.isEmpty) return Nil
+    // source name -> (mirror attribute, transform, source type)
+    val bySource: Map[String, (AttributeReference, T, DataType)] =
+      spec.fields.map { f =>
+        val t = of(f)
+        f.name.stripSuffix("_p") ->
+          (AttributeReference(f.name, f.dataType, nullable = true)(), t,
+            sourceTypeOf(f, t))
+      }.toMap
+    dataFilters.flatMap(translateOne(_, bySource))
+  }
+
+  /** The source type a transform's literals arrive as. For identity
+    * the mirror IS the source type; days keeps a declared marker of
+    * date-or-timestamp only through the literal's own type, so pass
+    * the mirror type and let the literal decide.
+    */
+  private def sourceTypeOf(f: StructField, t: T): DataType = t match {
+    case Identity | Days | Bucket(_) => f.dataType
+  }
+
+  private def translateOne(e: Expression,
+      bySource: Map[String, (AttributeReference, T, DataType)])
+      : Option[Expression] = {
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    // days-mirror literal from a source literal (Int days pass through;
+    // Long micros truncate in the session zone — same zone as to_date)
+    def dayLit(v: Any, litType: DataType): Option[Literal] = (litType, v) match {
+      case (DateType, d: Int) => Some(Literal(d, DateType))
+      case (TimestampType, micros: Long) =>
+        Some(Literal(DateTimeUtils.microsToDays(micros, zone), DateType))
+      case _ => None
+    }
+    def bucketLit(v: Any, litType: DataType, n: Int): Option[Literal] =
+      (litType, v) match {
+        case (ByteType, b: Byte) => Some(Literal(bucketOfLong(b.toLong, n)))
+        case (ShortType, s: Short) => Some(Literal(bucketOfLong(s.toLong, n)))
+        case (IntegerType, i: Int) => Some(Literal(bucketOfLong(i.toLong, n)))
+        case (LongType, l: Long) => Some(Literal(bucketOfLong(l, n)))
+        case (StringType, u: UTF8String) => Some(Literal(bucketOfUtf8(u, n)))
+        case _ => None
+      }
+    // one (source attr `cmp` literal) atom -> mirror-plane expression
+    def atom(a: AttributeReference, v: Any, litType: DataType,
+             cmp: String): Option[Expression] =
+      bySource.get(a.name).flatMap { case (m, t, _) =>
+        t match {
+          case Identity => Some(cmp match {
+            case "=" => EqualTo(m, Literal(v, litType))
+            case ">" => GreaterThan(m, Literal(v, litType))
+            case ">=" => GreaterThanOrEqual(m, Literal(v, litType))
+            case "<" => LessThan(m, Literal(v, litType))
+            case "<=" => LessThanOrEqual(m, Literal(v, litType))
+          })
+          case Days => dayLit(v, litType).map { d =>
+            cmp match {
+              case "=" => EqualTo(m, d)
+              // strict bounds weaken to the day: `ts > T` can match
+              // rows later inside T's own day
+              case ">" | ">=" => GreaterThanOrEqual(m, d)
+              case "<" | "<=" => LessThanOrEqual(m, d)
+            }
+          }
+          case Bucket(n) =>
+            if (cmp == "=") bucketLit(v, litType, n).map(EqualTo(m, _))
+            else None
+        }
+      }
+    def inAtom(a: AttributeReference, vs: Seq[(Any, DataType)])
+        : Option[Expression] =
+      bySource.get(a.name).flatMap { case (m, t, _) =>
+        val lits: Seq[Option[Literal]] = t match {
+          case Identity => vs.map { case (v, dt) => Some(Literal(v, dt)) }
+          case Days => vs.map { case (v, dt) => dayLit(v, dt) }
+          case Bucket(n) => vs.map { case (v, dt) => bucketLit(v, dt, n) }
+        }
+        if (lits.forall(_.isDefined)) Some(In(m, lits.flatten.distinct))
+        else None
+      }
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) => atom(a, v, dt, "=")
+      case EqualTo(Literal(v, dt), a: AttributeReference) => atom(a, v, dt, "=")
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) => atom(a, v, dt, ">")
+      case GreaterThan(Literal(v, dt), a: AttributeReference) => atom(a, v, dt, "<")
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => atom(a, v, dt, ">=")
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => atom(a, v, dt, "<=")
+      case LessThan(a: AttributeReference, Literal(v, dt)) => atom(a, v, dt, "<")
+      case LessThan(Literal(v, dt), a: AttributeReference) => atom(a, v, dt, ">")
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => atom(a, v, dt, "<=")
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => atom(a, v, dt, ">=")
+      case In(a: AttributeReference, list)
+          if list.forall(_.isInstanceOf[Literal]) =>
+        inAtom(a, list.map { case Literal(v, dt) => (v, dt) })
+      case InSet(a: AttributeReference, hset) =>
+        inAtom(a, hset.toSeq.map(v => (v, a.dataType)))
+      // AND: any translatable side is a necessary condition on its own
+      case And(l, r) =>
+        (translateOne(l, bySource), translateOne(r, bySource)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (one, other) => one.orElse(other)
+        }
+      // OR: both sides must translate, or nothing is necessary
+      case Or(l, r) =>
+        for {
+          a <- translateOne(l, bySource)
+          b <- translateOne(r, bySource)
+        } yield Or(a, b)
+      case _ => None
+    }
+  }
+}

@@ -177,7 +177,7 @@ class SnapshotMetadataSpec extends SparkSpec {
     val droot = java.nio.file.Files.createTempDirectory("door_empty")
     Seq.empty[(Long, String, Double, String)]
       .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym")
-      .write.format("graft-snapshot").mode("append").save(droot.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(droot.toString)
     assert(SnapshotManifest.head(droot) === 1)
     val back = spark.read.format("graft-snapshot").load(droot.toString)
     assert(back.count() === 0)
@@ -189,7 +189,7 @@ class SnapshotMetadataSpec extends SparkSpec {
     def commit(rows: Seq[(Long, String, Double, String)],
                mode: String = "upsert"): Unit =
       rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym")
-        .write.format("graft-snapshot").mode("append")
+        .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append")
         .option("bloomKey", "o_orderkey")
         .option("commitMode", mode).save(droot.toString)
     commit(Seq((1L, "O", 10.0, "2024-01"), (2L, "F", 20.0, "2024-02")))
@@ -212,7 +212,7 @@ class SnapshotMetadataSpec extends SparkSpec {
     val droot = java.nio.file.Files.createTempDirectory("door_nobloom")
     Seq((1L, "O", 10.0, "2024-01"), (2L, "F", 20.0, "2024-01"))
       .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym")
-      .write.format("graft-snapshot").mode("append").save(droot.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(droot.toString)
     val got = spark.read.format("graft-snapshot")
       .option("bloomKey", "o_orderkey").load(droot.toString)
       .filter(col("o_orderkey") === 2L)

@@ -90,7 +90,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     def save(rows: Seq[(Long, Double)]): Unit =
       rows.toDF("o_orderkey", "o_totalprice")
         .withColumn("o_ym", lit("2024-01"))
-        .write.format("graft-snapshot").mode("append").save(droot.toString)
+        .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(droot.toString)
     val before = System.currentTimeMillis() - 50
     save(Seq((1L, 1.0), (2L, 2.0)))
     Thread.sleep(1500) // manifest mtime granularity can be 1 s
@@ -412,7 +412,8 @@ class SnapshotCatalogSpec extends SparkSpec {
       .ParquetFileFormat().prepareWrite(spark, job, Map.empty, fileSchema)
     val root = java.nio.file.Files.createTempDirectory("rl_task").toString
     val factory = new SnapshotReplaceWriterFactory(root, writeSchema,
-      fileSchema, Seq("ym_p"), Seq((1, StringType)), owf,
+      fileSchema, Seq("ym_p"),
+      Seq((1, StringType, SnapshotTransforms.Identity)), owf,
       new SerializableConf(job.getConfiguration))
     def row(k: Long): InternalRow = InternalRow(k,
       UTF8String.fromString("2024-01"), UTF8String.fromString("2024-01"))

@@ -77,6 +77,66 @@ class SnapshotCreateTableSpec extends SparkSpec {
     assert(got.getLong(1) === ids.length.toLong)
   }
 
+  test("CTAS is ATOMIC: a mid-flight failure leaves NOTHING visible, " +
+    "a successful one publishes with a single rename, REPLACE refuses") {
+    import spark.implicits._
+    val (base, cat) = freshCat("ct_atomic")
+    (1L to 60L).map(i => (i, s"d${i % 3}", i.toDouble))
+      .toDF("id", "day", "v").createOrReplaceTempView("ct_atomic_src")
+    // (a) the SELECT fails at runtime: no table root may exist after —
+    // previously the empty table was catalog-visible mid-flight and a
+    // crashed CTAS left it behind
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.`boom`
+           |PARTITIONED BY (day_p)
+           |TBLPROPERTIES ('key_column' = 'id')
+           |AS SELECT id,
+           |  CASE WHEN id > 30 THEN raise_error('mid-CTAS failure')
+           |       ELSE day END AS day,
+           |  v, day AS day_p
+           |FROM ct_atomic_src""".stripMargin)
+    }
+    assert(e.getMessage.contains("mid-CTAS failure") ||
+      Option(e.getCause).exists(_.getMessage.contains("mid-CTAS")),
+      e.getMessage)
+    assert(!java.nio.file.Files.exists(base.resolve("boom")),
+      "failed CTAS must leave no table root")
+    val eRead = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`boom`").collect()
+    }
+    assert(eRead.getMessage.contains("boom"), eRead.getMessage)
+    // (b) a successful CTAS publishes atomically and reads back whole
+    spark.sql(
+      s"""CREATE TABLE $cat.`ok`
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id')
+         |AS SELECT id, day, v, day AS day_p FROM ct_atomic_src""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`ok`")
+      .head().getLong(0) === 60L)
+    assert(SnapshotManifest.head(base.resolve("ok")) === 2,
+      "staged CTAS = empty v1 + one seed commit")
+    // failure left only hidden .staging garbage, never a table
+    val visible = spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet
+    assert(visible === Set("ok"), s"catalog leaked: $visible")
+    // (c) REPLACE TABLE refuses with the drop+create remedy
+    val eRep = intercept[Exception] {
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE $cat.`ok`
+           |PARTITIONED BY (day_p)
+           |TBLPROPERTIES ('key_column' = 'id')
+           |AS SELECT id, day, v, day AS day_p FROM ct_atomic_src""".stripMargin)
+    }
+    assert(eRep.getMessage.contains("REPLACE TABLE"), eRep.getMessage)
+    // (d) the hidden staging namespace is not user-addressable
+    val eStag = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`.staging`.`x`")
+    }
+    assert(eStag.getMessage.contains("invalid identifier segment") ||
+      eStag.getMessage.toUpperCase.contains("NOT FOUND"), eStag.getMessage)
+  }
+
   test("identifier hygiene: traversal segments refuse everywhere; " +
     "dotted TABLE NAMES keep working through procedures; a racing " +
     "half-created store refuses CREATE") {

@@ -33,14 +33,14 @@ class SnapshotEvolutionSpec extends SparkSpec {
     // v1: two partitions, no o_channel anywhere
     frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)), "2024-01")
       .unionByName(frame(Seq((3L, "F", 30.0)), "2024-02"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     assert(SnapshotMeta.read(root).get.dataSchema.fieldNames.toSeq ===
       Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_ym"))
 
     // v2: upsert key 2 WITH the new column — touches 2024-01 only
     frame(Seq((2L, "O", 99.0)), "2024-01")
       .withColumn("o_channel", lit("web"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
 
     // the widened schema rides INSIDE the winning manifest (atomic
     // with the commit), appended last and forced nullable; the
@@ -76,14 +76,14 @@ class SnapshotEvolutionSpec extends SparkSpec {
     val root = freshRoot()
     frame(Seq((1L, "O", 10.0)), "2024-01")
       .unionByName(frame(Seq((3L, "F", 30.0)), "2024-02"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // v2 widens while touching only 2024-01
     frame(Seq((2L, "O", 20.0)), "2024-01").withColumn("o_channel", lit("web"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // v3 touches 2024-02, whose files PREDATE the column: its kept row
     // must fill NULL (not crash the union) and the delta row carries it
     frame(Seq((4L, "F", 40.0)), "2024-02").withColumn("o_channel", lit("app"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     val got = SnapshotTable.read(spark, root, 3)
       .select("o_orderkey", "o_channel").collect()
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
@@ -96,10 +96,10 @@ class SnapshotEvolutionSpec extends SparkSpec {
     val root = freshRoot()
     frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)), "2024-01")
       .unionByName(frame(Seq((3L, "F", 30.0), (4L, "F", 40.0)), "2024-02"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // v2 widens, touching only 2024-02: key 4 carries a channel
     frame(Seq((4L, "F", 44.0)), "2024-02").withColumn("o_channel", lit("web"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // v3 touches BOTH partitions: `existing` mixes a pre-evolution dir
     // (2024-01) with a post-evolution one (2024-02). A kept read that
     // INFERRED its schema from whichever file listed first could take
@@ -108,7 +108,7 @@ class SnapshotEvolutionSpec extends SparkSpec {
     frame(Seq((1L, "O", 11.0)), "2024-01")
       .unionByName(frame(Seq((3L, "F", 33.0)), "2024-02"))
       .withColumn("o_channel", lit(null).cast("string"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     val got = SnapshotTable.read(spark, root, 3)
       .select("o_orderkey", "o_totalprice", "o_channel").collect()
       .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
@@ -120,11 +120,11 @@ class SnapshotEvolutionSpec extends SparkSpec {
   test("a delta dropping a table column is refused") {
     val root = freshRoot()
     frame(Seq((1L, "O", 10.0)), "2024-01")
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     val e = intercept[IllegalArgumentException] {
       Seq((1L, 99.0)).toDF("o_orderkey", "o_totalprice")
         .withColumn("o_ym", lit("2024-01"))
-        .write.format("graft-snapshot").mode("append").save(root.toString)
+        .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     }
     assert(e.getMessage.contains("o_orderstatus"))
     // the refused commit must not have advanced the head
@@ -134,14 +134,14 @@ class SnapshotEvolutionSpec extends SparkSpec {
   test("deletes on an evolved store keep working (no widening rules)") {
     val root = freshRoot()
     frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)), "2024-01")
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     frame(Seq((2L, "O", 99.0)), "2024-01").withColumn("o_channel", lit("web"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // the delete delta carries the PRE-evolution row shape (no
     // o_channel) — deletes are key-based, so the widening rules must
     // not apply to them
     frame(Seq((2L, "O", 99.0)), "2024-01")
-      .write.format("graft-snapshot").mode("append")
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append")
       .option("commitMode", "delete").save(root.toString)
     val keys = SnapshotTable.read(spark, root, 3)
       .select("o_orderkey").as[Long].collect().toSet

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.sql.{Date => JDate, Timestamp => JTimestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HIDDEN PARTITIONING ([[SnapshotTransforms]], round 13 — the Iceberg
+  * headline layout feature): `CREATE TABLE … PARTITIONED BY
+  * (days(d), bucket(n, k))` lays the store out by derived values the
+  * user never writes or queries —
+  *
+  *  1. the SQL schema HIDES the transform mirrors; INSERT supplies
+  *     only source columns and the doors derive the layout;
+  *  2. predicates on the SOURCE columns prune the partition plane:
+  *     ranges through `days` (strict-subset), equality through
+  *     `bucket` — on BOTH doors (SQL V2 scan and DataFrame
+  *     FileIndex);
+  *  3. the DataFrame write door and the SQL INSERT door derive
+  *     IDENTICAL partition values (one xxhash64, both sides);
+  *  4. `days` over TIMESTAMP truncates in the session zone;
+  *  5. identity tables are byte-for-byte unchanged (the whole
+  *     existing suite pins that).
+  */
+class SnapshotHiddenPartitioningSpec extends SparkSpec {
+
+  private def freshCat(name: String): (java.nio.file.Path, String) = {
+    val base = java.nio.file.Files.createTempDirectory(name)
+    val cat = name.replaceAll("[^A-Za-z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    (base, cat)
+  }
+
+  /** Pruned file count of the plan's parquet V2 scan, evaluated the
+    * way the scan itself lists (same index, same filters).
+    */
+  private def v2ScanFiles(df: DataFrame): (Int, Int) = {
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst {
+      case p: ParquetScan => p
+      case d: SnapshotDppScan => d.delegate
+    }.getOrElse(fail("no ParquetScan in plan"))
+    val pruned = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+    val total = scan.fileIndex.listFiles(Nil, Nil).map(_.files.size).sum
+    (pruned, total)
+  }
+
+  import spark.implicits._
+
+  private def srcRows: Seq[(Long, JDate, Double)] =
+    (1L to 80L).map(i =>
+      (i, JDate.valueOf(s"2024-01-${(i % 10 + 1).formatted("%02d")}"),
+        i.toDouble))
+
+  test("CREATE with days+bucket hides mirrors, INSERT derives the " +
+    "layout, SELECT round-trips, source predicates prune both doors") {
+    val (base, cat) = freshCat("hp_main")
+    spark.sql(
+      s"""CREATE TABLE $cat.`hp` (id BIGINT, d DATE, v DOUBLE)
+         |PARTITIONED BY (days(d), bucket(4, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    val root = base.resolve("hp")
+    // the schema is the THREE source columns — no mirror leaks
+    assert(spark.table(s"$cat.`hp`").columns.toSeq ===
+      Seq("id", "d", "v"))
+    // but the layout is declared with transform tags in table.meta
+    val spec = SnapshotMeta.read(root).get.partitionSchema
+    assert(spec.fieldNames.toSeq === Seq("d_p", "id_p"))
+    assert(SnapshotTransforms.of(spec("d_p")) === SnapshotTransforms.Days)
+    assert(SnapshotTransforms.of(spec("id_p")) ===
+      SnapshotTransforms.Bucket(4))
+
+    srcRows.toDF("id", "d", "v").createOrReplaceTempView("hp_src")
+    spark.sql(s"INSERT INTO $cat.`hp` SELECT id, d, v FROM hp_src")
+    // layout fact: 10 days x up-to-4 buckets, two segments per pv
+    val pvs = SnapshotManifest.read(root, 2).keySet
+    assert(pvs.forall(_.split("/", -1).length === 2), s"bad pvs: $pvs")
+    assert(pvs.map(_.split("/")(0)).size > 1)
+    // round-trip equality
+    val got = spark.sql(s"SELECT id, d, v FROM $cat.`hp`")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDouble(2))).toSet
+    assert(got === srcRows.map(t => (t._1, t._2.toString, t._3)).toSet)
+
+    // SQL door: a DATE RANGE on the SOURCE column prunes a strict
+    // subset of files through the days mirror
+    val ranged = spark.sql(s"SELECT id, v FROM $cat.`hp` " +
+      "WHERE d BETWEEN DATE'2024-01-02' AND DATE'2024-01-03'")
+    val (prunedR, totalR) = v2ScanFiles(ranged)
+    assert(prunedR > 0 && prunedR < totalR,
+      s"days range must prune: $prunedR of $totalR")
+    assert(ranged.count() ===
+      srcRows.count(t => t._2.toString >= "2024-01-02" &&
+        t._2.toString <= "2024-01-03").toLong)
+
+    // SQL door: KEY EQUALITY prunes through the bucket mirror — at
+    // most the matching bucket's partitions survive
+    val point = spark.sql(s"SELECT v FROM $cat.`hp` WHERE id = 37")
+    val (prunedP, totalP) = v2ScanFiles(point)
+    assert(prunedP > 0 && prunedP < totalP,
+      s"bucket equality must prune: $prunedP of $totalP")
+    assert(point.head().getDouble(0) === 37.0)
+
+    // DataFrame door: same pruning through SnapshotFileIndex
+    val dfRead = SnapshotTable.read(spark, root, 2)
+      .filter(col("d") === JDate.valueOf("2024-01-05"))
+      .select(col("id"), col("v"))
+    assert(dfRead.count() === srcRows.count(_._2.toString == "2024-01-05")
+      .toLong)
+    val idx = SnapshotTable.fileIndexOf(dfRead)
+    val (parts, _) = idx.lastListing
+    assert(parts > 0 && parts <= 4,
+      s"one day = at most 4 bucket partitions, listed $parts")
+
+    // upsert through the DATAFRAME door lands in the SAME pv the SQL
+    // door derived (one hash, both sides): manifest keys must not grow
+    Seq((37L, JDate.valueOf("2024-01-08"), 3737.0)).toDF("id", "d", "v")
+      .write.format("graft-snapshot").mode("append").save(root.toString)
+    val pvs3 = SnapshotManifest.read(root, 3).keySet
+    assert(pvs3 === pvs,
+      s"door disagreement on derived pvs: ${pvs3 -- pvs}")
+    assert(spark.sql(s"SELECT v FROM $cat.`hp` WHERE id = 37")
+      .head().getDouble(0) === 3737.0)
+    // DELETE routes and rewrites through the same derived layout
+    spark.sql(s"DELETE FROM $cat.`hp` WHERE id = 37")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`hp`")
+      .head().getLong(0) === 79L)
+  }
+
+  test("days over TIMESTAMP truncates in the session zone; range " +
+    "predicates prune at day granularity") {
+    val (base, cat) = freshCat("hp_ts")
+    spark.sql(
+      s"""CREATE TABLE $cat.`ev` (eid BIGINT, ts TIMESTAMP, v DOUBLE)
+         |PARTITIONED BY (days(ts))
+         |TBLPROPERTIES ('key_column' = 'eid')""".stripMargin)
+    val root = base.resolve("ev")
+    val rows = (1L to 48L).map(i =>
+      (i, JTimestamp.valueOf(s"2024-03-${(i % 4 + 1).formatted("%02d")} " +
+        s"${(i % 24).formatted("%02d")}:30:00"), i.toDouble))
+    rows.toDF("eid", "ts", "v").createOrReplaceTempView("ev_src")
+    spark.sql(s"INSERT INTO $cat.`ev` SELECT * FROM ev_src")
+    val pvs = SnapshotManifest.read(root, 2).keySet
+    assert(pvs === Set("2024-03-01", "2024-03-02", "2024-03-03",
+      "2024-03-04"), s"day truncation diverged: $pvs")
+    // a timestamp range covering one day keeps that day (weakened to
+    // inclusive day bounds — sound, never fewer rows)
+    val q = spark.sql(s"SELECT eid FROM $cat.`ev` " +
+      "WHERE ts >= TIMESTAMP'2024-03-02 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-03-03 00:00:00'")
+    assert(q.count() ===
+      rows.count(_._2.toString.startsWith("2024-03-02")).toLong)
+    val (pruned, total) = v2ScanFiles(q)
+    // inclusive day bounds keep 03-02 and 03-03, prune 03-01/03-04
+    assert(pruned < total, s"no pruning: $pruned of $total")
+  }
+
+  test("sql_hidden_partitioning entry matches its relational replay " +
+    "(the oracle's semantics) on sf0.001") {
+    val got = graft.operators.SourceQueries
+      .sqlHiddenPartitioning(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .createOrReplaceTempView("hp_oracle_orders")
+    val want = spark.sql(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM hp_oracle_orders
+        |  WHERE o_orderdate >= DATE '1995-01-01'
+        |    AND o_orderdate < DATE '1995-02-16'),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_orderdate
+        |  FROM base WHERE o_orderkey % 19 = 0
+        |    AND o_orderdate < DATE '1995-02-01'),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS o_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head
+        |WHERE o_orderdate BETWEEN DATE '1995-01-10'
+        |  AND DATE '1995-02-10'
+        |GROUP BY o_day""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("transform refusals: days over non-temporal, bucket over " +
+    "non-hashable, bad bucket count, unknown transform") {
+    val (_, cat) = freshCat("hp_ref")
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"$sql → ${e.getMessage}")
+    }
+    refuse(s"CREATE TABLE $cat.`x` (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (days(v)) TBLPROPERTIES ('key_column'='id')",
+      "DATE or TIMESTAMP")
+    refuse(s"CREATE TABLE $cat.`x` (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, v)) TBLPROPERTIES ('key_column'='id')",
+      "integral or string")
+    refuse(s"CREATE TABLE $cat.`x` (id BIGINT, d DATE) " +
+      "PARTITIONED BY (bucket(1, id)) TBLPROPERTIES ('key_column'='d')",
+      "bucket count")
+    refuse(s"CREATE TABLE $cat.`x` (id BIGINT, d DATE) " +
+      "PARTITIONED BY (years(d)) TBLPROPERTIES ('key_column'='id')",
+      "unsupported partition transform")
+  }
+}

@@ -460,4 +460,43 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root,
       SnapshotManifest.head(root)).count() === 121L)
   }
+
+  test("changefeed across an evolve_partitioning boundary is exact " +
+    "against the relational diff (mixed-arity manifest sides)") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_cdf")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')") // v2
+    // v3: update id 3 (migrates ALL of day d0 to (day, etype)),
+    // insert 200/201 — the old side of the diff reads the 1-segment
+    // d0 entry, the new side reads the 2-segment d0/t* entries
+    Seq((3L, "t1", "d0", 1003.0), (200L, "t0", "d0", 1200.0),
+        (201L, "t1", "d0", 1201.0))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                     // v3
+    assert(SnapshotManifest.read(root, 3).keys
+      .map(_.split("/", -1).length).toSet === Set(1, 2),
+      "fixture must actually span two layouts")
+    val feed = SourceQueries.changeRows(spark, root, 2, 3, "id", "v")
+      .select(col("k"), col("price"), col("old_price"), col("change_type"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getString(3))).toSet
+    assert(feed === Set(
+      (3L, Some(1003.0), Some(3.0), "update"),
+      (200L, Some(1200.0), None, "insert"),
+      (201L, Some(1201.0), None, "insert")),
+      s"changefeed diverged: $feed")
+    // exactness vs the relational diff of the two union reads: a pure
+    // MIGRATION must contribute nothing (same keys, same values)
+    val v2 = SnapshotTable.read(spark, root, 2).select(col("id"), col("v"))
+    val v3 = SnapshotTable.read(spark, root, 3)
+      .select(col("id").as("id3"), col("v").as("v3"))
+    val relational = v2.join(v3, col("id") === col("id3"), "full_outer")
+      .filter(col("id").isNull || col("id3").isNull ||
+        !(col("v") <=> col("v3")))
+      .count()
+    assert(relational === feed.size.toLong)
+  }
 }

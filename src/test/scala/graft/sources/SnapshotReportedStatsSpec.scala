@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The SQL door reports TRUE CARDINALITY from the file-stats sidecar
+  * ([[SnapshotDppScan.estimateStatistics]]): the stock `FileScan`
+  * estimate carries only bytes, leaving AQE/broadcast planning to
+  * guess rows from a compression-sensitive byte heuristic. The scan's
+  * `numRows` must equal the sidecar row sum over exactly the files the
+  * PRUNED scan reads — whole table unpruned, the partition's rows
+  * under a mirror predicate — and must reach the logical plan's
+  * statistics (what join planning actually consults).
+  */
+class SnapshotReportedStatsSpec extends SparkSpec {
+
+  private def dppScan(df: DataFrame): SnapshotDppScan =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[SnapshotDppScan] =>
+        r.scan.asInstanceOf[SnapshotDppScan]
+    }.getOrElse(fail("no SnapshotDppScan in plan"))
+
+  test("scan numRows == sidecar row sum, post partition pruning; " +
+    "logical stats carry it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("repstats")
+    val root = base.resolve("t")
+    (1L to 90L).map(id => (id, s"d${id % 3}", id.toDouble))
+      .toDF("id", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)
+    val cat = "repstats"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+
+    // whole-table scan: numRows == the store's 90 rows
+    val full = spark.sql(s"SELECT id, v FROM $cat.`t`")
+    val fullStats = dppScan(full).estimateStatistics()
+    assert(fullStats.numRows.isPresent, "sidecar-backed scan must " +
+      "report a row count")
+    assert(fullStats.numRows.getAsLong === 90L)
+
+    // pruned scan: numRows == exactly the kept partition's rows
+    val pruned = spark.sql(
+      s"SELECT id, v FROM $cat.`t` WHERE day_p = 'd1'")
+    val prunedStats = dppScan(pruned).estimateStatistics()
+    assert(prunedStats.numRows.isPresent)
+    assert(prunedStats.numRows.getAsLong === 30L,
+      s"pruned scan must report the surviving files' rows, got " +
+        s"${prunedStats.numRows.getAsLong}")
+    // and the number the optimizer actually consults agrees
+    val planRows = pruned.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.stats.rowCount
+    }.flatten
+    assert(planRows.contains(BigInt(30)),
+      s"logical stats must carry the sidecar count, got $planRows")
+    // exactness of the data itself, same predicate
+    assert(pruned.count() === 30L)
+  }
+}

@@ -31,17 +31,17 @@ class SnapshotWriteDoorSpec extends SparkSpec {
   test("bootstrap, upsert, delete: three versions, old ones immutable") {
     val root = freshRoot()
     val base = frame(Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0)))
-    base.write.format("graft-snapshot").mode("append").save(root.toString)
+    base.write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     assert(SnapshotManifest.head(root) === 1)
 
     // upsert: bump key 2, insert key 9
     frame(Seq((2L, "O", 99.0), (9L, "P", 5.0)))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     assert(SnapshotManifest.head(root) === 2)
 
     // delete key 1
     frame(Seq((1L, "O", 10.0)))
-      .write.format("graft-snapshot").mode("append")
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append")
       .option("commitMode", "delete").save(root.toString)
     assert(SnapshotManifest.head(root) === 3)
 
@@ -63,13 +63,13 @@ class SnapshotWriteDoorSpec extends SparkSpec {
   test("an upsert introducing a brand-new partition appends it") {
     val root = freshRoot()
     frame(Seq((1L, "O", 10.0), (2L, "O", 20.0)))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // delta spans an existing month (update key 2) AND a month the
     // parent manifest has never seen — the canonical time-partitioned
     // ingest pattern
     frame(Seq((2L, "O", 99.0)))
       .unionByName(frame(Seq((7L, "N", 7.0)), month = "2024-02"))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     assert(SnapshotManifest.head(root) === 2)
     assert(SnapshotManifest.read(root, 2).keySet === Set("2024-01", "2024-02"))
     val got = SnapshotTable.read(spark, root, 2)
@@ -81,9 +81,9 @@ class SnapshotWriteDoorSpec extends SparkSpec {
   test("an empty delta is a legal no-change commit") {
     val root = freshRoot()
     frame(Seq((1L, "O", 10.0)))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     frame(Seq.empty)
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     assert(SnapshotManifest.head(root) === 2)
     assert(SnapshotManifest.read(root, 2) === SnapshotManifest.read(root, 1))
     assert(SnapshotTable.read(spark, root, 2).count() === 1)
@@ -102,14 +102,14 @@ class SnapshotWriteDoorSpec extends SparkSpec {
   test("a stale-head commit rebases instead of losing the other writer") {
     val root = freshRoot()
     frame(Seq((1L, "O", 1.0), (2L, "O", 2.0)))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     // two sequential upserts through the door land as v2 then v3 — the
     // second one's internal head re-read IS the rebase; both deltas
     // survive in the final head
     frame(Seq((1L, "O", 11.0)))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     frame(Seq((2L, "O", 22.0)))
-      .write.format("graft-snapshot").mode("append").save(root.toString)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root.toString)
     assert(SnapshotManifest.head(root) === 3)
     val got = SnapshotTable.read(spark, root, 3)
       .select("o_orderkey", "o_totalprice").collect()

@@ -133,15 +133,15 @@ class SnapshotChangefeedSpec extends SparkSpec {
     val chk = freshDir("restart_chk")
 
     frame(Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0)), "2024-01")
-      .write.format("graft-snapshot").mode("append").save(root)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root)
     val seen1 = drainOnce(root, out.getAbsolutePath, chk.getAbsolutePath)
     assert(seen1 === 3, s"incarnation 1 must stream v1's 3 inserts, got $seen1")
 
     // two more commits land while the consumer is down
     frame(Seq((2L, "O", 99.0), (9L, "P", 5.0)), "2024-01")
-      .write.format("graft-snapshot").mode("append").save(root)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root)
     frame(Seq((1L, "O", 10.0)), "2024-01")
-      .write.format("graft-snapshot").mode("append")
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append")
       .option("commitMode", "delete").save(root)
 
     val seen2 = drainOnce(root, out.getAbsolutePath, chk.getAbsolutePath)
@@ -179,11 +179,11 @@ class SnapshotChangefeedSpec extends SparkSpec {
         .withColumn("o_orderstatus", lit("O"))
         .withColumn("o_ym", lit("2024-01"))
     nf(Seq((1L, None), (2L, Some(2.0))))
-      .write.format("graft-snapshot").mode("append").save(root)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root)
     // key 1: NULL -> 5.0; key 2: 2.0 -> NULL — a null-unsafe =!= would
     // drop BOTH rows from the changefeed
     nf(Seq((1L, Some(5.0)), (2L, None)))
-      .write.format("graft-snapshot").mode("append").save(root)
+      .write.format("graft-snapshot").option("keyCol", "o_orderkey").mode("append").save(root)
     val cdc = SourceQueries.changeRows(spark,
         java.nio.file.Paths.get(root), 1, 2)
       .collect().map(r => (r.getLong(0),
