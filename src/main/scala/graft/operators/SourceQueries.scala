@@ -4456,6 +4456,50 @@ object SourceQueries {
          |GROUP BY o_orderdate""".stripMargin)
   }
 
+  /** `ALTER TABLE … RENAME TO …` end to end (round 13, VERDICT r12
+    * #4): clone the pristine keyed orders store, RENAME it — one
+    * atomic directory move, zero metadata rewrites because every
+    * under-root path stores root-relative — then run real DML under
+    * the NEW name: a keyed-upsert INSERT re-pricing two months' %17
+    * keys and a row-level DELETE of %131 keys (its predicate doesn't
+    * translate to metadata filters, so the group-rewrite plane runs
+    * post-rename too). The head aggregate under the new name matches
+    * the oracle's relational replay; survival of stats planning,
+    * Bloom skipping, tags and branches across the move is spec-pinned
+    * (`SnapshotRenameTableSpec`). At 100 TB: the alternative was
+    * clone + drop — O(files) link calls and a vacuum — for what is
+    * one rename(2).
+    */
+  def sqlRenameTable(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_rt")).resolve(key)
+    val cat = s"snaprt_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    ordersYmFixture(s, dir, base, "orders_rt")
+    s.sql(s"ALTER TABLE $cat.`orders_rt` RENAME TO `orders_renamed`")
+    val tbl = s"$cat.`orders_renamed`"
+    ordersYmFrame(s, dir).createOrReplaceTempView("graft_rt_orders")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5, o_ym,
+         |  o_ym
+         |FROM graft_rt_orders
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+         |  AND o_orderkey % 17 = 0""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 131 = 0")
+    val head = graft.sources.SnapshotManifest.head(
+      base.resolve("orders_renamed"))
+    s.sql(
+      s"""SELECT $head AS head_version, o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** SAFE TYPE WIDENING end to end (round 12, VERDICT r11 #5 — the
     * Iceberg safe-promotion set as a `#schema` overlay): bootstrap a
     * store carrying an INT day-of-month and a FLOAT price, widen both
@@ -5079,6 +5123,7 @@ object SourceQueries {
     "sql_widen_column"        -> sqlWidenColumn _,
     "sql_create_table"        -> sqlCreateTable _,
     "sql_hidden_partitioning" -> sqlHiddenPartitioning _,
+    "sql_rename_table"        -> sqlRenameTable _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
     "source_stats_prune"      -> snapshotStatsPrune _,
@@ -5494,6 +5539,28 @@ object SourceQueries {
         |WHERE o_orderdate BETWEEN DATE '1995-01-10'
         |  AND DATE '1995-02-10'
         |GROUP BY o_day""".stripMargin,
+    // rename-table: the oracle replays the post-rename DML
+    // relationally — the directory move itself must be invisible
+    "sql_rename_table" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 17 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |head AS (SELECT * FROM merged WHERE o_orderkey % 131 <> 0)
+        |SELECT 3 AS head_version, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM head GROUP BY o_orderstatus""".stripMargin,
     "source_time_travel" -> TimeTravelOracle,
     // the SQL door must see exactly what the DataFrame door sees
     "sql_time_travel" -> TimeTravelOracle,

@@ -234,9 +234,22 @@ final class SnapshotRowLevelScan(
     * always translates, so a two-column layout still narrows by its
     * leading column (all event types of the matched days) instead of
     * not at all.
+    *
+    * The declared attribute must exist in the SCAN OUTPUT:
+    * `RowLevelOperationRuntimeGroupFiltering` resolves it against the
+    * table's rows and FAILS the statement on a miss (not a silent
+    * skip). A HIDDEN transform mirror (days/bucket layout) is never
+    * in the output, so a hidden-partitioned table declares its first
+    * VISIBLE mirror — or none: the rewrite then replaces every
+    * statically-matched group, which is correct (the scan read them
+    * all) just unnarrowed.
     */
-  override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(op.partSchema.fieldNames.head))
+  override def filterAttributes(): Array[NamedReference] = {
+    val visible = readSchema().fieldNames.toSet
+    op.partSchema.fieldNames.find(visible.contains)
+      .map(c => Array(Expressions.column(c)))
+      .getOrElse(Array.empty)
+  }
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val exprs = predicates.toSeq.flatMap(p =>

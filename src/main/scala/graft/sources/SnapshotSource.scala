@@ -346,6 +346,64 @@ object SnapshotManifest {
     specs.find(_.length == arity)
   }
 
+  /** RENAME-TABLE migration for LEGACY metadata: stores written before
+    * the relative-path era carry ABSOLUTE dir/file paths in their
+    * manifests and `v<N>.files` sidecars — after the root moves, those
+    * would dangle. One sweep over the moved root (and its branch
+    * mini-stores) rewrites any path that pointed under the OLD root to
+    * the relative form the writers now produce, preserving each
+    * file's mtime (the manifest link's mtime IS the commit instant
+    * `TIMESTAMP AS OF` and `CALL history` resolve against). Stores
+    * written relative need zero rewrites — the sweep is read-only for
+    * them.
+    */
+  def migrateAbsolutePaths(oldRootAbs: String, newRoot: JPath): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val oldPrefix = oldRootAbs.stripSuffix("/") + "/"
+    val newRootN = newRoot.toAbsolutePath.normalize
+    def remap(miniRoot: JPath, p: String): String =
+      if (!p.startsWith(oldPrefix)) p
+      else relativizePath(miniRoot,
+        newRootN.resolve(p.stripPrefix(oldPrefix)).toString)
+    def rewrite(f: java.io.File, transform: String => String): Unit = {
+      val lines = JFiles.readAllLines(f.toPath).asScala.toSeq
+      val out = lines.map(transform)
+      if (out != lines) {
+        val mtime = f.lastModified()
+        val tmp = f.toPath.resolveSibling(
+          s".${f.getName}.mig.${java.util.UUID.randomUUID.toString.take(8)}")
+        JFiles.write(tmp, out.asJava)
+        JFiles.move(tmp, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        f.setLastModified(mtime)
+      }
+    }
+    def sweep(miniRoot: JPath): Unit = {
+      val mdir = miniRoot.resolve("manifests").toFile
+      Option(mdir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.matches("v\\d+\\.manifest"))
+          rewrite(f, l =>
+            if (l.startsWith("#")) l
+            else {
+              val i = l.lastIndexOf('\t')
+              l.substring(0, i + 1) + remap(miniRoot, l.substring(i + 1))
+            })
+        else if (f.getName.matches("v\\d+\\.files"))
+          rewrite(f, l =>
+            if (l.isEmpty) l
+            else JsonMethods.compact(JsonMethods.parse(l).transformField {
+              case ("path", JString(p)) => ("path", JString(remap(miniRoot, p)))
+            }))
+      }
+    }
+    sweep(newRootN)
+    Option(SnapshotBranches.dir(newRootN).toFile.listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .foreach(b => sweep(b.toPath))
+  }
+
   /** Every manifest's header lines, one pass — vacuum's record scan
     * (per-version [[headerLines]] would re-read all manifests per
     * version).

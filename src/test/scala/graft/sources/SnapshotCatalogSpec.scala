@@ -129,23 +129,24 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
-  test("DROP TABLE deletes a store; RENAME refuses with the " +
-    "clone+drop remedy") {
+  test("DROP TABLE deletes a store; RENAME moves one") {
     // round 12: DROP TABLE works (SnapshotCreateTableSpec owns the
     // full CREATE/CTAS/DROP surface) — exercise it on a THROWAWAY
-    // store, never the suite's shared fixture
+    // store, never the suite's shared fixture. RENAME works since
+    // round 13 (SnapshotRenameTableSpec owns the full surface).
     val droppable = root.getParent.resolve("droppable_store")
     import spark.implicits._
     Seq((1L, "x", 1.0)).toDF("k", "d", "v")
       .write.format("graft-snapshot")
       .option("keyCol", "k").option("partCol", "d")
       .mode("append").save(droppable.toString)
-    spark.sql(s"DROP TABLE $cat.`droppable_store`")
+    spark.sql(s"ALTER TABLE $cat.`droppable_store` RENAME TO `dropped_2`")
     assert(!java.nio.file.Files.exists(droppable))
-    val ren = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl RENAME TO $cat.`elsewhere`")
-    }
-    assert(ren.getMessage.contains("clone"), ren.getMessage)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`dropped_2`")
+      .head().getLong(0) === 1L)
+    spark.sql(s"DROP TABLE $cat.`dropped_2`")
+    assert(!java.nio.file.Files.exists(
+      root.getParent.resolve("dropped_2")))
   }
 
   // ---- the SQL DML door (own store: DML advances versions, and the

@@ -14,7 +14,7 @@ import graft.SparkSpec
   *  3. refusals: missing/invalid key_column, non-mirror partition
   *     columns, sourceless or type-mismatched mirrors, duplicate
   *     CREATE; DROP TABLE deletes the store and re-CREATE works;
-  *     RENAME TABLE refuses with the clone+drop remedy.
+  *     RENAME TABLE moves the root (SnapshotRenameTableSpec).
   */
 class SnapshotCreateTableSpec extends SparkSpec {
 
@@ -233,6 +233,12 @@ class SnapshotCreateTableSpec extends SparkSpec {
       "PARTITIONED BY (d_p) TBLPROPERTIES ('key_column'='id')")
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`a`")
       .head().getLong(0) === 0L)
-    refuse(s"ALTER TABLE $cat.`a` RENAME TO $cat.`b`", "clone")
+    // RENAME works since round 13 (relative-path metadata) — pinned in
+    // SnapshotRenameTableSpec; here just the happy path
+    spark.sql(s"INSERT INTO $cat.`a` VALUES (1L, 'x', 'x')")
+    spark.sql(s"ALTER TABLE $cat.`a` RENAME TO `b`")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`b`")
+      .head().getLong(0) === 1L)
+    assert(!java.nio.file.Files.exists(base.resolve("a")))
   }
 }

@@ -207,4 +207,36 @@ class SnapshotDropColumnSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.`t` ADD COLUMN v DOUBLE")
     }
   }
+
+  test("DOCUMENTED DIVERGENCE: time travel serves the HEAD schema — " +
+    "a pre-drop VERSION AS OF hides the dropped column, a pre-widen " +
+    "pin shows the widened one") {
+    import spark.implicits._
+    // The store's schema plane is head-wins for EVERY version read:
+    // `#schema`/`#rename`/`#drop` records fold over ALL manifests, not
+    // up to the pinned version. This is the Delta RESTORE stance
+    // (evolved reads declare missing columns nullable) extended to
+    // time travel, and it is DELIBERATE: one declared schema per table
+    // keeps every reader, rewrite, and stats plane on one shape.
+    // Iceberg instead serves each snapshot's own schema — if that
+    // semantics is ever wanted, the fold must cap at the pinned
+    // version AND the rename/physical mapping must cap with it. This
+    // spec pins the CURRENT contract so a change is a decision, not
+    // an accident.
+    val (root, cat) = freshStore("dc_tt")
+    spark.sql(s"INSERT INTO $cat.`t` VALUES " +
+      "(200L, 't0', 'd0', 1200.0, 'd0')")                        // v2
+    spark.sql(s"ALTER TABLE $cat.`t` DROP COLUMN etype")          // v3
+    spark.sql(s"ALTER TABLE $cat.`t` ADD COLUMNS (w BIGINT)")     // v4
+    // pre-drop pins serve the head's schema: etype hidden, w present
+    val v1 = spark.sql(s"SELECT * FROM $cat.`t` VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("id", "day", "v", "w", "day_p"),
+      s"head-schema-wins contract drifted: ${v1.columns.toSeq}")
+    assert(v1.count() === 120L, "the pinned ROWS stay the version's own")
+    // the DataFrame door agrees
+    assert(SnapshotTable.read(spark, root, 1).columns.toSeq ===
+      Seq("id", "day", "v", "w", "day_p"))
+    // w (post-pin evolution) reads as NULL over pre-evolution rows
+    assert(v1.filter(col("w").isNotNull).count() === 0L)
+  }
 }

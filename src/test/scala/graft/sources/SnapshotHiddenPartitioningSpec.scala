@@ -200,6 +200,64 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("row-level UPDATE and MERGE work on a hidden-partitioned " +
+    "table (rows route through the derived layout); CTAS composes") {
+    val (base, cat) = freshCat("hp_rl")
+    spark.sql(
+      s"""CREATE TABLE $cat.`rl` (id BIGINT, d DATE, v DOUBLE)
+         |PARTITIONED BY (days(d), bucket(4, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    srcRows.take(20).toDF("id", "d", "v")
+      .createOrReplaceTempView("hp_rl_src")
+    spark.sql(s"INSERT INTO $cat.`rl` SELECT * FROM hp_rl_src")
+    val pvsBefore = SnapshotManifest.read(
+      base.resolve("rl"), 2).keySet
+    // UPDATE: the filter is on the source key; the rewrite must keep
+    // every row routed to its derived (day, bucket) partition
+    spark.sql(s"UPDATE $cat.`rl` SET v = v * 10 WHERE id <= 5")
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) AS s FROM $cat.`rl`")
+      .head().getLong(0) ===
+      (1L to 20L).map(i => if (i <= 5) i * 10.0 else i.toDouble).sum.toLong)
+    assert(SnapshotManifest.read(base.resolve("rl"), 3).keySet ===
+      pvsBefore, "a value UPDATE must not move derived partitions")
+    // MERGE: matched update + not-matched insert in one statement
+    Seq((3L, JDate.valueOf("2024-01-04"), 333.0),
+        (99L, JDate.valueOf("2024-01-09"), 999.0))
+      .toDF("id", "d", "v").createOrReplaceTempView("hp_rl_delta")
+    spark.sql(
+      s"""MERGE INTO $cat.`rl` t USING hp_rl_delta s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, d, v) VALUES (s.id, s.d, s.v)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM $cat.`rl` WHERE id = 3")
+      .head().getDouble(0) === 333.0)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`rl`")
+      .head().getLong(0) === 21L)
+    // the inserted row landed in its DERIVED partition (same hash both
+    // doors): a DataFrame-door upsert of the same key must not grow
+    // the manifest
+    val pvs = SnapshotManifest.read(base.resolve("rl"),
+      SnapshotManifest.head(base.resolve("rl"))).keySet
+    Seq((99L, JDate.valueOf("2024-01-09"), 9999.0)).toDF("id", "d", "v")
+      .write.format("graft-snapshot").mode("append")
+      .save(base.resolve("rl").toString)
+    val pvsAfter = SnapshotManifest.read(base.resolve("rl"),
+      SnapshotManifest.head(base.resolve("rl"))).keySet
+    assert(pvsAfter === pvs, s"door disagreement: ${pvsAfter -- pvs}")
+
+    // CTAS with hidden partitioning composes with the staged publish
+    srcRows.toDF("id", "d", "v").createOrReplaceTempView("hp_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.`rlc`
+         |PARTITIONED BY (days(d), bucket(4, id))
+         |TBLPROPERTIES ('key_column' = 'id')
+         |AS SELECT id, d, v FROM hp_ctas_src""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`rlc`")
+      .head().getLong(0) === srcRows.length.toLong)
+    assert(spark.table(s"$cat.`rlc`").columns.toSeq ===
+      Seq("id", "d", "v"))
+  }
+
   test("transform refusals: days over non-temporal, bucket over " +
     "non-hashable, bad bucket count, unknown transform") {
     val (_, cat) = freshCat("hp_ref")
