@@ -4426,7 +4426,7 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"))
       .filter(col("o_orderdate") >= lit("1995-01-01") &&
-        col("o_orderdate") < lit("1995-02-16"))
+        col("o_orderdate") < lit("1995-02-01"))
       .createOrReplaceTempView("graft_hp_orders")
     val tbl = s"$cat.`orders_hp`"
     s.sql(
@@ -4444,7 +4444,8 @@ object SourceQueries {
          |  o_orderdate
          |FROM graft_hp_orders
          |WHERE o_orderkey % 19 = 0
-         |  AND o_orderdate < DATE'1995-02-01'""".stripMargin)
+         |  AND o_orderdate BETWEEN DATE'1995-01-02'
+         |    AND DATE'1995-01-04'""".stripMargin)
     s.sql(
       s"""SELECT CAST(o_orderdate AS STRING) AS o_day,
          |  CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -4452,7 +4453,7 @@ object SourceQueries {
          |    AS sum_price
          |FROM $tbl
          |WHERE o_orderdate BETWEEN DATE'1995-01-10'
-         |  AND DATE'1995-02-10'
+         |  AND DATE'1995-01-25'
          |GROUP BY o_orderdate""".stripMargin)
   }
 
@@ -5521,12 +5522,13 @@ object SourceQueries {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |  FROM orders
         |  WHERE o_orderdate >= DATE '1995-01-01'
-        |    AND o_orderdate < DATE '1995-02-16'),
+        |    AND o_orderdate < DATE '1995-02-01'),
         |up AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    o_totalprice * 1.5 AS o_totalprice, o_orderdate
         |  FROM base WHERE o_orderkey % 19 = 0
-        |    AND o_orderdate < DATE '1995-02-01'),
+        |    AND o_orderdate BETWEEN DATE '1995-01-02'
+        |      AND DATE '1995-01-04'),
         |head AS (
         |  SELECT * FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
@@ -5537,7 +5539,7 @@ object SourceQueries {
         |    AS sum_price
         |FROM head
         |WHERE o_orderdate BETWEEN DATE '1995-01-10'
-        |  AND DATE '1995-02-10'
+        |  AND DATE '1995-01-25'
         |GROUP BY o_day""".stripMargin,
     // rename-table: the oracle replays the post-rename DML
     // relationally — the directory move itself must be invisible

@@ -393,9 +393,19 @@ object SnapshotManifest {
         else if (f.getName.matches("v\\d+\\.files"))
           rewrite(f, l =>
             if (l.isEmpty) l
-            else JsonMethods.compact(JsonMethods.parse(l).transformField {
-              case ("path", JString(p)) => ("path", JString(remap(miniRoot, p)))
-            }))
+            else JsonMethods.parse(l) match {
+              // TOP-LEVEL path field only: transformField would recurse
+              // into the stats map, where a data column named "path"
+              // would have its min/max bounds rewritten — corrupted
+              // stats are wrong skipping, not a cosmetic bug
+              case JObject(fields) => JsonMethods.compact(JObject(
+                fields.map {
+                  case ("path", JString(p)) =>
+                    ("path", JString(remap(miniRoot, p)))
+                  case other => other
+                }))
+              case other => JsonMethods.compact(other)
+            })
       }
     }
     sweep(newRootN)

@@ -177,12 +177,13 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |  FROM hp_oracle_orders
         |  WHERE o_orderdate >= DATE '1995-01-01'
-        |    AND o_orderdate < DATE '1995-02-16'),
+        |    AND o_orderdate < DATE '1995-02-01'),
         |up AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    o_totalprice * 1.5 AS o_totalprice, o_orderdate
         |  FROM base WHERE o_orderkey % 19 = 0
-        |    AND o_orderdate < DATE '1995-02-01'),
+        |    AND o_orderdate BETWEEN DATE '1995-01-02'
+        |      AND DATE '1995-01-04'),
         |head AS (
         |  SELECT * FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
@@ -193,7 +194,7 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
         |    AS sum_price
         |FROM head
         |WHERE o_orderdate BETWEEN DATE '1995-01-10'
-        |  AND DATE '1995-02-10'
+        |  AND DATE '1995-01-25'
         |GROUP BY o_day""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1),
         math.round(r.getDouble(2) * 100))).toSet
