@@ -463,16 +463,17 @@ final class GraftSnapshotCatalog extends TableCatalog
               s"mirror $m (${mField.dataType.simpleString}) must have " +
                 s"its source's type (${srcField.dataType.simpleString})")
             mField.copy(nullable = true)
-          case "days" =>
+          case "days" | "months" =>
             val src = singleRef(t)
-            val srcField = sourceField(src, s"days($src)")
+            val srcField = sourceField(src, s"${t.name()}($src)")
             require(!schema.fieldNames.contains(s"${src}_p"),
               s"hidden mirror ${src}_p collides with a declared column")
-            SnapshotTransforms.mirrorField(SnapshotTransforms.Days,
-              srcField)
-          case "bucket" =>
+            SnapshotTransforms.mirrorField(
+              if (t.name() == "days") SnapshotTransforms.Days
+              else SnapshotTransforms.Months, srcField)
+          case "bucket" | "truncate" =>
             val src = singleRef(t)
-            val srcField = sourceField(src, s"bucket($src)")
+            val srcField = sourceField(src, s"${t.name()}($src)")
             require(!schema.fieldNames.contains(s"${src}_p"),
               s"hidden mirror ${src}_p collides with a declared column")
             val n = t.arguments().collectFirst {
@@ -480,13 +481,15 @@ final class GraftSnapshotCatalog extends TableCatalog
                 .Literal[_] if l.value().isInstanceOf[Number] =>
                 l.value().asInstanceOf[Number].intValue()
             }.getOrElse(throw new IllegalArgumentException(
-              s"bucket($src) needs a literal bucket count"))
-            SnapshotTransforms.mirrorField(SnapshotTransforms.Bucket(n),
-              srcField)
+              s"${t.name()}($src) needs a literal " +
+                (if (t.name() == "bucket") "bucket count" else "width")))
+            SnapshotTransforms.mirrorField(
+              if (t.name() == "bucket") SnapshotTransforms.Bucket(n)
+              else SnapshotTransforms.Truncate(n), srcField)
           case other => throw new UnsupportedOperationException(
             s"unsupported partition transform '$other': identity " +
-              "mirrors, days(<ts>) and bucket(<n>, <col>) are the " +
-              "store's layout vocabulary")
+              "mirrors, days/months(<ts>), bucket(<n>, <col>) and " +
+              "truncate(<w>, <col>) are the store's layout vocabulary")
         }
       }
     val mirrors = partFields.map(_.name)
@@ -1136,8 +1139,14 @@ final class SnapshotV2Table(
         case SnapshotTransforms.Identity => Expressions.identity(f.name)
         case SnapshotTransforms.Days =>
           Expressions.days(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Months =>
+          Expressions.months(f.name.stripSuffix("_p"))
         case SnapshotTransforms.Bucket(n) =>
           Expressions.bucket(n, f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Truncate(w) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w),
+            Expressions.column(f.name.stripSuffix("_p")))
       }
     }
 

@@ -277,7 +277,7 @@ private[sources] final class SnapshotEvolvedScanBuilder(
   override def build(): Scan = new SnapshotEvolvedScan(
     arms.map(a =>
       SnapshotEvolvedScan.Arm(a.builder.build(), a.spec, a.derived)),
-    current, required, dataSchema, chains)
+    current, required, dataSchema, chains, Some((root, version)))
 }
 
 private[sources] object SnapshotEvolvedScan {
@@ -300,7 +300,8 @@ final class SnapshotEvolvedScan(
     currentSpec: StructType,
     unified: StructType,
     dataSchema: StructType,
-    chains: Map[String, Seq[String]])
+    chains: Map[String, Seq[String]],
+    statsSource: Option[(JPath, Int)] = None)
   extends Scan
   with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
@@ -331,19 +332,40 @@ final class SnapshotEvolvedScan(
 
   /** Sum of the arms' estimates (each is the stock file-scan estimate
     * over that arm's pruned listing), so AQE and join planning see the
-    * union's true post-pruning size.
+    * union's true post-pruning size — with a TRUE ROW COUNT from the
+    * version's file-stats sidecar when one exists (the stock estimate
+    * carries only bytes), summed over exactly the files each pruned
+    * arm will read: the same cardinality wiring as the single-layout
+    * door's [[SnapshotDppScan.estimateStatistics]].
     */
   override def estimateStatistics(): Statistics = {
     val ss = arms.map(_.scan.estimateStatistics())
+    val sidecarRows: Option[Long] =
+      statsSource.flatMap { case (root, version) =>
+        SnapshotFiles.read(root, version).map { fm =>
+          val rowsByKey = fm.valuesIterator.flatten
+            .map(e => SnapshotBloom.fileKey(e.path) -> e.rows).toMap
+          arms.iterator.map { a =>
+            a.scan.fileIndex
+              .listFiles(a.scan.partitionFilters, a.scan.dataFilters)
+              .iterator.flatMap(_.files).map(st =>
+                rowsByKey.getOrElse(
+                  SnapshotBloom.fileKey(st.getPath.toString), 0L)).sum
+          }.sum
+        }
+      }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         if (ss.forall(_.sizeInBytes().isPresent))
           OptionalLong.of(ss.map(_.sizeInBytes().getAsLong).sum)
         else OptionalLong.empty()
-      override def numRows(): OptionalLong =
-        if (ss.forall(_.numRows().isPresent))
-          OptionalLong.of(ss.map(_.numRows().getAsLong).sum)
-        else OptionalLong.empty()
+      override def numRows(): OptionalLong = sidecarRows match {
+        case Some(n) => OptionalLong.of(n)
+        case None =>
+          if (ss.forall(_.numRows().isPresent))
+            OptionalLong.of(ss.map(_.numRows().getAsLong).sum)
+          else OptionalLong.empty()
+      }
     }
   }
 

@@ -495,15 +495,18 @@ private[sources] object SnapshotWriteSupport {
       case (_, dt, SnapshotTransforms.Identity) =>
         require(dt == StringType || dt == DateType || dt == IntegerType ||
           dt == LongType, s"unsupported partition column type $dt")
-      case (_, dt, SnapshotTransforms.Days) =>
+      case (_, dt, SnapshotTransforms.Days | SnapshotTransforms.Months) =>
         require(dt == DateType ||
           dt == org.apache.spark.sql.types.TimestampType,
-          s"days over unsupported source type $dt")
+          s"days/months over unsupported source type $dt")
       case (_, dt, SnapshotTransforms.Bucket(_)) =>
         require(dt == StringType || dt == IntegerType || dt == LongType ||
           dt == org.apache.spark.sql.types.ByteType ||
           dt == org.apache.spark.sql.types.ShortType,
           s"bucket over unsupported source type $dt")
+      case (_, dt, SnapshotTransforms.Truncate(_)) =>
+        require(dt == StringType,
+          s"truncate over unsupported source type $dt")
     }
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
@@ -774,6 +777,24 @@ final class SnapshotReplaceDataWriter(
           DateTimeUtils.microsToDays(row.getLong(i), zone)).toString
       case other => throw new IllegalStateException(s"days over $other")
     }
+    case SnapshotTransforms.Months =>
+      require(!row.isNullAt(i), "null partition source value")
+      val days = dt match {
+        case DateType => row.getInt(i)
+        case org.apache.spark.sql.types.TimestampType =>
+          DateTimeUtils.microsToDays(row.getLong(i), zone)
+        case other => throw new IllegalStateException(s"months over $other")
+      }
+      DateTimeUtils.daysToLocalDate(
+        SnapshotTransforms.firstOfMonthDays(days)).toString
+    case SnapshotTransforms.Truncate(w) =>
+      require(!row.isNullAt(i), "null partition source value")
+      dt match {
+        case StringType =>
+          SnapshotTransforms.truncateUtf8(row.getUTF8String(i), w).toString
+        case other => throw new IllegalStateException(
+          s"truncate over $other")
+      }
     case SnapshotTransforms.Bucket(n) =>
       require(!row.isNullAt(i), "null partition source value")
       val b = dt match {

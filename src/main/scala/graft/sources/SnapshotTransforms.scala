@@ -23,12 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `days(ts)`   — mirror type DATE; day-granularity layout over a
   *    DATE or TIMESTAMP source (timestamps truncate in the session
   *    zone, the same zone `to_date` uses);
+  *  - `months(ts)` — mirror type DATE, first-of-month: the calendar
+  *    ordering survives, so range predicates stay monotone;
   *  - `bucket(n, k)` — mirror type INT; `xxhash64(k) mod n` over an
   *    integral or string source. Both sides (the write door's Column
   *    expression and the driver's literal probe) evaluate the SAME
   *    Catalyst `XxHash64`, so agreement is by construction — the
   *    [[SnapshotBloom]] discipline. Integral sources hash as LONG
-  *    (cast first): int32 bytes hash differently, the Bloom lesson.
+  *    (cast first): int32 bytes hash differently, the Bloom lesson;
+  *  - `truncate(w, s)` — mirror type STRING, the first `w` chars:
+  *    prefix truncation is monotone under the lexicographic order,
+  *    so equality AND ranges prune.
   *
   * Transform mirrors are HIDDEN: they are not part of the SQL table
   * schema, users never write or query them — the write doors derive
@@ -44,10 +49,13 @@ object SnapshotTransforms {
   sealed trait T extends Serializable
   case object Identity extends T
   case object Days extends T
+  case object Months extends T
   final case class Bucket(n: Int) extends T
+  final case class Truncate(w: Int) extends T
 
   private val TransformKey = "graft.transform"
   private val BucketNKey = "graft.bucket.n"
+  private val TruncateWKey = "graft.truncate.w"
 
   /** The transform a partition-spec field declares (metadata-absent =
     * identity, the historical layout).
@@ -56,7 +64,9 @@ object SnapshotTransforms {
     if (!f.metadata.contains(TransformKey)) Identity
     else f.metadata.getString(TransformKey) match {
       case "days" => Days
+      case "months" => Months
       case "bucket" => Bucket(f.metadata.getLong(BucketNKey).toInt)
+      case "truncate" => Truncate(f.metadata.getLong(TruncateWKey).toInt)
       case other => throw new IllegalStateException(
         s"unknown layout transform '$other' on ${f.name}")
     }
@@ -82,6 +92,14 @@ object SnapshotTransforms {
             src.dataType.simpleString)
         StructField(name, DateType, nullable = true,
           new MetadataBuilder().putString(TransformKey, "days").build())
+      case Months =>
+        require(src.dataType == DateType || src.dataType == TimestampType,
+          s"months(${src.name}): source must be DATE or TIMESTAMP, got " +
+            src.dataType.simpleString)
+        // first-of-month DATE mirror: keeps the calendar ordering, so
+        // range predicates stay monotone on the partition plane
+        StructField(name, DateType, nullable = true,
+          new MetadataBuilder().putString(TransformKey, "months").build())
       case Bucket(n) =>
         require(n >= 2 && n <= (1 << 20),
           s"bucket(${src.name}): bucket count must be in [2, 2^20], got $n")
@@ -91,6 +109,15 @@ object SnapshotTransforms {
         StructField(name, IntegerType, nullable = true,
           new MetadataBuilder().putString(TransformKey, "bucket")
             .putLong(BucketNKey, n.toLong).build())
+      case Truncate(w) =>
+        require(w >= 1 && w <= 1024,
+          s"truncate(${src.name}): width must be in [1, 1024], got $w")
+        require(src.dataType == StringType,
+          s"truncate(${src.name}): source must be STRING, got " +
+            src.dataType.simpleString)
+        StructField(name, StringType, nullable = true,
+          new MetadataBuilder().putString(TransformKey, "truncate")
+            .putLong(TruncateWKey, w.toLong).build())
     }
   }
 
@@ -111,6 +138,15 @@ object SnapshotTransforms {
         case other => throw new IllegalArgumentException(
           s"days over ${other.simpleString}")
       }
+      case Months => srcType match {
+        // trunc(_, "MM") = first-of-month DATE; timestamps convert to
+        // date in the session zone first (the to_date/days discipline)
+        case DateType => org.apache.spark.sql.functions.trunc(src, "MM")
+        case TimestampType =>
+          org.apache.spark.sql.functions.trunc(to_date(src), "MM")
+        case other => throw new IllegalArgumentException(
+          s"months over ${other.simpleString}")
+      }
       case Bucket(n) => srcType match {
         case StringType => pmod(xxhash64(src), lit(n.toLong)).cast("int")
         // integral sources hash as LONG on both sides (the Bloom
@@ -119,6 +155,12 @@ object SnapshotTransforms {
           pmod(xxhash64(src.cast("long")), lit(n.toLong)).cast("int")
         case other => throw new IllegalArgumentException(
           s"bucket over ${other.simpleString}")
+      }
+      case Truncate(w) => srcType match {
+        case StringType =>
+          org.apache.spark.sql.functions.substring(src, 1, w)
+        case other => throw new IllegalArgumentException(
+          s"truncate over ${other.simpleString}")
       }
     }
 
@@ -136,6 +178,17 @@ object SnapshotTransforms {
       .eval(InternalRow.empty).asInstanceOf[Long]
     (((h % n) + n) % n).toInt
   }
+
+  /** Epoch-day of the month start containing `days` — the driver/row
+    * twin of the Column-side `trunc(_, "MM")`.
+    */
+  def firstOfMonthDays(days: Int): Int =
+    java.time.LocalDate.ofEpochDay(days.toLong)
+      .withDayOfMonth(1).toEpochDay.toInt
+
+  /** Char-count prefix — the driver/row twin of `substring(_, 1, w)`. */
+  def truncateUtf8(v: UTF8String, w: Int): UTF8String =
+    if (v.numChars <= w) v else v.substring(0, w)
 
   /** TRANSFORM-PLANE PRUNING: rewrite SOURCE-column data filters into
     * partition-plane filters over the mirror columns — each output is
@@ -170,9 +223,7 @@ object SnapshotTransforms {
     * date-or-timestamp only through the literal's own type, so pass
     * the mirror type and let the literal decide.
     */
-  private def sourceTypeOf(f: StructField, t: T): DataType = t match {
-    case Identity | Days | Bucket(_) => f.dataType
-  }
+  private def sourceTypeOf(f: StructField, t: T): DataType = f.dataType
 
   private def translateOne(e: Expression,
       bySource: Map[String, (AttributeReference, T, DataType)])
@@ -196,6 +247,16 @@ object SnapshotTransforms {
         case (StringType, u: UTF8String) => Some(Literal(bucketOfUtf8(u, n)))
         case _ => None
       }
+    def monthLit(v: Any, litType: DataType): Option[Literal] =
+      dayLit(v, litType).map { d =>
+        Literal(firstOfMonthDays(d.value.asInstanceOf[Int]), DateType)
+      }
+    def truncLit(v: Any, litType: DataType, w: Int): Option[Literal] =
+      (litType, v) match {
+        case (StringType, u: UTF8String) =>
+          Some(Literal(truncateUtf8(u, w), StringType))
+        case _ => None
+      }
     // one (source attr `cmp` literal) atom -> mirror-plane expression
     def atom(a: AttributeReference, v: Any, litType: DataType,
              cmp: String): Option[Expression] =
@@ -217,6 +278,23 @@ object SnapshotTransforms {
               case "<" | "<=" => LessThanOrEqual(m, d)
             }
           }
+          case Months => monthLit(v, litType).map { mo =>
+            cmp match {
+              case "=" => EqualTo(m, mo)
+              case ">" | ">=" => GreaterThanOrEqual(m, mo)
+              case "<" | "<=" => LessThanOrEqual(m, mo)
+            }
+          }
+          // prefix truncation is monotone under the lexicographic
+          // order, so ranges weaken to the truncated bound exactly
+          // like days/months weaken to calendar grains
+          case Truncate(w) => truncLit(v, litType, w).map { t =>
+            cmp match {
+              case "=" => EqualTo(m, t)
+              case ">" | ">=" => GreaterThanOrEqual(m, t)
+              case "<" | "<=" => LessThanOrEqual(m, t)
+            }
+          }
           case Bucket(n) =>
             if (cmp == "=") bucketLit(v, litType, n).map(EqualTo(m, _))
             else None
@@ -228,6 +306,8 @@ object SnapshotTransforms {
         val lits: Seq[Option[Literal]] = t match {
           case Identity => vs.map { case (v, dt) => Some(Literal(v, dt)) }
           case Days => vs.map { case (v, dt) => dayLit(v, dt) }
+          case Months => vs.map { case (v, dt) => monthLit(v, dt) }
+          case Truncate(w) => vs.map { case (v, dt) => truncLit(v, dt, w) }
           case Bucket(n) => vs.map { case (v, dt) => bucketLit(v, dt, n) }
         }
         if (lits.forall(_.isDefined)) Some(In(m, lits.flatten.distinct))

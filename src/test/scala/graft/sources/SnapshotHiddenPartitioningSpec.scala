@@ -259,6 +259,43 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
       Seq("id", "d", "v"))
   }
 
+  test("months and truncate complete the transform vocabulary: " +
+    "month-grain and prefix-grain layout, monotone range pruning") {
+    val (base, cat) = freshCat("hp_mt")
+    spark.sql(
+      s"""CREATE TABLE $cat.`mt`
+         |  (id BIGINT, d DATE, cat_name STRING, v DOUBLE)
+         |PARTITIONED BY (months(d), truncate(3, cat_name))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    val root = base.resolve("mt")
+    val rows = (1L to 60L).map(i => (i,
+      JDate.valueOf(f"2024-${i % 3 + 1}%02d-${i % 9 + 1}%02d"),
+      s"brand_${i % 4}_x", i.toDouble))
+    rows.toDF("id", "d", "cat_name", "v")
+      .createOrReplaceTempView("hp_mt_src")
+    spark.sql(s"INSERT INTO $cat.`mt` SELECT * FROM hp_mt_src")
+    // month-grain x 3-char-prefix layout: pv = (first-of-month, "bra")
+    val pvs = SnapshotManifest.read(root, 2).keySet
+    assert(pvs === Set("2024-01-01/bra", "2024-02-01/bra",
+      "2024-03-01/bra"), s"derived layout diverged: $pvs")
+    // round trip
+    val got = spark.sql(s"SELECT id, v FROM $cat.`mt`").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === rows.map(t => (t._1, t._4)).toSet)
+    // a DATE RANGE on the source prunes through months (monotone)
+    val q = spark.sql(s"SELECT id FROM $cat.`mt` " +
+      "WHERE d >= DATE'2024-02-15' AND d < DATE'2024-03-02'")
+    assert(q.count() === rows.count(t =>
+      t._2.toString >= "2024-02-15" && t._2.toString < "2024-03-02")
+      .toLong)
+    val (pruned, total) = v2ScanFiles(q)
+    assert(pruned < total, s"months range must prune: $pruned of $total")
+    // string equality prunes through truncate; values stay exact
+    val tq = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`mt` " +
+      "WHERE cat_name = 'brand_2_x'")
+    assert(tq.head().getLong(0) === rows.count(_._3 == "brand_2_x").toLong)
+  }
+
   test("transform refusals: days over non-temporal, bucket over " +
     "non-hashable, bad bucket count, unknown transform") {
     val (_, cat) = freshCat("hp_ref")

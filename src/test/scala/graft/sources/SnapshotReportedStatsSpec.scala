@@ -63,4 +63,34 @@ class SnapshotReportedStatsSpec extends SparkSpec {
     // exactness of the data itself, same predicate
     assert(pruned.count() === 30L)
   }
+
+  test("the union-of-specs (evolved) scan reports sidecar row counts " +
+    "too") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("repstats_ev")
+    val root = base.resolve("t")
+    (1L to 90L).map(id => (id, s"t${id % 2}", s"d${id % 3}", id.toDouble))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)
+    val cat = "repstatsev"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'etype')")
+    Seq((200L, "t0", "d0", 1200.0)).toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString) // head spans two layouts now
+    val df = spark.sql(s"SELECT id, v FROM $cat.`t`")
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[SnapshotEvolvedScan] =>
+        r.scan.asInstanceOf[SnapshotEvolvedScan]
+    }.getOrElse(fail("expected the union-of-specs scan"))
+    val st = scan.estimateStatistics()
+    assert(st.numRows.isPresent && st.numRows.getAsLong === 91L,
+      s"evolved scan must report sidecar cardinality, got $st")
+  }
 }
