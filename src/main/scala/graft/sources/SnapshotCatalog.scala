@@ -530,6 +530,14 @@ final class GraftSnapshotCatalog extends TableCatalog
       declaredLayout(info.schema(), info.partitions(), info.properties())
     val stagingRoot = warehouse.resolve(".staging").resolve(
       s"${ident.name()}-${java.util.UUID.randomUUID.toString.take(8)}")
+    // opportunistic sweep of CRASHED attempts (a kill between the
+    // data write and commit/abort leaves a staged store nothing will
+    // ever publish): an hour-old staging dir belongs to no live CTAS
+    val cutoff = System.currentTimeMillis() - 3600_000L
+    Option(warehouse.resolve(".staging").toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.lastModified() < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     JFiles.createDirectories(stagingRoot)
     graft.operators.SourceQueries.snapshotCreateTable(
       stagingRoot, dataSchema, partitionSchema, key)

@@ -71,14 +71,33 @@ final class SnapshotEvolvedV2Table(
 
   /** Same column order as the single-layout table and the DataFrame
     * door's union read: declared data columns, then the CURRENT
-    * spec's mirror columns.
+    * spec's mirror columns — minus HIDDEN transform mirrors
+    * (days/bucket/months/truncate layouts), which are never part of
+    * the SQL schema on any door.
     */
-  override def schema(): StructType = StructType(
-    dataSchema.fields ++ current.fields.filterNot(f =>
-      dataSchema.fieldNames.contains(f.name)))
+  override def schema(): StructType = {
+    val hidden = SnapshotTransforms.hiddenMirrors(current)
+    StructType(
+      dataSchema.fields ++ current.fields.filterNot(f =>
+        dataSchema.fieldNames.contains(f.name) || hidden(f.name)))
+  }
 
   override def partitioning(): Array[Transform] =
-    current.fieldNames.map(Expressions.identity)
+    current.fields.map { f =>
+      SnapshotTransforms.of(f) match {
+        case SnapshotTransforms.Identity => Expressions.identity(f.name)
+        case SnapshotTransforms.Days =>
+          Expressions.days(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Months =>
+          Expressions.months(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Bucket(n) =>
+          Expressions.bucket(n, f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Truncate(w) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w),
+            Expressions.column(f.name.stripSuffix("_p")))
+      }
+    }
 
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()

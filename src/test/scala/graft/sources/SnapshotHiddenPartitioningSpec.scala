@@ -164,43 +164,6 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
     assert(pruned < total, s"no pruning: $pruned of $total")
   }
 
-  test("sql_hidden_partitioning entry matches its relational replay " +
-    "(the oracle's semantics) on sf0.001") {
-    val got = graft.operators.SourceQueries
-      .sqlHiddenPartitioning(spark, sf0001)
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        math.round(r.getDouble(2) * 100))).toSet
-    spark.read.parquet(s"$sf0001/orders.parquet")
-      .createOrReplaceTempView("hp_oracle_orders")
-    val want = spark.sql(
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
-        |  FROM hp_oracle_orders
-        |  WHERE o_orderdate >= DATE '1995-01-01'
-        |    AND o_orderdate < DATE '1995-02-01'),
-        |up AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    o_totalprice * 1.5 AS o_totalprice, o_orderdate
-        |  FROM base WHERE o_orderkey % 19 = 0
-        |    AND o_orderdate BETWEEN DATE '1995-01-02'
-        |      AND DATE '1995-01-04'),
-        |head AS (
-        |  SELECT * FROM base
-        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
-        |  UNION ALL SELECT * FROM up)
-        |SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS o_day,
-        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-        |    AS sum_price
-        |FROM head
-        |WHERE o_orderdate BETWEEN DATE '1995-01-10'
-        |  AND DATE '1995-01-25'
-        |GROUP BY o_day""".stripMargin)
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        math.round(r.getDouble(2) * 100))).toSet
-    assert(got.nonEmpty && got === want)
-  }
-
   test("row-level UPDATE and MERGE work on a hidden-partitioned " +
     "table (rows route through the derived layout); CTAS composes") {
     val (base, cat) = freshCat("hp_rl")
@@ -294,6 +257,101 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
     val tq = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`mt` " +
       "WHERE cat_name = 'brand_2_x'")
     assert(tq.head().getLong(0) === rows.count(_._3 == "brand_2_x").toLong)
+  }
+
+  test("hidden partitioning composes with spec evolution: the evolved " +
+    "union door still hides transform mirrors, serves reads and " +
+    "INSERT, and migration re-derives through the transforms") {
+    val (base, cat) = freshCat("hp_ev")
+    spark.sql(
+      s"""CREATE TABLE $cat.`he` (id BIGINT, d DATE, g STRING, v DOUBLE)
+         |PARTITIONED BY (bucket(4, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    val root = base.resolve("he")
+    val rows = (1L to 40L).map(i =>
+      (i, JDate.valueOf(s"2024-01-0${i % 5 + 1}"), s"g${i % 2}",
+        i.toDouble))
+    rows.toDF("id", "d", "g", "v").createOrReplaceTempView("hp_ev_src")
+    spark.sql(s"INSERT INTO $cat.`he` SELECT * FROM hp_ev_src")
+    // append an IDENTITY mirror to the hidden-bucket layout
+    spark.sql(s"CALL $cat.evolve_partitioning('he', 'g')")
+    Seq((100L, JDate.valueOf("2024-01-02"), "g0", 100.0))
+      .toDF("id", "d", "g", "v").createOrReplaceTempView("hp_ev_delta")
+    // the appended IDENTITY mirror is part of the SQL schema (the
+    // historical identity contract); only transform mirrors hide
+    spark.sql(
+      s"INSERT INTO $cat.`he` SELECT id, d, g, v, g FROM hp_ev_delta")
+    // head spans two layouts → the union door serves it, mirrors
+    // still hidden, the appended identity mirror visible
+    assert(SnapshotTable.hasOldSpecEntries(root,
+      SnapshotManifest.head(root)))
+    assert(spark.table(s"$cat.`he`").columns.toSeq ===
+      Seq("id", "d", "g", "v", "g_p"))
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) AS s FROM $cat.`he`")
+      .head().getLong(0) === (rows.map(_._4).sum + 100.0).toLong)
+    // migrate_layout converges — re-deriving the bucket mirror through
+    // its transform, not as identity
+    spark.sql(s"CALL $cat.migrate_layout('he')")
+    val head = SnapshotManifest.head(root)
+    assert(!SnapshotTable.hasOldSpecEntries(root, head))
+    val pvs = SnapshotManifest.read(root, head).keySet
+    assert(pvs.forall(pv => pv.split("/")(0).matches("\\d+")),
+      s"bucket mirror must stay hash-derived through migration: $pvs")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`he`")
+      .head().getLong(0) === 41L)
+    // and a bucket point-lookup still prunes on the converged head
+    val q = spark.sql(s"SELECT v FROM $cat.`he` WHERE id = 7")
+    assert(q.head().getDouble(0) === 7.0)
+    val (pruned, total) = v2ScanFiles(q)
+    assert(pruned < total, s"bucket pruning lost in migration: " +
+      s"$pruned of $total")
+  }
+
+  test("maintenance composes with hidden partitioning: compact " +
+    "rewrites under byte-identical derived leaves, clone carries the " +
+    "transform tags") {
+    val (base, cat) = freshCat("hp_mx")
+    spark.sql(
+      s"""CREATE TABLE $cat.`mx` (id BIGINT, d DATE, v DOUBLE)
+         |PARTITIONED BY (days(d), bucket(2, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    val root = base.resolve("mx")
+    def insert(lo: Long, hi: Long): Unit = {
+      (lo to hi).map(i =>
+          (i, JDate.valueOf(s"2024-01-0${i % 2 + 1}"), i.toDouble))
+        .toDF("id", "d", "v").createOrReplaceTempView("hp_mx_src")
+      spark.sql(s"INSERT INTO $cat.`mx` SELECT * FROM hp_mx_src")
+    }
+    insert(1, 20); insert(21, 40) // disjoint keys: 2 files/partition
+    val before = SnapshotManifest.read(root,
+      SnapshotManifest.head(root)).keySet
+    val compacted = spark.sql(s"CALL $cat.compact('mx', 2)")
+      .head().getInt(0)
+    assert(compacted > 0, "fixture must actually compact")
+    val after = SnapshotManifest.read(root,
+      SnapshotManifest.head(root)).keySet
+    assert(after === before,
+      s"compaction must keep the derived leaves: ${after -- before}")
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) AS s FROM $cat.`mx`")
+      .head().getLong(0) === (1L to 40L).map(_.toDouble).sum.toLong)
+    // and pruning still fires on the compacted layout
+    val q = spark.sql(s"SELECT v FROM $cat.`mx` WHERE id = 17")
+    assert(q.head().getDouble(0) === 17.0)
+    val (pruned, total) = v2ScanFiles(q)
+    assert(pruned < total, s"no pruning post-compact: $pruned of $total")
+
+    // clone: the transform tags ride the copied meta — the clone
+    // derives and prunes exactly like its source
+    spark.sql(s"CALL $cat.clone('mx', 'mx2')")
+    val spec2 = SnapshotMeta.read(base.resolve("mx2")).get.partitionSchema
+    assert(SnapshotTransforms.of(spec2("d_p")) === SnapshotTransforms.Days)
+    assert(SnapshotTransforms.of(spec2("id_p")) ===
+      SnapshotTransforms.Bucket(2))
+    spark.sql(s"INSERT INTO $cat.`mx2` VALUES (17L, DATE'2024-01-02', 1700.0)")
+    assert(spark.sql(s"SELECT v FROM $cat.`mx2` WHERE id = 17")
+      .head().getDouble(0) === 1700.0)
+    assert(SnapshotManifest.read(base.resolve("mx2"), 2).keySet === after,
+      "the clone's upsert must land in the source-derived pv set")
   }
 
   test("transform refusals: days over non-temporal, bucket over " +

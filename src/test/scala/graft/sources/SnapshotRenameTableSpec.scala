@@ -111,39 +111,6 @@ class SnapshotRenameTableSpec extends SparkSpec {
       eDup.getMessage)
   }
 
-  test("sql_rename_table entry matches its relational replay (the " +
-    "oracle's semantics) on sf0.001") {
-    val got = graft.operators.SourceQueries
-      .sqlRenameTable(spark, sf0001)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        math.round(r.getDouble(3) * 100))).toSet
-    spark.read.parquet(s"$sf0001/orders.parquet")
-      .createOrReplaceTempView("rt_oracle_orders")
-    val want = spark.sql(
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |    date_format(o_orderdate, 'yyyy-MM') AS o_ym
-        |  FROM rt_oracle_orders),
-        |up AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    o_totalprice * 1.5 AS o_totalprice, o_ym
-        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
-        |    AND o_orderkey % 17 = 0),
-        |merged AS (
-        |  SELECT * FROM base
-        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
-        |  UNION ALL SELECT * FROM up),
-        |head AS (SELECT * FROM merged WHERE o_orderkey % 131 <> 0)
-        |SELECT 3 AS head_version, o_orderstatus,
-        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-        |    AS sum_price
-        |FROM head GROUP BY o_orderstatus""".stripMargin)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        math.round(r.getDouble(3) * 100))).toSet
-    assert(got.nonEmpty && got === want)
-  }
-
   test("legacy store with ABSOLUTE metadata paths: the rename sweep " +
     "migrates manifests and sidecars in place, mtimes preserved") {
     import scala.jdk.CollectionConverters._
