@@ -1044,6 +1044,19 @@ final class SnapshotV2Table(
     m.put("version", snapVersion.toString)
     m.put("partition_columns",
       meta.partitionSchema.fieldNames.mkString(","))
+    // the layout as the user declared it (days(ts), bucket(4, id), …)
+    // — for hidden transforms this is the ONLY schema-adjacent place
+    // the layout is visible at all
+    m.put("partition_layout", meta.partitionSchema.fields.map { f =>
+      val src = f.name.stripSuffix("_p")
+      SnapshotTransforms.of(f) match {
+        case SnapshotTransforms.Identity => f.name
+        case SnapshotTransforms.Days => s"days($src)"
+        case SnapshotTransforms.Months => s"months($src)"
+        case SnapshotTransforms.Bucket(n) => s"bucket($n, $src)"
+        case SnapshotTransforms.Truncate(w) => s"truncate($w, $src)"
+      }
+    }.mkString(","))
     meta.keyCol.foreach(m.put("key_column", _))
     m.put("pinned", pinned.toString)
     // evolution facts, so DESCRIBE EXTENDED tells an operator what the

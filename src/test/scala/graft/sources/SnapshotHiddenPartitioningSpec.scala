@@ -79,6 +79,14 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
     assert(SnapshotTransforms.of(spec("id_p")) ===
       SnapshotTransforms.Bucket(4))
 
+    // DESCRIBE surfaces the declared layout (the only schema-adjacent
+    // place a hidden transform is visible)
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.`hp`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("Table Properties").exists(p =>
+      p.contains("partition_layout=days(d),bucket(4, id)")),
+      s"layout fact missing: $props")
+
     srcRows.toDF("id", "d", "v").createOrReplaceTempView("hp_src")
     spark.sql(s"INSERT INTO $cat.`hp` SELECT id, d, v FROM hp_src")
     // layout fact: 10 days x up-to-4 buckets, two segments per pv
