@@ -2591,9 +2591,18 @@ object SourceQueries {
     * strictly prefix-extend the current one — in-place relayout,
     * dropping or reordering layout columns is a rewrite wearing DDL's
     * clothes and refuses loudly.
+    *
+    * The appended column is a bare source name (identity mirror) or
+    * TRANSFORM syntax — `days(ts)`, `months(ts)`, `years(ts)`,
+    * `hours(ts)`, `bucket(16, id)`, `truncate(8, s)` — the Iceberg
+    * spec-v2 headline: re-layout a LIVE table (`days(ts)` →
+    * `bucket(n, id)` appended) without CREATE-time foresight and
+    * without a rewrite; the transform rides the `#partspec` record as
+    * field metadata exactly like a CREATE-time declaration
+    * ([[graft.sources.SnapshotTransforms]]).
     */
   private[graft] def snapshotEvolvePartitioning(s: SparkSession,
-      root: java.nio.file.Path, sourceCol: String): (Int, Int) = {
+      root: java.nio.file.Path, sourceSpec: String): (Int, Int) = {
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "legacy store without table.meta: partition-spec evolution " +
@@ -2603,13 +2612,38 @@ object SourceQueries {
     val current = specs.last
     val dataSchema = graft.sources.SnapshotManifest.effectiveDataSchema(
       root, meta.dataSchema)
+    // bare name = identity; f(col) / f(n, col) = hidden transform
+    val unary = "(days|months|years|hours)\\(\\s*([^\\s(),]+)\\s*\\)".r
+    val binary = "(bucket|truncate)\\(\\s*(\\d+)\\s*,\\s*([^\\s(),]+)\\s*\\)".r
+    val (sourceCol, transform):
+        (String, Option[graft.sources.SnapshotTransforms.T]) =
+      sourceSpec.trim match {
+        case unary("days", c) =>
+          (c, Some(graft.sources.SnapshotTransforms.Days))
+        case unary("months", c) =>
+          (c, Some(graft.sources.SnapshotTransforms.Months))
+        case unary("years", c) =>
+          (c, Some(graft.sources.SnapshotTransforms.Years))
+        case unary("hours", c) =>
+          (c, Some(graft.sources.SnapshotTransforms.Hours))
+        case binary("bucket", n, c) =>
+          (c, Some(graft.sources.SnapshotTransforms.Bucket(n.toInt)))
+        case binary("truncate", w, c) =>
+          (c, Some(graft.sources.SnapshotTransforms.Truncate(w.toInt)))
+        case bare if bare.nonEmpty && !bare.contains("(") => (bare, None)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other': a bare source " +
+            "column (identity), days/months/years/hours(<col>), " +
+            "bucket(<n>, <col>) or truncate(<w>, <col>)")
+      }
     val field = dataSchema.fields.find(_.name == sourceCol).getOrElse(
       throw new IllegalArgumentException(
         s"partition source column $sourceCol does not exist"))
     import org.apache.spark.sql.types._
-    require(field.dataType == StringType || field.dataType == DateType ||
-      field.dataType == IntegerType || field.dataType == LongType,
-      s"unsupported partition column type ${field.dataType}")
+    if (transform.isEmpty)
+      require(field.dataType == StringType || field.dataType == DateType ||
+        field.dataType == IntegerType || field.dataType == LongType,
+        s"unsupported partition column type ${field.dataType}")
     val mirror = s"${sourceCol}_p"
     require(!current.fieldNames.contains(mirror),
       s"$sourceCol already partitions this table")
@@ -2618,9 +2652,15 @@ object SourceQueries {
     require(graft.sources.SnapshotRename.chainsFor(root, dataSchema)
       .valuesIterator.flatten.forall(_ != mirror),
       s"mirror name $mirror collides with a former column name")
+    val appended = transform match {
+      case None => StructField(mirror, field.dataType, nullable = true)
+      // mirrorField validates the (transform, source-type) pairing —
+      // the same refusal matrix CREATE TABLE applies — and records the
+      // transform as field METADATA so it rides the #partspec JSON
+      case Some(t) => graft.sources.SnapshotTransforms.mirrorField(t, field)
+    }
     val newSpec = org.apache.spark.sql.types.StructType(
-      current.fields :+ StructField(mirror, field.dataType,
-        nullable = true))
+      current.fields :+ appended)
     val validatedAt = headVersion(root)
     require(validatedAt >= 1, "cannot evolve an unbootstrapped store")
     // DDL-time NULL audit (the ADD CONSTRAINT discipline — one scan of
@@ -4289,6 +4329,72 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** TRANSFORM-APPEND partition-spec evolution end to end (round 14,
+    * VERDICT r13 #1 — the Iceberg spec-v2 headline use): a LIVE
+    * month-identity orders store gains a HIDDEN xxhash bucket layout —
+    * `CALL evolve_partitioning('t', 'bucket(4, o_orderkey)')`, one
+    * metadata-only `#partspec` record carrying the transform as field
+    * metadata — with no CREATE-time foresight and zero files moved.
+    * A two-month SQL INSERT upsert then rides the migrate-on-touch
+    * commit (its months re-lay out under (month, bucket) with
+    * xxhash-derived leafs) and `CALL migrate_layout` converges the
+    * cold remainder in one maintenance pass. The measured query
+    * aggregates three months AND probes one key through the converged
+    * layout — the probe prunes via the bucket transform
+    * (equality → one bucket of four) composed with nothing the user
+    * ever wrote. The oracle replays the upsert relationally: a door
+    * that mis-derived a bucket during migration, double-served a
+    * half-migrated month, or lost the upsert hash-mismatches. Per-arm
+    * strict-subset pruning through each arm's OWN transforms is
+    * spec-pinned (`SnapshotPartSpecEvolutionSpec`). At 100 TB: this
+    * is how a fact table adopts key-bucketing for DPP/storage-join
+    * locality after the fact — evolution O(1), migration
+    * caller-bounded O(partitions per call).
+    */
+  def sqlPartspecTransform(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_pst")).resolve(key)
+    val root = ordersYmFixture(s, dir, base, "orders_pst")
+    val cat = s"snappst_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    s.sql(s"CALL $cat.evolve_partitioning('${root.getFileName}', " +
+      "'bucket(4, o_orderkey)')")                                 // v2
+    val tbl = s"$cat.`${root.getFileName}`"
+    ordersYmFrame(s, dir).createOrReplaceTempView("graft_pst_orders")
+    // keyed upsert on the UNMIGRATED evolved head: touched months
+    // migrate to (month, xxhash-bucket); the hidden mirror never
+    // appears in the column list
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5, o_ym,
+         |  o_ym
+         |FROM graft_pst_orders
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+         |  AND o_orderkey % 17 = 0""".stripMargin)               // v3
+    s.sql(s"CALL $cat.migrate_layout('${root.getFileName}', 1000000)") // v4
+    val head = graft.sources.SnapshotManifest.head(root)
+    s.sql(
+      s"""SELECT 'agg' AS arm, $head AS head_version, o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-03'
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'probe' AS arm, $head AS head_version, o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl
+         |WHERE o_orderkey = 1
+         |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** METADATA-ONLY DROP COLUMN end to end (round 12, VERDICT r11 #4 —
     * the complement of `#rename` on the name-mapping plane):
     * `ALTER TABLE … DROP COLUMN o_orderstatus` publishes one `#drop`
@@ -5124,6 +5230,7 @@ object SourceQueries {
     "sql_widen_column"        -> sqlWidenColumn _,
     "sql_create_table"        -> sqlCreateTable _,
     "sql_hidden_partitioning" -> sqlHiddenPartitioning _,
+    "sql_partspec_transform" -> sqlPartspecTransform _,
     "sql_rename_table"        -> sqlRenameTable _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
@@ -5541,6 +5648,41 @@ object SourceQueries {
         |WHERE o_orderdate BETWEEN DATE '1995-01-10'
         |  AND DATE '1995-01-25'
         |GROUP BY o_day""".stripMargin,
+    // transform-append evolution: the oracle replays the upsert
+    // relationally — the bucket re-layout (evolve + migrate) must be
+    // value-invisible; head_version pins the version count (evolve,
+    // upsert, migrate = 4)
+    "sql_partspec_transform" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders),
+        |up AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice * 1.5 AS o_totalprice, o_ym
+        |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
+        |    AND o_orderkey % 17 = 0),
+        |head AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |a1 AS (
+        |  SELECT 'agg' AS arm, 4 AS head_version, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM head WHERE o_ym BETWEEN '1995-01' AND '1995-03'
+        |  GROUP BY o_orderstatus),
+        |a2 AS (
+        |  SELECT 'probe' AS arm, 4 AS head_version, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM head WHERE o_orderkey = 1
+        |  GROUP BY o_orderstatus)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin,
     // rename-table: the oracle replays the post-rename DML
     // relationally — the directory move itself must be invisible
     "sql_rename_table" ->

@@ -46,6 +46,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the current write paths does); pre-sidecar stores use the DataFrame
   * door, which still supports schema inference.
   */
+object GraftSnapshotCatalog {
+  /** The staged-CTAS liveness marker ([[StagedSnapshotTable]]'s
+    * heartbeat; the `.staging` sweep spares any attempt whose marker
+    * is fresh).
+    */
+  private[sources] val HeartbeatFile = ".heartbeat"
+}
+
 final class GraftSnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -463,14 +471,17 @@ final class GraftSnapshotCatalog extends TableCatalog
               s"mirror $m (${mField.dataType.simpleString}) must have " +
                 s"its source's type (${srcField.dataType.simpleString})")
             mField.copy(nullable = true)
-          case "days" | "months" =>
+          case "days" | "months" | "years" | "hours" =>
             val src = singleRef(t)
             val srcField = sourceField(src, s"${t.name()}($src)")
             require(!schema.fieldNames.contains(s"${src}_p"),
               s"hidden mirror ${src}_p collides with a declared column")
-            SnapshotTransforms.mirrorField(
-              if (t.name() == "days") SnapshotTransforms.Days
-              else SnapshotTransforms.Months, srcField)
+            SnapshotTransforms.mirrorField(t.name() match {
+              case "days" => SnapshotTransforms.Days
+              case "months" => SnapshotTransforms.Months
+              case "years" => SnapshotTransforms.Years
+              case "hours" => SnapshotTransforms.Hours
+            }, srcField)
           case "bucket" | "truncate" =>
             val src = singleRef(t)
             val srcField = sourceField(src, s"${t.name()}($src)")
@@ -488,8 +499,9 @@ final class GraftSnapshotCatalog extends TableCatalog
               else SnapshotTransforms.Truncate(n), srcField)
           case other => throw new UnsupportedOperationException(
             s"unsupported partition transform '$other': identity " +
-              "mirrors, days/months(<ts>), bucket(<n>, <col>) and " +
-              "truncate(<w>, <col>) are the store's layout vocabulary")
+              "mirrors, days/months/years/hours(<ts>), " +
+              "bucket(<n>, <col>) and truncate(<w>, <col>) are the " +
+              "store's layout vocabulary")
         }
       }
     val mirrors = partFields.map(_.name)
@@ -532,11 +544,21 @@ final class GraftSnapshotCatalog extends TableCatalog
       s"${ident.name()}-${java.util.UUID.randomUUID.toString.take(8)}")
     // opportunistic sweep of CRASHED attempts (a kill between the
     // data write and commit/abort leaves a staged store nothing will
-    // ever publish): an hour-old staging dir belongs to no live CTAS
+    // ever publish). Liveness is judged by the attempt's HEARTBEAT
+    // marker, which its StagedSnapshotTable refreshes every 5 minutes
+    // for as long as the CTAS is live — the root dir's own mtime is
+    // NOT a liveness signal (nested data writes never refresh it, so
+    // an hour-long live CTAS would be swept mid-write). An attempt
+    // whose freshest signal (marker if present, else root mtime for
+    // pre-heartbeat garbage) is an hour stale belongs to no live CTAS.
     val cutoff = System.currentTimeMillis() - 3600_000L
     Option(warehouse.resolve(".staging").toFile.listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.lastModified() < cutoff)
+      .filter { f =>
+        val hb = new java.io.File(f, GraftSnapshotCatalog.HeartbeatFile)
+        f.isDirectory &&
+          (if (hb.isFile) hb.lastModified() else f.lastModified()) < cutoff
+      }
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     JFiles.createDirectories(stagingRoot)
     graft.operators.SourceQueries.snapshotCreateTable(
@@ -876,6 +898,7 @@ final class GraftSnapshotCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean =
     try {
       val root = rootOf(ident)
+      SnapshotManifest.invalidateMetaCache(root)
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       true
     } catch {
@@ -948,6 +971,35 @@ private[sources] final class StagedSnapshotTable(
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
+  // LIVENESS HEARTBEAT: the opportunistic `.staging` sweep judges a
+  // crashed attempt by mtime, but a live CTAS can run arbitrarily long
+  // without touching the staging ROOT's mtime (nested data writes
+  // don't refresh the parent dir, and a long upstream query writes
+  // nothing at all for a while) — so this table touches a marker file
+  // every few minutes for as long as it is live. A killed JVM stops
+  // the daemon thread with it, so the marker goes stale exactly when
+  // the attempt is actually dead. See [[GraftSnapshotCatalog.stageCreate]]
+  // for the sweeping side.
+  private val heartbeat =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-ctas-heartbeat-${inner.name()}")
+        t.setDaemon(true)
+        t
+      })
+  heartbeat.scheduleWithFixedDelay(() => {
+    try JFiles.write(stagingRoot.resolve(
+      GraftSnapshotCatalog.HeartbeatFile), Array.emptyByteArray)
+    catch { case _: java.io.IOException => () } // root gone = moot
+  }, 0L, 5L, java.util.concurrent.TimeUnit.MINUTES)
+
+  private[sources] def stopHeartbeat(): Unit = {
+    heartbeat.shutdownNow()
+    // drain an in-flight touch so the marker can't reappear between
+    // the pre-publish delete and the rename
+    heartbeat.awaitTermination(2L, java.util.concurrent.TimeUnit.SECONDS)
+  }
+
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
   override def partitioning()
@@ -966,6 +1018,15 @@ private[sources] final class StagedSnapshotTable(
     inner.newWriteBuilder(info)
 
   override def commitStagedChanges(): Unit = {
+    stopHeartbeat()
+    // the liveness marker is staging-plane metadata — it must not
+    // ride the rename into the published table root
+    JFiles.deleteIfExists(
+      stagingRoot.resolve(GraftSnapshotCatalog.HeartbeatFile))
+    // a staged CTAS into a not-yet-materialized namespace must not
+    // fail at publish after the full data write: create the parent
+    // chain first (the same createDirectories renameTable does)
+    Option(finalRoot.getParent).foreach(JFiles.createDirectories(_))
     try JFiles.move(stagingRoot, finalRoot,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -979,8 +1040,10 @@ private[sources] final class StagedSnapshotTable(
     }
   }
 
-  override def abortStagedChanges(): Unit =
+  override def abortStagedChanges(): Unit = {
+    stopHeartbeat()
     org.apache.commons.io.FileUtils.deleteQuietly(stagingRoot.toFile)
+  }
 }
 
 /** One snapshot version as a DSv2 table: `FileTable` over a
@@ -1053,6 +1116,8 @@ final class SnapshotV2Table(
         case SnapshotTransforms.Identity => f.name
         case SnapshotTransforms.Days => s"days($src)"
         case SnapshotTransforms.Months => s"months($src)"
+        case SnapshotTransforms.Years => s"years($src)"
+        case SnapshotTransforms.Hours => s"hours($src)"
         case SnapshotTransforms.Bucket(n) => s"bucket($n, $src)"
         case SnapshotTransforms.Truncate(w) => s"truncate($w, $src)"
       }
@@ -1162,6 +1227,10 @@ final class SnapshotV2Table(
           Expressions.days(f.name.stripSuffix("_p"))
         case SnapshotTransforms.Months =>
           Expressions.months(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Years =>
+          Expressions.years(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Hours =>
+          Expressions.hours(f.name.stripSuffix("_p"))
         case SnapshotTransforms.Bucket(n) =>
           Expressions.bucket(n, f.name.stripSuffix("_p"))
         case SnapshotTransforms.Truncate(w) =>
@@ -1482,14 +1551,20 @@ final class SnapshotDppScan(
       : org.apache.spark.sql.connector.read.Statistics = {
     val base = current.estimateStatistics()
     val rows: Option[Long] = statsSource.flatMap { case (root, version) =>
-      SnapshotFiles.read(root, version).map { fm =>
+      SnapshotFiles.read(root, version).flatMap { fm =>
         val rowsByKey = fm.valuesIterator.flatten
           .map(e => SnapshotBloom.fileKey(e.path) -> e.rows).toMap
-        current.fileIndex
+        // a file the sidecar doesn't know (partially-covered sidecar:
+        // a legacy store upgraded mid-history, carried partitions
+        // missing from a parent sidecar) must NOT count as 0 rows —
+        // under-reporting numRows can flip join planning to
+        // broadcasting a large table. Fall back to the delegate.
+        val counts = current.fileIndex
           .listFiles(current.partitionFilters, current.dataFilters)
           .iterator.flatMap(_.files).map(st =>
-            rowsByKey.getOrElse(
-              SnapshotBloom.fileKey(st.getPath.toString), 0L)).sum
+            rowsByKey.get(SnapshotBloom.fileKey(st.getPath.toString)))
+          .toSeq
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
       }
     }
     rows match {
@@ -2082,7 +2157,12 @@ final class SnapshotZorderProcedure(cat: GraftSnapshotCatalog)
   * EVOLUTION ([[graft.operators.SourceQueries
   * .snapshotEvolvePartitioning]], the Iceberg spec-v2 shape scoped to
   * APPENDED layout columns): publishes one metadata-only `#partspec`
-  * version appending `<source_col>_p` to the current spec. Zero files
+  * version appending `<source_col>_p` to the current spec. The second
+  * argument is a bare source column (identity mirror) or TRANSFORM
+  * syntax — `'days(ts)'`, `'months(ts)'`, `'years(ts)'`,
+  * `'hours(ts)'`, `'bucket(16, id)'`, `'truncate(8, s)'` — so a LIVE
+  * identity table can move to a hidden bucket/temporal layout with no
+  * CREATE-time foresight and no rewrite. Zero files
   * move; old partitions keep reading AND pruning under their own spec
   * (the DataFrame door's union-of-specs read), new commits lay out
   * under the new spec, and a commit touching an old-spec partition
@@ -2098,7 +2178,9 @@ final class SnapshotEvolvePartitioningProcedure(cat: GraftSnapshotCatalog)
   override def name(): String = "evolve_partitioning"
   override def description(): String =
     "append a layout column to the partition spec: " +
-      "evolve_partitioning(table, source_col)"
+      "evolve_partitioning(table, source_col) — source_col is a bare " +
+      "column (identity) or a transform: days/months/years/hours(c), " +
+      "bucket(n, c), truncate(w, c)"
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
 

@@ -90,6 +90,10 @@ final class SnapshotEvolvedV2Table(
           Expressions.days(f.name.stripSuffix("_p"))
         case SnapshotTransforms.Months =>
           Expressions.months(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Years =>
+          Expressions.years(f.name.stripSuffix("_p"))
+        case SnapshotTransforms.Hours =>
+          Expressions.hours(f.name.stripSuffix("_p"))
         case SnapshotTransforms.Bucket(n) =>
           Expressions.bucket(n, f.name.stripSuffix("_p"))
         case SnapshotTransforms.Truncate(w) =>
@@ -361,16 +365,20 @@ final class SnapshotEvolvedScan(
     val ss = arms.map(_.scan.estimateStatistics())
     val sidecarRows: Option[Long] =
       statsSource.flatMap { case (root, version) =>
-        SnapshotFiles.read(root, version).map { fm =>
+        SnapshotFiles.read(root, version).flatMap { fm =>
           val rowsByKey = fm.valuesIterator.flatten
             .map(e => SnapshotBloom.fileKey(e.path) -> e.rows).toMap
-          arms.iterator.map { a =>
+          // sidecar-unknown files fall back to the delegate estimate —
+          // defaulting them to 0 rows under-reports numRows and can
+          // flip join planning ([[SnapshotDppScan.estimateStatistics]])
+          val counts = arms.iterator.flatMap { a =>
             a.scan.fileIndex
               .listFiles(a.scan.partitionFilters, a.scan.dataFilters)
               .iterator.flatMap(_.files).map(st =>
-                rowsByKey.getOrElse(
-                  SnapshotBloom.fileKey(st.getPath.toString), 0L)).sum
-          }.sum
+                rowsByKey.get(SnapshotBloom.fileKey(st.getPath.toString)))
+          }.toSeq
+          if (counts.forall(_.isDefined)) Some(counts.flatten.sum)
+          else None
         }
       }
     new Statistics {

@@ -495,10 +495,14 @@ private[sources] object SnapshotWriteSupport {
       case (_, dt, SnapshotTransforms.Identity) =>
         require(dt == StringType || dt == DateType || dt == IntegerType ||
           dt == LongType, s"unsupported partition column type $dt")
-      case (_, dt, SnapshotTransforms.Days | SnapshotTransforms.Months) =>
+      case (_, dt, SnapshotTransforms.Days | SnapshotTransforms.Months |
+                   SnapshotTransforms.Years) =>
         require(dt == DateType ||
           dt == org.apache.spark.sql.types.TimestampType,
-          s"days/months over unsupported source type $dt")
+          s"days/months/years over unsupported source type $dt")
+      case (_, dt, SnapshotTransforms.Hours) =>
+        require(dt == org.apache.spark.sql.types.TimestampType,
+          s"hours over unsupported source type $dt")
       case (_, dt, SnapshotTransforms.Bucket(_)) =>
         require(dt == StringType || dt == IntegerType || dt == LongType ||
           dt == org.apache.spark.sql.types.ByteType ||
@@ -698,8 +702,6 @@ final class SnapshotReplaceDataWriter(
     checkMirrors: Boolean = false,
     timeZoneId: String = "UTC") extends DataWriter[InternalRow] {
 
-  private lazy val zone = java.time.ZoneId.of(timeZoneId)
-
   private val ctx = new TaskAttemptContextImpl(new Configuration(conf),
     new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
       "graft-rl", 0), TaskType.MAP, partitionId), 0))
@@ -761,9 +763,10 @@ final class SnapshotReplaceDataWriter(
 
   /** The dir value a row routes to: the source value through the
     * mirror's declared transform — identity verbatim, days truncates
-    * in the session zone (the same zone the door's `to_date` uses),
-    * bucket evaluates the SAME Catalyst XxHash64 as the door's Column
-    * expression ([[SnapshotTransforms]]).
+    * timestamps in UTC (the FIXED zone of [[SnapshotTransforms]]'s
+    * Column derivation and literal translation — never the mutable
+    * session zone), bucket evaluates the SAME Catalyst XxHash64 as
+    * the door's Column expression ([[SnapshotTransforms]]).
     */
   private def routedValue(row: InternalRow, i: Int,
       dt: org.apache.spark.sql.types.DataType,
@@ -773,8 +776,8 @@ final class SnapshotReplaceDataWriter(
       case DateType => partValue(row, i, dt)
       case org.apache.spark.sql.types.TimestampType =>
         require(!row.isNullAt(i), "null partition source value")
-        DateTimeUtils.daysToLocalDate(
-          DateTimeUtils.microsToDays(row.getLong(i), zone)).toString
+        DateTimeUtils.daysToLocalDate(DateTimeUtils.microsToDays(
+          row.getLong(i), java.time.ZoneOffset.UTC)).toString
       case other => throw new IllegalStateException(s"days over $other")
     }
     case SnapshotTransforms.Months =>
@@ -782,11 +785,29 @@ final class SnapshotReplaceDataWriter(
       val days = dt match {
         case DateType => row.getInt(i)
         case org.apache.spark.sql.types.TimestampType =>
-          DateTimeUtils.microsToDays(row.getLong(i), zone)
+          DateTimeUtils.microsToDays(row.getLong(i), java.time.ZoneOffset.UTC)
         case other => throw new IllegalStateException(s"months over $other")
       }
       DateTimeUtils.daysToLocalDate(
         SnapshotTransforms.firstOfMonthDays(days)).toString
+    case SnapshotTransforms.Years =>
+      require(!row.isNullAt(i), "null partition source value")
+      val days = dt match {
+        case DateType => row.getInt(i)
+        case org.apache.spark.sql.types.TimestampType =>
+          DateTimeUtils.microsToDays(row.getLong(i), java.time.ZoneOffset.UTC)
+        case other => throw new IllegalStateException(s"years over $other")
+      }
+      DateTimeUtils.daysToLocalDate(
+        SnapshotTransforms.firstOfYearDays(days)).toString
+    case SnapshotTransforms.Hours =>
+      require(!row.isNullAt(i), "null partition source value")
+      dt match {
+        case org.apache.spark.sql.types.TimestampType =>
+          String.valueOf(
+            SnapshotTransforms.epochHourOfMicros(row.getLong(i)))
+        case other => throw new IllegalStateException(s"hours over $other")
+      }
     case SnapshotTransforms.Truncate(w) =>
       require(!row.isNullAt(i), "null partition source value")
       dt match {

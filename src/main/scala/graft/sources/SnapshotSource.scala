@@ -122,11 +122,33 @@ object SnapshotManifest {
     * single directory listing the uncached path started with.
     */
   private val metaLinesCache =
-    TrieMap.empty[String, (Seq[(Int, Long)], Seq[(Int, Seq[String])])]
+    TrieMap.empty[String, ((String, Seq[(Int, Long)]), Seq[(Int, Seq[String])])]
+
+  /** The store's BOOTSTRAP identity: the `manifests` directory's
+    * filesystem fileKey (device+inode on POSIX). A DROP TABLE followed
+    * by re-CREATE at the same root within mtime granularity would
+    * otherwise produce an identical (version, mtime) fingerprint and
+    * serve the DROPPED store's cached header records to the new table;
+    * the re-created directory is a new inode, so this disambiguates
+    * for free.
+    */
+  private def bootstrapIdentity(root: JPath): String =
+    try String.valueOf(JFiles.readAttributes(root.resolve("manifests"),
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+    catch { case _: java.io.IOException => "absent" }
+
+  /** Eager invalidation for [[GraftSnapshotCatalog.dropTable]] — the
+    * fileKey in the fingerprint covers out-of-band re-creation, but a
+    * filesystem MAY hand the re-created directory the dropped one's
+    * reused inode; same-JVM drops (the only place this cache lives)
+    * don't need to gamble on that.
+    */
+  private[sources] def invalidateMetaCache(root: JPath): Unit =
+    metaLinesCache.remove(root.toAbsolutePath.normalize.toString)
 
   private def metaLines(root: JPath): Seq[(Int, Seq[String])] = {
     val key = root.toAbsolutePath.normalize.toString
-    val fingerprint = versionsWithMtime(root)
+    val fingerprint = (bootstrapIdentity(root), versionsWithMtime(root))
     metaLinesCache.get(key) match {
       case Some((fp, cached)) if fp == fingerprint => cached
       case _ =>
@@ -1800,9 +1822,15 @@ object SnapshotTable {
       val df = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(HadoopFsRelation(index, spec, dataSchema,
           None, fmt, Map.empty[String, String])(s))
+      // arms that predate an appended mirror DERIVE it through the
+      // mirror's declared transform (identity = source verbatim;
+      // bucket/days/… compute f(source) — a plain source copy would
+      // be silently wrong for a transform-appended spec)
       current.fields.drop(spec.length).foldLeft(df) { (d, f) =>
-        d.withColumn(f.name,
-          col(f.name.stripSuffix("_p")).cast(f.dataType))
+        val srcName = f.name.stripSuffix("_p")
+        d.withColumn(f.name, SnapshotTransforms
+          .deriveCol(f, col(srcName), dataSchema(srcName).dataType)
+          .cast(f.dataType))
       }
     }
     val cols = dataSchema.fieldNames.toSeq ++ current.fieldNames.toSeq

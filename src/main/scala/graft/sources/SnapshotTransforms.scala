@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, XxHash64}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions.{col, lit, pmod, to_date, xxhash64}
 import org.apache.spark.sql.types._
@@ -21,10 +21,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * branches) with zero new planes:
   *
   *  - `days(ts)`   — mirror type DATE; day-granularity layout over a
-  *    DATE or TIMESTAMP source (timestamps truncate in the session
-  *    zone, the same zone `to_date` uses);
+  *    DATE or TIMESTAMP source (timestamps truncate in UTC — a FIXED
+  *    zone, the Iceberg-spec discipline: the session zone is mutable
+  *    per job, and deriving in it would let a read or later write
+  *    under a different zone prune partitions that hold matching
+  *    rows at day boundaries);
   *  - `months(ts)` — mirror type DATE, first-of-month: the calendar
   *    ordering survives, so range predicates stay monotone;
+  *  - `years(ts)`  — mirror type DATE, first-of-year (same
+  *    discipline, coarser grain);
+  *  - `hours(ts)`  — mirror type INT, hours since the epoch: zone-free
+  *    by construction, monotone in the timestamp, the event-time
+  *    layout grain (TIMESTAMP sources only — a date has no hour);
   *  - `bucket(n, k)` — mirror type INT; `xxhash64(k) mod n` over an
   *    integral or string source. Both sides (the write door's Column
   *    expression and the driver's literal probe) evaluate the SAME
@@ -50,6 +58,8 @@ object SnapshotTransforms {
   case object Identity extends T
   case object Days extends T
   case object Months extends T
+  case object Years extends T
+  case object Hours extends T
   final case class Bucket(n: Int) extends T
   final case class Truncate(w: Int) extends T
 
@@ -65,6 +75,8 @@ object SnapshotTransforms {
     else f.metadata.getString(TransformKey) match {
       case "days" => Days
       case "months" => Months
+      case "years" => Years
+      case "hours" => Hours
       case "bucket" => Bucket(f.metadata.getLong(BucketNKey).toInt)
       case "truncate" => Truncate(f.metadata.getLong(TruncateWKey).toInt)
       case other => throw new IllegalStateException(
@@ -100,6 +112,23 @@ object SnapshotTransforms {
         // range predicates stay monotone on the partition plane
         StructField(name, DateType, nullable = true,
           new MetadataBuilder().putString(TransformKey, "months").build())
+      case Years =>
+        require(src.dataType == DateType || src.dataType == TimestampType,
+          s"years(${src.name}): source must be DATE or TIMESTAMP, got " +
+            src.dataType.simpleString)
+        // first-of-year DATE mirror — the months discipline, coarser
+        StructField(name, DateType, nullable = true,
+          new MetadataBuilder().putString(TransformKey, "years").build())
+      case Hours =>
+        // epoch-hour INT mirror: hours since 1970-01-01T00:00Z —
+        // zone-FREE by construction (the one temporal transform that
+        // needs no calendar), monotone in the timestamp, so ranges
+        // prune. DATE sources refuse: a date has no hour.
+        require(src.dataType == TimestampType,
+          s"hours(${src.name}): source must be TIMESTAMP, got " +
+            src.dataType.simpleString)
+        StructField(name, IntegerType, nullable = true,
+          new MetadataBuilder().putString(TransformKey, "hours").build())
       case Bucket(n) =>
         require(n >= 2 && n <= (1 << 20),
           s"bucket(${src.name}): bucket count must be in [2, 2^20], got $n")
@@ -126,6 +155,22 @@ object SnapshotTransforms {
     case _ => false
   }
 
+  /** The UTC calendar day of a TIMESTAMP column, as DATE — pure epoch
+    * arithmetic, deliberately NOT `to_date` (which truncates in the
+    * MUTABLE session zone; a later read or write under a different
+    * zone would then prune partitions holding matching rows). The
+    * pmod-subtract makes the dividend an exact multiple, so the
+    * integral `div` is floor division for negative (pre-1970) micros
+    * too.
+    */
+  private def utcDay(src: Column): Column = {
+    val us = org.apache.spark.sql.functions.unix_micros(src)
+    val perDay = lit(86400000000L)
+    org.apache.spark.sql.functions.date_from_unix_date(
+      org.apache.spark.sql.functions
+        .call_function("div", us - pmod(us, perDay), perDay).cast("int"))
+  }
+
   /** The mirror's value as a Column over its source — the write door's
     * derivation (commit path, migrate_layout).
     */
@@ -134,18 +179,35 @@ object SnapshotTransforms {
       case Identity => src
       case Days => srcType match {
         case DateType => src
-        case TimestampType => to_date(src)
+        case TimestampType => utcDay(src)
         case other => throw new IllegalArgumentException(
           s"days over ${other.simpleString}")
       }
       case Months => srcType match {
-        // trunc(_, "MM") = first-of-month DATE; timestamps convert to
-        // date in the session zone first (the to_date/days discipline)
+        // trunc(_, "MM") = first-of-month DATE over the (zone-free)
+        // DATE plane; timestamps take their UTC day first
         case DateType => org.apache.spark.sql.functions.trunc(src, "MM")
         case TimestampType =>
-          org.apache.spark.sql.functions.trunc(to_date(src), "MM")
+          org.apache.spark.sql.functions.trunc(utcDay(src), "MM")
         case other => throw new IllegalArgumentException(
           s"months over ${other.simpleString}")
+      }
+      case Years => srcType match {
+        case DateType => org.apache.spark.sql.functions.trunc(src, "YEAR")
+        case TimestampType =>
+          org.apache.spark.sql.functions.trunc(utcDay(src), "YEAR")
+        case other => throw new IllegalArgumentException(
+          s"years over ${other.simpleString}")
+      }
+      case Hours => srcType match {
+        case TimestampType =>
+          val us = org.apache.spark.sql.functions.unix_micros(src)
+          val perHour = lit(3600000000L)
+          org.apache.spark.sql.functions
+            .call_function("div", us - pmod(us, perHour), perHour)
+            .cast("int")
+        case other => throw new IllegalArgumentException(
+          s"hours over ${other.simpleString}")
       }
       case Bucket(n) => srcType match {
         case StringType => pmod(xxhash64(src), lit(n.toLong)).cast("int")
@@ -185,6 +247,20 @@ object SnapshotTransforms {
   def firstOfMonthDays(days: Int): Int =
     java.time.LocalDate.ofEpochDay(days.toLong)
       .withDayOfMonth(1).toEpochDay.toInt
+
+  /** Epoch-day of the year start containing `days` — the driver/row
+    * twin of the Column-side `trunc(_, "YEAR")`.
+    */
+  def firstOfYearDays(days: Int): Int =
+    java.time.LocalDate.ofEpochDay(days.toLong)
+      .withDayOfYear(1).toEpochDay.toInt
+
+  /** Epoch-hour of a timestamp's micros (floor division, exact for
+    * pre-1970 values too) — the driver/row twin of the Column-side
+    * hours arithmetic.
+    */
+  def epochHourOfMicros(micros: Long): Int =
+    Math.floorDiv(micros, 3600000000L).toInt
 
   /** Char-count prefix — the driver/row twin of `substring(_, 1, w)`. */
   def truncateUtf8(v: UTF8String, w: Int): UTF8String =
@@ -228,14 +304,16 @@ object SnapshotTransforms {
   private def translateOne(e: Expression,
       bySource: Map[String, (AttributeReference, T, DataType)])
       : Option[Expression] = {
-    val zone = java.time.ZoneId.of(
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     // days-mirror literal from a source literal (Int days pass through;
-    // Long micros truncate in the session zone — same zone as to_date)
+    // Long micros truncate in UTC — the same FIXED zone the write
+    // side's [[utcDay]] and the row writer's routedValue use, never
+    // the mutable session zone)
     def dayLit(v: Any, litType: DataType): Option[Literal] = (litType, v) match {
       case (DateType, d: Int) => Some(Literal(d, DateType))
       case (TimestampType, micros: Long) =>
-        Some(Literal(DateTimeUtils.microsToDays(micros, zone), DateType))
+        Some(Literal(
+          DateTimeUtils.microsToDays(micros, java.time.ZoneOffset.UTC),
+          DateType))
       case _ => None
     }
     def bucketLit(v: Any, litType: DataType, n: Int): Option[Literal] =
@@ -250,6 +328,16 @@ object SnapshotTransforms {
     def monthLit(v: Any, litType: DataType): Option[Literal] =
       dayLit(v, litType).map { d =>
         Literal(firstOfMonthDays(d.value.asInstanceOf[Int]), DateType)
+      }
+    def yearLit(v: Any, litType: DataType): Option[Literal] =
+      dayLit(v, litType).map { d =>
+        Literal(firstOfYearDays(d.value.asInstanceOf[Int]), DateType)
+      }
+    def hourLit(v: Any, litType: DataType): Option[Literal] =
+      (litType, v) match {
+        case (TimestampType, micros: Long) =>
+          Some(Literal(epochHourOfMicros(micros), IntegerType))
+        case _ => None
       }
     def truncLit(v: Any, litType: DataType, w: Int): Option[Literal] =
       (litType, v) match {
@@ -285,6 +373,22 @@ object SnapshotTransforms {
               case "<" | "<=" => LessThanOrEqual(m, mo)
             }
           }
+          case Years => yearLit(v, litType).map { y =>
+            cmp match {
+              case "=" => EqualTo(m, y)
+              case ">" | ">=" => GreaterThanOrEqual(m, y)
+              case "<" | "<=" => LessThanOrEqual(m, y)
+            }
+          }
+          // epoch-hour is monotone in the timestamp: strict bounds
+          // weaken to the containing hour, the days discipline
+          case Hours => hourLit(v, litType).map { h =>
+            cmp match {
+              case "=" => EqualTo(m, h)
+              case ">" | ">=" => GreaterThanOrEqual(m, h)
+              case "<" | "<=" => LessThanOrEqual(m, h)
+            }
+          }
           // prefix truncation is monotone under the lexicographic
           // order, so ranges weaken to the truncated bound exactly
           // like days/months weaken to calendar grains
@@ -307,6 +411,8 @@ object SnapshotTransforms {
           case Identity => vs.map { case (v, dt) => Some(Literal(v, dt)) }
           case Days => vs.map { case (v, dt) => dayLit(v, dt) }
           case Months => vs.map { case (v, dt) => monthLit(v, dt) }
+          case Years => vs.map { case (v, dt) => yearLit(v, dt) }
+          case Hours => vs.map { case (v, dt) => hourLit(v, dt) }
           case Truncate(w) => vs.map { case (v, dt) => truncLit(v, dt, w) }
           case Bucket(n) => vs.map { case (v, dt) => bucketLit(v, dt, n) }
         }
@@ -329,6 +435,17 @@ object SnapshotTransforms {
         inAtom(a, list.map { case Literal(v, dt) => (v, dt) })
       case InSet(a: AttributeReference, hset) =>
         inAtom(a, hset.toSeq.map(v => (v, a.dataType)))
+      // layout SOURCE columns are non-null by store invariant (the
+      // commit refuses null partition source values; evolve audits
+      // pre-evolution rows) — `IsNull(src)` therefore matches NO row
+      // anywhere: FALSE on the partition plane prunes everything.
+      // `IsNotNull` translates to TRUE so Or-composed predicates
+      // (`IsNotNull(a) OR x`) stay translatable; alone it prunes
+      // nothing, which is exactly its truth.
+      case IsNull(a: AttributeReference) if bySource.contains(a.name) =>
+        Some(Literal(false, BooleanType))
+      case IsNotNull(a: AttributeReference) if bySource.contains(a.name) =>
+        Some(Literal(true, BooleanType))
       // AND: any translatable side is a necessary condition on its own
       case And(l, r) =>
         (translateOne(l, bySource), translateOne(r, bySource)) match {

@@ -241,4 +241,103 @@ class SnapshotCreateTableSpec extends SparkSpec {
       .head().getLong(0) === 1L)
     assert(!java.nio.file.Files.exists(base.resolve("a")))
   }
+
+  test("staged CTAS publishes into a not-yet-materialized NAMESPACE " +
+    "(parent dirs created at publish, not assumed)") {
+    import spark.implicits._
+    val (base, cat) = freshCat("ct_ns")
+    (1L to 9L).map(i => (i, s"d${i % 3}", i.toDouble))
+      .toDF("id", "day", "v").createOrReplaceTempView("ct_ns_src")
+    // the namespace dirs ns1/ns2 do not exist — the staged publish
+    // previously ATOMIC_MOVEd onto a path whose parent was missing and
+    // failed with NoSuchFileException AFTER the full data write
+    spark.sql(
+      s"""CREATE TABLE $cat.`ns1`.`ns2`.`t`
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id')
+         |AS SELECT id, day, v, day AS day_p FROM ct_ns_src""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`ns1`.`ns2`.`t`")
+      .head().getLong(0) === 9L)
+    assert(java.nio.file.Files.isDirectory(
+      base.resolve("ns1").resolve("ns2").resolve("t").resolve("manifests")))
+  }
+
+  test("the .staging sweep judges liveness by the HEARTBEAT marker: " +
+    "a stale-mtime attempt with a fresh heartbeat survives, a stale " +
+    "one is reclaimed") {
+    import spark.implicits._
+    val (base, cat) = freshCat("ct_sweep")
+    val staging = base.resolve(".staging")
+    java.nio.file.Files.createDirectories(staging.resolve("zombie-1"))
+    java.nio.file.Files.createDirectories(staging.resolve("live-2"))
+    val stale = System.currentTimeMillis() - 2 * 3600_000L
+    // the live attempt's ROOT mtime is stale (nested data writes never
+    // refresh a parent dir) but its heartbeat is fresh — pre-fix the
+    // sweep deleted it mid-write, destroying an in-flight CTAS
+    java.nio.file.Files.write(
+      staging.resolve("live-2").resolve(".heartbeat"),
+      Array.emptyByteArray)
+    assert(staging.resolve("zombie-1").toFile.setLastModified(stale))
+    assert(staging.resolve("live-2").toFile.setLastModified(stale))
+    // any staged CTAS triggers the opportunistic sweep
+    (1L to 3L).map(i => (i, s"d$i", i.toDouble))
+      .toDF("id", "day", "v").createOrReplaceTempView("ct_sweep_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.`t`
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id')
+         |AS SELECT id, day, v, day AS day_p FROM ct_sweep_src""".stripMargin)
+    assert(!java.nio.file.Files.exists(staging.resolve("zombie-1")),
+      "a heartbeat-less stale attempt must be reclaimed")
+    assert(java.nio.file.Files.exists(staging.resolve("live-2")),
+      "a fresh-heartbeat attempt is LIVE and must survive the sweep")
+    // the published table carries no heartbeat marker
+    assert(!java.nio.file.Files.exists(
+      base.resolve("t").resolve(".heartbeat")))
+  }
+
+  test("metadata-header cache is keyed by BOOTSTRAP identity: an " +
+    "out-of-band drop + re-create at the same root within mtime " +
+    "granularity serves the NEW store's records, not the dropped " +
+    "one's") {
+    import spark.implicits._
+    val (base, cat) = freshCat("ct_reboot")
+    val root = base.resolve("t")
+    def bootstrap(): Unit =
+      (1L to 6L).map(i => (i, s"d${i % 2}", i.toDouble))
+        .toDF("id", "day", "v")
+        .write.format("graft-snapshot")
+        .option("keyCol", "id").option("partCol", "day")
+        .mode("append").save(root.toString)
+    bootstrap()
+    spark.sql(s"ALTER TABLE $cat.`t` RENAME COLUMN v TO w") // v2: #rename
+    def renamedFact(): Option[String] =
+      spark.sql(s"DESCRIBE TABLE EXTENDED $cat.`t`").collect()
+        .collectFirst { case r if r.getString(0) == "Table Properties" &&
+          r.getString(1).contains("renamed_columns") => r.getString(1) }
+    assert(renamedFact().isDefined, "old store must serve its rename")
+    val oldMtimes = SnapshotManifest.versionsWithMtime(root).toMap
+    // OUT-OF-BAND removal (not DROP TABLE — that invalidates eagerly):
+    // simulates another process recycling the root
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    bootstrap() // v1 again …
+    Seq((7L, "d1", 7.0)).toDF("id", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString) // … and v2 again
+    // force the (version, mtime) fingerprint to COLLIDE with the
+    // dropped store's — pre-fix the cache then served the dropped
+    // store's #rename to the new table
+    SnapshotManifest.versionsWithMtime(root).foreach { case (v, _) =>
+      oldMtimes.get(v).foreach { old =>
+        assert(root.resolve("manifests").resolve(s"v$v.manifest")
+          .toFile.setLastModified(old))
+      }
+    }
+    assert(SnapshotManifest.versionsWithMtime(root).toMap === oldMtimes,
+      "test setup: fingerprints must collide")
+    assert(renamedFact().isEmpty,
+      "the re-created store must NOT inherit the dropped store's " +
+        "rename records (stale header cache)")
+  }
 }

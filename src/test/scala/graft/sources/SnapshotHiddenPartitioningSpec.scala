@@ -22,7 +22,10 @@ import graft.SparkSpec
   *     FileIndex);
   *  3. the DataFrame write door and the SQL INSERT door derive
   *     IDENTICAL partition values (one xxhash64, both sides);
-  *  4. `days` over TIMESTAMP truncates in the session zone;
+  *  4. `days` over TIMESTAMP truncates in UTC — a FIXED zone: writes
+  *     and reads under different session zones agree (the Iceberg
+  *     discipline; session-zone derivation silently loses rows at
+  *     day boundaries when zones differ);
   *  5. identity tables are byte-for-byte unchanged (the whole
   *     existing suite pins that).
   */
@@ -144,7 +147,7 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
       .head().getLong(0) === 79L)
   }
 
-  test("days over TIMESTAMP truncates in the session zone; range " +
+  test("days over TIMESTAMP truncates in UTC; range " +
     "predicates prune at day granularity") {
     val (base, cat) = freshCat("hp_ts")
     spark.sql(
@@ -170,6 +173,56 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
     val (pruned, total) = v2ScanFiles(q)
     // inclusive day bounds keep 03-02 and 03-03, prune 03-01/03-04
     assert(pruned < total, s"no pruning: $pruned of $total")
+  }
+
+  test("timestamp transforms are zone-FIXED (UTC): a write under one " +
+    "session zone and a read under another agree exactly") {
+    // isolated SQLConfs: newSession() shares the SparkContext but NOT
+    // the session conf, so the suite-wide UTC zone (and every parallel
+    // suite) is untouched
+    val writer = spark.newSession()
+    val reader = spark.newSession()
+    writer.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    reader.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    val base = java.nio.file.Files.createTempDirectory("hp_zone")
+    for (s <- Seq(writer, reader)) {
+      s.conf.set("spark.sql.catalog.hpzone",
+        "graft.sources.GraftSnapshotCatalog")
+      s.conf.set("spark.sql.catalog.hpzone.warehouse", base.toString)
+    }
+    writer.sql(
+      """CREATE TABLE hpzone.`ev` (eid BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (days(ts))
+        |TBLPROPERTIES ('key_column' = 'eid')""".stripMargin)
+    // two instants straddling a UTC midnight: in LA wall time BOTH
+    // fall on 03-02, in Tokyo wall time both on 03-03 — so a
+    // session-zone derivation or translation disagrees with UTC (and
+    // with the other zone) on at least one of them
+    val t1 = java.time.Instant.parse("2024-03-02T23:30:00Z").getEpochSecond
+    val t2 = java.time.Instant.parse("2024-03-03T00:30:00Z").getEpochSecond
+    writer.sql(
+      s"""INSERT INTO hpzone.`ev`
+         |SELECT CAST(1 AS BIGINT), timestamp_seconds($t1), 1.0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), timestamp_seconds($t2), 2.0""".stripMargin)
+    // the layout derived UTC days, not LA (03-02/03-02) or Tokyo days
+    assert(SnapshotManifest.read(base.resolve("ev"), 2).keySet ===
+      Set("2024-03-02", "2024-03-03"),
+      "write-side day derivation must be UTC")
+    // point lookup under the Tokyo session: the literal translates to
+    // the UTC day 03-02 — a session-zone translation would compute
+    // 03-03, prune the row's partition, and silently lose it
+    val point = reader.sql("SELECT eid FROM hpzone.`ev` " +
+      s"WHERE ts = timestamp_seconds($t1)")
+    assert(point.collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "cross-zone read lost the row — translation is not zone-fixed")
+    val (prunedZ, totalZ) = v2ScanFiles(point)
+    assert(prunedZ === 1 && totalZ === 2,
+      s"UTC-day equality must prune to one day: $prunedZ of $totalZ")
+    // and the range straddle keeps exactly the >= instant rows
+    assert(reader.sql("SELECT eid FROM hpzone.`ev` " +
+        s"WHERE ts >= timestamp_seconds($t2)")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
   test("row-level UPDATE and MERGE work on a hidden-partitioned " +
@@ -380,7 +433,59 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
       "PARTITIONED BY (bucket(1, id)) TBLPROPERTIES ('key_column'='d')",
       "bucket count")
     refuse(s"CREATE TABLE $cat.`x` (id BIGINT, d DATE) " +
-      "PARTITIONED BY (years(d)) TBLPROPERTIES ('key_column'='id')",
+      "PARTITIONED BY (hours(d)) TBLPROPERTIES ('key_column'='id')",
+      "must be TIMESTAMP")
+    refuse(s"CREATE TABLE $cat.`x` (id BIGINT, d DATE) " +
+      "PARTITIONED BY (quarters(d)) TBLPROPERTIES ('key_column'='id')",
       "unsupported partition transform")
+  }
+
+  test("years and hours complete the Iceberg temporal vocabulary: " +
+    "year-grain DATE mirrors and zone-free epoch-hour INT mirrors, " +
+    "monotone range pruning on both") {
+    val (base, cat) = freshCat("hp_yh")
+    spark.sql(
+      s"""CREATE TABLE $cat.`yh` (eid BIGINT, ts TIMESTAMP, d DATE,
+         |  v DOUBLE)
+         |PARTITIONED BY (years(d), hours(ts))
+         |TBLPROPERTIES ('key_column' = 'eid')""".stripMargin)
+    val root = base.resolve("yh")
+    val spec = SnapshotMeta.read(root).get.partitionSchema
+    assert(SnapshotTransforms.of(spec("d_p")) === SnapshotTransforms.Years)
+    assert(SnapshotTransforms.of(spec("ts_p")) === SnapshotTransforms.Hours)
+    assert(spark.table(s"$cat.`yh`").columns.toSeq ===
+      Seq("eid", "ts", "d", "v"), "transform mirrors must stay hidden")
+    // 12 rows over 3 hours x 2 years
+    val t0 = java.time.Instant.parse("2024-06-01T10:00:00Z")
+    val rows = (0L until 12L).map { i =>
+      (i, JTimestamp.from(t0.plusSeconds(i * 20 * 60)),
+        JDate.valueOf(if (i % 2 == 0) "2024-06-01" else "2023-03-15"),
+        i.toDouble)
+    }
+    rows.toDF("eid", "ts", "d", "v").createOrReplaceTempView("yh_src")
+    spark.sql(s"INSERT INTO $cat.`yh` SELECT * FROM yh_src")
+    val hour0 = SnapshotTransforms.epochHourOfMicros(
+      t0.getEpochSecond * 1000000L)
+    // minute offsets 0..220 span epoch hours +0..+3; the even/odd
+    // year split covers every (year, hour) combination
+    assert(SnapshotManifest.read(root, 2).keySet ===
+      (for (y <- Seq("2024-01-01", "2023-01-01"); h <- 0 to 3)
+        yield s"$y/${hour0 + h}").toSet,
+      "year/hour derivation diverged")
+    // year range on the DATE source prunes the 2023 arm
+    val q = spark.sql(
+      s"SELECT eid, v FROM $cat.`yh` WHERE d >= DATE'2024-01-01'")
+    assert(q.collect().map(_.getDouble(1)).sum ===
+      rows.filter(_._3.toString >= "2024-01-01").map(_._4).sum)
+    val (prunedY, totalY) = v2ScanFiles(q)
+    assert(prunedY < totalY, s"years must prune: $prunedY of $totalY")
+    // hour range on the TIMESTAMP source prunes to the covered hours
+    // (strict bounds weaken to the containing hour — sound)
+    val hq = spark.sql(s"SELECT eid FROM $cat.`yh` " +
+      s"WHERE ts >= timestamp_seconds(${t0.plusSeconds(3600).getEpochSecond})")
+    assert(hq.count() ===
+      rows.count(_._2.toInstant.compareTo(t0.plusSeconds(3600)) >= 0).toLong)
+    val (prunedH, totalH) = v2ScanFiles(hq)
+    assert(prunedH < totalH, s"hours must prune: $prunedH of $totalH")
   }
 }

@@ -499,4 +499,92 @@ class SnapshotPartSpecEvolutionSpec extends SparkSpec {
       .count()
     assert(relational === feed.size.toLong)
   }
+
+  test("TRANSFORM-append evolution: a LIVE identity table gains a " +
+    "hidden bucket mirror — per-arm pruning translates through each " +
+    "arm's OWN transforms, migration derives f(source), " +
+    "migrate_layout converges") {
+    import spark.implicits._
+    val (root, cat) = freshStore("pse_tf")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'bucket(4, id)')") // v2
+    val meta = SnapshotMeta.read(root).get
+    val specs = SnapshotManifest.partitionSpecs(root, meta.partitionSchema)
+    assert(specs.map(_.fieldNames.toSeq) ===
+      Seq(Seq("day_p"), Seq("day_p", "id_p")))
+    assert(SnapshotTransforms.of(specs.last.fields.last) ===
+      SnapshotTransforms.Bucket(4),
+      "the transform must ride the #partspec record as field metadata")
+    // the SQL schema still hides the transform mirror
+    assert(spark.table(s"$cat.`t`").columns.toSeq ===
+      Seq("id", "etype", "day", "v", "day_p"))
+    // post-evolution upsert touches d0: it migrates to (day, bucket)
+    // with buckets DERIVED through xxhash64 — not an identity copy
+    Seq((3L, "t1", "d0", 1003.0), (200L, "t0", "d0", 1200.0))
+      .toDF("id", "etype", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)                       // v3
+    val m3 = SnapshotManifest.read(root, 3)
+    val arities = m3.keys.groupBy(_.split("/", -1).length)
+      .view.mapValues(_.toSet).toMap
+    assert(arities(1) === Set("d1", "d2"),
+      s"untouched old-spec partitions must stay: $arities")
+    val d0Ids = (1L to 120L).filter(_ % 3 == 0) ++ Seq(3L, 200L)
+    assert(arities(2) === d0Ids
+        .map(i => s"d0/${SnapshotTransforms.bucketOfLong(i, 4)}").toSet,
+      "migrated leafs must carry xxhash-derived buckets")
+
+    // SQL door, key equality: the NEW arm prunes through the bucket
+    // transform (a strict subset of its leafs), the OLD arms push id
+    // as a parquet data filter — and the row is exact
+    val q = spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 3")
+    assert(q.collect().map(_.getDouble(0)).toSeq === Seq(1003.0))
+    val arms = unionScans(q).head.currentArms
+    assert(arms.map(_.spec.length) === Seq(1, 2))
+    val newArm = arms.last.scan
+    val newPruned = newArm.fileIndex
+      .listFiles(newArm.partitionFilters, newArm.dataFilters)
+      .map(_.files.size).sum
+    val newTotal = newArm.fileIndex.listFiles(Nil, Nil)
+      .map(_.files.size).sum
+    assert(newPruned < newTotal,
+      s"bucket equality must prune the new arm: $newPruned of $newTotal")
+    val oldArm = arms.head.scan
+    assert(oldArm.dataFilters.exists(_.references.exists(_.name == "id")),
+      s"old arm must push id as a data filter: ${oldArm.dataFilters}")
+
+    // V1 (DataFrame) door: appended mirrors on OLD arms derive
+    // f(source) — a plain source copy would put id values where
+    // buckets belong
+    val v1df = SnapshotTable.read(spark, root, 3)
+    val derived = v1df.filter(col("day_p") === "d1").limit(5)
+      .select(col("id"), col("id_p")).collect()
+    derived.foreach(r => assert(r.getInt(1) ===
+      SnapshotTransforms.bucketOfLong(r.getLong(0), 4),
+      s"old-arm mirror must be the xxhash bucket: $r"))
+
+    // migrate_layout converges the cold remainder under (day, bucket)
+    spark.sql(s"CALL $cat.migrate_layout('t', 10)")
+    val head = SnapshotManifest.head(root)
+    val mh = SnapshotManifest.read(root, head)
+    assert(mh.keys.forall(_.split("/", -1).length == 2),
+      s"converged head must be single-layout: ${mh.keys}")
+    val total = spark.sql(
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(v) AS BIGINT) AS s FROM $cat.`t`").head()
+    assert(total.getLong(0) === 121L)
+    assert(total.getLong(1) ===
+      ((1L to 120L).map(_.toDouble).sum - 3.0 + 1003.0 + 1200.0).toLong)
+
+    // refusals: transform over a wrong-typed source, unknown transform
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.evolve_partitioning('t', 'hours(v)')")
+    }
+    assert(e1.getMessage.contains("must be TIMESTAMP"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.evolve_partitioning('t', 'quarters(v)')")
+    }
+    assert(e2.getMessage.contains("unsupported partition transform"),
+      e2.getMessage)
+  }
 }

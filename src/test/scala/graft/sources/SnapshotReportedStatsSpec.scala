@@ -93,4 +93,38 @@ class SnapshotReportedStatsSpec extends SparkSpec {
     assert(st.numRows.isPresent && st.numRows.getAsLong === 91L,
       s"evolved scan must report sidecar cardinality, got $st")
   }
+
+  test("a PARTIALLY-covered sidecar falls back to the delegate " +
+    "estimate instead of under-reporting unknown files as 0 rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("repstats_part")
+    val root = base.resolve("t")
+    (1L to 90L).map(id => (id, s"d${id % 3}", id.toDouble))
+      .toDF("id", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)
+    val cat = "repstatspart"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val sidecar = root.resolve("manifests").resolve("v1.files")
+    val lines = java.nio.file.Files.readAllLines(sidecar)
+    assert(lines.size() > 1, s"need a multi-file sidecar: $lines")
+    // the legacy-upgrade shape: the scan PLANS against a sidecar-less
+    // version (real listing), then a partial sidecar appears (an
+    // upgrade that profiled only part of the history) before stats
+    // are consulted — pre-fix, the two unprofiled files counted as 0
+    // rows and numRows under-reported 90 as 30, flipping join
+    // planning toward broadcasting a large table
+    java.nio.file.Files.delete(sidecar)
+    val df = spark.sql(s"SELECT id, v FROM $cat.`t`")
+    val scan = dppScan(df)
+    java.nio.file.Files.write(sidecar, lines.subList(0, 1))
+    val st = scan.estimateStatistics()
+    assert(!st.numRows.isPresent,
+      s"partial sidecar must fall back to the delegate (numRows " +
+        s"empty), got ${st.numRows}")
+    assert(st.sizeInBytes.isPresent, "bytes still come from the scan")
+  }
 }
