@@ -4433,13 +4433,30 @@ object SourceQueries {
       .option("keyCol", "o_orderkey").option("partCol", "o_ym")
       .mode("append").save(root.toString)                         // v3
     val head = graft.sources.SnapshotManifest.head(root)
+    // two arms: the post-drop HEAD, and a PRE-DROP pin (round 14,
+    // VERDICT r13 #7 — `VERSION AS OF` serves the pinned version's own
+    // schema, so v1 still carries o_orderstatus WITH its values; the
+    // head arm pins the dropped shape with an n_open sentinel)
     s.sql(
-      s"""SELECT $head AS head_version, SUBSTRING(o_ym_p, 1, 4) AS yr,
+      s"""SELECT 'head' AS arm, $head AS head_version,
+         |  SUBSTRING(o_ym_p, 1, 4) AS yr,
          |  CAST(COUNT(*) AS BIGINT) AS n_orders,
          |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(-1 AS BIGINT) AS n_open,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
          |    AS sum_price
          |FROM $tbl
+         |GROUP BY SUBSTRING(o_ym_p, 1, 4)
+         |UNION ALL
+         |SELECT 'v1' AS arm, $head AS head_version,
+         |  SUBSTRING(o_ym_p, 1, 4) AS yr,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+         |    AS BIGINT) AS n_open,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl VERSION AS OF 1
          |GROUP BY SUBSTRING(o_ym_p, 1, 4)""".stripMargin)
   }
 
@@ -4561,6 +4578,62 @@ object SourceQueries {
          |WHERE o_orderdate BETWEEN DATE'1995-01-10'
          |  AND DATE'1995-01-25'
          |GROUP BY o_orderdate""".stripMargin)
+  }
+
+  /** RUNTIME (DPP) PRUNING THROUGH A HIDDEN BUCKET LAYOUT (round 14,
+    * VERDICT r13 #2): a dimension join on the bucket transform's
+    * SOURCE column — the 100 TB point-lookup shape: a bucketed fact
+    * table probed by a small dimension's keys. The scan declares the
+    * layout source as a runtime-filter attribute
+    * ([[graft.sources.SnapshotDppScan.filterAttributes]]), Spark
+    * plants the dimension's distinct keys as an IN after its
+    * broadcast, and the predicate rewrites onto the bucket mirror
+    * through the same necessary-condition translator the static path
+    * uses ([[graft.sources.SnapshotTransforms.translateFilters]]) —
+    * the fact side plans only the matched buckets, never the full
+    * table. Strict-subset planning and the untranslatable-predicate
+    * no-trip are spec-pinned (`SnapshotHiddenPartitioningSpec`); this
+    * entry pins the end-to-end RESULT against the oracle's relational
+    * replay (the dimension is a %97 key slice, so the oracle derives
+    * it as a filter).
+    */
+  def sqlBucketDpp(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_bdpp")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snapbdpp_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val slice = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-03-01"))
+    slice.createOrReplaceTempView("graft_bdpp_orders")
+    val tbl = s"$cat.`orders_bdpp`"
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |  (o_orderkey BIGINT, o_orderstatus STRING,
+         |   o_totalprice DOUBLE, o_orderdate DATE)
+         |PARTITIONED BY (bucket(8, o_orderkey))
+         |TBLPROPERTIES ('key_column' = 'o_orderkey')""".stripMargin)
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_bdpp_orders")
+    // a REAL datasource dimension (in-memory relations constant-fold
+    // away and leave no selective filter for the DPP rule)
+    val dimPath = base.resolve("dim").toString
+    slice.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("d_key"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    s.read.parquet(dimPath).createOrReplaceTempView("graft_bdpp_dim")
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $tbl t JOIN graft_bdpp_dim d ON t.o_orderkey = d.d_key
+         |GROUP BY o_orderstatus""".stripMargin)
   }
 
   /** `ALTER TABLE … RENAME TO …` end to end (round 13, VERDICT r12
@@ -5231,6 +5304,7 @@ object SourceQueries {
     "sql_create_table"        -> sqlCreateTable _,
     "sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "sql_partspec_transform" -> sqlPartspecTransform _,
+    "sql_bucket_dpp"          -> sqlBucketDpp _,
     "sql_rename_table"        -> sqlRenameTable _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
@@ -5549,7 +5623,7 @@ object SourceQueries {
     // upsert; the dropped status column never appears
     "sql_drop_column" ->
       """WITH base AS (
-        |  SELECT o_orderkey, o_totalprice,
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
         |    strftime(o_orderdate, '%Y-%m') AS o_ym
         |  FROM orders),
         |up AS (
@@ -5557,15 +5631,28 @@ object SourceQueries {
         |  FROM base WHERE o_ym BETWEEN '1995-01' AND '1995-02'
         |    AND o_orderkey % 17 = 0),
         |head AS (
-        |  SELECT * FROM base
+        |  SELECT o_orderkey, o_totalprice, o_ym FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
         |  UNION ALL SELECT * FROM up)
-        |SELECT 3 AS head_version, SUBSTRING(o_ym, 1, 4) AS yr,
+        |SELECT 'head' AS arm, 3 AS head_version,
+        |  SUBSTRING(o_ym, 1, 4) AS yr,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(-1 AS BIGINT) AS n_open,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM head
+        |GROUP BY SUBSTRING(o_ym, 1, 4)
+        |UNION ALL
+        |SELECT 'v1' AS arm, 3 AS head_version,
+        |  SUBSTRING(o_ym, 1, 4) AS yr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+        |    AS BIGINT) AS n_open,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM base
         |GROUP BY SUBSTRING(o_ym, 1, 4)""".stripMargin,
     // safe type widening: replay the same float-upcast and the wide
     // post-widening rows; IEEE float->double is engine-identical
@@ -5648,6 +5735,20 @@ object SourceQueries {
         |WHERE o_orderdate BETWEEN DATE '1995-01-10'
         |  AND DATE '1995-01-25'
         |GROUP BY o_day""".stripMargin,
+    // runtime (DPP) pruning through the hidden bucket layout: the
+    // dimension is a %97 key slice of the same orders window, so the
+    // oracle derives the join as a filter — bucket-plane runtime
+    // pruning must be value-invisible
+    "sql_bucket_dpp" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1995-03-01'
+        |  AND o_orderkey % 97 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
     // transform-append evolution: the oracle replays the upsert
     // relationally — the bucket re-layout (evolve + migrate) must be
     // value-invisible; head_version pins the version count (evolve,

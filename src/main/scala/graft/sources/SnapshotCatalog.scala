@@ -56,9 +56,29 @@ object GraftSnapshotCatalog {
 
 final class GraftSnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var warehouse: JPath = _
+
+  /** The layout transforms as loadable V2 functions
+    * ([[SnapshotFunctions]]) — a catalog that implements
+    * `FunctionCatalog` rides into every `DataSourceV2Relation` it
+    * serves (`funCatalog`), which is what lets the write doors'
+    * `RequiresDistributionAndOrdering` express `bucket(n, k)` /
+    * `days(ts)` clustering and Spark resolve it to an evaluable
+    * shuffle key. Namespaces don't scope functions: the transform
+    * vocabulary is store-global.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    SnapshotFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    SnapshotFunctions.names
+      .map(Identifier.of(namespace, _)).toArray
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -214,14 +234,14 @@ final class GraftSnapshotCatalog extends TableCatalog
                 s"$catName.${ident.name()}@$version-v$v",
                 SparkSession.active, broot, v,
                 meta.copy(dataSchema = SnapshotManifest
-                  .effectiveDataSchema(broot, meta.dataSchema)),
+                  .effectiveDataSchema(broot, meta.dataSchema, v)),
                 SnapshotManifest.partitionSpecs(broot, meta.partitionSchema),
                 pinned = true)
             val effective = meta.copy(
               partitionSchema = SnapshotManifest
                 .partitionSpecs(broot, meta.partitionSchema).last,
               dataSchema = SnapshotManifest
-                .effectiveDataSchema(broot, meta.dataSchema))
+                .effectiveDataSchema(broot, meta.dataSchema, v))
             new SnapshotV2Table(
               s"$catName.${ident.name()}@$version-v$v",
               SparkSession.active, broot, v, effective, pinned = true)
@@ -266,8 +286,13 @@ final class GraftSnapshotCatalog extends TableCatalog
       return new SnapshotEvolvedV2Table(
         s"$catName.${ident.name()}@v$version", SparkSession.active, root,
         version,
-        meta.copy(dataSchema =
-          SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)),
+        // the fold caps at the SERVING version (head loads cap at the
+        // head — the identical fold): a pinned read serves the pinned
+        // version's own schema, not the head's (VERDICT r13 #7 — the
+        // Iceberg time-travel semantics; a column dropped later is
+        // still visible, a later widening/rename has not happened)
+        meta.copy(dataSchema = SnapshotManifest
+          .effectiveDataSchema(root, meta.dataSchema, version)),
         SnapshotManifest.partitionSpecs(root, meta.partitionSchema),
         pinned = v.isDefined)
     // same latest-schema overlay as the DataFrame door: a widening
@@ -278,8 +303,8 @@ final class GraftSnapshotCatalog extends TableCatalog
     val effective = meta.copy(
       partitionSchema = SnapshotManifest
         .partitionSpecs(root, meta.partitionSchema).last,
-      dataSchema =
-        SnapshotManifest.effectiveDataSchema(root, meta.dataSchema))
+      dataSchema = SnapshotManifest
+        .effectiveDataSchema(root, meta.dataSchema, version))
     new SnapshotV2Table(s"$catName.${ident.name()}@v$version",
       SparkSession.active, root, version, effective,
       // a `VERSION/TIMESTAMP AS OF` reference is a pinned historical
@@ -1129,7 +1154,7 @@ final class SnapshotV2Table(
     // dropped-column tombstones — a mixed-arity spec-evolved VERSION
     // is served by SnapshotEvolvedV2Table, which surfaces its own
     // partition_spec_evolution property
-    val (chains, droppedCols) = SnapshotManifest.nameFacts(root)
+    val (chains, droppedCols) = SnapshotManifest.nameFacts(root, snapVersion)
     if (chains.nonEmpty)
       m.put("renamed_columns", chains.toSeq.sortBy(_._1)
         .map { case (cur, formers) =>
@@ -1358,7 +1383,7 @@ private[sources] final class SnapshotReadFileTable(
     * case scans read the footer-facing physical names and map back.
     */
   private[sources] val renameChains: Map[String, Seq[String]] =
-    SnapshotRename.chainsFor(root, meta.dataSchema)
+    SnapshotRename.chainsFor(root, meta.dataSchema, version)
 
   private val physicalData: StructType =
     if (renameChains.isEmpty) meta.dataSchema
@@ -1596,14 +1621,32 @@ final class SnapshotDppScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val read = current.readSchema().fieldNames.toSet
-    partSchema.fieldNames.filter(read.contains)
+    val mirrors = partSchema.fieldNames.filter(read.contains)
+    // the layout SOURCE columns too: a hidden transform mirror
+    // (bucket/days/…) is never in the read schema, so a dimension
+    // join on its source — THE bucketed-fact-table point lookup —
+    // only plants a runtime filter if the source is declared; the
+    // predicate then translates onto the mirror plane in `filter`.
+    // (Declaring only read-schema names keeps the rule's resolution
+    // against the scan output safe — the original constraint.)
+    val sources = partSchema.fieldNames.map(_.stripSuffix("_p"))
+      .filterNot(partSchema.fieldNames.contains).filter(read.contains)
+    (mirrors ++ sources).distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // mirror-name predicates land directly; SOURCE-column predicates
+    // (the hidden-transform plane) rewrite through the same
+    // necessary-condition translator the static path uses, so a
+    // runtime IN on `bucket(n, k)`'s source prunes to the matched
+    // buckets exactly like a literal probe would
     val exprs = predicates.toSeq.flatMap(p =>
-      SnapshotRowLevel.v2ToPartitionExpr(p, partSchema))
+      SnapshotRowLevel.v2ToPartitionExpr(p, partSchema)) ++
+      SnapshotTransforms.translateFilters(
+        predicates.toSeq.flatMap(
+          SnapshotTransforms.v2ToSourceExpr(_, partSchema)), partSchema)
     // untranslatable runtime predicates are legally ignored: the scan
     // just reads more partitions than the ideal, never fewer rows
     if (exprs.nonEmpty)

@@ -117,7 +117,7 @@ final class SnapshotEvolvedV2Table(
     // DESCRIBE parity with the single-layout table (the tombstone and
     // key facts must not disappear mid-evolution) — one header sweep
     // serves both folds
-    val (chains, droppedCols) = SnapshotManifest.nameFacts(root)
+    val (chains, droppedCols) = SnapshotManifest.nameFacts(root, snapVersion)
     if (chains.nonEmpty)
       m.put("renamed_columns", chains.toSeq.sortBy(_._1)
         .map { case (cur, formers) =>
@@ -205,7 +205,7 @@ private[sources] final class SnapshotEvolvedScanBuilder(
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private val current = specs.last
-  private val chains = SnapshotRename.chainsFor(root, dataSchema)
+  private val chains = SnapshotRename.chainsFor(root, dataSchema, version)
   private val physicalData =
     if (chains.isEmpty) dataSchema
     else SnapshotRename.physicalSchema(dataSchema, chains)

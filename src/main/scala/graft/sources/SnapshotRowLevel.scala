@@ -406,7 +406,10 @@ final class SnapshotReplaceWrite(
     root: JPath,
     version: Int,
     meta: SnapshotMeta.Meta,
-    info: LogicalWriteInfo) extends Write {
+    info: LogicalWriteInfo) extends Write
+  with SnapshotClusteredWrite {
+
+  override protected def writeMeta: SnapshotMeta.Meta = meta
 
   override def description(): String = s"graft-snapshot-replace v$version"
 
@@ -466,6 +469,46 @@ final class SnapshotReplaceWrite(
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       org.apache.commons.io.FileUtils.deleteQuietly(attemptRoot.toFile)
   }
+}
+
+/** WRITE-SIDE CLUSTERING, shared by every v2 batch write into the
+  * store: require rows hash-clustered by the layout (each mirror as
+  * its transform over the source column — [[SnapshotFunctions
+  * .clusterExprs]]) and sorted within tasks by (layout, table key).
+  * One shuffle buys the file-count bound that matters at 100 TB: each
+  * partition value is written by exactly ONE task, so a commit
+  * produces O(touched partitions) files instead of up to
+  * O(tasks × partitions) — the difference between a manifest that
+  * grows with data and one that grows with parallelism. Transform
+  * clustering resolves through the catalog's [[SnapshotFunctions]]
+  * (the relation's `funCatalog`); on a relation without one (never
+  * the case for catalog-served tables) Spark raises a clear analysis
+  * error rather than writing unclustered.
+  */
+private[sources] trait SnapshotClusteredWrite
+  extends org.apache.spark.sql.connector.write
+    .RequiresDistributionAndOrdering {
+
+  protected def writeMeta: SnapshotMeta.Meta
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val exprs = SnapshotFunctions.clusterExprs(writeMeta.partitionSchema)
+    if (exprs.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .clustered(exprs)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    SnapshotFunctions.requiredOrdering(writeMeta.partitionSchema,
+      writeMeta.keyCol)
+
+  // 0 = let Spark size the shuffle (spark.sql.shuffle.partitions /
+  // AQE coalescing); pinning a count here would fight AQE at scale
+  override def requiredNumPartitions(): Int = 0
 }
 
 /** Shared task-writer construction for every v2 batch write into the
@@ -539,7 +582,10 @@ final class SnapshotAppendWrite(
     root: JPath,
     meta: SnapshotMeta.Meta,
     doorParams: Map[String, String],
-    info: LogicalWriteInfo) extends Write {
+    info: LogicalWriteInfo) extends Write
+  with SnapshotClusteredWrite {
+
+  override protected def writeMeta: SnapshotMeta.Meta = meta
 
   override def description(): String = s"graft-snapshot-append"
 
@@ -608,7 +654,10 @@ final class SnapshotOverwriteWrite(
     version: Int,
     meta: SnapshotMeta.Meta,
     info: LogicalWriteInfo,
-    staticFilters: Option[Array[V1Filter]]) extends Write {
+    staticFilters: Option[Array[V1Filter]]) extends Write
+  with SnapshotClusteredWrite {
+
+  override protected def writeMeta: SnapshotMeta.Meta = meta
 
   override def description(): String =
     s"graft-snapshot-overwrite v$version " +

@@ -218,11 +218,22 @@ object SnapshotManifest {
     * a deliberate no-op (replayed normalize/clone records re-walk
     * chains whose early links no longer name a field).
     */
-  def effectiveDataSchema(root: JPath, base: StructType): StructType = {
+  def effectiveDataSchema(root: JPath, base: StructType): StructType =
+    effectiveDataSchema(root, base, Int.MaxValue)
+
+  /** [[effectiveDataSchema]] capped at `upTo`: only records published
+    * at or before that version fold in — the PINNED-READ schema
+    * (`VERSION AS OF n` serves version n's own shape: a column
+    * dropped later is still visible, a widening or rename committed
+    * later has not happened yet — the Iceberg time-travel semantics).
+    * `upTo = Int.MaxValue` is the head fold, bit-identical to before.
+    */
+  def effectiveDataSchema(root: JPath, base: StructType,
+                          upTo: Int): StructType = {
     // ONE manifest-header sweep serves all three record kinds —
     // metaLines re-opens every manifest per call, and this is the
     // hottest metadata fold (every table load runs it)
-    val all = metaLines(root)
+    val all = metaLines(root).filter(_._1 <= upTo)
     val recs = all.flatMap { case (v, ls) =>
       ls.find(_.startsWith("#schema\t")).map(l =>
         v -> l.stripPrefix("#schema\t"))
@@ -276,12 +287,24 @@ object SnapshotManifest {
   def renameChains(root: JPath): Map[String, Seq[String]] =
     nameFacts(root)._1
 
+  /** [[renameChains]] capped at `upTo` — the pinned-read fold: a
+    * rename committed after the pinned version has not happened for
+    * that read, and a chain folded past it would map the pinned
+    * schema's names onto footers that never carried them.
+    */
+  def renameChains(root: JPath, upTo: Int): Map[String, Seq[String]] =
+    nameFacts(root, upTo)._1
+
   /** (rename chains, dropped names) from ONE manifest-header sweep —
     * the consumers that need both (DESCRIBE properties, the re-add
     * refusal set) would otherwise re-open every manifest twice.
     */
-  def nameFacts(root: JPath): (Map[String, Seq[String]], Set[String]) = {
-    val all = metaLines(root).sortBy(_._1)
+  def nameFacts(root: JPath): (Map[String, Seq[String]], Set[String]) =
+    nameFacts(root, Int.MaxValue)
+
+  def nameFacts(root: JPath, upTo: Int)
+      : (Map[String, Seq[String]], Set[String]) = {
+    val all = metaLines(root).filter(_._1 <= upTo).sortBy(_._1)
     val chains = all.flatMap { case (_, ls) =>
       ls.collect {
         case l if l.startsWith("#rename\t") =>
@@ -559,9 +582,20 @@ object SnapshotWiden {
   */
 object SnapshotRename {
   /** Rename chains restricted to fields of the given logical schema. */
-  def chainsFor(root: JPath, logical: StructType): Map[String, Seq[String]] = {
+  def chainsFor(root: JPath, logical: StructType): Map[String, Seq[String]] =
+    chainsFor(root, logical, Int.MaxValue)
+
+  /** [[chainsFor]] capped at `upTo` — pinned reads map footers only
+    * through renames that existed at the pinned version (a later
+    * a→b link would orphan the pinned schema's `a`: the chain would
+    * key on `b`, miss the filter, and the coalesce fold would never
+    * see pre-rename footers).
+    */
+  def chainsFor(root: JPath, logical: StructType, upTo: Int)
+      : Map[String, Seq[String]] = {
     val names = logical.fieldNames.toSet
-    SnapshotManifest.renameChains(root).filter { case (cur, _) => names(cur) }
+    SnapshotManifest.renameChains(root, upTo)
+      .filter { case (cur, _) => names(cur) }
   }
 
   /** Physical (footer-facing) read schema: the logical fields, all

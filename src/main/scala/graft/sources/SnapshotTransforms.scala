@@ -266,6 +266,65 @@ object SnapshotTransforms {
   def truncateUtf8(v: UTF8String, w: Int): UTF8String =
     if (v.numChars <= w) v else v.substring(0, w)
 
+  /** Runtime (DPP) V2 predicate → Catalyst expression over layout
+    * SOURCE columns, for [[translateFilters]] to rewrite onto the
+    * partition plane. The read-path `PartitionPruning` rule plants
+    * `IN`/`=` predicates (the broadcast dimension side's distinct join
+    * keys) over whatever attributes the scan declared — for a hidden
+    * transform mirror that attribute is the mirror's SOURCE column
+    * (the mirror itself is never in the read schema), so the arriving
+    * predicate references the source by name with literals already in
+    * Catalyst internal form. Only names that are sources of spec
+    * fields and not partition columns themselves qualify (predicates
+    * on the mirror names take the direct
+    * [[SnapshotRowLevel.v2ToPartitionExpr]] path); anything
+    * untranslatable returns None — ignored, never wrong.
+    */
+  def v2ToSourceExpr(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      spec: StructType): Option[Expression] = {
+    val mirrors = spec.fieldNames.toSet
+    val sources = mirrors.map(_.stripSuffix("_p")) -- mirrors
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+          if n.fieldNames.length == 1 && sources(n.fieldNames.head) =>
+        Some(n.fieldNames.head)
+      case _ => None
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Literal] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    def attr(name: String, dt: DataType): AttributeReference =
+      AttributeReference(name, dt, nullable = true)()
+    p.name() match {
+      case "IN" =>
+        val ch = p.children()
+        for {
+          a <- ref(ch.head)
+          vs = ch.tail.toIndexedSeq.flatMap(lit)
+          if vs.length == ch.length - 1 && vs.nonEmpty
+        } yield In(attr(a, vs.head.dataType), vs)
+      case "=" =>
+        val ch = p.children()
+        for (a <- ref(ch(0)); v <- lit(ch(1)))
+          yield EqualTo(attr(a, v.dataType), v)
+      case "AND" =>
+        val ch = p.children().map(
+          _.asInstanceOf[
+            org.apache.spark.sql.connector.expressions.filter.Predicate])
+        (v2ToSourceExpr(ch(0), spec), v2ToSourceExpr(ch(1), spec)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          // one side alone is still a necessary condition
+          case (one, other) => one.orElse(other)
+        }
+      case _ => None
+    }
+  }
+
   /** TRANSFORM-PLANE PRUNING: rewrite SOURCE-column data filters into
     * partition-plane filters over the mirror columns — each output is
     * a NECESSARY condition of its input (a partition failing it

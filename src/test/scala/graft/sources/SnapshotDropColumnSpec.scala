@@ -208,35 +208,44 @@ class SnapshotDropColumnSpec extends SparkSpec {
     }
   }
 
-  test("DOCUMENTED DIVERGENCE: time travel serves the HEAD schema — " +
-    "a pre-drop VERSION AS OF hides the dropped column, a pre-widen " +
-    "pin shows the widened one") {
+  test("time travel serves the PINNED version's own schema on the " +
+    "catalog door (round 14, VERDICT r13 #7 — the Iceberg semantics): " +
+    "a pre-drop pin shows the dropped column with its values, a " +
+    "pre-widen pin lacks the later column; the DataFrame door stays " +
+    "head-wins (the internal-rewrite plane's contract)") {
     import spark.implicits._
-    // The store's schema plane is head-wins for EVERY version read:
-    // `#schema`/`#rename`/`#drop` records fold over ALL manifests, not
-    // up to the pinned version. This is the Delta RESTORE stance
-    // (evolved reads declare missing columns nullable) extended to
-    // time travel, and it is DELIBERATE: one declared schema per table
-    // keeps every reader, rewrite, and stats plane on one shape.
-    // Iceberg instead serves each snapshot's own schema — if that
-    // semantics is ever wanted, the fold must cap at the pinned
-    // version AND the rename/physical mapping must cap with it. This
-    // spec pins the CURRENT contract so a change is a decision, not
-    // an accident.
+    // The catalog's `VERSION AS OF` caps the `#schema`/`#rename`/
+    // `#drop` fold AND the footer name-mapping at the pinned version
+    // (`effectiveDataSchema(root, base, upTo)` /
+    // `chainsFor(root, logical, upTo)`) — head loads cap at the head,
+    // which is the identical fold, so the bare-table path is
+    // bit-unchanged. The DataFrame door (`SnapshotTable.read`)
+    // deliberately keeps head-wins: it is the engine's REWRITE plane
+    // (upserts, compaction, diffs align old versions under one
+    // current shape) — pinned-schema there would misalign
+    // cross-version unions. Both contracts pinned here.
     val (root, cat) = freshStore("dc_tt")
     spark.sql(s"INSERT INTO $cat.`t` VALUES " +
       "(200L, 't0', 'd0', 1200.0, 'd0')")                        // v2
     spark.sql(s"ALTER TABLE $cat.`t` DROP COLUMN etype")          // v3
     spark.sql(s"ALTER TABLE $cat.`t` ADD COLUMNS (w BIGINT)")     // v4
-    // pre-drop pins serve the head's schema: etype hidden, w present
+    // a pre-drop pin serves its OWN schema: etype visible (with the
+    // written values), the post-pin w absent
     val v1 = spark.sql(s"SELECT * FROM $cat.`t` VERSION AS OF 1")
-    assert(v1.columns.toSeq === Seq("id", "day", "v", "w", "day_p"),
-      s"head-schema-wins contract drifted: ${v1.columns.toSeq}")
+    assert(v1.columns.toSeq === Seq("id", "etype", "day", "v", "day_p"),
+      s"pinned-schema contract drifted: ${v1.columns.toSeq}")
     assert(v1.count() === 120L, "the pinned ROWS stay the version's own")
-    // the DataFrame door agrees
+    assert(v1.filter(col("etype") === "t1").count() === 60L,
+      "the dropped column's pre-drop VALUES must serve under the pin")
+    // a post-drop, pre-widen pin: etype gone, w not yet born
+    val v3 = spark.sql(s"SELECT * FROM $cat.`t` VERSION AS OF 3")
+    assert(v3.columns.toSeq === Seq("id", "day", "v", "day_p"),
+      s"post-drop pin drifted: ${v3.columns.toSeq}")
+    // the head keeps the head fold
+    assert(spark.sql(s"SELECT * FROM $cat.`t`").columns.toSeq ===
+      Seq("id", "day", "v", "w", "day_p"))
+    // the DataFrame door (the rewrite plane) stays head-wins
     assert(SnapshotTable.read(spark, root, 1).columns.toSeq ===
       Seq("id", "day", "v", "w", "day_p"))
-    // w (post-pin evolution) reads as NULL over pre-evolution rows
-    assert(v1.filter(col("w").isNotNull).count() === 0L)
   }
 }

@@ -488,4 +488,96 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
     val (prunedH, totalH) = v2ScanFiles(hq)
     assert(prunedH < totalH, s"hours must prune: $prunedH of $totalH")
   }
+
+  test("runtime (DPP) filters reach the hidden-transform plane: a " +
+    "dimension join on a bucket source column plans only the matched " +
+    "buckets; untranslatable runtime predicates no-trip") {
+    // AQE off so the executed tree is directly traversable (the
+    // catalog-spec DPP discipline); fresh session isolates the conf
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val base = java.nio.file.Files.createTempDirectory("hp_dpp")
+    val cat = "hpdpp"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    s.sql(
+      s"""CREATE TABLE $cat.`fact` (id BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(8, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    locally {
+      import s.implicits._
+      (1L to 80L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .createOrReplaceTempView("hp_dpp_src")
+    }
+    s.sql(s"INSERT INTO $cat.`fact` SELECT id, v FROM hp_dpp_src")
+    // a REAL datasource dimension (an in-memory relation constant-folds
+    // away and leaves nothing for the DPP rule to latch onto)
+    val dimPath = base.resolve("dim").toString
+    locally {
+      import s.implicits._
+      (1L to 80L).map(k => (k, if (k == 3L || k == 7L) "hot" else "cold"))
+        .toDF("k", "tag").coalesce(1).write.parquet(dimPath)
+    }
+    s.read.parquet(dimPath).createOrReplaceTempView("hp_dpp_dim")
+    val q = s.sql(
+      s"""SELECT SUM(t.v) FROM $cat.`fact` t
+         |JOIN hp_dpp_dim dm ON t.id = dm.k
+         |WHERE dm.tag = 'hot'""".stripMargin)
+    assert(q.collect().head.getDouble(0) === 10.0)
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[SnapshotDppScan] => b
+    }.headOption.getOrElse(fail("no snapshot scan in the plan"))
+    assert(scan.runtimeFilters.nonEmpty,
+      "join on the bucket SOURCE column must plant a runtime filter " +
+        "(filterAttributes must declare transform sources)")
+    // post-execution the wrapper holds the bucket-plane translation
+    // and plans ONLY the hot keys' buckets of the 8 written
+    val dpp = scan.scan.asInstanceOf[SnapshotDppScan]
+    assert(dpp.partitionFilters.exists(
+      _.references.exists(_.name == "id_p")),
+      s"runtime filter never translated onto the mirror: " +
+        s"${dpp.partitionFilters}")
+    val hotBuckets = Set(3L, 7L).map(k =>
+      SnapshotTransforms.bucketOfLong(k, 8))
+    val planned = dpp.toBatch.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case _ => Nil
+    }
+    assert(planned.nonEmpty)
+    assert(planned.forall(p =>
+      hotBuckets.exists(b => p.contains(s"id_p=$b"))),
+      s"scan planned unmatched buckets: ${planned.take(3)}")
+    assert(planned.size <
+      dpp.delegate.fileIndex.listFiles(Nil, Nil).map(_.files.size).sum,
+      "bucket DPP must be a strict subset of the full listing")
+    // exactness vs the literal probe
+    assert(q.collect().head.getDouble(0) ===
+      s.sql(s"SELECT SUM(v) FROM $cat.`fact` WHERE id IN (3, 7)")
+        .collect().head.getDouble(0))
+
+    // no-trip arm: a runtime predicate the transform plane cannot
+    // translate (a RANGE on a bucket source — hash order is
+    // meaningless) must be ignored, never wrong
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VP}
+    val spec = SnapshotMeta.read(base.resolve("fact")).get.partitionSchema
+    val range = new VP(">", Array(VE.column("id"),
+      VE.literal(java.lang.Long.valueOf(3L))))
+    assert(SnapshotTransforms.v2ToSourceExpr(range, spec).isEmpty,
+      "a > on the source must not reach the bucket plane")
+    val before = dpp.partitionFilters
+    dpp.filter(Array(range))
+    assert(dpp.partitionFilters === before,
+      "untranslatable runtime predicate must leave the scan unchanged")
+    // and a translatable one composed under AND still prunes alone
+    val eq = new VP("=", Array(VE.column("id"),
+      VE.literal(java.lang.Long.valueOf(9L))))
+    val and = new VP("AND", Array(range, eq))
+    val got = SnapshotTransforms.v2ToSourceExpr(and, spec)
+      .map(e => SnapshotTransforms.translateFilters(Seq(e), spec))
+    assert(got.exists(_.exists(_.references.exists(_.name == "id_p"))),
+      s"AND with one translatable side must still prune: $got")
+  }
 }
