@@ -4636,6 +4636,67 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** STORAGE-PARTITIONED JOIN end to end (round 14): two snapshot
+    * tables laid out `bucket(8, o_orderkey)` join on the source key
+    * with ZERO exchange on either side — the scans report
+    * `KeyGroupedPartitioning` over the bucket transform (resolved
+    * through the catalog's [[graft.sources.SnapshotFunctions]]) and
+    * plan one keyed input partition per bucket, so the join lines the
+    * two sides up task-for-task
+    * ([[graft.sources.SnapshotDppScan.outputPartitioning]]). Runs in
+    * its own session: SPJ is the opt-in
+    * `spark.sql.sources.v2.bucketing.enabled` trade (per-bucket tasks
+    * for an absent shuffle — right exactly when a join consumes the
+    * scan). The no-shuffle plan and the opt-out twin are spec-pinned
+    * (`SnapshotSpjSpec`); this entry pins the end-to-end VALUES
+    * against the oracle's relational replay. At 100 TB the removed
+    * exchange is the dominant cost of every fact-fact equi-join.
+    */
+  def sqlBucketSpj(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    ns.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val base = java.nio.file.Paths.get(ioDir("snapshot_spj")).resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snapspj_$key"
+    ns.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    ns.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    Tables.orders(ns, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-03-01"))
+      .createOrReplaceTempView("graft_spj_orders")
+    ns.sql(
+      s"""CREATE TABLE $cat.`fact_a`
+         |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |PARTITIONED BY (bucket(8, o_orderkey))
+         |TBLPROPERTIES ('key_column' = 'o_orderkey')""".stripMargin)
+    ns.sql(s"INSERT INTO $cat.`fact_a` SELECT * FROM graft_spj_orders")
+    ns.sql(
+      s"""CREATE TABLE $cat.`fact_b`
+         |  (o_orderkey BIGINT, o_paid DOUBLE)
+         |PARTITIONED BY (bucket(8, o_orderkey))
+         |TBLPROPERTIES ('key_column' = 'o_orderkey')""".stripMargin)
+    // * 0.5 is an exact binary scale — engine-identical to the oracle
+    ns.sql(
+      s"""INSERT INTO $cat.`fact_b`
+         |SELECT o_orderkey, o_totalprice * 0.5 AS o_paid
+         |FROM graft_spj_orders""".stripMargin)
+    ns.sql(
+      s"""SELECT a.o_orderstatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(a.o_totalprice + b.o_paid AS DECIMAL(30,6)))
+         |    AS DOUBLE) AS sum_combined
+         |FROM $cat.`fact_a` a JOIN $cat.`fact_b` b
+         |  ON a.o_orderkey = b.o_orderkey
+         |GROUP BY a.o_orderstatus""".stripMargin)
+  }
+
   /** `ALTER TABLE … RENAME TO …` end to end (round 13, VERDICT r12
     * #4): clone the pristine keyed orders store, RENAME it — one
     * atomic directory move, zero metadata rewrites because every
@@ -5305,6 +5366,7 @@ object SourceQueries {
     "sql_hidden_partitioning" -> sqlHiddenPartitioning _,
     "sql_partspec_transform" -> sqlPartspecTransform _,
     "sql_bucket_dpp"          -> sqlBucketDpp _,
+    "sql_bucket_spj"          -> sqlBucketSpj _,
     "sql_rename_table"        -> sqlRenameTable _,
     "source_snapshot_prune"   -> snapshotConnectorPrune _,
     "source_snapshot_lookup"  -> snapshotPointLookup _,
@@ -5748,6 +5810,18 @@ object SourceQueries {
         |WHERE o_orderdate >= DATE '1995-01-01'
         |  AND o_orderdate < DATE '1995-03-01'
         |  AND o_orderkey % 97 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
+    // storage-partitioned join: keys are unique, so the self-join
+    // replays as a projection — the exchange-free plan must be
+    // value-invisible; * 0.5 is an exact binary scale in both engines
+    "sql_bucket_spj" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice + o_totalprice * 0.5
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS sum_combined
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1995-03-01'
         |GROUP BY o_orderstatus""".stripMargin,
     // transform-append evolution: the oracle replays the upsert
     // relationally — the bucket re-layout (evolve + migrate) must be

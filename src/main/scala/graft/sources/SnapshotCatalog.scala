@@ -1541,7 +1541,68 @@ final class SnapshotDppScan(
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  /** STORAGE-PARTITIONED JOIN (SPJ) eligibility — the Iceberg
+    * exchange-free join on the store's own layout: when the session
+    * opts in (`spark.sql.sources.v2.bucketing.enabled`), the scan
+    * reports `KeyGroupedPartitioning` over the layout transforms
+    * (resolved through the catalog's [[SnapshotFunctions]]) and plans
+    * ONE input partition per partition value, each carrying its key
+    * (`HasPartitionKey`) — two tables laid out `bucket(n, k)` then
+    * join on `k` with ZERO shuffle on either side, the 100 TB
+    * fact-fact join shape. Strictly opt-in: grouped planning trades
+    * scan parallelism (one task per partition value) for the absent
+    * exchange, which is the right trade exactly when a join consumes
+    * the scan — the stock size-based `FilePartition` planning stays
+    * the default for everything else. Requires every transform
+    * SOURCE column in the read schema (the reported keys must resolve
+    * against the scan output) and no rename history (the rename
+    * wrapper re-plans rows, not partitions).
+    */
+  private def spjEligible: Boolean = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    conf.v2BucketingEnabled && chains.isEmpty &&
+      partSchema.fields.nonEmpty && {
+        val read = current.readSchema().fieldNames.toSet
+        partSchema.fields.forall(f =>
+          read.contains(f.name.stripSuffix("_p")))
+      }
+  }
+
+  /** One keyed input partition per partition VALUE of the pruned
+    * listing — the partition-directory row IS the key (mirror values
+    * are `f(source)` by the store's layout invariant, so they equal
+    * the reported transform expressions' values by construction).
+    * Files are not size-split: they land in one task regardless, and
+    * whole files keep the stock reader path.
+    */
+  private def keyedPartitions: Array[
+      org.apache.spark.sql.connector.read.InputPartition] = {
+    val dirs = current.fileIndex
+      .listFiles(current.partitionFilters, current.dataFilters)
+    dirs.sortBy(_.values.toString).zipWithIndex.map { case (dir, i) =>
+      val files = dir.files.map { f =>
+        org.apache.spark.sql.execution.PartitionedFileUtil
+          .getPartitionedFile(f, f.getPath, dir.values, 0, f.getLen)
+      }.toArray
+      new SnapshotKeyedFilePartition(i, files, dir.values)
+        : org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEligible)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          SnapshotFunctions.clusterExprs(partSchema),
+          current.fileIndex
+            .listFiles(current.partitionFilters, current.dataFilters)
+            .length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
 
   private[sources] def partitionFilters
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
@@ -1557,8 +1618,20 @@ final class SnapshotDppScan(
     else SnapshotRename.logicalOf(current.readSchema(), chains)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    if (chains.isEmpty) current.toBatch
-    else new SnapshotRenameBatch(current.toBatch,
+    if (chains.isEmpty) {
+      if (spjEligible) new org.apache.spark.sql.connector.read.Batch {
+        // grouped-by-key planning to match the reported partitioning;
+        // readers are the stock parquet factory (whole files, same
+        // per-file path as the size-based planner)
+        override def planInputPartitions()
+            : Array[org.apache.spark.sql.connector.read.InputPartition] =
+          keyedPartitions
+        override def createReaderFactory()
+            : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+          current.toBatch.createReaderFactory()
+      }
+      else current.toBatch
+    } else new SnapshotRenameBatch(current.toBatch,
       current.readSchema(), chains)
 
   override def description(): String = current.description()
@@ -1653,6 +1726,24 @@ final class SnapshotDppScan(
       current = current.copy(
         partitionFilters = current.partitionFilters ++ exprs)
   }
+}
+
+/** A stock [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * that additionally carries its partition-value key — what turns a
+  * grouped listing into a `KeyGroupedPartitioning` the join planner
+  * can line up task-for-task with the other side
+  * ([[SnapshotDppScan.outputPartitioning]]). Subclassing keeps the
+  * stock reader factory's `FilePartition` match working unchanged.
+  */
+private[sources] final class SnapshotKeyedFilePartition(
+    index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.execution.datasources
+    .FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    key
 }
 
 /** V1 `Filter` → `Column` translation for the DELETE door. Only

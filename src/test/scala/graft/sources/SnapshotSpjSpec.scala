@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+import graft.SparkSpec
+
+/** STORAGE-PARTITIONED JOINS over the snapshot store's layout
+  * ([[SnapshotDppScan.outputPartitioning]] +
+  * [[SnapshotKeyedFilePartition]], round 14): with the session opted
+  * in (`spark.sql.sources.v2.bucketing.enabled`), a scan of a
+  * `bucket(n, k)`-laid-out table reports `KeyGroupedPartitioning`
+  * over the transform (resolved through the catalog's
+  * [[SnapshotFunctions]]) and plans one keyed input partition per
+  * partition value — so two tables sharing the layout join on the
+  * source key with ZERO shuffle on either side. At 100 TB this is
+  * the fact-fact join story: the exchange this removes is the
+  * dominant cost of every large equi-join, and the store's own
+  * write-side clustering ([[SnapshotClusteredWrite]]) is what makes
+  * the layout reliably present.
+  */
+class SnapshotSpjSpec extends SparkSpec {
+
+  private def mkSession(bucketing: Boolean) = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled",
+      bucketing.toString)
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    // force a real (non-broadcast) join and a traversable plan
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private def mkTables(s: org.apache.spark.sql.SparkSession,
+                       tag: String): String = {
+    val base = java.nio.file.Files.createTempDirectory(s"spj_$tag")
+    val cat = s"spj$tag"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    for (t <- Seq("a", "b")) {
+      s.sql(
+        s"""CREATE TABLE $cat.`$t` (id BIGINT, v DOUBLE)
+           |PARTITIONED BY (bucket(8, id))
+           |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    }
+    import s.implicits._
+    (1L to 400L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .createOrReplaceTempView(s"spj_src_$tag")
+    s.sql(s"INSERT INTO $cat.`a` SELECT id, v FROM spj_src_$tag")
+    s.sql(
+      s"INSERT INTO $cat.`b` SELECT id, v * 2.0 AS v FROM spj_src_$tag")
+    cat
+  }
+
+  private def joinDf(s: org.apache.spark.sql.SparkSession, cat: String) =
+    s.sql(
+      s"""SELECT SUM(a.v + b.v) AS total
+         |FROM $cat.`a` a JOIN $cat.`b` b ON a.id = b.id""".stripMargin)
+
+  private def joinSubtreeShuffles(
+      df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val joins = df.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected a non-broadcast equi-join")
+    (joins.size,
+      joins.map(_.collect { case e: ShuffleExchangeLike => e }.size).sum)
+  }
+
+  test("two bucket-layout tables join exchange-free when the session " +
+    "opts into v2 bucketing; the opt-out twin shuffles both sides") {
+    val s = mkSession(bucketing = true)
+    val cat = mkTables(s, "on")
+    val q = joinDf(s, cat)
+    assert(q.collect().head.getDouble(0) ===
+      (1 to 400).map(i => i + 2.0 * i).sum)
+    val (_, shuffles) = joinSubtreeShuffles(q)
+    assert(shuffles === 0,
+      s"storage-partitioned join must plan no exchange, found $shuffles:\n" +
+        q.queryExecution.executedPlan)
+    // the scans really are key-grouped: every input partition carries
+    // its partition key
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[SnapshotDppScan] => b
+    }
+    assert(scans.size === 2)
+    scans.foreach { b =>
+      assert(b.inputRDD.getNumPartitions <= 8,
+        "grouped planning must yield at most one task per bucket")
+    }
+
+    // opt-out twin: same tables, bucketing off — both sides shuffle
+    // (proves the assertion above bites)
+    val s2 = mkSession(bucketing = false)
+    val cat2 = mkTables(s2, "off")
+    val q2 = joinDf(s2, cat2)
+    assert(q2.collect().head.getDouble(0) ===
+      (1 to 400).map(i => i + 2.0 * i).sum)
+    val (_, shuffles2) = joinSubtreeShuffles(q2)
+    assert(shuffles2 > 0,
+      "without v2 bucketing the join must shuffle — if it stopped, " +
+        "the opt-in gate is broken")
+  }
+
+  test("SPJ degrades cleanly: a scan that prunes the source column " +
+    "out keeps size-based planning and exact results") {
+    val s = mkSession(bucketing = true)
+    val cat = mkTables(s, "deg")
+    // no `id` in the read schema → the reported keys could not
+    // resolve → UnknownPartitioning, stock planning
+    assert(s.sql(s"SELECT SUM(v) FROM $cat.`a`").head().getDouble(0)
+      === (1 to 400).map(_.toDouble).sum)
+    // and a mixed shape — bucketed fact joined to an UNPARTITIONED
+    // view — still answers exactly (one side shuffles, fine)
+    import s.implicits._
+    (1L to 50L).map(i => (i, s"t$i")).toDF("k", "tag")
+      .createOrReplaceTempView("spj_dim_deg")
+    assert(s.sql(
+      s"""SELECT COUNT(*) FROM $cat.`a` a
+         |JOIN spj_dim_deg d ON a.id = d.k""".stripMargin)
+      .head().getLong(0) === 50L)
+  }
+}
