@@ -509,6 +509,17 @@ private[sources] trait SnapshotClusteredWrite
   // 0 = let Spark size the shuffle (spark.sql.shuffle.partitions /
   // AQE coalescing); pinning a count here would fight AQE at scale
   override def requiredNumPartitions(): Int = 0
+
+  /** Advisory, not strict: Spark plans a REBALANCE on the clustering
+    * keys instead of a hard hash repartition, which lets AQE both
+    * coalesce small partitions AND SPLIT a skewed one — a 1 TB hot
+    * partition writes through several tasks (several files, each
+    * data-sized) instead of one task owning the whole value. File
+    * count stays O(data / target-size), never O(tasks × partitions);
+    * at test sizes nothing splits, so the one-file-per-partition
+    * bound below still pins the clustering.
+    */
+  override def distributionStrictlyRequired(): Boolean = false
 }
 
 /** Shared task-writer construction for every v2 batch write into the

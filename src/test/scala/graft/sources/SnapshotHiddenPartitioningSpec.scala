@@ -579,5 +579,45 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
       .map(e => SnapshotTransforms.translateFilters(Seq(e), spec))
     assert(got.exists(_.exists(_.references.exists(_.name == "id_p"))),
       s"AND with one translatable side must still prune: $got")
+
+    // the TEMPORAL shape: a date-dimension join on a days() source
+    // prunes the fact to the dimension's matched days
+    s.sql(
+      s"""CREATE TABLE $cat.`tfact` (id BIGINT, d DATE, v DOUBLE)
+         |PARTITIONED BY (days(d))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    locally {
+      import s.implicits._
+      (1L to 60L).map(i => (i,
+          java.sql.Date.valueOf(f"2024-02-${i % 6 + 1}%02d"), i.toDouble))
+        .toDF("id", "d", "v").createOrReplaceTempView("hp_dpp_tsrc")
+      (1 to 6).map(dd => (java.sql.Date.valueOf(f"2024-02-$dd%02d"),
+          if (dd <= 2) "hot" else "cold"))
+        .toDF("cal_d", "tag").coalesce(1)
+        .write.parquet(base.resolve("tdim").toString)
+    }
+    s.sql(s"INSERT INTO $cat.`tfact` SELECT id, d, v FROM hp_dpp_tsrc")
+    s.read.parquet(base.resolve("tdim").toString)
+      .createOrReplaceTempView("hp_dpp_tdim")
+    val tq = s.sql(
+      s"""SELECT COUNT(*) FROM $cat.`tfact` t
+         |JOIN hp_dpp_tdim c ON t.d = c.cal_d
+         |WHERE c.tag = 'hot'""".stripMargin)
+    assert(tq.collect().head.getLong(0) ===
+      (1L to 60L).count(i => i % 6 + 1 <= 2).toLong)
+    val tscan = tq.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[SnapshotDppScan] => b
+    }.headOption.getOrElse(fail("no snapshot scan in the plan"))
+    assert(tscan.runtimeFilters.nonEmpty,
+      "date-dim join on a days() source must plant a runtime filter")
+    val tplanned = tscan.scan.asInstanceOf[SnapshotDppScan]
+      .toBatch.planInputPartitions().toSeq.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString)
+        case _ => Nil
+      }
+    assert(tplanned.nonEmpty && tplanned.forall(p =>
+      p.contains("d_p=2024-02-01") || p.contains("d_p=2024-02-02")),
+      s"days DPP planned unmatched days: ${tplanned.take(3)}")
   }
 }

@@ -107,6 +107,23 @@ class SnapshotSpjSpec extends SparkSpec {
         "the opt-in gate is broken")
   }
 
+  test("key-grouped scans also satisfy AGGREGATE distributions: a " +
+    "GROUP BY on the bucket source plans no exchange") {
+    val s = mkSession(bucketing = true)
+    val cat = mkTables(s, "agg")
+    val q = s.sql(
+      s"""SELECT id, SUM(v) AS total FROM $cat.`a`
+         |GROUP BY id""".stripMargin)
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toMap.apply(37L) === 37.0)
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      "a group-by on the layout source must reuse the reported " +
+        s"partitioning, found:\n${q.queryExecution.executedPlan}")
+  }
+
   test("SPJ degrades cleanly: a scan that prunes the source column " +
     "out keeps size-based planning and exact results") {
     val s = mkSession(bucketing = true)
