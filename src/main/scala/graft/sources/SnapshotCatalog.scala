@@ -1593,16 +1593,20 @@ final class SnapshotDppScan(
   }
 
   override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (spjEligible)
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    // an empty pruned listing reports UNKNOWN, not a zero-partition
+    // key grouping — a just-created (or fully-pruned) table must not
+    // feed the join planner a 0-partition scheme
+    val n = if (spjEligible) current.fileIndex
+      .listFiles(current.partitionFilters, current.dataFilters).length
+    else 0
+    if (n > 0)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
-          SnapshotFunctions.clusterExprs(partSchema),
-          current.fileIndex
-            .listFiles(current.partitionFilters, current.dataFilters)
-            .length)
+          SnapshotFunctions.clusterExprs(partSchema), n)
     else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
+  }
 
   private[sources] def partitionFilters
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =

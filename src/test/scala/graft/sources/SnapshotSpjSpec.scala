@@ -141,5 +141,18 @@ class SnapshotSpjSpec extends SparkSpec {
       s"""SELECT COUNT(*) FROM $cat.`a` a
          |JOIN spj_dim_deg d ON a.id = d.k""".stripMargin)
       .head().getLong(0) === 50L)
+    // an EMPTY bucketed table must not feed the planner a
+    // zero-partition key grouping: scans, self-joins, and joins to a
+    // populated twin all answer (empty), no plan-time refusal
+    s.sql(
+      s"""CREATE TABLE $cat.`empty` (id BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(8, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    assert(s.sql(s"SELECT COUNT(*) FROM $cat.`empty`")
+      .head().getLong(0) === 0L)
+    assert(s.sql(
+      s"""SELECT COUNT(*) FROM $cat.`empty` e
+         |JOIN $cat.`a` a ON e.id = a.id""".stripMargin)
+      .head().getLong(0) === 0L)
   }
 }
