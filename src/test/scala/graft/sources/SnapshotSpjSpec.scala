@@ -107,6 +107,61 @@ class SnapshotSpjSpec extends SparkSpec {
         "the opt-in gate is broken")
   }
 
+  test("SPJ with a MISSING bucket on one side: pushPartValues aligns " +
+    "the partition lists and the join stays exchange-free and exact") {
+    val s = mkSession(bucketing = true)
+    val base = java.nio.file.Files.createTempDirectory("spj_miss")
+    val cat = "spjmiss"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    for (t <- Seq("a", "b")) s.sql(
+      s"""CREATE TABLE $cat.`$t` (id BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(8, id))
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    import s.implicits._
+    (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .createOrReplaceTempView("spj_miss_full")
+    // side b holds only the keys OUTSIDE bucket 3 — its partition
+    // list is a strict subset of a's
+    val keep = (1L to 200L).filter(k =>
+      SnapshotTransforms.bucketOfLong(k, 8) != 3)
+    keep.map(i => (i, i * 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("spj_miss_part")
+    s.sql(s"INSERT INTO $cat.`a` SELECT id, v FROM spj_miss_full")
+    s.sql(s"INSERT INTO $cat.`b` SELECT id, v FROM spj_miss_part")
+    assert(SnapshotManifest.read(base.resolve("b"), 2).size <
+      SnapshotManifest.read(base.resolve("a"), 2).size,
+      "fixture must actually drop a bucket on side b")
+    val q = joinDf(s, cat)
+    assert(q.collect().head.getDouble(0) === keep.map(k => k + 2.0 * k).sum)
+    val (_, shuffles) = joinSubtreeShuffles(q)
+    assert(shuffles === 0,
+      s"missing-partition SPJ must stay exchange-free:\n" +
+        q.queryExecution.executedPlan)
+  }
+
+  test("SPJ composes with runtime (DPP) filtering: a dimension " +
+    "predicate prunes both grouped fact scans and the fact-fact join " +
+    "stays exact") {
+    val s = mkSession(bucketing = true)
+    // broadcast back on: the dimension side must broadcast for DPP
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val cat = mkTables(s, "dpp")
+    val base = java.nio.file.Files.createTempDirectory("spj_dpp_dim")
+    import s.implicits._
+    (1L to 400L).map(k => (k, if (k == 5L || k == 11L) "hot" else "cold"))
+      .toDF("k", "tag").coalesce(1).write.parquet(base.resolve("d").toString)
+    s.read.parquet(base.resolve("d").toString)
+      .createOrReplaceTempView("spj_dpp_dim")
+    val q = s.sql(
+      s"""SELECT SUM(a.v + b.v) FROM $cat.`a` a
+         |JOIN $cat.`b` b ON a.id = b.id
+         |JOIN spj_dpp_dim d ON a.id = d.k
+         |WHERE d.tag = 'hot'""".stripMargin)
+    assert(q.collect().head.getDouble(0) === (5 + 10.0) + (11 + 22.0))
+  }
+
   test("key-grouped scans also satisfy AGGREGATE distributions: a " +
     "GROUP BY on the bucket source plans no exchange") {
     val s = mkSession(bucketing = true)
