@@ -1560,15 +1560,40 @@ final class SnapshotDppScan(
     * SOURCE column in the read schema (the reported keys must resolve
     * against the scan output) and no rename history (the rename
     * wrapper re-plans rows, not partitions).
+    *
+    * The bucketing opt-in is captured ONCE at scan construction
+    * (plan time): `outputPartitioning` and `toBatch` can run under
+    * different thread-local conf contexts, and a flip between them
+    * would report a `KeyGroupedPartitioning` the planned partitions
+    * don't honor — a silent re-shuffle at best, a wrong-aligned join
+    * at worst.
     */
-  private def spjEligible: Boolean = {
-    val conf = org.apache.spark.sql.internal.SQLConf.get
-    conf.v2BucketingEnabled && chains.isEmpty &&
+  private val v2BucketingEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+
+  private def spjEligible: Boolean =
+    v2BucketingEnabled && chains.isEmpty &&
       partSchema.fields.nonEmpty && {
         val read = current.readSchema().fieldNames.toSet
         partSchema.fields.forall(f =>
           read.contains(f.name.stripSuffix("_p")))
       }
+
+  /** The pruned listing, computed ONCE per filter state: Spark may
+    * call `outputPartitioning` several times during planning, and
+    * both it and `keyedPartitions` need the same listing — a large
+    * table must not pay several redundant manifest-plane listings per
+    * query. Invalidated when `filter()` narrows the scan.
+    */
+  @volatile private var prunedListingCache:
+    Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = _
+
+  private def prunedListing
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    if (prunedListingCache == null)
+      prunedListingCache = current.fileIndex
+        .listFiles(current.partitionFilters, current.dataFilters)
+    prunedListingCache
   }
 
   /** One keyed input partition per partition VALUE of the pruned
@@ -1576,20 +1601,25 @@ final class SnapshotDppScan(
     * are `f(source)` by the store's layout invariant, so they equal
     * the reported transform expressions' values by construction).
     * Files are not size-split: they land in one task regardless, and
-    * whole files keep the stock reader path.
+    * whole files keep the stock reader path. Ordered by the TYPED
+    * partition values (not a debug `toString`): both join sides must
+    * enumerate identically for Spark's key alignment, and a row
+    * implementation's string format is not a contract.
     */
   private def keyedPartitions: Array[
       org.apache.spark.sql.connector.read.InputPartition] = {
-    val dirs = current.fileIndex
-      .listFiles(current.partitionFilters, current.dataFilters)
-    dirs.sortBy(_.values.toString).zipWithIndex.map { case (dir, i) =>
-      val files = dir.files.map { f =>
-        org.apache.spark.sql.execution.PartitionedFileUtil
-          .getPartitionedFile(f, f.getPath, dir.values, 0, f.getLen)
+    val ord = org.apache.spark.sql.catalyst.expressions.InterpretedOrdering
+      .forSchema(partSchema.fields.map(_.dataType).toIndexedSeq)
+    prunedListing.sortBy(_.values)(ord.asInstanceOf[
+        Ordering[org.apache.spark.sql.catalyst.InternalRow]])
+      .zipWithIndex.map { case (dir, i) =>
+        val files = dir.files.map { f =>
+          org.apache.spark.sql.execution.PartitionedFileUtil
+            .getPartitionedFile(f, f.getPath, dir.values, 0, f.getLen)
+        }.toArray
+        new SnapshotKeyedFilePartition(i, files, dir.values)
+          : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
-      new SnapshotKeyedFilePartition(i, files, dir.values)
-        : org.apache.spark.sql.connector.read.InputPartition
-    }.toArray
   }
 
   override def outputPartitioning()
@@ -1597,9 +1627,7 @@ final class SnapshotDppScan(
     // an empty pruned listing reports UNKNOWN, not a zero-partition
     // key grouping — a just-created (or fully-pruned) table must not
     // feed the join planner a 0-partition scheme
-    val n = if (spjEligible) current.fileIndex
-      .listFiles(current.partitionFilters, current.dataFilters).length
-    else 0
+    val n = if (spjEligible) prunedListing.length else 0
     if (n > 0)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
@@ -1726,9 +1754,11 @@ final class SnapshotDppScan(
           SnapshotTransforms.v2ToSourceExpr(_, partSchema)), partSchema)
     // untranslatable runtime predicates are legally ignored: the scan
     // just reads more partitions than the ideal, never fewer rows
-    if (exprs.nonEmpty)
+    if (exprs.nonEmpty) {
       current = current.copy(
         partitionFilters = current.partitionFilters ++ exprs)
+      prunedListingCache = null // listing is per filter state
+    }
   }
 }
 
