@@ -1424,10 +1424,35 @@ object SourceQueries {
                                        entries: Map[String, String],
                                        txn: Option[(String, Long)] = None,
                                        schemaJson: Option[String] = None,
-                                       extraMeta: Seq[String] = Nil)
+                                       extraMeta: Seq[String] = Nil,
+                                       deleteCarryFrom: Option[Int] = None)
       : Unit = {
     val mdir = root.resolve("manifests")
     java.nio.file.Files.createDirectories(mdir)
+    // MERGE-ON-READ delete records CARRY: each manifest is
+    // self-contained on the delete plane (pinned reads serve exactly
+    // their version's delete state), so every publish copies forward
+    // the parent's `#delete` records still in force — those whose
+    // partition maps to the SAME data dir in the new entries. A
+    // rewritten partition (new dir) drops its records: the rewriting
+    // read applied the anti-filter, materializing the deletes into
+    // its output; a partition dropped from the manifest has nothing
+    // left to filter. `deleteCarryFrom` overrides the parent (RESTORE
+    // carries the restored version's records — whole-state rollback
+    // resurrects rows a later MoR delete doomed, by design).
+    val carryV = deleteCarryFrom.orElse(graft.sources.SnapshotManifest
+      .versionsWithMtime(root).map(_._1).filter(_ < version)
+      .maxOption)
+    val carried: Seq[String] = carryV.toSeq.flatMap { pv =>
+      val parentEntries = graft.sources.SnapshotManifest.read(root, pv)
+      graft.sources.SnapshotManifest.deleteRecords(root, pv).toSeq
+        .sortBy(_._1).flatMap { case (p, paths) =>
+          val same = entries.get(p).map(e =>
+            graft.sources.SnapshotManifest.resolvePath(root, e))
+            .contains(parentEntries.getOrElse(p, ""))
+          if (same) paths.map(path => s"#delete\t$p\t$path") else Nil
+        }
+    }
     // `#`-prefixed metadata records ride FIRST inside the same atomic
     // publish (see graft.sources.SnapshotManifest): a streaming
     // micro-batch's exactly-once marker and a widening commit's
@@ -1436,7 +1461,17 @@ object SourceQueries {
     // link would leave a crash window or a last-writer-wins race
     val lines = txn.map { case (app, b) => s"#txn\t$app:$b" }.toSeq ++
       schemaJson.map(j => s"#schema\t$j").toSeq ++
-      extraMeta ++
+      // `#delete` record paths store relative like the data dirs (the
+      // table root stays one movable unit); carried records re-encode
+      // through the same rule
+      (carried ++ extraMeta).map { l =>
+        if (!l.startsWith("#delete\t")) l
+        else {
+          val i = l.lastIndexOf('\t')
+          l.substring(0, i + 1) + graft.sources.SnapshotManifest
+            .relativizePath(root, l.substring(i + 1))
+        }
+      } ++
       // dirs under the TABLE root store RELATIVE (round 13): the root
       // becomes one movable unit — RENAME TABLE and the staged-CTAS
       // publish are a single directory rename, no metadata rewrites
@@ -1485,6 +1520,22 @@ object SourceQueries {
     *    the head, so the loser throws [[SnapshotConflictException]]
     *    and the caller re-decides against the new head.
     */
+  /** Guard for metadata planes that re-home or re-interpret data dirs
+    * without a delete-aware read behind them (clone's link plane,
+    * branch forks, spec evolution's union-of-specs arms): live
+    * merge-on-read records would silently resurrect doomed rows
+    * there, so these operations require a compact first — an honest
+    * O(record partitions) materialization, not a correctness gamble.
+    */
+  private def refuseLiveDeletes(root: java.nio.file.Path,
+                                op: String): Unit = {
+    val head = headVersion(root)
+    require(head == 0 || graft.sources.SnapshotManifest
+        .deleteRecords(root, head).isEmpty,
+      s"$op on a store with live merge-on-read delete records: " +
+        "materialize them with CALL snap.compact first")
+  }
+
   private[graft] def snapshotRestore(root: java.nio.file.Path,
                                      toVersion: Int): (Int, Int) = {
     val mf = root.resolve("manifests").resolve(s"v$toVersion.manifest")
@@ -1493,7 +1544,11 @@ object SourceQueries {
         "cannot restore to it")
     val entries = readManifest(root, toVersion)
     val newV = headVersion(root) + 1
-    writeManifest(root, newV, entries)
+    // delete records carry from the RESTORED version, not the parent:
+    // restore is whole-state rollback — a later MoR delete's records
+    // must not survive into the restored head (its rows come back),
+    // and the restored version's own records must (its deletes hold)
+    writeManifest(root, newV, entries, deleteCarryFrom = Some(toVersion))
     graft.sources.SnapshotFiles.read(root, toVersion).foreach { fm =>
       graft.sources.SnapshotFiles.write(root, newV,
         fm.toSeq.sortBy(_._1).flatMap(_._2))
@@ -1532,6 +1587,7 @@ object SourceQueries {
       dstRoot: java.nio.file.Path,
       version: Option[Int] = None): (Int, Int, Int) = {
     import java.nio.file.{Files => JF}
+    refuseLiveDeletes(srcRoot, "CLONE")
     val head = headVersion(srcRoot)
     require(head > 0, s"$srcRoot has no published versions to clone")
     val v = version.getOrElse(head)
@@ -1625,6 +1681,7 @@ object SourceQueries {
   private[graft] def snapshotBranchCreate(root: java.nio.file.Path,
       name: String, version: Option[Int] = None): (Int, Int) = {
     import graft.sources.{SnapshotBranches, SnapshotMeta, SnapshotManifest}
+    refuseLiveDeletes(root, "CREATE BRANCH")
     SnapshotBranches.validate(name)
     require(graft.sources.SnapshotTags.resolve(root, name).isEmpty,
       s"a tag named '$name' exists — branches and tags share the " +
@@ -1695,6 +1752,7 @@ object SourceQueries {
     import graft.sources.{SnapshotBranches, SnapshotManifest, SnapshotMeta}
     require(SnapshotBranches.exists(root, name), s"no branch named '$name'")
     val broot = SnapshotBranches.root(root, name)
+    refuseLiveDeletes(broot, "fast_forward")
     val base = SnapshotBranches.base(root, name).getOrElse(
       throw new IllegalStateException(
         s"branch $name has no recorded fork point (half-created? " +
@@ -1788,7 +1846,7 @@ object SourceQueries {
   private[graft] def snapshotRead(s: SparkSession,
       root: java.nio.file.Path, version: Int): DataFrame = {
     val dirs = readManifest(root, version).values.toSeq.sorted
-    graft.sources.SnapshotMeta.read(root)
+    val df = graft.sources.SnapshotMeta.read(root)
       .map(m => graft.sources.SnapshotManifest.effectiveDataSchema(
         root, m.dataSchema))
       .filter(l =>
@@ -1797,6 +1855,9 @@ object SourceQueries {
         graft.sources.SnapshotRename.readDirs(s, root, dirs, logical)
       case None => s.read.parquet(dirs: _*)
     }
+    // merge-on-read delete records apply as a broadcast anti-join on
+    // the upsert key (delta-sized; identity when the version has none)
+    graft.sources.SnapshotDeletes.applyTo(s, df, root, version)
   }
 
   /** Publish the [[graft.sources.SnapshotFiles]] sidecar for a freshly
@@ -1943,6 +2004,17 @@ object SourceQueries {
     // (readDirs) — `existing` can mix pre- and post-rename dirs, and a
     // plain declared read would NULL a renamed column on every
     // pre-rename row this rewrite carries forward
+    // merge-on-read delete records on the partitions THIS commit
+    // rewrites must be applied to the kept read (the rewrite
+    // materializes them — their records drop with the dir change;
+    // skipping the filter would resurrect every doomed key the
+    // rewrite carries forward). Untouched partitions' records carry
+    // in the manifest publish and keep filtering at read time.
+    val morDeleteDirs: Seq[String] = {
+      val recs = graft.sources.SnapshotManifest.deleteRecords(root, fromV)
+      (touched ++ migrating.keys).flatMap(pv => recs.getOrElse(pv, Nil))
+        .distinct.sorted
+    }
     val kept =
       (if (existing.isEmpty) delta.limit(0)
        else tableSchema.map(ts =>
@@ -1950,6 +2022,11 @@ object SourceQueries {
          .getOrElse(s.read.parquet(existing: _*)))
         .join(broadcast(delta.select(col(keyCol).as("d_key"))),
           col(keyCol) === col("d_key"), "left_anti")
+        .transform(df =>
+          if (morDeleteDirs.isEmpty) df
+          else df.join(broadcast(s.read.parquet(morDeleteDirs: _*)
+              .toDF("mor_doomed_key").distinct()),
+            col(keyCol) === col("mor_doomed_key"), "left_anti"))
     // SCHEMA EVOLUTION (add-column): a delta carrying columns the table
     // has never seen WIDENS the table — kept rows surface the new
     // columns as NULL in the rewritten partitions, untouched
@@ -2085,6 +2162,94 @@ object SourceQueries {
       newEntries.keySet, dataSchema)
   }
 
+  /** MERGE-ON-READ DELETE commit ([[graft.sources.SnapshotDeletes]]
+    * is the read half): the doomed KEYS — never the surviving rows —
+    * write as per-partition parquet sidecars under a fresh attempt
+    * root, and the commit publishes the PARENT's partition map
+    * verbatim plus one `#delete\t<pv>\t<dir>` record per touched
+    * partition. O(delta) bytes and zero partition rewrites: the
+    * GDPR-takedown shape where copy-on-write rewrites every partition
+    * a matching row lives in. Readers anti-filter on the upsert key;
+    * `CALL snap.compact` materializes the records away. The doomed
+    * scan runs against the delete-aware head read, so stacked deletes
+    * record only newly-doomed keys. CAS-retried like the door's
+    * commits (a delete recomputes trivially against a new head).
+    *
+    * Reference scope note: the reference engine has no DML at all
+    * (`/root/reference/mr/worker.go` — append-only outputs); this is
+    * north-star lakehouse surface, the Iceberg equality-delete /
+    * Delta deletion-vector trade rebuilt on the manifest plane.
+    */
+  private[graft] def snapshotMorDelete(s: SparkSession,
+      root: java.nio.file.Path,
+      pred: org.apache.spark.sql.Column): (Int, Long) = {
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "merge-on-read delete needs a table.meta layout declaration"))
+    val keyCol = meta.keyCol.getOrElse(
+      throw new UnsupportedOperationException(
+        "merge-on-read delete needs a declared key_column — the " +
+          "delete records are keyed on the upsert key"))
+    val MaxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val head = headVersion(root)
+      // the union-of-specs scan has no delete plane (and a converged
+      // head reads single-spec again) — refuse rather than let the
+      // evolved arms resurrect doomed rows
+      require(!graft.sources.SnapshotTable.hasOldSpecEntries(root, head),
+        "merge-on-read DELETE on a spec-evolved store: converge the " +
+          "layout with CALL migrate_layout first")
+      val df = graft.sources.SnapshotTable.read(s, root, head)
+      val keyType = df.schema(keyCol).dataType
+      require(graft.sources.SnapshotDeletes.supportedKeyType(keyType),
+        s"merge-on-read needs a LONG/INT/STRING key; $keyCol is " +
+          keyType.simpleString)
+      val spec = graft.sources.SnapshotManifest
+        .partitionSpecs(root, meta.partitionSchema).last
+      val mirrors = spec.fieldNames.toSeq
+      // the doomed keys land under the SAME leaf layout as data (pv =
+      // transform of the row's source columns), so compaction and
+      // pruning reason about them partition-by-partition
+      val mirrorCols = spec.fields.toSeq.map { f =>
+        val src = f.name.stripSuffix("_p")
+        graft.sources.SnapshotTransforms
+          .deriveCol(f, col(src), df.schema(src).dataType)
+          .cast(f.dataType).as(f.name)
+      }
+      val out = root.resolve(
+        s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.filter(pred).select(mirrorCols :+ col(keyCol): _*)
+        .write.partitionBy(mirrors: _*).parquet(out.toString)
+      val walked = walkLeafDirs(out.toFile, mirrors)
+      if (walked.isEmpty) { // predicate matched nothing: legal no-op
+        org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+        return (head, 0L)
+      }
+      val doomedCount = s.read.parquet(walked.map(_._2): _*).count()
+      val records = walked.sortBy(_._1)
+        .map { case (pv, dir) => s"#delete\t$pv\t$dir" }
+      val entries = readManifest(root, head)
+      try {
+        // parent entries verbatim + new records; the carry rule folds
+        // in the parent's still-live records (dirs unchanged here)
+        writeManifest(root, head + 1, entries, extraMeta = records)
+        publishFilesSidecar(s, root, head + 1, Some(head), entries,
+          Set.empty, org.apache.spark.sql.types.StructType(
+            graft.sources.SnapshotManifest
+              .effectiveDataSchema(root, meta.dataSchema)
+              .fields.map(_.copy(nullable = true))))
+        return (head + 1, doomedCount)
+      } catch {
+        case e: SnapshotConflictException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Schema-only widening commit for SQL `ALTER TABLE ADD COLUMN`
     * ([[graft.sources.GraftSnapshotCatalog.alterTable]]): publish the
     * parent's entries unchanged as the next version with the widened
@@ -2197,7 +2362,7 @@ object SourceQueries {
   private[graft] def snapshotCreateTable(root: java.nio.file.Path,
       dataSchema: org.apache.spark.sql.types.StructType,
       partitionSchema: org.apache.spark.sql.types.StructType,
-      keyCol: String): Unit = {
+      keyCol: String, deleteMode: Option[String] = None): Unit = {
     java.nio.file.Files.createDirectories(root)
     // if-absent meta publish arbitrates racing CREATEs (and a CREATE
     // racing a df.write bootstrap): of two creators with DIFFERENT
@@ -2205,7 +2370,7 @@ object SourceQueries {
     // write here would let the LOSER clobber the winner's declared
     // schema and key after both reported success
     val wanted = graft.sources.SnapshotMeta.Meta(partitionSchema,
-      dataSchema, Some(keyCol))
+      dataSchema, Some(keyCol), deleteMode)
     try graft.sources.SnapshotMeta.writeIfAbsent(root, wanted)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2442,7 +2607,15 @@ object SourceQueries {
       val manifest = manifestFull
         .filter(_._1.split("/", -1).length == mirrors.length)
       val counts = manifest.map { case (pv, p) => pv -> parquetCount(p) }
-      val overThreshold = counts.filter(_._2 >= threshold).keys.toSeq.sorted
+      // merge-on-read delete records make their partition HOT
+      // regardless of file count: compact is the operation that
+      // MATERIALIZES the anti-filter back into clean files (the
+      // records drop with the rewrite — the dir changes)
+      val morRecords = graft.sources.SnapshotManifest
+        .deleteRecords(root, head)
+      val recordPvs = morRecords.keySet.intersect(manifest.keySet)
+      val overThreshold = (counts.filter(_._2 >= threshold).keys ++
+        recordPvs).toSeq.distinct.sorted
       if (overThreshold.isEmpty) return (0, head, 0, 0)
       val perPart = filesPerPartition.getOrElse {
         val maxBytes = overThreshold.map(pv => org.apache.commons.io
@@ -2450,8 +2623,10 @@ object SourceQueries {
         (maxBytes / (256L << 20) + 1).toInt
       }
       // idempotence: rewriting a partition already at (or below) the
-      // target file count can't reduce it — leave it alone
-      val hot = overThreshold.filter(pv => counts(pv) > perPart)
+      // target file count can't reduce it — leave it alone (unless it
+      // carries delete records to materialize)
+      val hot = overThreshold.filter(pv =>
+        counts(pv) > perPart || recordPvs(pv))
       if (hot.isEmpty) return (0, head, 0, 0)
       val filesBefore = hot.map(counts).sum
       val out = root.resolve(
@@ -2471,6 +2646,19 @@ object SourceQueries {
           case (df, (m, v)) => df.withColumn(m, lit(v))
         }
       }.reduce(_.unionByName(_))
+        // the rewrite MATERIALIZES the hot partitions' merge-on-read
+        // deletes: apply the anti-filter the readers would, then the
+        // records legitimately drop with the dir change
+        .transform { df =>
+          val dirs = hot.flatMap(pv => morRecords.getOrElse(pv, Nil))
+            .distinct.sorted
+          if (dirs.isEmpty) df
+          else df.join(broadcast(s.read.parquet(dirs: _*)
+              .toDF("mor_doomed_key").distinct()),
+            col(meta.keyCol.getOrElse(throw new IllegalStateException(
+              "delete records on a keyless store"))) ===
+              col("mor_doomed_key"), "left_anti")
+        }
       // clustering strategy: key-sorted (compact) or 2-D Morton
       // (zorder — both dims scaled to 16 bits from the HOT partitions'
       // own bounds, one scalar agg; files then cover compact 2-D
@@ -2506,12 +2694,19 @@ object SourceQueries {
       def leafOf(pv: String): String =
         s"$out/${graft.sources.SnapshotPartitionValues
           .leafSuffix(mirrors, pv)}"
-      val entries = manifestFull ++ hot.map(pv => pv -> leafOf(pv))
+      // a hot partition whose every row was merge-on-read-doomed
+      // rewrites to NOTHING — it drops from the manifest (the
+      // snapshotCommit emptied-partition rule), never publishes a
+      // dangling dir
+      val survived = hot.filter(pv =>
+        new java.io.File(leafOf(pv)).isDirectory)
+      val entries = (manifestFull -- hot) ++
+        survived.map(pv => pv -> leafOf(pv))
       try {
         writeManifest(root, head + 1, entries)
         publishFilesSidecar(s, root, head + 1, Some(head), entries,
-          hot.toSet, declared)
-        return (hot.size, head + 1, filesBefore, hot.map(pv =>
+          survived.toSet, declared)
+        return (hot.size, head + 1, filesBefore, survived.map(pv =>
           parquetCount(leafOf(pv))).sum)
       } catch {
         case e: SnapshotConflictException =>
@@ -2603,6 +2798,7 @@ object SourceQueries {
     */
   private[graft] def snapshotEvolvePartitioning(s: SparkSession,
       root: java.nio.file.Path, sourceSpec: String): (Int, Int) = {
+    refuseLiveDeletes(root, "evolve_partitioning")
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "legacy store without table.meta: partition-spec evolution " +
@@ -2703,6 +2899,7 @@ object SourceQueries {
   private[graft] def snapshotMigrateLayout(s: SparkSession,
       root: java.nio.file.Path, maxPartitions: Int): (Int, Int) = {
     require(maxPartitions >= 1, "max_partitions must be >= 1")
+    refuseLiveDeletes(root, "migrate_layout")
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "migrate_layout needs a table.meta layout declaration"))
@@ -2779,8 +2976,13 @@ object SourceQueries {
                                 valCol: String = "o_totalprice"): DataFrame = {
     val m1 = readManifest(root, vFrom)
     val m2 = readManifest(root, vTo)
+    // a merge-on-read DELETE changes a partition's ROWS without
+    // touching its dir — the records diff makes those partitions
+    // changefeed-visible (their doomed keys surface as delete events)
+    val d1 = graft.sources.SnapshotManifest.deleteRecords(root, vFrom)
+    val d2 = graft.sources.SnapshotManifest.deleteRecords(root, vTo)
     val changed = (m1.keySet ++ m2.keySet).toSeq.sorted
-      .filter(ym => m1.get(ym) != m2.get(ym))
+      .filter(ym => m1.get(ym) != m2.get(ym) || d1.get(ym) != d2.get(ym))
     // either side may reference NO dirs (insert-only diff: brand-new
     // partitions have no old side; delete-to-empty has no new side;
     // an unchanged pair has neither) — degrade to an empty frame
@@ -2796,16 +2998,28 @@ object SourceQueries {
     val declaredLogical = graft.sources.SnapshotMeta.read(root)
       .map(m => graft.sources.SnapshotManifest.effectiveDataSchema(
         root, m.dataSchema))
-    def side(paths: Seq[String], keyAs: String, priceAs: String): DataFrame =
+    def side(paths: Seq[String], keyAs: String, priceAs: String,
+             doomDirs: Seq[String]): DataFrame =
       if (paths.isEmpty)
         s.range(0).select(col("id").as(keyAs),
           lit(null).cast("double").as(priceAs))
       else declaredLogical.map(l =>
           graft.sources.SnapshotRename.readDirs(s, root, paths, l))
         .getOrElse(s.read.parquet(paths: _*))
+        // each side serves ITS version's delete state: the anti-filter
+        // here is what turns a records-only commit into delete events
+        .transform(df =>
+          if (doomDirs.isEmpty) df
+          else df.join(broadcast(s.read.parquet(doomDirs: _*)
+              .toDF("mor_doomed_key").distinct()),
+            col(keyCol) === col("mor_doomed_key"), "left_anti"))
         .select(col(keyCol).as(keyAs), col(valCol).as(priceAs))
-    val oldSide = side(changed.flatMap(m1.get), "old_key", "old_price")
-    val newSide = side(changed.flatMap(m2.get), "new_key", "new_price")
+    def dooms(d: Map[String, Seq[String]]): Seq[String] =
+      changed.flatMap(d.get).flatten.distinct.sorted
+    val oldSide = side(changed.flatMap(m1.get), "old_key", "old_price",
+      dooms(d1))
+    val newSide = side(changed.flatMap(m2.get), "new_key", "new_price",
+      dooms(d2))
     oldSide.join(newSide, col("old_key") === col("new_key"), "full_outer")
       .filter(col("old_key").isNull || col("new_key").isNull ||
         // NULL-SAFE change test: a plain =!= evaluates to NULL (and the
@@ -4965,10 +5179,17 @@ object SourceQueries {
       .filter(_.isDirectory).toSeq.flatMap { bd =>
         val broot = bd.toPath
         graft.sources.SnapshotManifest.versionsWithMtime(broot).map(_._1)
-          .flatMap(v => graft.sources.SnapshotManifest.read(broot, v).values)
+          .flatMap(v => graft.sources.SnapshotManifest.read(broot, v).values
+            ++ graft.sources.SnapshotManifest.deleteRecords(broot, v)
+              .values.flatten)
       }
+    // `#delete` record dirs pin like data dirs: a kept version's
+    // merge-on-read sidecars ARE its read state — sweeping one would
+    // silently resurrect every key it dooms
     val referenced = (versions.filter(keep)
-      .flatMap(v => readManifest(root, v).values) ++ branchRefs)
+      .flatMap(v => readManifest(root, v).values ++
+        graft.sources.SnapshotManifest.deleteRecords(root, v)
+          .values.flatten) ++ branchRefs)
       .map(canon).toSet
     // the grace window protecting IN-FLIGHT commits: an attempt root
     // being written is referenced by no manifest YET, and its leaves

@@ -433,10 +433,10 @@ final class GraftSnapshotCatalog extends TableCatalog
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
     val root = createRootOf(ident)
-    val (dataSchema, partitionSchema, key) =
+    val (dataSchema, partitionSchema, key, deleteMode) =
       declaredLayout(schema, partitions, properties)
     graft.operators.SourceQueries.snapshotCreateTable(
-      root, dataSchema, partitionSchema, key)
+      root, dataSchema, partitionSchema, key, deleteMode)
     loadTable(ident)
   }
 
@@ -460,7 +460,7 @@ final class GraftSnapshotCatalog extends TableCatalog
   private def declaredLayout(schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String])
-      : (StructType, StructType, String) = {
+      : (StructType, StructType, String, Option[String]) = {
     require(partitions.nonEmpty,
       "the store is partition-laid-out by construction: declare at " +
         "least one PARTITIONED BY column (a '<source>_p' identity " +
@@ -544,7 +544,23 @@ final class GraftSnapshotCatalog extends TableCatalog
     val dataSchema = StructType(
       schema.fields.filterNot(f => mirrorSet(f.name)))
     require(dataSchema.nonEmpty, "no data columns besides the layout")
-    (dataSchema, StructType(partFields), key)
+    // DELETE-door write amplification, declared at CREATE:
+    // copy-on-write (default) rewrites touched partitions;
+    // merge-on-read publishes key-delete records — O(delta) per
+    // DELETE, anti-filtered at read, materialized by snap.compact
+    val deleteMode = Option(properties.get("delete_mode")).map { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"delete_mode must be 'copy-on-write' or 'merge-on-read', " +
+          s"got '$m'")
+      m
+    }
+    deleteMode.filter(_ == "merge-on-read").foreach { _ =>
+      val kt = dataSchema.fields.find(_.name == key).get.dataType
+      require(SnapshotDeletes.supportedKeyType(kt),
+        s"merge-on-read needs a LONG/INT/STRING key; $key is " +
+          kt.simpleString)
+    }
+    (dataSchema, StructType(partFields), key, deleteMode)
   }
 
   /** ATOMIC CTAS (round 13, VERDICT r12 #3 — Spark's
@@ -563,7 +579,7 @@ final class GraftSnapshotCatalog extends TableCatalog
       info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val finalRoot = createRootOf(ident)
-    val (dataSchema, partitionSchema, key) =
+    val (dataSchema, partitionSchema, key, deleteMode) =
       declaredLayout(info.schema(), info.partitions(), info.properties())
     val stagingRoot = warehouse.resolve(".staging").resolve(
       s"${ident.name()}-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -587,7 +603,7 @@ final class GraftSnapshotCatalog extends TableCatalog
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     JFiles.createDirectories(stagingRoot)
     graft.operators.SourceQueries.snapshotCreateTable(
-      stagingRoot, dataSchema, partitionSchema, key)
+      stagingRoot, dataSchema, partitionSchema, key, deleteMode)
     val meta = SnapshotMeta.read(stagingRoot).get
     val inner = new SnapshotV2Table(
       s"$catName.${ident.name()} (staged)", SparkSession.active,
@@ -1148,6 +1164,12 @@ final class SnapshotV2Table(
       }
     }.mkString(","))
     meta.keyCol.foreach(m.put("key_column", _))
+    meta.deleteMode.foreach(m.put("delete_mode", _))
+    // live merge-on-read delete state, DESCRIBE-visible: how many
+    // partitions currently carry records the readers anti-filter
+    val liveDeletes = SnapshotManifest.deleteRecords(root, snapVersion)
+    if (liveDeletes.nonEmpty)
+      m.put("live_delete_partitions", liveDeletes.size.toString)
     m.put("pinned", pinned.toString)
     // evolution facts, so DESCRIBE EXTENDED tells an operator what the
     // metadata planes changed: rename chains (current<-formers) and
@@ -1352,6 +1374,15 @@ final class SnapshotV2Table(
     refuseIfPinned("DELETE FROM")
     val head = SnapshotTable.read(spark, root, SnapshotManifest.head(root))
     val pred = SnapshotDml.toColumn(filters, head.columns.toSet)
+    if (meta.mergeOnRead) {
+      // MERGE-ON-READ: the doomed keys publish as `#delete` manifest
+      // records — O(delta) bytes, ZERO partition rewrites (the
+      // GDPR-takedown shape at 100 TB); readers anti-filter, compact
+      // materializes ([[graft.operators.SourceQueries
+      // .snapshotMorDelete]])
+      graft.operators.SourceQueries.snapshotMorDelete(spark, root, pred)
+      return
+    }
     val keyCol = tableKey
     val doomed = head.filter(pred)
       .select((keyCol +: sourcePartCols.filterNot(_ == keyCol))
@@ -1385,6 +1416,13 @@ private[sources] final class SnapshotReadFileTable(
   private[sources] val renameChains: Map[String, Seq[String]] =
     SnapshotRename.chainsFor(root, meta.dataSchema, version)
 
+  /** Live merge-on-read delete state of the SERVED version (None for
+    * the overwhelmingly common record-free case — the read plane then
+    * is bit-identical to before the feature existed).
+    */
+  private[sources] val deleteState: Option[SnapshotDeletes.State] =
+    SnapshotDeletes.stateFor(root, version, meta)
+
   private val physicalData: StructType =
     if (renameChains.isEmpty) meta.dataSchema
     else SnapshotRename.physicalSchema(meta.dataSchema, renameChains)
@@ -1414,7 +1452,8 @@ private[sources] final class SnapshotReadFileTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new SnapshotDppScanBuilder(newRawScanBuilder(options),
-      meta.partitionSchema, renameChains, Some((root, version)))
+      meta.partitionSchema, renameChains, Some((root, version)),
+      deleteState)
 
   /** The unwrapped builder — for the row-level operations, whose own
     * scan wrapper ([[SnapshotRowLevelScan]]) handles runtime GROUP
@@ -1451,19 +1490,36 @@ private[sources] final class SnapshotReadFileTable(
 private[sources] final class SnapshotDppScanBuilder(
     inner: ParquetScanBuilder, partSchema: StructType,
     chains: Map[String, Seq[String]] = Map.empty,
-    statsSource: Option[(JPath, Int)] = None)
+    statsSource: Option[(JPath, Int)] = None,
+    deleteState: Option[SnapshotDeletes.State] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  /** True when the merge-on-read anti-filter needed the key column
+    * added to the pruned read schema (the scan projects it back out).
+    */
+  private var injectedKey = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // the merge-on-read anti-filter probes the KEY column — a pruned
+    // read that dropped it (SELECT of other columns, count(*)) gets
+    // it injected here and projected back out after the filter
+    val withKey = deleteState match {
+      case Some(st)
+        if !requiredSchema.fieldNames.contains(st.keyField.name) =>
+        injectedKey = true
+        StructType(requiredSchema.fields :+ st.keyField)
+      case _ => requiredSchema
+    }
     // under rename history the footer-facing read needs the former
     // names of every requested renamed field alongside the current one
     inner.pruneColumns(
-      if (chains.isEmpty) requiredSchema
-      else SnapshotRename.physicalSchema(requiredSchema, chains))
+      if (chains.isEmpty) withKey
+      else SnapshotRename.physicalSchema(withKey, chains))
+  }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -1487,15 +1543,19 @@ private[sources] final class SnapshotDppScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = chains.isEmpty && inner.supportCompletePushDown(agg)
+      : Boolean = chains.isEmpty && deleteState.isEmpty &&
+    inner.supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
     // footer-stats aggregate pushdown over a renamed column would
     // aggregate the missing-column epoch as absent — disabled wholesale
-    // on tables with rename history (aggregates still compute, unpushed)
-    chains.isEmpty && inner.pushAggregation(agg)
+    // on tables with rename history (aggregates still compute, unpushed).
+    // Live merge-on-read deletes disable it too: footer stats count
+    // DOOMED rows (a pushed count(*)/min/max would serve pre-delete
+    // answers); the filter needs the rows to stream
+    chains.isEmpty && deleteState.isEmpty && inner.pushAggregation(agg)
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
@@ -1504,7 +1564,8 @@ private[sources] final class SnapshotDppScanBuilder(
     else extractions.map(_ => false)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new SnapshotDppScan(inner.build(), partSchema, chains, statsSource)
+    new SnapshotDppScan(inner.build(), partSchema, chains, statsSource,
+      deleteState.map(st => (st, injectedKey)))
 }
 
 /** Dynamic partition pruning for the SQL door: a delegating wrapper
@@ -1537,7 +1598,8 @@ final class SnapshotDppScan(
       .parquet.ParquetScan,
     partSchema: StructType,
     chains: Map[String, Seq[String]] = Map.empty,
-    statsSource: Option[(JPath, Int)] = None)
+    statsSource: Option[(JPath, Int)] = None,
+    deleteState: Option[(SnapshotDeletes.State, Boolean)] = None)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1645,26 +1707,61 @@ final class SnapshotDppScan(
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
     current
 
-  override def readSchema(): StructType =
+  /** The delegate batch's logical OUTPUT row schema — including a
+    * merge-on-read-injected key column, which [[readSchema]] hides
+    * (Spark gets exactly what it pruned to) and the delete wrapper
+    * projects away after filtering.
+    */
+  private def rowSchema: StructType =
     if (chains.isEmpty) current.readSchema()
     else SnapshotRename.logicalOf(current.readSchema(), chains)
 
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    if (chains.isEmpty) {
-      if (spjEligible) new org.apache.spark.sql.connector.read.Batch {
-        // grouped-by-key planning to match the reported partitioning;
-        // readers are the stock parquet factory (whole files, same
-        // per-file path as the size-based planner)
-        override def planInputPartitions()
-            : Array[org.apache.spark.sql.connector.read.InputPartition] =
-          keyedPartitions
-        override def createReaderFactory()
-            : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-          current.toBatch.createReaderFactory()
-      }
-      else current.toBatch
-    } else new SnapshotRenameBatch(current.toBatch,
-      current.readSchema(), chains)
+  override def readSchema(): StructType = {
+    val base = rowSchema
+    deleteState match {
+      case Some((st, true)) =>
+        StructType(base.fields.filterNot(_.name == st.keyField.name))
+      case _ => base
+    }
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val base: org.apache.spark.sql.connector.read.Batch =
+      if (chains.isEmpty) {
+        if (spjEligible) new org.apache.spark.sql.connector.read.Batch {
+          // grouped-by-key planning to match the reported partitioning;
+          // readers are the stock parquet factory (whole files, same
+          // per-file path as the size-based planner)
+          override def planInputPartitions()
+              : Array[org.apache.spark.sql.connector.read.InputPartition] =
+            keyedPartitions
+          override def createReaderFactory()
+              : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+            current.toBatch.createReaderFactory()
+        }
+        else current.toBatch
+      } else new SnapshotRenameBatch(current.toBatch,
+        current.readSchema(), chains)
+    deleteState match {
+      case None => base
+      case Some((st, injected)) =>
+        // record dirs scoped to the partitions this (fully narrowed —
+        // batches plan lazily, after runtime filters) scan reads: a
+        // pruned point-lookup loads only its partitions' doomed keys
+        val pvs = SnapshotRowLevel.matchingPvs(current.partitionFilters,
+          partSchema, st.records.keySet)
+        val dirs = pvs.toSeq.sorted.flatMap(st.records(_)).distinct
+        // an injected key must project away even when pruning dropped
+        // every record partition (readSchema promised it absent)
+        if (dirs.isEmpty && !injected) base
+        else {
+          val rs = rowSchema
+          new SnapshotDeleteBatch(base, rs,
+            rs.fieldIndex(st.keyField.name), st.keyField.dataType,
+            injected, dirs)
+        }
+    }
+  }
 
   override def description(): String = current.description()
 
@@ -1710,8 +1807,11 @@ final class SnapshotDppScan(
 
   override def columnarSupportMode()
       : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
-    if (chains.isEmpty) current.columnarSupportMode()
-    // the rename row projection is row-based by construction
+    if (chains.isEmpty && deleteState.isEmpty)
+      current.columnarSupportMode()
+    // the rename row projection and the merge-on-read anti-filter are
+    // row-based by construction; compact restores vectorized reads by
+    // materializing the deletes away
     else org.apache.spark.sql.connector.read.Scan
       .ColumnarSupportMode.UNSUPPORTED
 

@@ -111,6 +111,14 @@ final class SnapshotRowLevelOperation(
 
   private[sources] val partSchema: StructType = meta.partitionSchema
 
+  /** Live merge-on-read delete records of the scanned version: the
+    * group rewrite MUST read through the anti-filter — a replaced
+    * partition's records drop with its dir change, and an unfiltered
+    * read would materialize every doomed key back to life.
+    */
+  private[sources] def deleteState: Option[SnapshotDeletes.State] =
+    readTable.deleteState
+
   /** Every scan built for this operation (the group-read scan and the
     * runtime group-filter subquery's scan are separate instances with
     * identical static narrowing).
@@ -218,10 +226,29 @@ final class SnapshotRowLevelScan(
     if (chains.isEmpty) current.readSchema()
     else SnapshotRename.logicalOf(current.readSchema(), chains)
 
-  override def toBatch: Batch =
-    if (chains.isEmpty) current.toBatch
-    else new SnapshotRenameBatch(current.toBatch,
-      current.readSchema(), chains)
+  override def toBatch: Batch = {
+    val base =
+      if (chains.isEmpty) current.toBatch
+      else new SnapshotRenameBatch(current.toBatch,
+        current.readSchema(), chains)
+    op.deleteState match {
+      case None => base
+      case Some(st) =>
+        // the rewrite reads FULL rows, so the key is always present —
+        // no schema injection; records scoped to the groups this scan
+        // actually reads (same filters `replacedGroups` evaluates)
+        val pvs = SnapshotRowLevel.matchingPvs(current.partitionFilters,
+          op.partSchema, st.records.keySet)
+        val dirs = pvs.toSeq.sorted.flatMap(st.records(_)).distinct
+        if (dirs.isEmpty) base
+        else {
+          val rs = readSchema()
+          new SnapshotDeleteBatch(base, rs,
+            rs.fieldIndex(st.keyField.name), st.keyField.dataType,
+            dropInjectedKey = false, dirs)
+        }
+    }
+  }
 
   override def description(): String =
     s"graft-snapshot-row-level(${current.description()})"
@@ -435,6 +462,17 @@ final class SnapshotReplaceWrite(
       // existing files must survive — link them into the new dir
       // (write-once files, safe sharing; copy fallback)
       newEntries.foreach { case (pv, dir) =>
+        // rows may not MOVE into a partition carrying live
+        // merge-on-read delete records: the old files link in
+        // verbatim but the records drop with the dir change, and a
+        // MERGE-inserted row re-using a doomed key would collide with
+        // kept records either way. Rare (a cross-partition move into
+        // a deleted-from partition) and loudly fixable: compact first.
+        if (!replaced.contains(pv))
+          require(!op.deleteState.exists(_.records.contains(pv)),
+            s"rows moved into partition $pv, which carries " +
+              "merge-on-read delete records — materialize them with " +
+              "CALL snap.compact first")
         if (!replaced.contains(pv)) parent.get(pv).foreach { oldDir =>
           SnapshotFiles.listDataFiles(
             spark.sparkContext.hadoopConfiguration, oldDir)

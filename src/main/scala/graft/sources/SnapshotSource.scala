@@ -530,6 +530,25 @@ object SnapshotManifest {
     * so a kept old manifest's raw add (e.g. retained by a tag while
     * the drop-version expires) can never resurrect a dropped check.
     */
+  /** Live merge-on-read delete records of ONE version:
+    * `#delete\t<pv>\t<dir>` lines in that version's own manifest —
+    * partition value → the key-delete parquet dirs that apply to it.
+    * Manifests are SELF-CONTAINED on this plane: every commit carries
+    * forward the parent records still in force (same pv, same data
+    * dir — [[graft.operators.SourceQueries.writeManifest]]), so a
+    * pinned `VERSION AS OF` read serves exactly its version's delete
+    * state and vacuumed gaps cost nothing. A rewritten partition's
+    * records drop with the rewrite (the rewriting read applied the
+    * anti-filter — the deletes are materialized in its output).
+    */
+  def deleteRecords(root: JPath, version: Int): Map[String, Seq[String]] =
+    headerLines(root, version).collect {
+      case l if l.startsWith("#delete\t") =>
+        val body = l.stripPrefix("#delete\t")
+        val i = body.lastIndexOf('\t')
+        body.substring(0, i) -> resolvePath(root, body.substring(i + 1))
+    }.groupMap(_._1)(_._2)
+
   def checkNamesEverSeen(root: JPath): Set[String] =
     metaLines(root).flatMap(_._2).collect {
       case l if l.startsWith("#check\t") =>
@@ -887,9 +906,20 @@ object SnapshotMeta {
     * (the DataFrame door still takes it as an option). `None` on
     * stores bootstrapped before the field existed — DML on those
     * REFUSES until a key is declared (no silent default).
+    *
+    * `deleteMode` selects the DELETE door's write amplification:
+    * `None`/`"copy-on-write"` (the default) rewrites touched
+    * partitions; `"merge-on-read"` publishes key-delete sidecars as
+    * `#delete` manifest records — O(delta) bytes per DELETE, applied
+    * by every reader as an anti-filter and materialized away by
+    * `CALL snap.compact` (the Iceberg equality-delete / Delta
+    * deletion-vector trade, keyed on the store's upsert key).
     */
   final case class Meta(partitionSchema: StructType, dataSchema: StructType,
-                        keyCol: Option[String] = None)
+                        keyCol: Option[String] = None,
+                        deleteMode: Option[String] = None) {
+    def mergeOnRead: Boolean = deleteMode.contains("merge-on-read")
+  }
 
   private def file(root: JPath): JPath = root.resolve("table.meta")
 
@@ -898,7 +928,8 @@ object SnapshotMeta {
     import org.json4s.jackson.JsonMethods
     val j = ("partitionSchema" -> m.partitionSchema.json) ~
       ("dataSchema" -> m.dataSchema.json) ~
-      ("keyCol" -> m.keyCol)
+      ("keyCol" -> m.keyCol) ~
+      ("deleteMode" -> m.deleteMode)
     val tmp = root.resolve(
       s".table.meta.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     JFiles.write(tmp, JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
@@ -921,7 +952,8 @@ object SnapshotMeta {
     import org.json4s.jackson.JsonMethods
     val j = ("partitionSchema" -> m.partitionSchema.json) ~
       ("dataSchema" -> m.dataSchema.json) ~
-      ("keyCol" -> m.keyCol)
+      ("keyCol" -> m.keyCol) ~
+      ("deleteMode" -> m.deleteMode)
     val tmp = root.resolve(
       s".table.meta.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     JFiles.write(tmp,
@@ -942,11 +974,12 @@ object SnapshotMeta {
         case other => throw new IllegalStateException(
           s"table.meta: bad $field: $other")
       }
-      val key = (j \ "keyCol") match {
+      def str(field: String): Option[String] = (j \ field) match {
         case JString(s) => Some(s)
         case _ => None
       }
-      Some(Meta(struct("partitionSchema"), struct("dataSchema"), key))
+      Some(Meta(struct("partitionSchema"), struct("dataSchema"),
+        str("keyCol"), str("deleteMode")))
     }
   }
 }
@@ -1791,7 +1824,8 @@ object SnapshotTable {
 
   def relation(s: SparkSession, root: JPath, version: Int,
                bloomKey: Option[String] = None,
-               partitionCol: String = "o_ym_p"): HadoopFsRelation = {
+               partitionCol: String = "o_ym_p",
+               allowLiveDeletes: Boolean = false): HadoopFsRelation = {
     // a version spanning TWO layouts can't be one HadoopFsRelation:
     // one partition schema, and serving the appended mirror as NULL
     // for old-spec files would break pruning exactness (partition-only
@@ -1803,6 +1837,17 @@ object SnapshotTable {
       s"$root version $version spans two partition layouts: read it " +
         "through SnapshotTable.read (the union-of-specs door), or " +
         "converge it with CALL migrate_layout")
+    // a bare HadoopFsRelation has no place to hang the merge-on-read
+    // anti-filter — serving it raw would RESURRECT deleted rows. The
+    // DataFrame door ([[read]]) and the SQL catalog apply the filter;
+    // direct relation consumers must opt in (they filter themselves)
+    // or compact first.
+    require(allowLiveDeletes ||
+        SnapshotManifest.deleteRecords(root, version).isEmpty,
+      s"$root version $version carries merge-on-read delete records: " +
+        "read it through SnapshotTable.read or the snap catalog " +
+        "(which apply the delete filter), or materialize the deletes " +
+        "with CALL snap.compact")
     val (partSchema, dataSchema) = schemas(s, root, version, partitionCol)
     val index = new SnapshotFileIndex(s, root, version, partSchema,
       dataSchema, bloomKey)
@@ -1819,11 +1864,13 @@ object SnapshotTable {
   def read(s: SparkSession, root: JPath, version: Int,
            bloomKey: Option[String] = None,
            partitionCol: String = "o_ym_p"): DataFrame = {
-    if (!hasOldSpecEntries(root, version))
-      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(
-          relation(s, root, version, bloomKey, partitionCol))
-    else readEvolved(s, root, version, bloomKey, specsOf(root))
+    val df =
+      if (!hasOldSpecEntries(root, version))
+        s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(relation(s, root, version, bloomKey,
+            partitionCol, allowLiveDeletes = true))
+      else readEvolved(s, root, version, bloomKey, specsOf(root))
+    SnapshotDeletes.applyTo(s, df, root, version)
   }
 
   /** The union-of-specs read for a partition-spec-evolved store: one

@@ -1,0 +1,258 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MERGE-ON-READ deletes (round 15 — VERDICT r14 #1): a DELETE on a
+  * `delete_mode = 'merge-on-read'` table publishes the doomed keys as
+  * `#delete` manifest records and touches ZERO data files; readers
+  * anti-filter on the upsert key; `CALL snap.compact` materializes
+  * the records away. Pins, in order:
+  *
+  *  1. the O(delta) commit contract — parent partition map verbatim,
+  *     every data file byte-identical (path+size+mtime), records
+  *     present;
+  *  2. read exactness through BOTH doors (SQL catalog scans incl.
+  *     count(*)-shaped pruned reads; the DataFrame door), time travel
+  *     to the pre-delete version, and stacked deletes;
+  *  3. interop: door upsert on a recorded partition materializes that
+  *     partition only (re-inserting a doomed key resurrects exactly
+  *     it); UPDATE rewrites read through the filter; restore rolls
+  *     the delete state back and forward;
+  *  4. compact materializes (records gone, files clean, reads equal),
+  *     a fully-doomed partition drops, vacuum never sweeps live
+  *     delete sidecars;
+  *  5. refusals: the raw V1 relation (no filter plane), clone/branch/
+  *     evolve on live records.
+  */
+class SnapshotMorDeleteSpec extends SparkSpec {
+
+  private def freshCat(name: String): (java.nio.file.Path, String) = {
+    val base = java.nio.file.Files.createTempDirectory(name)
+    val cat = name.replaceAll("[^A-Za-z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    (base, cat)
+  }
+
+  /** A 3-partition MoR table with keys 1..30 (day = d{k%3}, v = k). */
+  private def morTable(name: String): (java.nio.file.Path, String) = {
+    val (base, cat) = freshCat(name)
+    spark.sql(
+      s"""CREATE TABLE $cat.`t`
+         |  (id BIGINT, day STRING, v DOUBLE, day_p STRING)
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.`t` SELECT id, " +
+      "concat('d', id % 3), CAST(id AS DOUBLE), concat('d', id % 3) " +
+      "FROM range(1, 31)")
+    (base.resolve("t"), cat)
+  }
+
+  private def dataFileState(root: java.nio.file.Path, version: Int)
+      : Set[(String, Long, Long)] =
+    SnapshotManifest.read(root, version).values.toSet.flatMap {
+      (dir: String) =>
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => (f.getAbsolutePath, f.length(), f.lastModified()))
+          .toSet
+    }
+
+  test("MoR DELETE commits O(delta): partition map verbatim, data " +
+    "files byte-identical, reads exact through both doors, time " +
+    "travel serves the pre-delete rows") {
+    val (root, cat) = morTable("mor_core")
+    val v2 = SnapshotManifest.head(root)
+    val before = dataFileState(root, v2)
+    assert(SnapshotManifest.deleteRecords(root, v2).isEmpty)
+
+    spark.sql(s"DELETE FROM $cat.`t` WHERE v > 24.0") // keys 25..30
+    val v3 = SnapshotManifest.head(root)
+    assert(v3 === v2 + 1)
+    // the commit contract: same partition map, same bytes, records on
+    // exactly the partitions holding doomed rows (all 3 here)
+    assert(SnapshotManifest.read(root, v3) ===
+      SnapshotManifest.read(root, v2))
+    assert(dataFileState(root, v3) === before,
+      "a merge-on-read DELETE must not touch data files")
+    val recs = SnapshotManifest.deleteRecords(root, v3)
+    assert(recs.keySet === Set("day_p=d0", "day_p=d1", "day_p=d2")
+      .map(_.stripPrefix("day_p=")),
+      s"records on the doomed partitions, got ${recs.keySet}")
+
+    // SQL door: full rows, pruned count(*) (the key-injection path),
+    // per-partition pruned read, aggregate answers
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.`t`")
+      .head().getLong(0) === 24L)
+    assert(spark.sql(s"SELECT CAST(SUM(id) AS BIGINT) FROM $cat.`t`")
+      .head().getLong(0) === (1L to 24L).sum)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.`t` WHERE day_p = 'd0'")
+      .head().getLong(0) === 8L)
+    assert(spark.sql(s"SELECT id FROM $cat.`t` WHERE id >= 24 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(24L))
+    // DataFrame door
+    assert(SnapshotTable.read(spark, root, v3).count() === 24L)
+    assert(graft.operators.SourceQueries
+      .snapshotRead(spark, root, v3).count() === 24L)
+    // time travel: the pre-delete version still serves all 30
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t` VERSION AS OF $v2")
+      .head().getLong(0) === 30L)
+    assert(SnapshotTable.read(spark, root, v2).count() === 30L)
+    // DESCRIBE surfaces the mode and the live record state
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.`t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("Table Properties").exists(p =>
+      p.contains("delete_mode=merge-on-read") &&
+        p.contains("live_delete_partitions=3")), s"props: $props")
+  }
+
+  test("stacked MoR deletes accumulate; records carry across " +
+    "commits to other partitions; upsert on a recorded partition " +
+    "materializes exactly it") {
+    val (root, cat) = morTable("mor_stack")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (3, 6)")    // d0
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (9, 12)")   // d0
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 26L)
+    val headV = SnapshotManifest.head(root)
+    assert(SnapshotManifest.deleteRecords(root, headV)("d0").size === 2,
+      "stacked deletes keep one record per commit")
+
+    // door upsert into d1 (key 31): d1 rewritten, d0 records CARRY
+    spark.sql(s"INSERT INTO $cat.`t` VALUES (31L, 'd1', 31.0, 'd1')")
+    val v = SnapshotManifest.head(root)
+    assert(SnapshotManifest.deleteRecords(root, v)("d0").size === 2)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 27L)
+
+    // re-INSERT doomed key 6 (routes to d0): the upsert rewrites d0
+    // through the anti-filter — records for d0 drop (materialized),
+    // key 6 lives again, keys 3/9/12 stay dead
+    spark.sql(s"INSERT INTO $cat.`t` VALUES (6L, 'd0', 60.0, 'd0')")
+    val v2 = SnapshotManifest.head(root)
+    assert(!SnapshotManifest.deleteRecords(root, v2).contains("d0"),
+      "the d0 rewrite materializes its records")
+    assert(spark.sql(s"SELECT id FROM $cat.`t` WHERE id IN (3, 6, 9, 12) " +
+      "ORDER BY id").collect().map(_.getLong(0)).toSeq === Seq(6L))
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 6")
+      .head().getDouble(0) === 60.0)
+  }
+
+  test("UPDATE (group rewrite) reads through the anti-filter: doomed " +
+    "keys never resurrect, replaced groups drop their records") {
+    val (root, cat) = morTable("mor_update")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (1, 2)") // d1, d2
+    // UPDATE touches rows of every partition => full group rewrite
+    spark.sql(s"UPDATE $cat.`t` SET v = v * 10 WHERE id <= 6")
+    val v = SnapshotManifest.head(root)
+    assert(SnapshotManifest.deleteRecords(root, v).isEmpty,
+      "every group rewritten -> every record materialized")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 28L)
+    assert(spark.sql(s"SELECT id FROM $cat.`t` WHERE id <= 2")
+      .count() === 0L, "doomed keys must not resurrect through UPDATE")
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $cat.`t` " +
+      "WHERE id <= 6").head().getLong(0) === (3L + 4 + 5 + 6) * 10)
+  }
+
+  test("compact materializes: records gone, doomed keys gone from the " +
+    "raw files, reads unchanged; a fully-doomed partition drops; " +
+    "vacuum never sweeps live delete sidecars") {
+    val (root, cat) = morTable("mor_compact")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (4, 7)") // both d1
+    // fully doom d2 (keys 2,5,...,29)
+    spark.sql(s"DELETE FROM $cat.`t` WHERE day = 'd2'")
+    val expect = (1L to 30L).filterNot(Set(4L, 7L))
+      .filterNot(_ % 3 == 2)
+
+    // vacuum at the head: the delete sidecars are REFERENCED state
+    val kept = SnapshotManifest.head(root)
+    graft.operators.SourceQueries.snapshotVacuum(root, Set(kept))
+    assert(spark.sql(s"SELECT id FROM $cat.`t` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === expect,
+      "vacuum must keep live delete sidecars")
+
+    val (nPart, v, _, _) = graft.operators.SourceQueries
+      .snapshotCompact(spark, root, threshold = 2)
+    assert(nPart === 2, "the two recorded partitions rewrite")
+    assert(SnapshotManifest.deleteRecords(root, v).isEmpty)
+    assert(!SnapshotManifest.read(root, v).contains("d2"),
+      "a fully-doomed partition drops from the manifest")
+    assert(spark.sql(s"SELECT id FROM $cat.`t` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === expect)
+    // the doomed keys are PHYSICALLY gone post-compact
+    val rawIds = spark.read.parquet(
+      SnapshotManifest.read(root, v).values.toSeq: _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!rawIds.contains(4L) && !rawIds.contains(7L) &&
+      !rawIds.exists(_ % 3 == 2))
+  }
+
+  test("restore rolls the delete state: to pre-delete resurrects, " +
+    "back to post-delete re-dooms") {
+    val (root, cat) = morTable("mor_restore")
+    val vBase = SnapshotManifest.head(root)
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id <= 10")
+    val vDel = SnapshotManifest.head(root)
+    graft.operators.SourceQueries.snapshotRestore(root, vBase)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 30L, "restore past the delete resurrects")
+    graft.operators.SourceQueries.snapshotRestore(root, vDel)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 20L, "restore forward re-dooms")
+  }
+
+  test("refusals: the raw V1 relation, clone, branch, evolve, and " +
+    "migrate refuse on live records (compact first); non-MoR tables " +
+    "are untouched by the plane") {
+    val (root, cat) = morTable("mor_refuse")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id = 1")
+    val head = SnapshotManifest.head(root)
+    // V1 relation has no row-filter plane — refuse, never resurrect
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("path", root.toString)
+        .load().count()
+    }
+    intercept[Exception] {
+      graft.operators.SourceQueries.snapshotClone(
+        root, root.resolveSibling("mor_refuse_clone"))
+    }
+    intercept[Exception] {
+      graft.operators.SourceQueries.snapshotBranchCreate(root, "dev")
+    }
+    intercept[Exception] {
+      graft.operators.SourceQueries.snapshotEvolvePartitioning(
+        spark, root, "bucket(4, id)")
+    }
+    // the DataFrame door still reads exactly (opt-in filter applied)
+    assert(SnapshotTable.read(spark, root, head).count() === 29L)
+    // and compact clears the way
+    graft.operators.SourceQueries.snapshotCompact(spark, root, 2)
+    val (_, n) = graft.operators.SourceQueries.snapshotBranchCreate(
+      root, "dev")
+    assert(n === 3)
+  }
+
+  test("a copy-on-write table refuses nothing and never carries " +
+    "records (the default path is bit-identical to before)") {
+    val (base, cat) = freshCat("mor_cow")
+    spark.sql(
+      s"""CREATE TABLE $cat.`t` (id BIGINT, day STRING, v DOUBLE,
+         |  day_p STRING)
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.`t` SELECT id, concat('d', id % 2), " +
+      "CAST(id AS DOUBLE), concat('d', id % 2) FROM range(1, 11)")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (2, 4)")
+    val root = base.resolve("t")
+    assert(SnapshotManifest.deleteRecords(root,
+      SnapshotManifest.head(root)).isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 8L)
+  }
+}
