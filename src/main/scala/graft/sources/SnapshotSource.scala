@@ -1015,8 +1015,17 @@ object SnapshotFiles {
     */
   val MaxStatLen = 64
 
+  /** `ndv` carries one base64 HLL sketch (Apache DataSketches — the
+    * library Spark's own `hll_sketch_agg` builds on) per
+    * sketch-eligible column: per-FILE sketches merge losslessly by
+    * union, so plan-time NDV over exactly the pruned file set is one
+    * driver-side fold — the column-level distinct counts CBO's
+    * filter/join estimation wants at 100 TB, maintained at O(touched
+    * files) per commit like the min/max stats.
+    */
   final case class FileEntry(pv: String, path: String, bytes: Long,
-                             rows: Long, stats: Map[String, (String, String)])
+                             rows: Long, stats: Map[String, (String, String)],
+                             ndv: Map[String, String] = Map.empty)
 
   private def file(root: JPath, version: Int): JPath =
     root.resolve("manifests").resolve(s"v$version.files")
@@ -1034,7 +1043,8 @@ object SnapshotFiles {
       JsonMethods.compact(JsonMethods.render(
         ("pv" -> e.pv) ~ ("path" -> stored) ~ ("bytes" -> e.bytes) ~
           ("rows" -> e.rows) ~
-          ("stats" -> e.stats.map { case (c, (mn, mx)) => c -> List(mn, mx) })))
+          ("stats" -> e.stats.map { case (c, (mn, mx)) => c -> List(mn, mx) }) ~
+          ("ndv" -> e.ndv)))
     }
     val mdir = root.resolve("manifests")
     JFiles.createDirectories(mdir)
@@ -1070,8 +1080,14 @@ object SnapshotFiles {
         }.toMap
         case _ => Map.empty[String, (String, String)]
       }
+      val ndv = (j \ "ndv") match {
+        case JObject(fields) => fields.collect {
+          case (c, JString(b64)) => c -> b64
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
       FileEntry(str("pv"), SnapshotManifest.resolvePath(root, str("path")),
-        lng("bytes"), lng("rows"), stats)
+        lng("bytes"), lng("rows"), stats, ndv)
     }.groupBy(_.pv))
   }
 
@@ -1115,14 +1131,27 @@ object SnapshotFiles {
     * over exactly the dirs a commit touched; the collected result is
     * O(files) driver metadata, the manifest's own class.
     */
+  /** DataSketches HLL precision for the per-file NDV sketches:
+    * lgK = 12 is Spark's own `hll_sketch_agg` default (~1.6% error),
+    * and a sketch is at most ~2.5 KB serialized (far less in the
+    * low-cardinality list mode most per-file columns hit).
+    */
+  val NdvLgK = 12
+
   def collect(s: SparkSession, dirsByPart: Seq[(String, String)],
               schema: StructType): Seq[FileEntry] = {
     if (dirsByPart.isEmpty) return Nil
     val sc = statCols(schema)
-    val aggs = first(col("__bytes")).as("__b") +:
+    val aggs = (first(col("__bytes")).as("__b") +:
       sc.flatMap(f => Seq(
         min(col(f.name)).cast("string").as(s"mn__${f.name}"),
-        max(col(f.name)).cast("string").as(s"mx__${f.name}")))
+        max(col(f.name)).cast("string").as(s"mx__${f.name}")))) ++
+      // per-file NDV sketches over the CAST-to-string plane: one
+      // canonical text form per distinct value for every stats type,
+      // so one sketch vocabulary serves them all and file sketches
+      // union losslessly at plan time
+      sc.map(f => hll_sketch_agg(col(f.name).cast("string"),
+        lit(NdvLgK)).as(s"nd__${f.name}"))
     val rows = s.read.parquet(dirsByPart.map(_._2): _*)
       .select(col("_metadata.file_path").as("__file") +:
         col("_metadata.file_size").as("__bytes") +:
@@ -1156,9 +1185,29 @@ object SnapshotFiles {
             mn.length > MaxStatLen || mx.length > MaxStatLen) None
         else Some(f.name -> (mn, mx))
       }.toMap
-      FileEntry(pv, fkey, r.getLong(2), r.getLong(1), stats)
+      val ndvBase = 3 + 2 * sc.length
+      val ndv = sc.zipWithIndex.flatMap { case (f, i) =>
+        Option(r.getAs[Array[Byte]](ndvBase + i)).map(b =>
+          f.name -> java.util.Base64.getEncoder.encodeToString(b))
+      }.toMap
+      FileEntry(pv, fkey, r.getLong(2), r.getLong(1), stats, ndv)
     }
   }
+
+  /** Union a set of per-file base64 HLL sketches into one NDV
+    * estimate — the plan-time fold behind the scan's reported column
+    * statistics. Returns None on a decode failure (a foreign or
+    * corrupt sidecar must degrade to no-stats, never fail planning).
+    */
+  def estimateNdv(sketches: Seq[String]): Option[Long] =
+    try {
+      val u = new org.apache.datasketches.hll.Union(NdvLgK)
+      sketches.foreach { b64 =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(b64)))
+      }
+      Some(Math.round(u.getEstimate))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** Compiles a scan's data filters into a per-file keep-predicate over

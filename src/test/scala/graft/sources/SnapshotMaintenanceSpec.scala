@@ -82,4 +82,31 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rename history"), e.getMessage)
   }
+
+  test("the Bloom index CARRIES across CLONE: the clone's point " +
+    "lookups skip without a build_bloom re-run (round 15, VERDICT " +
+    "r14 #6)") {
+    val (root, cat) = freshStore("ms_bloom_clone")
+    spark.sql(s"CALL $cat.build_bloom('t', 'id')")
+    spark.sql(s"CALL $cat.clone('t', 't2')")
+    val cloneRoot = root.resolveSibling("t2")
+    assert(java.nio.file.Files.isDirectory(
+      cloneRoot.resolve("bloomidx")), "index must link across clone")
+    // clone reads are exact…
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t2`")
+      .head().getLong(0) === 120L)
+    // …and the carried index prunes the clone's OWN file paths (the
+    // stored source-root keys match through their root-relative form,
+    // which the relative-layout clone placement preserves)
+    val df = SnapshotTable.read(spark, cloneRoot, 1,
+      bloomKey = Some("id")).filter(col("id") === 7L)
+    assert(df.collect().map(_.getDouble(2)).toSeq === Seq(7.0))
+    val (_, files) = SnapshotTable.fileIndexOf(df).lastListing
+    val all = SnapshotTable.read(spark, cloneRoot, 1).inputFiles.length
+    assert(files < all,
+      s"carried bloom must prune the clone's files: $files of $all")
+    // the marker carries too: a mismatched reader still degrades
+    assert(SnapshotBloom.indexedColumn(
+      cloneRoot.resolve("bloomidx").toString).contains("id"))
+  }
 }

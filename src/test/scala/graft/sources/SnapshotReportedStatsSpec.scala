@@ -127,4 +127,116 @@ class SnapshotReportedStatsSpec extends SparkSpec {
         s"empty), got ${st.numRows}")
     assert(st.sizeInBytes.isPresent, "bytes still come from the scan")
   }
+
+  test("column-level NDV from the sidecar's per-file HLL sketches: " +
+    "reported per column, pruned-set-scoped, within sketch error " +
+    "(round 15, VERDICT r14 #5)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("repstats_ndv")
+    val root = base.resolve("t")
+    // id: 600 distinct; flag: 2 distinct; day: 3 partitions
+    (1L to 600L).map(id => (id, s"f${id % 2}", s"d${id % 3}", id.toDouble))
+      .toDF("id", "flag", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)
+    val cat = "repstatsndv"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    def ndvOf(df: DataFrame, col: String): Option[Long] = {
+      val cs = dppScan(df).estimateStatistics().columnStats()
+      import scala.jdk.CollectionConverters._
+      cs.asScala.collectFirst {
+        case (ref, st) if ref.fieldNames().sameElements(Array(col)) =>
+          st.distinctCount().getAsLong
+      }
+    }
+    val full = spark.sql(s"SELECT id, flag, v FROM $cat.`t`")
+    val idNdv = ndvOf(full, "id")
+    assert(idNdv.exists(n => n > 560 && n < 640),
+      s"id NDV ~600 expected, got $idNdv")
+    assert(ndvOf(full, "flag").contains(2L))
+    // pruned scan: NDV folds over the surviving files only
+    val pruned = spark.sql(
+      s"SELECT id, flag FROM $cat.`t` WHERE day_p = 'd1'")
+    val prunedNdv = ndvOf(pruned, "id")
+    assert(prunedNdv.exists(n => n > 180 && n < 220),
+      s"pruned id NDV ~200 expected, got $prunedNdv")
+  }
+
+  test("NDV flips the broadcast decision under CBO: an equality " +
+    "filter on a high-NDV column estimates small and broadcasts; the " +
+    "same filter on a 2-distinct column keeps the shuffle join") {
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val base = java.nio.file.Files.createTempDirectory("repstats_cbo")
+    val dimRoot = base.resolve("dim")
+    // payload defeats compression so the dim's on-disk bytes comfortably
+    // exceed the broadcast threshold below
+    val rnd = new scala.util.Random(7)
+    (1L to 4000L).map(id => (id, s"k$id", s"f${id % 2}", s"d${id % 2}",
+        Seq.fill(8)(rnd.nextLong().toHexString).mkString("-")))
+      .toDF("id", "k_high", "k_low", "day", "payload")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(dimRoot.toString)
+    val cat = "repstatscbo"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val dimBytes = org.apache.commons.io.FileUtils
+      .sizeOf(dimRoot.toFile)
+    // threshold geometrically between the high-NDV estimate
+    // (~bytes/4000) and the low-NDV one (~bytes/2) — wide margins on
+    // both sides, so CBO's column-width guesses can't tip it
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      math.max(1024L, dimBytes / 100).toString)
+    (1L to 4000L).map(i => (i, i * 2.0)).toDF("fid", "fv")
+      .createOrReplaceTempView("cbo_fact")
+    def joinPlan(filterCol: String) = s.sql(
+      s"""SELECT COUNT(*) FROM cbo_fact f
+         |JOIN $cat.`dim` d ON f.fid = d.id
+         |WHERE d.$filterCol = '${if (filterCol == "k_high") "k7" else "f1"}'
+         |""".stripMargin)
+    val hi = joinPlan("k_high")
+    assert(hi.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      s"1/4000 selectivity must broadcast:\n" +
+        hi.queryExecution.executedPlan)
+    assert(hi.collect().head.getLong(0) === 1L)
+    val lo = joinPlan("k_low")
+    assert(!lo.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      s"1/2 selectivity must NOT broadcast:\n" +
+        lo.queryExecution.executedPlan)
+    assert(lo.collect().head.getLong(0) === 2000L)
+  }
+
+  test("CALL compute_stats backfills NDV sketches on a sidecar-less " +
+    "store (parity with commit-time profiling)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("repstats_bf")
+    val root = base.resolve("t")
+    (1L to 300L).map(id => (id, s"d${id % 3}", id.toDouble))
+      .toDF("id", "day", "v")
+      .write.format("graft-snapshot")
+      .option("keyCol", "id").option("partCol", "day")
+      .mode("append").save(root.toString)
+    val cat = "repstatsbf"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    java.nio.file.Files.delete(root.resolve("manifests")
+      .resolve("v1.files")) // the legacy (pre-sidecar) shape
+    spark.sql(s"CALL $cat.compute_stats('t')")
+    val fm = SnapshotFiles.read(root, 1).get
+    assert(fm.valuesIterator.flatten.forall(_.ndv.contains("id")),
+      "backfilled sidecar must carry the NDV sketches")
+    val df = spark.sql(s"SELECT id, v FROM $cat.`t`")
+    val cs = dppScan(df).estimateStatistics().columnStats()
+    assert(!cs.isEmpty, "backfilled NDV must reach the scan stats")
+  }
 }
