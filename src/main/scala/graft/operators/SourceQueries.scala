@@ -1577,11 +1577,13 @@ object SourceQueries {
     * table's live CHECK constraints (re-published as `#check` records
     * in the clone's v1 manifest — a clone that silently dropped its
     * source's data-quality gates would admit rows the source refuses).
+    * The Bloom index carries too (round 15): its rows + column marker
+    * hard-link, and the clone's relative-layout leaf placement keeps
+    * the stored keys matching through their root-relative form, so
+    * the clone's point lookups skip with zero re-indexing.
     * What doesn't: version history (the clone starts at v1 — history
-    * belongs to the source), tags (they name source versions), and
-    * the Bloom index (keyed by source file paths; the clone degrades
-    * to no file-skipping, which is sound and spec-pinned on the
-    * write-door side). Returns (sourceVersion, nPartitions, nFiles).
+    * belongs to the source) and tags (they name source versions).
+    * Returns (sourceVersion, nPartitions, nFiles).
     */
   private[graft] def snapshotClone(srcRoot: java.nio.file.Path,
       dstRoot: java.nio.file.Path,
