@@ -1445,12 +1445,14 @@ object SourceQueries {
       .maxOption)
     val carried: Seq[String] = carryV.toSeq.flatMap { pv =>
       val parentEntries = graft.sources.SnapshotManifest.read(root, pv)
-      graft.sources.SnapshotManifest.deleteRecords(root, pv).toSeq
-        .sortBy(_._1).flatMap { case (p, paths) =>
+      graft.sources.SnapshotManifest.deleteRecordsWithCounts(root, pv)
+        .toSeq.sortBy(_._1).flatMap { case (p, recs) =>
           val same = entries.get(p).map(e =>
             graft.sources.SnapshotManifest.resolvePath(root, e))
             .contains(parentEntries.getOrElse(p, ""))
-          if (same) paths.map(path => s"#delete\t$p\t$path") else Nil
+          if (same) recs.map { case (path, n) =>
+            s"#delete\t$p\t$n\t$path"
+          } else Nil
         }
     }
     // `#`-prefixed metadata records ride FIRST inside the same atomic
@@ -2268,9 +2270,25 @@ object SourceQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(out.toFile)
         return (head, 0L)
       }
-      val doomedCount = s.read.parquet(walked.map(_._2): _*).count()
+      // per-leaf doomed counts ride in the records so plan-time
+      // statistics report exact post-delete cardinality without
+      // opening the sidecars — one delta-sized counting pass
+      val perLeaf: Map[String, Long] = s.read
+        .parquet(walked.map(_._2): _*)
+        .groupBy(col("_metadata.file_path")).count().collect()
+        .map { r =>
+          val f = new java.net.URI(r.getString(0)).getPath
+          (f.substring(0, f.lastIndexOf('/')), r.getLong(1))
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      // same canonicalization pair as SnapshotFiles.collect: URI-decode
+      // the metadata path, fileKey the on-disk dir (escaped-value
+      // partition names must meet on one form)
+      def countOf(dir: String): Long = perLeaf.getOrElse(
+        graft.sources.SnapshotBloom.fileKey(new org.apache.hadoop.fs.Path(
+          new java.io.File(dir).getAbsolutePath).toString), 0L)
+      val doomedCount = perLeaf.valuesIterator.sum
       val records = walked.sortBy(_._1)
-        .map { case (pv, dir) => s"#delete\t$pv\t$dir" }
+        .map { case (pv, dir) => s"#delete\t$pv\t${countOf(dir)}\t$dir" }
       val entries = readManifest(root, head)
       try {
         // parent entries verbatim + new records; the carry rule folds
@@ -4099,6 +4117,74 @@ object SourceQueries {
       .unionAll(arm("compacted", vCpt, recAfter, tbl))
   }
 
+  /** The changefeed over MERGE-ON-READ deletes: a records-only DELETE
+    * commit changes a partition's ROWS without touching its dirs, and
+    * the streaming CDF source must still surface its doomed keys as
+    * delete events — `changeRows` diffs the `#delete` record state
+    * alongside the dir map and each side reads under ITS version's
+    * anti-filter, so the pre-image rows of a MoR delete stream with
+    * `change_type = 'delete'` exactly like a copy-on-write delete's.
+    * The fixture is the `sql_merge_on_read` chain (CREATE
+    * merge-on-read, INSERT six months, records-only DELETE) streamed
+    * from version 2; the per-change-type aggregate hash-pins both the
+    * insert replay and the delete events' pre-image sums against the
+    * relational oracle. At 100 TB this is what keeps CDC consumers of
+    * a takedown-heavy table correct WITHOUT forcing copy-on-write:
+    * the delete events cost O(doomed keys), not O(touched
+    * partitions).
+    */
+  def streamingMorCdf(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_mor_cdf"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_mor_cdf"))
+      .resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snapmorcdf_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`orders_mor_cdf`"
+    ordersYmFrame(s, dir)
+      .createOrReplaceTempView("graft_mor_cdf_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |  (o_orderkey BIGINT, o_orderstatus STRING,
+         |   o_totalprice DOUBLE, o_ym STRING, o_ym_p STRING)
+         |PARTITIONED BY (o_ym_p)
+         |TBLPROPERTIES ('key_column' = 'o_orderkey',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_ym, o_ym
+         |FROM graft_mor_cdf_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 400000.0")
+    val root = base.resolve("orders_mor_cdf")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // fromVersion 2 = the INSERT (v1 is the empty CREATE)
+      s.readStream.format("graft-snapshot").option("fromVersion", "2")
+        .load(root.toString)
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(col("k")).cast("bigint").as("key_sum"),
+          graft.functions.dsum(col("price")).as("price_sum"),
+          graft.functions.dsum(col("old_price")).as("old_price_sum"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+  }
+
   /** `CALL snap.restore(table, version)` end to end — the disaster-
     * recovery primitive (Delta `RESTORE TABLE … TO VERSION AS OF`):
     * bootstrap (v1), corrupt the table with a bad price rewrite (v2,
@@ -5683,6 +5769,7 @@ object SourceQueries {
     "sql_meta_tables"         -> sqlMetaTables _,
     "sql_dml_roundtrip"       -> sqlDmlRoundtrip _,
     "sql_merge_on_read"       -> sqlMergeOnRead _,
+    "streaming_mor_cdf"       -> streamingMorCdf _,
     "sql_restore"             -> sqlRestore _,
     "sql_clone"               -> sqlClone _,
     "sql_wap"                 -> sqlWap _,
@@ -6336,6 +6423,27 @@ object SourceQueries {
         |  COUNT(DISTINCT o_orderkey),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |FROM kept""".stripMargin,
+    // the CDF stream over the merge-on-read chain: v2 = the INSERT
+    // (all inserts), v3 = the records-only DELETE (delete events with
+    // pre-image prices, NULL post-image)
+    "streaming_mor_cdf" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m')
+        |    BETWEEN '1995-01' AND '1995-06'),
+        |del AS (SELECT * FROM s WHERE o_totalprice >= 400000.0)
+        |SELECT 'insert' AS change_type, COUNT(*) AS n_changes,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  CAST(NULL AS DOUBLE) AS old_price_sum
+        |FROM s
+        |UNION ALL
+        |SELECT 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+        |  CAST(NULL AS DOUBLE),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM del""".stripMargin,
     // head (v3, the restore) must equal the pristine base; v2 (the bad
     // rewrite) must still time-travel to the upserted state
     "sql_restore" ->

@@ -1847,8 +1847,20 @@ final class SnapshotDppScan(
       case Some(es) => new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           base.sizeInBytes()
+        // live merge-on-read deletes subtract their RECORDED doomed
+        // counts for the partitions this scan reads — the file rows
+        // still contain the doomed keys, but the scan never serves
+        // them, and join planning should see post-delete cardinality.
+        // A count-less record skips its partition's subtraction
+        // (over-counting is the sound direction).
+        private val doomed: Long = deleteState.map { case (st, _) =>
+          SnapshotRowLevel.matchingPvs(current.partitionFilters,
+            partSchema, st.records.keySet)
+            .toSeq.flatMap(st.doomedCount).sum
+        }.getOrElse(0L)
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.of(es.map(_.rows).sum)
+          java.util.OptionalLong.of(
+            math.max(0L, es.map(_.rows).sum - doomed))
         override def columnStats(): java.util.Map[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =

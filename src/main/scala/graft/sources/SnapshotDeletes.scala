@@ -159,14 +159,23 @@ object SnapshotDeletes {
   /** Read-plane state for the SQL catalog's scans: present exactly
     * when the served version has live records (and then the store
     * necessarily declares a key — the MoR door refuses keyless
-    * stores).
+    * stores). `doomedCount(pv)` is the partition's recorded doomed-key
+    * total, or None when any of its records predates the count field
+    * (statistics then skip the subtraction — over-counting is the
+    * sound direction).
     */
   final case class State(keyField: StructField,
-                         records: Map[String, Seq[String]])
+                         records: Map[String, Seq[String]],
+                         counts: Map[String, Seq[Long]]) {
+    def doomedCount(pv: String): Option[Long] = {
+      val ns = counts.getOrElse(pv, Nil)
+      if (ns.isEmpty || ns.exists(_ < 0)) None else Some(ns.sum)
+    }
+  }
 
   def stateFor(root: JPath, version: Int,
                meta: SnapshotMeta.Meta): Option[State] = {
-    val recs = SnapshotManifest.deleteRecords(root, version)
+    val recs = SnapshotManifest.deleteRecordsWithCounts(root, version)
     if (recs.isEmpty) None
     else {
       val keyCol = meta.keyCol.getOrElse(throw new IllegalStateException(
@@ -176,7 +185,9 @@ object SnapshotDeletes {
         .fields.find(_.name == keyCol).getOrElse(
           throw new IllegalStateException(
             s"key column $keyCol missing from the data schema"))
-      Some(State(f.copy(nullable = true), recs))
+      Some(State(f.copy(nullable = true),
+        recs.view.mapValues(_.map(_._1)).toMap,
+        recs.view.mapValues(_.map(_._2)).toMap))
     }
   }
 }

@@ -531,23 +531,35 @@ object SnapshotManifest {
     * the drop-version expires) can never resurrect a dropped check.
     */
   /** Live merge-on-read delete records of ONE version:
-    * `#delete\t<pv>\t<dir>` lines in that version's own manifest —
-    * partition value → the key-delete parquet dirs that apply to it.
-    * Manifests are SELF-CONTAINED on this plane: every commit carries
-    * forward the parent records still in force (same pv, same data
-    * dir — [[graft.operators.SourceQueries.writeManifest]]), so a
-    * pinned `VERSION AS OF` read serves exactly its version's delete
-    * state and vacuumed gaps cost nothing. A rewritten partition's
-    * records drop with the rewrite (the rewriting read applied the
+    * `#delete\t<pv>\t<n>\t<dir>` lines in that version's own manifest
+    * — partition value → the key-delete parquet dirs that apply to
+    * it, each with its doomed-key count `n` (so plan-time statistics
+    * can report exact post-delete cardinality without opening the
+    * sidecars; `n = -1` when unknown). Manifests are SELF-CONTAINED
+    * on this plane: every commit carries forward the parent records
+    * still in force (same pv, same data dir —
+    * [[graft.operators.SourceQueries.writeManifest]]), so a pinned
+    * `VERSION AS OF` read serves exactly its version's delete state
+    * and vacuumed gaps cost nothing. A rewritten partition's records
+    * drop with the rewrite (the rewriting read applied the
     * anti-filter — the deletes are materialized in its output).
     */
-  def deleteRecords(root: JPath, version: Int): Map[String, Seq[String]] =
+  def deleteRecordsWithCounts(root: JPath, version: Int)
+      : Map[String, Seq[(String, Long)]] =
     headerLines(root, version).collect {
       case l if l.startsWith("#delete\t") =>
         val body = l.stripPrefix("#delete\t")
-        val i = body.lastIndexOf('\t')
-        body.substring(0, i) -> resolvePath(root, body.substring(i + 1))
+        val i1 = body.indexOf('\t')
+        val i2 = body.indexOf('\t', i1 + 1)
+        val (n, path) =
+          if (i2 < 0) (-1L, body.substring(i1 + 1)) // count-less legacy
+          else (body.substring(i1 + 1, i2).toLong, body.substring(i2 + 1))
+        body.substring(0, i1) -> (resolvePath(root, path), n)
     }.groupMap(_._1)(_._2)
+
+  def deleteRecords(root: JPath, version: Int): Map[String, Seq[String]] =
+    deleteRecordsWithCounts(root, version)
+      .view.mapValues(_.map(_._1)).toMap
 
   def checkNamesEverSeen(root: JPath): Set[String] =
     metaLines(root).flatMap(_._2).collect {

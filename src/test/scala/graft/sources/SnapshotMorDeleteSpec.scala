@@ -109,6 +109,19 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(props.get("Table Properties").exists(p =>
       p.contains("delete_mode=merge-on-read") &&
         p.contains("live_delete_partitions=3")), s"props: $props")
+    // plan-time statistics report POST-delete cardinality: the
+    // records' doomed counts subtract from the sidecar row sum, so
+    // join planning sees what the scan actually serves
+    val scanStats = spark.sql(s"SELECT id FROM $cat.`t`")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[SnapshotDppScan] =>
+          r.scan.asInstanceOf[SnapshotDppScan].estimateStatistics()
+      }.getOrElse(fail("no snapshot scan in plan"))
+    assert(scanStats.numRows.isPresent &&
+      scanStats.numRows.getAsLong === 24L,
+      s"expected post-delete cardinality 24, got ${scanStats.numRows}")
   }
 
   test("stacked MoR deletes accumulate; records carry across " +
