@@ -1530,12 +1530,13 @@ object SourceQueries {
     * O(record partitions) materialization, not a correctness gamble.
     */
   private def refuseLiveDeletes(root: java.nio.file.Path,
-                                op: String): Unit = {
-    val head = headVersion(root)
-    require(head == 0 || graft.sources.SnapshotManifest
-        .deleteRecords(root, head).isEmpty,
-      s"$op on a store with live merge-on-read delete records: " +
-        "materialize them with CALL snap.compact first")
+                                op: String,
+                                version: Option[Int] = None): Unit = {
+    val v = version.getOrElse(headVersion(root))
+    require(v == 0 || graft.sources.SnapshotManifest
+        .deleteRecords(root, v).isEmpty,
+      s"$op on a store version with live merge-on-read delete " +
+        "records: materialize them with CALL snap.compact first")
   }
 
   private[graft] def snapshotRestore(root: java.nio.file.Path,
@@ -1591,8 +1592,11 @@ object SourceQueries {
       dstRoot: java.nio.file.Path,
       version: Option[Int] = None): (Int, Int, Int) = {
     import java.nio.file.{Files => JF}
-    refuseLiveDeletes(srcRoot, "CLONE")
     val head = headVersion(srcRoot)
+    // guard the version actually cloned: a pinned old version can
+    // carry live records even when the head is clean
+    refuseLiveDeletes(srcRoot, "CLONE",
+      Some(version.getOrElse(head)))
     require(head > 0, s"$srcRoot has no published versions to clone")
     val v = version.getOrElse(head)
     require(JF.exists(
@@ -1725,7 +1729,8 @@ object SourceQueries {
   private[graft] def snapshotBranchCreate(root: java.nio.file.Path,
       name: String, version: Option[Int] = None): (Int, Int) = {
     import graft.sources.{SnapshotBranches, SnapshotMeta, SnapshotManifest}
-    refuseLiveDeletes(root, "CREATE BRANCH")
+    refuseLiveDeletes(root, "CREATE BRANCH",
+      Some(version.getOrElse(headVersion(root))))
     SnapshotBranches.validate(name)
     require(graft.sources.SnapshotTags.resolve(root, name).isEmpty,
       s"a tag named '$name' exists — branches and tags share the " +

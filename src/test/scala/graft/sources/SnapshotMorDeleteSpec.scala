@@ -249,6 +249,15 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     val (_, n) = graft.operators.SourceQueries.snapshotBranchCreate(
       root, "dev")
     assert(n === 3)
+    // …but a PINNED clone of the pre-compact version still refuses:
+    // that version's records are live even though the head is clean
+    intercept[Exception] {
+      graft.operators.SourceQueries.snapshotClone(
+        root, root.resolveSibling("mor_refuse_pin"), Some(head))
+    }
+    val (_, nc, _) = graft.operators.SourceQueries.snapshotClone(
+      root, root.resolveSibling("mor_refuse_head"))
+    assert(nc === 3, "the compacted head clones fine")
   }
 
   test("a copy-on-write table refuses nothing and never carries " +
