@@ -2231,7 +2231,20 @@ object SourceQueries {
     */
   private[graft] def snapshotMorDelete(s: SparkSession,
       root: java.nio.file.Path,
-      pred: org.apache.spark.sql.Column): (Int, Long) = {
+      pred: org.apache.spark.sql.Column): (Int, Long) =
+    snapshotMorDeleteBy(s, root, _.filter(pred))
+
+  /** Doomed-row selection generalized over both DELETE doors: the SQL
+    * door dooms by predicate, the DataFrame door
+    * (`commitMode=delete`) by key list — a broadcast semi-join against
+    * the head read, which scopes records to rows that EXIST (a
+    * phantom key must not mint a record: its count would under-report
+    * the scan statistics and its partition would compact for
+    * nothing).
+    */
+  private[graft] def snapshotMorDeleteBy(s: SparkSession,
+      root: java.nio.file.Path,
+      doom: DataFrame => DataFrame): (Int, Long) = {
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "merge-on-read delete needs a table.meta layout declaration"))
@@ -2268,7 +2281,7 @@ object SourceQueries {
       }
       val out = root.resolve(
         s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
-      df.filter(pred).select(mirrorCols :+ col(keyCol): _*)
+      doom(df).select(mirrorCols :+ col(keyCol): _*)
         .write.partitionBy(mirrors: _*).parquet(out.toString)
       val walked = walkLeafDirs(out.toFile, mirrors)
       if (walked.isEmpty) { // predicate matched nothing: legal no-op

@@ -2867,6 +2867,12 @@ final class SnapshotMetaTable(tableName: String, root: JPath,
       StructField("kind", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false),
       StructField("forked_from", IntegerType, nullable = true)))
+    // live merge-on-read delete records of the (pinned or head)
+    // version — what a takedown audit or a compaction planner reads
+    case "deletes" => StructType(Seq(
+      StructField("pv", StringType, nullable = false),
+      StructField("doomed_keys", LongType, nullable = true),
+      StructField("delete_dir", StringType, nullable = false)))
   }
 
   /** (pv, path, bytes, rowCount-or-null) per data file of the pinned
@@ -2906,6 +2912,15 @@ final class SnapshotMetaTable(tableName: String, root: JPath,
       }.toArray
     case "history" => SnapshotMetaTable.historyRows(root)
     case "refs" => SnapshotMetaTable.refsRows(root)
+    case "deletes" =>
+      val v = pinned.getOrElse(SnapshotManifest.head(root))
+      SnapshotManifest.deleteRecordsWithCounts(root, v).toSeq
+        .sortBy(_._1).flatMap { case (pv, recs) =>
+          recs.map { case (dir, n) =>
+            InternalRow(UTF8String.fromString(pv),
+              if (n < 0) null else n, UTF8String.fromString(dir))
+          }
+        }.toArray
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -2921,7 +2936,8 @@ object SnapshotMetaTable {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Kinds: Set[String] = Set("files", "partitions", "history", "refs")
+  val Kinds: Set[String] =
+    Set("files", "partitions", "history", "refs", "deletes")
 
   /** Single source for the version-chain rows — the `history` meta
     * table and `CALL snap.history` must never diverge.

@@ -2169,14 +2169,17 @@ final class SnapshotSourceProvider extends RelationProvider
         s"never overwrites history); got $mode")
     SnapshotDoor.commit(ctx.sparkSession, parameters, data, txn = None)
     // the returned relation is `save()`'s unused ceremony — on a
-    // spec-evolved store (where one relation cannot exist) return a
-    // schema-only stub instead of refusing a WRITE that already
-    // committed; reads resolve through SnapshotTable.read
+    // spec-evolved store (where one relation cannot exist) or a store
+    // with live merge-on-read delete records (where the raw relation
+    // refuses) return a schema-only stub instead of refusing a WRITE
+    // that already committed; reads resolve through SnapshotTable.read
     val root = SnapshotDoor.resolveRoot(parameters)
     val multiSpec = SnapshotMeta.read(root).exists(m =>
       SnapshotManifest.partitionSpecs(root, m.partitionSchema)
         .lengthCompare(1) > 0)
-    if (!multiSpec) createRelation(ctx, parameters)
+    val liveDeletes = SnapshotManifest
+      .deleteRecords(root, SnapshotManifest.head(root)).nonEmpty
+    if (!multiSpec && !liveDeletes) createRelation(ctx, parameters)
     else new BaseRelation {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType =
@@ -2276,6 +2279,19 @@ private[sources] object SnapshotDoor {
             s"CHECK constraint $n violated by $bad row(s): $sql")
         }
       }
+    }
+    // DELETE-door parity with SQL: a `delete_mode='merge-on-read'`
+    // store takes its key-list deletes as `#delete` records too —
+    // the doomed rows are the head rows whose key the delta names
+    // (broadcast semi-join; phantom keys doom nothing), committed at
+    // O(delta) with zero partition rewrites. CAS retry lives inside.
+    if (!insert && SnapshotManifest.head(root) > 0 &&
+        SnapshotMeta.read(root).exists(_.mergeOnRead)) {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val keys = data.select(col(keyCol)).distinct()
+      graft.operators.SourceQueries.snapshotMorDeleteBy(spark, root,
+        df => df.join(broadcast(keys), Seq(keyCol), "left_semi"))
+      return
     }
     // CAS retry loop: of N racers exactly one publishes each version;
     // losers rebase on the new head and re-apply the key-based delta

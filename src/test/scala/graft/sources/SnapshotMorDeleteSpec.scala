@@ -109,6 +109,18 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(props.get("Table Properties").exists(p =>
       p.contains("delete_mode=merge-on-read") &&
         p.contains("live_delete_partitions=3")), s"props: $props")
+    // the `deletes` METADATA TABLE serves the live record state as
+    // SQL (joinable, version-pinnable): one row per record with its
+    // doomed-key count
+    val metaRows = spark.sql(
+      s"SELECT pv, doomed_keys FROM $cat.`t`.`deletes` ORDER BY pv")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(metaRows.map(_._1).toSeq === Seq("d0", "d1", "d2"))
+    assert(metaRows.map(_._2).sum === 6L,
+      s"six doomed keys across the records, got ${metaRows.toSeq}")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.`t`.`deletes` VERSION AS OF $v2")
+      .head().getLong(0) === 0L, "the pre-delete version has no records")
     // plan-time statistics report POST-delete cardinality: the
     // records' doomed counts subtract from the sidecar row sum, so
     // join planning sees what the scan actually serves
@@ -258,6 +270,28 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     val (_, nc, _) = graft.operators.SourceQueries.snapshotClone(
       root, root.resolveSibling("mor_refuse_head"))
     assert(nc === 3, "the compacted head clones fine")
+  }
+
+  test("the DataFrame door's key-list delete (commitMode=delete) also " +
+    "publishes records on a merge-on-read store: zero rewrites, " +
+    "phantom keys doom nothing") {
+    import spark.implicits._
+    val (root, cat) = morTable("mor_door")
+    val before = dataFileState(root, SnapshotManifest.head(root))
+    // doomed keys 5, 10; 999 is a phantom (not in the table)
+    Seq(5L, 10L, 999L).toDF("id")
+      .write.format("graft-snapshot").option("commitMode", "delete")
+      .mode("append").save(root.toString)
+    val v = SnapshotManifest.head(root)
+    assert(dataFileState(root, v) === before,
+      "the door's MoR delete must not rewrite partitions")
+    val recs = SnapshotManifest.deleteRecordsWithCounts(root, v)
+    assert(recs.valuesIterator.flatten.map(_._2).sum === 2L,
+      s"phantom keys must not mint record counts: $recs")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 28L)
+    assert(SnapshotTable.read(spark, root, v)
+      .filter(col("id").isin(5L, 10L)).count() === 0L)
   }
 
   test("a copy-on-write table refuses nothing and never carries " +
