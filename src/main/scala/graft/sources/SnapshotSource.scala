@@ -704,7 +704,69 @@ object SnapshotRename {
   * projection costs one copy, paid exactly by tables WITH rename
   * history — rename-free stores never instantiate this class.
   */
-final class SnapshotRenameParquetFormat(chains: Map[String, Seq[String]])
+/** The V1 read plane under live MERGE-ON-READ delete records: the
+  * rename format's row plane (identity when `chains` is empty) plus
+  * the doomed-key anti-filter, applied executor-side as rows stream
+  * out of the parquet reader — the same sorted-array probe the DSv2
+  * scans use ([[SnapshotDeletes.doomedKeys]], cached per executor).
+  * The key column is added to the pruned read when absent and
+  * projected back out, so `spark.read.format("graft-snapshot")` and
+  * the DataFrame door serve exact post-delete rows with NO plan-level
+  * anti-join. The doom set is the version's whole record set (not
+  * per-partition): the key is table-unique, so partition scoping is a
+  * load optimization the delta-sized records don't need here.
+  */
+final class SnapshotDeleteParquetFormat(
+    chains: Map[String, Seq[String]],
+    keyField: StructField,
+    deleteDirs: Seq[String])
+  extends SnapshotRenameParquetFormat(chains) {
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] = {
+    val needKey = !requiredSchema.fieldNames.contains(keyField.name)
+    val readSchema =
+      if (needKey) StructType(requiredSchema.fields :+ keyField)
+      else requiredSchema
+    val inner = super.buildReaderWithPartitionValues(sparkSession,
+      dataSchema, partitionSchema, readSchema, filters, options,
+      hadoopConf)
+    // rows arrive as readSchema ++ partitionSchema (logical names —
+    // the rename plane has already mapped them)
+    val keyIdx = readSchema.fieldIndex(keyField.name)
+    val outExprs: Array[Expression] =
+      if (!needKey) Array.empty
+      else (requiredSchema.indices.map(i =>
+        BoundReference(i, readSchema.fields(i).dataType,
+          nullable = true): Expression) ++
+        partitionSchema.fields.indices.map(i =>
+          BoundReference(readSchema.length + i,
+            partitionSchema.fields(i).dataType,
+            nullable = true): Expression)).toArray
+    val keyType = keyField.dataType
+    val dirs = deleteDirs
+    file => {
+      val doomed = SnapshotDeletes.doomedKeys(dirs, keyType)
+      val kept = inner(file).filterNot(r => doomed.contains(r, keyIdx))
+      if (!needKey) kept
+      else {
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(outExprs)
+        kept.map(proj)
+      }
+    }
+  }
+}
+
+class SnapshotRenameParquetFormat(chains: Map[String, Seq[String]])
   extends ParquetFileFormat {
 
   override def supportBatch(sparkSession: SparkSession,
@@ -1885,8 +1947,7 @@ object SnapshotTable {
 
   def relation(s: SparkSession, root: JPath, version: Int,
                bloomKey: Option[String] = None,
-               partitionCol: String = "o_ym_p",
-               allowLiveDeletes: Boolean = false): HadoopFsRelation = {
+               partitionCol: String = "o_ym_p"): HadoopFsRelation = {
     // a version spanning TWO layouts can't be one HadoopFsRelation:
     // one partition schema, and serving the appended mirror as NULL
     // for old-spec files would break pruning exactness (partition-only
@@ -1898,25 +1959,28 @@ object SnapshotTable {
       s"$root version $version spans two partition layouts: read it " +
         "through SnapshotTable.read (the union-of-specs door), or " +
         "converge it with CALL migrate_layout")
-    // a bare HadoopFsRelation has no place to hang the merge-on-read
-    // anti-filter — serving it raw would RESURRECT deleted rows. The
-    // DataFrame door ([[read]]) and the SQL catalog apply the filter;
-    // direct relation consumers must opt in (they filter themselves)
-    // or compact first.
-    require(allowLiveDeletes ||
-        SnapshotManifest.deleteRecords(root, version).isEmpty,
-      s"$root version $version carries merge-on-read delete records: " +
-        "read it through SnapshotTable.read or the snap catalog " +
-        "(which apply the delete filter), or materialize the deletes " +
-        "with CALL snap.compact")
     val (partSchema, dataSchema) = schemas(s, root, version, partitionCol)
     val index = new SnapshotFileIndex(s, root, version, partSchema,
       dataSchema, bloomKey)
-    // rename history swaps in the name-mapping format; rename-free
+    // rename history swaps in the name-mapping format; live
+    // merge-on-read delete records swap in the anti-filtering format
+    // (which subsumes the rename plane); record-free rename-free
     // stores keep the stock format (identical plans to before)
     val chains = SnapshotRename.chainsFor(root, dataSchema)
+    val deleteRecs = SnapshotManifest.deleteRecords(root, version)
     val fmt =
-      if (chains.isEmpty) new ParquetFileFormat
+      if (deleteRecs.nonEmpty) {
+        val keyCol = SnapshotMeta.read(root).flatMap(_.keyCol).getOrElse(
+          throw new IllegalStateException(
+            s"$root carries #delete records but table.meta declares " +
+              "no key_column"))
+        val kf = dataSchema.fields.find(_.name == keyCol).getOrElse(
+          throw new IllegalStateException(
+            s"key column $keyCol missing from the data schema"))
+        new SnapshotDeleteParquetFormat(chains, kf.copy(nullable = true),
+          deleteRecs.valuesIterator.flatten.toSeq.distinct.sorted)
+      }
+      else if (chains.isEmpty) new ParquetFileFormat
       else new SnapshotRenameParquetFormat(chains)
     HadoopFsRelation(index, partSchema, dataSchema, None,
       fmt, Map.empty[String, String])(s)
@@ -1924,15 +1988,16 @@ object SnapshotTable {
 
   def read(s: SparkSession, root: JPath, version: Int,
            bloomKey: Option[String] = None,
-           partitionCol: String = "o_ym_p"): DataFrame = {
-    val df =
-      if (!hasOldSpecEntries(root, version))
-        s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          .baseRelationToDataFrame(relation(s, root, version, bloomKey,
-            partitionCol, allowLiveDeletes = true))
-      else readEvolved(s, root, version, bloomKey, specsOf(root))
-    SnapshotDeletes.applyTo(s, df, root, version)
-  }
+           partitionCol: String = "o_ym_p"): DataFrame =
+    // the relation's format applies the merge-on-read anti-filter
+    // itself; the evolved (union-of-specs) door never serves record-
+    // bearing versions (the MoR door refuses evolved stores and
+    // evolve refuses live records)
+    if (!hasOldSpecEntries(root, version))
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(
+          relation(s, root, version, bloomKey, partitionCol))
+    else readEvolved(s, root, version, bloomKey, specsOf(root))
 
   /** The union-of-specs read for a partition-spec-evolved store: one
     * arm per spec over exactly the entries laid out under it (entry
@@ -2169,17 +2234,14 @@ final class SnapshotSourceProvider extends RelationProvider
         s"never overwrites history); got $mode")
     SnapshotDoor.commit(ctx.sparkSession, parameters, data, txn = None)
     // the returned relation is `save()`'s unused ceremony — on a
-    // spec-evolved store (where one relation cannot exist) or a store
-    // with live merge-on-read delete records (where the raw relation
-    // refuses) return a schema-only stub instead of refusing a WRITE
-    // that already committed; reads resolve through SnapshotTable.read
+    // spec-evolved store (where one relation cannot exist) return a
+    // schema-only stub instead of refusing a WRITE that already
+    // committed; reads resolve through SnapshotTable.read
     val root = SnapshotDoor.resolveRoot(parameters)
     val multiSpec = SnapshotMeta.read(root).exists(m =>
       SnapshotManifest.partitionSpecs(root, m.partitionSchema)
         .lengthCompare(1) > 0)
-    val liveDeletes = SnapshotManifest
-      .deleteRecords(root, SnapshotManifest.head(root)).nonEmpty
-    if (!multiSpec && !liveDeletes) createRelation(ctx, parameters)
+    if (!multiSpec) createRelation(ctx, parameters)
     else new BaseRelation {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType =

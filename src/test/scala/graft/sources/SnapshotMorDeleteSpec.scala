@@ -232,17 +232,21 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .head().getLong(0) === 20L, "restore forward re-dooms")
   }
 
-  test("refusals: the raw V1 relation, clone, branch, evolve, and " +
-    "migrate refuse on live records (compact first); non-MoR tables " +
-    "are untouched by the plane") {
+  test("refusals: clone, branch, evolve, and migrate refuse on live " +
+    "records (compact first); the raw V1 relation reads exactly " +
+    "(anti-filtering file format); non-MoR tables are untouched") {
     val (root, cat) = morTable("mor_refuse")
     spark.sql(s"DELETE FROM $cat.`t` WHERE id = 1")
     val head = SnapshotManifest.head(root)
-    // V1 relation has no row-filter plane — refuse, never resurrect
-    assertThrows[IllegalArgumentException] {
-      spark.read.format("graft-snapshot").option("path", root.toString)
-        .load().count()
-    }
+    // the V1 relation plane anti-filters inside its file format: a
+    // raw format("graft-snapshot") read is exact, pruned reads
+    // included (the key column injects and projects away)
+    val v1 = spark.read.format("graft-snapshot")
+      .option("path", root.toString).load()
+    assert(v1.count() === 29L)
+    assert(v1.filter(col("id") === 1L).count() === 0L)
+    assert(v1.select(col("v")).agg(sum(col("v"))).head().getDouble(0)
+      === (2L to 30L).map(_.toDouble).sum)
     intercept[Exception] {
       graft.operators.SourceQueries.snapshotClone(
         root, root.resolveSibling("mor_refuse_clone"))
