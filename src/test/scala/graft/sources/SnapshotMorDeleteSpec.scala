@@ -216,6 +216,18 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(!rawIds.contains(4L) && !rawIds.contains(7L) &&
       !rawIds.exists(_ % 3 == 2))
+    // lifecycle closes: once the record-bearing versions expire,
+    // vacuum reclaims the dead delete sidecars (referenced by no kept
+    // manifest) while the compacted head keeps reading exactly
+    val deadDirs = (1 until v).flatMap(ver =>
+      SnapshotManifest.deleteRecords(root, ver).valuesIterator.flatten)
+      .distinct
+    assert(deadDirs.nonEmpty, "fixture must have expired delete dirs")
+    graft.operators.SourceQueries.snapshotVacuum(root, Set(v))
+    assert(deadDirs.forall(d => !new java.io.File(d).exists()),
+      s"vacuum must sweep dead delete sidecars: $deadDirs")
+    assert(spark.sql(s"SELECT id FROM $cat.`t` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === expect)
   }
 
   test("restore rolls the delete state: to pre-delete resurrects, " +
