@@ -310,6 +310,56 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .filter(col("id").isin(5L, 10L)).count() === 0L)
   }
 
+  test("MoR composes with SPJ and DPP: a bucket-layout table with " +
+    "live records still joins exchange-free (rows filtered per task) " +
+    "and a runtime-pruned scan stays exact") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val base = java.nio.file.Files.createTempDirectory("mor_spj")
+    val cat = "morspj"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    for (t <- Seq("a", "b")) s.sql(
+      s"""CREATE TABLE $cat.`$t` (id BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(4, id))
+         |TBLPROPERTIES ('key_column' = 'id',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    import s.implicits._
+    (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .createOrReplaceTempView("mor_spj_src")
+    s.sql(s"INSERT INTO $cat.`a` SELECT id, v FROM mor_spj_src")
+    s.sql(s"INSERT INTO $cat.`b` SELECT id, v * 2.0 FROM mor_spj_src")
+    s.sql(s"DELETE FROM $cat.`a` WHERE id <= 20") // records, no rewrite
+    val q = s.sql(
+      s"""SELECT SUM(a.v + b.v) FROM $cat.`a` a
+         |JOIN $cat.`b` b ON a.id = b.id""".stripMargin)
+    assert(q.collect().head.getDouble(0) ===
+      (21 to 200).map(i => i + 2.0 * i).sum,
+      "doomed keys must drop from the storage-partitioned join")
+    val joins = q.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    assert(joins.map(_.collect {
+      case e: ShuffleExchangeLike => e }.size).sum === 0,
+      s"MoR records must not cost the join its key grouping:\n" +
+        q.queryExecution.executedPlan)
+    // DPP-style static narrowing onto the hidden bucket plane: a
+    // point lookup prunes to one bucket AND applies that bucket's
+    // doomed keys (5 is doomed; 25 lives — same bucket layout path)
+    assert(s.sql(s"SELECT v FROM $cat.`a` WHERE id = 5").count() === 0L)
+    assert(s.sql(s"SELECT v FROM $cat.`a` WHERE id = 25")
+      .head().getDouble(0) === 25.0)
+  }
+
   test("a copy-on-write table refuses nothing and never carries " +
     "records (the default path is bit-identical to before)") {
     val (base, cat) = freshCat("mor_cow")
