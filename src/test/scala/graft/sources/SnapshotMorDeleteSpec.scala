@@ -230,6 +230,29 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === expect)
   }
 
+  test("schema evolution composes: ADD COLUMN while records are live " +
+    "carries them (metadata-only commit, dirs unchanged) and evolved " +
+    "reads keep filtering") {
+    val (root, cat) = morTable("mor_addcol")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (2, 4)")
+    spark.sql(s"ALTER TABLE $cat.`t` ADD COLUMN note STRING")
+    val v = SnapshotManifest.head(root)
+    assert(SnapshotManifest.deleteRecords(root, v).nonEmpty,
+      "a schema-only commit must carry the live records")
+    val got = spark.sql(
+      s"SELECT COUNT(*) AS n, COUNT(note) AS notes FROM $cat.`t`")
+      .head()
+    assert(got.getLong(0) === 28L, "filter holds through the widening")
+    assert(got.getLong(1) === 0L, "old files serve the column as NULL")
+    // and the widened upsert path still materializes on touch
+    spark.sql(
+      s"INSERT INTO $cat.`t` VALUES (2L, 'd2', 20.0, 'hi', 'd2')")
+    assert(spark.sql(s"SELECT note FROM $cat.`t` WHERE id = 2")
+      .head().getString(0) === "hi")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 29L, "key 4 stays dead, key 2 re-lives")
+  }
+
   test("restore rolls the delete state: to pre-delete resurrects, " +
     "back to post-delete re-dooms") {
     val (root, cat) = morTable("mor_restore")
