@@ -383,6 +383,37 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .head().getDouble(0) === 25.0)
   }
 
+  test("racing MoR deletes: the CAS serializes them, the loser " +
+    "rebases against the winner's head, and overlapping dooms don't " +
+    "double-record") {
+    val (root, cat) = morTable("mor_race")
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    // overlapping predicates: both doom key 6; each dooms two more
+    val preds = Seq("id IN (3, 6, 9)", "id IN (6, 12, 15)")
+    val futs = preds.map { p => pool.submit(new Runnable {
+      override def run(): Unit = {
+        gate.await()
+        spark.sql(s"DELETE FROM $cat.`t` WHERE $p")
+      }
+    })}
+    gate.countDown()
+    futs.foreach(_.get())
+    pool.shutdown()
+    val v = SnapshotManifest.head(root)
+    // exactly the union is doomed, each key once: the loser's rebase
+    // recomputes against the winner's delete-aware head, so a key the
+    // winner already doomed records nothing again
+    val doomedTotal = SnapshotManifest.deleteRecordsWithCounts(root, v)
+      .valuesIterator.flatten.map(_._2).sum
+    assert(doomedTotal === 5L,
+      s"5 distinct keys doomed across both statements, got $doomedTotal")
+    assert(spark.sql(s"SELECT id FROM $cat.`t` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq ===
+      (1L to 30L).filterNot(Set(3L, 6L, 9L, 12L, 15L)))
+  }
+
   test("a copy-on-write table refuses nothing and never carries " +
     "records (the default path is bit-identical to before)") {
     val (base, cat) = freshCat("mor_cow")
