@@ -2305,9 +2305,31 @@ object SourceQueries {
         graft.sources.SnapshotBloom.fileKey(new org.apache.hadoop.fs.Path(
           new java.io.File(dir).getAbsolutePath).toString), 0L)
       val doomedCount = perLeaf.valuesIterator.sum
-      val records = walked.sortBy(_._1)
+      // a FULLY-doomed partition (this statement's doomed rows == its
+      // live rows, provable from the sidecar row counts minus prior
+      // record counts) DROPS from the manifest instead of minting a
+      // record — O(1) metadata, no read-amplification, the Delta
+      // partition-delete shape; `DELETE FROM t` (truncate) collapses
+      // to an empty manifest with zero records this way. Unknowable
+      // cases (no sidecar, count-less legacy records) keep records —
+      // sound, never wrong.
+      val sidecarRows: Map[String, Long] =
+        graft.sources.SnapshotFiles.read(root, head)
+          .map(_.view.mapValues(_.map(_.rows).sum).toMap)
+          .getOrElse(Map.empty)
+      val prior =
+        graft.sources.SnapshotManifest.deleteRecordsWithCounts(root, head)
+      def fullyDoomed(pv: String, n: Long): Boolean =
+        sidecarRows.get(pv).exists { total =>
+          val pd = prior.getOrElse(pv, Nil).map(_._2)
+          pd.forall(_ >= 0) && n == total - pd.sum
+        }
+      val (droppedPvs, recordedPvs) = walked.partition {
+        case (pv, dir) => fullyDoomed(pv, countOf(dir))
+      }
+      val records = recordedPvs.sortBy(_._1)
         .map { case (pv, dir) => s"#delete\t$pv\t${countOf(dir)}\t$dir" }
-      val entries = readManifest(root, head)
+      val entries = readManifest(root, head) -- droppedPvs.map(_._1)
       try {
         // parent entries verbatim + new records; the carry rule folds
         // in the parent's still-live records (dirs unchanged here)

@@ -186,14 +186,14 @@ class SnapshotMorDeleteSpec extends SparkSpec {
   }
 
   test("compact materializes: records gone, doomed keys gone from the " +
-    "raw files, reads unchanged; a fully-doomed partition drops; " +
-    "vacuum never sweeps live delete sidecars") {
+    "raw files, reads unchanged; vacuum never sweeps live delete " +
+    "sidecars") {
     val (root, cat) = morTable("mor_compact")
     spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (4, 7)") // both d1
-    // fully doom d2 (keys 2,5,...,29)
-    spark.sql(s"DELETE FROM $cat.`t` WHERE day = 'd2'")
+    // partially doom d2 (keys 2,5,...,20 — 23/26/29 survive)
+    spark.sql(s"DELETE FROM $cat.`t` WHERE day = 'd2' AND id <= 20")
     val expect = (1L to 30L).filterNot(Set(4L, 7L))
-      .filterNot(_ % 3 == 2)
+      .filterNot(k => k % 3 == 2 && k <= 20)
 
     // vacuum at the head: the delete sidecars are REFERENCED state
     val kept = SnapshotManifest.head(root)
@@ -206,8 +206,6 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .snapshotCompact(spark, root, threshold = 2)
     assert(nPart === 2, "the two recorded partitions rewrite")
     assert(SnapshotManifest.deleteRecords(root, v).isEmpty)
-    assert(!SnapshotManifest.read(root, v).contains("d2"),
-      "a fully-doomed partition drops from the manifest")
     assert(spark.sql(s"SELECT id FROM $cat.`t` ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === expect)
     // the doomed keys are PHYSICALLY gone post-compact
@@ -215,7 +213,7 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       SnapshotManifest.read(root, v).values.toSeq: _*)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(!rawIds.contains(4L) && !rawIds.contains(7L) &&
-      !rawIds.exists(_ % 3 == 2))
+      !rawIds.exists(k => k % 3 == 2 && k <= 20))
     // lifecycle closes: once the record-bearing versions expire,
     // vacuum reclaims the dead delete sidecars (referenced by no kept
     // manifest) while the compacted head keeps reading exactly
@@ -251,6 +249,43 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .head().getString(0) === "hi")
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
       .head().getLong(0) === 29L, "key 4 stays dead, key 2 re-lives")
+  }
+
+  test("a FULLY-doomed partition drops from the manifest at DELETE " +
+    "time — O(1) metadata, no record, no read-amplification; " +
+    "DELETE FROM t collapses to an empty manifest (truncate shape)") {
+    val (root, cat) = morTable("mor_pdrop")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE day = 'd2'") // all of d2
+    val v = SnapshotManifest.head(root)
+    assert(!SnapshotManifest.read(root, v).contains("d2"),
+      "the fully-doomed partition must drop, not record")
+    assert(SnapshotManifest.deleteRecords(root, v).isEmpty,
+      "a pure partition drop needs no records at all")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 20L)
+    // stacking proves it works THROUGH prior records: doom part of
+    // d1, then the rest — the second statement's counts plus the
+    // prior record's prove full doom, and d1 drops with its records
+    spark.sql(s"DELETE FROM $cat.`t` WHERE day = 'd1' AND id <= 13")
+    val v2 = SnapshotManifest.head(root)
+    assert(SnapshotManifest.deleteRecords(root, v2).contains("d1"))
+    spark.sql(s"DELETE FROM $cat.`t` WHERE day = 'd1'")
+    val v3 = SnapshotManifest.head(root)
+    assert(!SnapshotManifest.read(root, v3).contains("d1") &&
+      !SnapshotManifest.deleteRecords(root, v3).contains("d1"),
+      "prior records + the closing doom must drop the partition")
+    // the truncate shape: everything left dooms fully -> empty
+    // manifest, zero records, zero data writes
+    spark.sql(s"DELETE FROM $cat.`t`")
+    val v4 = SnapshotManifest.head(root)
+    assert(SnapshotManifest.read(root, v4).isEmpty &&
+      SnapshotManifest.deleteRecords(root, v4).isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 0L)
+    // history is intact: the pre-drop version still serves d2's rows
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.`t` VERSION AS OF ${v - 1}")
+      .head().getLong(0) === 30L)
   }
 
   test("restore rolls the delete state: to pre-delete resurrects, " +
