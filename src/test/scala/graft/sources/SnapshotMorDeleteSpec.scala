@@ -18,13 +18,19 @@ import graft.SparkSpec
   *     to the pre-delete version, and stacked deletes;
   *  3. interop: door upsert on a recorded partition materializes that
   *     partition only (re-inserting a doomed key resurrects exactly
-  *     it); UPDATE rewrites read through the filter; restore rolls
-  *     the delete state back and forward;
-  *  4. compact materializes (records gone, files clean, reads equal),
-  *     a fully-doomed partition drops, vacuum never sweeps live
-  *     delete sidecars;
-  *  5. refusals: the raw V1 relation (no filter plane), clone/branch/
-  *     evolve on live records.
+  *     it); the DataFrame door's `commitMode=delete` publishes
+  *     records too; UPDATE rewrites read through the filter; ADD
+  *     COLUMN carries records; restore rolls the delete state back
+  *     and forward; racing deletes CAS-serialize without
+  *     double-recording; SPJ/DPP compose (rows filter per task, key
+  *     grouping intact);
+  *  4. compact materializes (records gone, files clean, reads equal);
+  *     a FULLY-doomed partition drops at DELETE time (O(1) metadata,
+  *     `DELETE FROM t` = empty manifest); vacuum never sweeps live
+  *     delete sidecars and reclaims expired ones;
+  *  5. the raw V1 relation reads exactly (anti-filtering file
+  *     format); clone/branch/evolve refuse on live records, the
+  *     clone/branch guard checking the PINNED version.
   */
 class SnapshotMorDeleteSpec extends SparkSpec {
 
