@@ -363,21 +363,21 @@ final class SnapshotEvolvedScan(
     */
   override def estimateStatistics(): Statistics = {
     val ss = arms.map(_.scan.estimateStatistics())
-    val sidecarRows: Option[Long] =
+    val prunedEntries: Option[Seq[SnapshotFiles.FileEntry]] =
       statsSource.flatMap { case (root, version) =>
         SnapshotFiles.read(root, version).flatMap { fm =>
-          val rowsByKey = fm.valuesIterator.flatten
-            .map(e => SnapshotBloom.fileKey(e.path) -> e.rows).toMap
+          val byKey = fm.valuesIterator.flatten
+            .map(e => SnapshotBloom.fileKey(e.path) -> e).toMap
           // sidecar-unknown files fall back to the delegate estimate —
           // defaulting them to 0 rows under-reports numRows and can
           // flip join planning ([[SnapshotDppScan.estimateStatistics]])
-          val counts = arms.iterator.flatMap { a =>
+          val entries = arms.iterator.flatMap { a =>
             a.scan.fileIndex
               .listFiles(a.scan.partitionFilters, a.scan.dataFilters)
               .iterator.flatMap(_.files).map(st =>
-                rowsByKey.get(SnapshotBloom.fileKey(st.getPath.toString)))
+                byKey.get(SnapshotBloom.fileKey(st.getPath.toString)))
           }.toSeq
-          if (counts.forall(_.isDefined)) Some(counts.flatten.sum)
+          if (entries.forall(_.isDefined)) Some(entries.flatten)
           else None
         }
       }
@@ -386,12 +386,45 @@ final class SnapshotEvolvedScan(
         if (ss.forall(_.sizeInBytes().isPresent))
           OptionalLong.of(ss.map(_.sizeInBytes().getAsLong).sum)
         else OptionalLong.empty()
-      override def numRows(): OptionalLong = sidecarRows match {
-        case Some(n) => OptionalLong.of(n)
+      override def numRows(): OptionalLong = prunedEntries match {
+        case Some(es) => OptionalLong.of(es.map(_.rows).sum)
         case None =>
           if (ss.forall(_.numRows().isPresent))
             OptionalLong.of(ss.map(_.numRows().getAsLong).sum)
           else OptionalLong.empty()
+      }
+      // column-level NDV parity with the single-layout scan: the
+      // per-file sketches union ACROSS arms exactly like across files
+      // (one vocabulary — the cast-to-string plane), so an evolved
+      // table feeds CBO the same distinct counts a converged one does
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        lazyColumnStats
+      private lazy val lazyColumnStats = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        prunedEntries.foreach { es =>
+          val readCols = readSchema().fieldNames.toSet
+          val eligible =
+            if (es.isEmpty) Set.empty[String]
+            else es.map(_.ndv.keySet).reduce(_ intersect _)
+              .intersect(readCols)
+          eligible.foreach { c =>
+            SnapshotFiles.estimateNdv(es.flatMap(_.ndv.get(c))).foreach {
+              n =>
+                m.put(org.apache.spark.sql.connector.expressions
+                  .Expressions.column(c),
+                  new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(n)
+                  })
+            }
+          }
+        }
+        m
       }
     }
   }

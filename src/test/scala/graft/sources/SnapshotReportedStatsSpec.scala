@@ -92,6 +92,15 @@ class SnapshotReportedStatsSpec extends SparkSpec {
     val st = scan.estimateStatistics()
     assert(st.numRows.isPresent && st.numRows.getAsLong === 91L,
       s"evolved scan must report sidecar cardinality, got $st")
+    // NDV parity: the arms' per-file sketches union into one distinct
+    // count exactly like a converged table's
+    import scala.jdk.CollectionConverters._
+    val idNdv = st.columnStats().asScala.collectFirst {
+      case (ref, cs) if ref.fieldNames().sameElements(Array("id")) =>
+        cs.distinctCount().getAsLong
+    }
+    assert(idNdv.exists(n => n > 80 && n < 100),
+      s"evolved scan must report ~91 distinct ids, got $idNdv")
   }
 
   test("a PARTIALLY-covered sidecar falls back to the delegate " +
