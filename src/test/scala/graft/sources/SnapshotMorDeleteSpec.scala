@@ -174,15 +174,23 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .head().getDouble(0) === 60.0)
   }
 
-  test("UPDATE (group rewrite) reads through the anti-filter: doomed " +
-    "keys never resurrect, replaced groups drop their records") {
+  test("UPDATE on a MoR table takes the DELTA path (round 16): prior " +
+    "doomed keys never resurrect, records stack instead of rewriting") {
     val (root, cat) = morTable("mor_update")
     spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (1, 2)") // d1, d2
-    // UPDATE touches rows of every partition => full group rewrite
+    val vDel = SnapshotManifest.head(root)
+    val filesBefore = SnapshotManifest.read(root, vDel).values.toSet
+    // UPDATE matches rows of every partition — on a merge-on-read
+    // table this commits `#delete` + `#upsert` records, NO rewrite
+    // ([[SnapshotDeltaOperation]]; the group rewrite remains the
+    // copy-on-write tables' path)
     spark.sql(s"UPDATE $cat.`t` SET v = v * 10 WHERE id <= 6")
     val v = SnapshotManifest.head(root)
-    assert(SnapshotManifest.deleteRecords(root, v).isEmpty,
-      "every group rewritten -> every record materialized")
+    assert(SnapshotManifest.read(root, v).values.toSet === filesBefore,
+      "a MoR UPDATE must not repoint any partition dir")
+    assert(SnapshotManifest.deleteRecords(root, v).nonEmpty &&
+      SnapshotManifest.upsertRecords(root, v).nonEmpty,
+      "the UPDATE commits on the record planes")
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
       .head().getLong(0) === 28L)
     assert(spark.sql(s"SELECT id FROM $cat.`t` WHERE id <= 2")
@@ -308,9 +316,9 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       .head().getLong(0) === 20L, "restore forward re-dooms")
   }
 
-  test("refusals: clone, branch, evolve, and migrate refuse on live " +
-    "records (compact first); the raw V1 relation reads exactly " +
-    "(anti-filtering file format); non-MoR tables are untouched") {
+  test("live-record lifecycle: evolve/migrate still refuse; clone and " +
+    "branch CARRY records (round 16); the raw V1 relation reads " +
+    "exactly (anti-filtering file format)") {
     val (root, cat) = morTable("mor_refuse")
     spark.sql(s"DELETE FROM $cat.`t` WHERE id = 1")
     val head = SnapshotManifest.head(root)
@@ -323,33 +331,46 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(v1.filter(col("id") === 1L).count() === 0L)
     assert(v1.select(col("v")).agg(sum(col("v"))).head().getDouble(0)
       === (2L to 30L).map(_.toDouble).sum)
-    intercept[Exception] {
-      graft.operators.SourceQueries.snapshotClone(
-        root, root.resolveSibling("mor_refuse_clone"))
-    }
-    intercept[Exception] {
-      graft.operators.SourceQueries.snapshotBranchCreate(root, "dev")
-    }
+    // spec evolution still refuses (the union-of-specs read has no
+    // record plane behind it)
     intercept[Exception] {
       graft.operators.SourceQueries.snapshotEvolvePartitioning(
         spark, root, "bucket(4, id)")
     }
+    // clone over LIVE records (round 16): sidecars hard-link, record
+    // lines re-publish, the base manifest takes the source version
+    // number so future commit stamps stay above the carried ones
+    val cloneRoot = root.resolveSibling("mor_refuse_clone")
+    val (cv, nc0, _) = graft.operators.SourceQueries.snapshotClone(
+      root, cloneRoot)
+    assert(cv === head && SnapshotManifest.head(cloneRoot) === head,
+      "a record-carrying clone bases at the source version")
+    assert(SnapshotManifest.deleteRecords(cloneRoot, head).nonEmpty)
+    assert(nc0 === 3)
+    assert(SnapshotTable.read(spark, cloneRoot, head).count() === 29L,
+      "the clone reads through its carried records")
+    // branch over LIVE records: fork-shared sidecars, exact reads
+    val (_, nb) = graft.operators.SourceQueries.snapshotBranchCreate(
+      root, "withrecs")
+    val broot = graft.sources.SnapshotBranches.root(root, "withrecs")
+    assert(nb === 3)
+    assert(SnapshotManifest.deleteRecords(broot, head).nonEmpty)
+    assert(SnapshotTable.read(spark, broot, head).count() === 29L,
+      "the branch reads through its carried records")
+    // vacuum on MAIN keeps the sidecars the branch references; the
+    // clone owns hard links, so it is immune either way
+    graft.operators.SourceQueries.snapshotVacuum(root, Set(head))
+    assert(SnapshotTable.read(spark, broot, head).count() === 29L)
+    assert(SnapshotTable.read(spark, cloneRoot, head).count() === 29L)
     // the DataFrame door still reads exactly (opt-in filter applied)
     assert(SnapshotTable.read(spark, root, head).count() === 29L)
-    // and compact clears the way
-    graft.operators.SourceQueries.snapshotCompact(spark, root, 2)
-    val (_, n) = graft.operators.SourceQueries.snapshotBranchCreate(
-      root, "dev")
-    assert(n === 3)
-    // …but a PINNED clone of the pre-compact version still refuses:
-    // that version's records are live even though the head is clean
-    intercept[Exception] {
-      graft.operators.SourceQueries.snapshotClone(
-        root, root.resolveSibling("mor_refuse_pin"), Some(head))
-    }
-    val (_, nc, _) = graft.operators.SourceQueries.snapshotClone(
-      root, root.resolveSibling("mor_refuse_head"))
-    assert(nc === 3, "the compacted head clones fine")
+    // compact on the CLONE materializes ITS records independently
+    graft.operators.SourceQueries.snapshotCompact(spark, cloneRoot, 2)
+    val cHead = SnapshotManifest.head(cloneRoot)
+    assert(!SnapshotManifest.hasLiveMorRecords(cloneRoot, cHead))
+    assert(SnapshotTable.read(spark, cloneRoot, cHead).count() === 29L)
+    // main still serves its records (clone rewrites shared nothing)
+    assert(SnapshotTable.read(spark, root, head).count() === 29L)
   }
 
   test("the DataFrame door's key-list delete (commitMode=delete) also " +

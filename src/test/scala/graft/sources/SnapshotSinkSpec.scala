@@ -235,4 +235,69 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotManifest.lastTxnBatch(store, "restart-app")
       === Some(2L))
   }
+
+  test("commitMode=delete micro-batches on a merge-on-read store " +
+    "publish records-only versions carrying their #txn markers — the " +
+    "CDC takedown loop (round 16); replays and no-op batches stay " +
+    "exactly-once") {
+    val base = freshBase()
+    val cat = "sinkmor" + java.util.UUID.randomUUID.toString.take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    spark.sql(
+      s"""CREATE TABLE $cat.`t`
+         |  (id BIGINT, day STRING, v DOUBLE, day_p STRING)
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.`t` SELECT id, concat('d', id % 3), " +
+      "CAST(id AS DOUBLE), concat('d', id % 3) FROM range(1, 31)")
+    val root = base.resolve("t")
+    val vPre = SnapshotManifest.head(root)
+    val entriesPre = SnapshotManifest.read(root, vPre)
+    val sink = new SnapshotSink(spark,
+      Map("path" -> root.toString, "txnAppId" -> "mor-app",
+        "keyCol" -> "id", "commitMode" -> "delete"))
+    def keys(ks: Seq[Long]) = ks.toDF("id")
+
+    sink.addBatch(0, keys(Seq(1L, 2L, 3L)))
+    val v = SnapshotManifest.head(root)
+    assert(v === vPre + 1, "one micro-batch, one records-only version")
+    assert(SnapshotManifest.read(root, v) === entriesPre,
+      "a takedown batch must not repoint any partition dir")
+    assert(SnapshotManifest.deleteRecords(root, v).nonEmpty)
+    assert(SnapshotManifest.lastTxnBatch(root, "mor-app") === Some(0L),
+      "the #txn marker rides the records-only manifest")
+    assert(stateOf2(root).size === 27)
+
+    // crash-replay of batch 0 with DIFFERENT content: must be skipped
+    sink.addBatch(0, keys(Seq(9L)))
+    assert(SnapshotManifest.head(root) === v)
+    assert(stateOf2(root).exists(_ == 9L), "replayed batch must not run")
+
+    // a phantom-keys batch dooms nothing but STILL advances the
+    // marker (a no-op batch that never recorded its txn would replay
+    // forever across restarts)
+    sink.addBatch(1, keys(Seq(999L)))
+    val v2 = SnapshotManifest.head(root)
+    assert(v2 === v + 1)
+    assert(SnapshotManifest.lastTxnBatch(root, "mor-app") === Some(1L))
+    assert(SnapshotManifest.deleteRecords(root, v2).nonEmpty,
+      "the carried batch-0 records survive the no-op publish")
+    assert(stateOf2(root).size === 27)
+
+    // changefeed parity: the records-only version streams its doomed
+    // keys as delete events with exact pre-images
+    val ch = graft.operators.SourceQueries
+      .changeRows(spark, root, vPre, v, keyCol = "id", valCol = "v")
+      .collect()
+    assert(ch.length === 3 && ch.forall(_.getString(3) === "delete"))
+    assert(ch.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  /** Key set of the head read (the MoR arm's t-table shape). */
+  private def stateOf2(root: java.nio.file.Path): Set[Long] =
+    SnapshotTable.read(spark, root, SnapshotManifest.head(root))
+      .select("id").collect().map(_.getLong(0)).toSet
 }
