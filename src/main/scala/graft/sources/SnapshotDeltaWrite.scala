@@ -114,7 +114,19 @@ final class SnapshotDeltaWrite(
     version: Int,
     meta: SnapshotMeta.Meta,
     keyCol: String,
-    info: LogicalWriteInfo) extends DeltaWrite {
+    info: LogicalWriteInfo) extends DeltaWrite
+  with SnapshotClusteredWrite {
+
+  /** Same write-side clustering as every batch write into the store
+    * ([[SnapshotClusteredWrite]]): the delta is rebalance-clustered by
+    * the layout transforms over the NEW rows' source columns, so the
+    * `u<V>` plane lands O(touched partitions) files, not
+    * O(tasks × partitions) — delta-sized shuffles are cheap, unbounded
+    * file counts are not. (The `d<V>` key files route by the OLD
+    * row's partition, which a new-row clustering cannot pin — their
+    * worst case stays bounded by the delta itself.)
+    */
+  override protected def writeMeta: SnapshotMeta.Meta = meta
 
   override def description(): String = s"graft-snapshot-delta v$version"
 
@@ -169,7 +181,11 @@ final class SnapshotDeltaWrite(
       try graft.operators.SourceQueries.snapshotMorDeltaCommit(spark,
         root, version, uDirs, dDirs)
       catch {
-        case e: Throwable =>
+        // ONLY a CAS loss may reclaim the roots: nothing references
+        // them then. Any other failure could be post-publish (the
+        // stats-sidecar write), when the dirs ARE referenced state —
+        // leave them; vacuum never sweeps referenced dirs.
+        case e: graft.operators.SourceQueries.SnapshotConflictException =>
           org.apache.commons.io.FileUtils.deleteQuietly(uRoot.toFile)
           org.apache.commons.io.FileUtils.deleteQuietly(dRoot.toFile)
           throw e

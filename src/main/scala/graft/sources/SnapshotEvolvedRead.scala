@@ -60,7 +60,8 @@ final class SnapshotEvolvedV2Table(
   extends Table
   with SupportsRead
   with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val dataSchema: StructType = meta.dataSchema
   private val current: StructType = specs.last
@@ -181,10 +182,55 @@ final class SnapshotEvolvedV2Table(
     }
   }
 
+  /** MERGE-ON-READ DELETE works on an unmigrated evolved head
+    * (round 16 — VERDICT r15 #5): a translatable predicate takes the
+    * metadata door below (`canDeleteWhere` → records-only commit);
+    * Spark's analysis still builds the row-level rewrite first, so
+    * DELETE hands back an operation whose SCAN is the union-of-specs
+    * read and whose WRITE refuses lazily — the optimizer's
+    * metadata-delete replacement strikes before any write builds.
+    * UPDATE/MERGE (and untranslatable DELETEs) keep refusing: a
+    * delta write on a mixed-arity head would need per-arm record
+    * scoping the store deliberately defers to migrate_layout.
+    */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    refuse("row-level DML")
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    if (info.command != RowLevelOperation.Command.DELETE)
+      refuse("row-level DML")
+    if (pinned) throw new UnsupportedOperationException(
+      s"${info.command} on a VERSION/TIMESTAMP AS OF reference: " +
+        "snapshot history is immutable")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          SnapshotEvolvedV2Table.this.newScanBuilder(options)
+        override def newWriteBuilder(
+            i: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+            : org.apache.spark.sql.connector.write.WriteBuilder =
+          refuse("rewrite-DELETE (untranslatable predicate)")
+        override def description(): String =
+          s"graft-snapshot-evolved-delete v$snapVersion"
+      }
+    }
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    meta.mergeOnRead && filters.forall(SnapshotDml.translatable)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (pinned) throw new UnsupportedOperationException(
+      "DELETE FROM on a VERSION/TIMESTAMP AS OF reference: snapshot " +
+        "history is immutable")
+    val head = SnapshotTable.read(spark, root, SnapshotManifest.head(root))
+    graft.operators.SourceQueries.snapshotMorDelete(spark, root,
+      SnapshotDml.toColumn(filters, head.columns.toSet))
+  }
 }
 
 /** Per-spec-arm pushdown: every call fans out to one stock
@@ -210,6 +256,29 @@ private[sources] final class SnapshotEvolvedScanBuilder(
     if (chains.isEmpty) dataSchema
     else SnapshotRename.physicalSchema(dataSchema, chains)
   private val manifest = SnapshotManifest.read(root, version)
+
+  /** Live `#delete` records of the served version (round 16 — VERDICT
+    * r15 #5): the union scan anti-filters GLOBALLY on the key —
+    * table-unique, so arm scoping is unneeded for exactness, and an
+    * evolved store can carry no `#upsert` deltas (stamp scoping moot).
+    */
+  private val deleteState: Option[(org.apache.spark.sql.types.StructField,
+      Seq[String])] = {
+    val recs = SnapshotManifest.deleteRecords(root, version)
+    if (recs.isEmpty) None
+    else {
+      val keyCol = SnapshotMeta.read(root).flatMap(_.keyCol).getOrElse(
+        throw new IllegalStateException(
+          s"$root carries #delete records but table.meta declares no " +
+            "key_column"))
+      val kf = dataSchema.fields.find(_.name == keyCol).getOrElse(
+        throw new IllegalStateException(
+          s"key column $keyCol missing from the data schema"))
+      Some((kf.copy(nullable = true),
+        recs.valuesIterator.flatten.toSeq.distinct.sorted))
+    }
+  }
+  private var injectedKey = false
 
   private case class Arm(spec: StructType, builder: ParquetScanBuilder,
                          derived: Set[String])
@@ -240,12 +309,21 @@ private[sources] final class SnapshotEvolvedScanBuilder(
       dataSchema.fieldNames.contains(f.name)))
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    required = requiredSchema
+    // the global anti-filter probes the KEY column — inject it into
+    // pruned reads that dropped it and project it back out after the
+    // filter (the single-layout door's discipline)
+    required = deleteState match {
+      case Some((kf, _))
+        if !requiredSchema.fieldNames.contains(kf.name) =>
+        injectedKey = true
+        StructType(requiredSchema.fields :+ kf)
+      case _ => requiredSchema
+    }
     arms.foreach { arm =>
       // an appended mirror reads through its SOURCE data column on
       // arms that predate it; everything else reads by name
       val names = scala.collection.mutable.LinkedHashSet.empty[String]
-      requiredSchema.fields.foreach { f =>
+      required.fields.foreach { f =>
         names += (if (arm.derived(f.name)) sourceOf(f.name) else f.name)
       }
       val armReq = StructType(names.toSeq.flatMap { n =>
@@ -300,7 +378,8 @@ private[sources] final class SnapshotEvolvedScanBuilder(
   override def build(): Scan = new SnapshotEvolvedScan(
     arms.map(a =>
       SnapshotEvolvedScan.Arm(a.builder.build(), a.spec, a.derived)),
-    current, required, dataSchema, chains, Some((root, version)))
+    current, required, dataSchema, chains, Some((root, version)),
+    deleteState.map { case (kf, dirs) => (kf, dirs, injectedKey) })
 }
 
 private[sources] object SnapshotEvolvedScan {
@@ -324,7 +403,9 @@ final class SnapshotEvolvedScan(
     unified: StructType,
     dataSchema: StructType,
     chains: Map[String, Seq[String]],
-    statsSource: Option[(JPath, Int)] = None)
+    statsSource: Option[(JPath, Int)] = None,
+    deleteState: Option[(org.apache.spark.sql.types.StructField,
+      Seq[String], Boolean)] = None)
   extends Scan
   with SupportsReportStatistics
   with SupportsRuntimeV2Filtering
@@ -336,11 +417,29 @@ final class SnapshotEvolvedScan(
     */
   private[graft] def currentArms: Seq[SnapshotEvolvedScan.Arm] = arms
 
-  override def readSchema(): StructType = unified
+  override def readSchema(): StructType = deleteState match {
+    case Some((kf, _, true)) =>
+      StructType(unified.fields.filterNot(_.name == kf.name))
+    case _ => unified
+  }
 
-  override def toBatch: Batch = new SnapshotEvolvedBatch(
-    arms.map(a => (a.scan.toBatch, a.scan.readSchema(), a.derived)),
-    unified, chains)
+  override def toBatch: Batch = {
+    val base: Batch = new SnapshotEvolvedBatch(
+      arms.map(a => (a.scan.toBatch, a.scan.readSchema(), a.derived)),
+      unified, chains)
+    deleteState match {
+      case None => base
+      case Some((kf, dirs, injected)) =>
+        // global anti-filter per task over the union's unified rows
+        // (the arm-tagged partitions aren't FilePartitions, so the
+        // wrapper applies the full record set — exactly the intended
+        // global scope)
+        new SnapshotDeleteBatch(base, unified,
+          unified.fieldIndex(kf.name), kf.dataType, injected, dirs,
+          new SerializableConf(org.apache.spark.sql.SparkSession
+            .active.sparkContext.hadoopConfiguration))
+    }
+  }
 
   override def description(): String =
     s"graft-snapshot union-of-specs (${arms.size} arms: " +

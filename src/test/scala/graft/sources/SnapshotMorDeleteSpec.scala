@@ -29,8 +29,13 @@ import graft.SparkSpec
   *     `DELETE FROM t` = empty manifest); vacuum never sweeps live
   *     delete sidecars and reclaims expired ones;
   *  5. the raw V1 relation reads exactly (anti-filtering file
-  *     format); clone/branch/evolve refuse on live records, the
-  *     clone/branch guard checking the PINNED version.
+  *     format); clone and branch CARRY live records (round 16 —
+  *     sidecars link/fork-share, stamps preserved); evolve/migrate
+  *     interplay: spec evolution refuses live records, but a MoR
+  *     DELETE works on an already-evolved head (records mint under
+  *     the current spec, both union doors filter globally by key,
+  *     compact defers record pvs until migrate_layout converges and
+  *     materializes).
   */
 class SnapshotMorDeleteSpec extends SparkSpec {
 
@@ -492,5 +497,71 @@ class SnapshotMorDeleteSpec extends SparkSpec {
       SnapshotManifest.head(root)).isEmpty)
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
       .head().getLong(0) === 8L)
+  }
+
+  test("MoR DELETE works on an UNMIGRATED evolved head (round 16): " +
+    "records-only commit across arms, both doors exact; compact " +
+    "defers record pvs; migrate materializes and converges") {
+    val (root, cat) = morTable("mor_evolved")
+    spark.sql(s"CALL $cat.evolve_partitioning('t', 'bucket(2, id)')")
+    // touch ONE day so the head mixes arities (d1 migrates, d0/d2 stay)
+    spark.sql(s"INSERT INTO $cat.`t` VALUES (100L, 'd1', 100.0, 'd1')")
+    val headE = SnapshotManifest.head(root)
+    assert(SnapshotTable.hasOldSpecEntries(root, headE),
+      "fixture must be an unmigrated evolved head")
+    val entriesPre = SnapshotManifest.read(root, headE)
+
+    // dooms 29, 30 (OLD-spec arms) and 100 (new-spec arm) — the
+    // cross-arm shape the global key filter must cover
+    spark.sql(s"DELETE FROM $cat.`t` WHERE v >= 29.0")
+    val vDel = SnapshotManifest.head(root)
+    assert(vDel === headE + 1)
+    assert(SnapshotManifest.read(root, vDel) === entriesPre,
+      "a records-only commit must not repoint any entry")
+    val recs = SnapshotManifest.deleteRecords(root, vDel)
+    assert(recs.nonEmpty &&
+      recs.keySet.forall(_.split("/", -1).length == 2),
+      s"records mint under the CURRENT spec, got ${recs.keySet}")
+
+    // SQL evolved (union) door: full rows, aggregates, pruned count
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 28L)
+    assert(spark.sql(s"SELECT CAST(SUM(id) AS BIGINT) FROM $cat.`t`")
+      .head().getLong(0) === (1L to 28L).sum)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.`t` WHERE day_p = 'd2'")
+      .head().getLong(0) === 9L) // 2,5,...,26 survive; 29 doomed
+    // DataFrame union door
+    assert(SnapshotTable.read(spark, root, vDel).count() === 28L)
+    // time travel: pre-delete evolved version intact
+    assert(SnapshotTable.read(spark, root, headE).count() === 31L)
+
+    // compact DEFERS record-bearing pvs on an evolved head (their
+    // doomed rows may live in old-spec arms)
+    graft.operators.SourceQueries.snapshotCompact(spark, root, 2)
+    assert(SnapshotManifest.deleteRecords(root,
+      SnapshotManifest.head(root)).nonEmpty,
+      "compact must not materialize records while arities are mixed")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 28L)
+
+    // migrate converges the layout AND materializes the records whose
+    // rows it rewrites (global anti-filter on the migrating read)
+    val (nMig, _) = graft.operators.SourceQueries
+      .snapshotMigrateLayout(spark, root, 100)
+    assert(nMig > 0)
+    val vMig = SnapshotManifest.head(root)
+    assert(!SnapshotTable.hasOldSpecEntries(root, vMig))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 28L,
+      "doomed keys stay dead through migration")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t` WHERE id >= 29")
+      .head().getLong(0) === 0L)
+    // converged head: compact clears the remaining records
+    graft.operators.SourceQueries.snapshotCompact(spark, root, 2)
+    val vEnd = SnapshotManifest.head(root)
+    assert(!SnapshotManifest.hasLiveMorRecords(root, vEnd))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 28L)
   }
 }

@@ -92,6 +92,16 @@ class SnapshotMorUpdateSpec extends SparkSpec {
       "recorded doomed counts = matched rows")
     assert(ups.valuesIterator.flatten.map(_._2).sum === 6L,
       "recorded delta-row counts = matched rows")
+    // the `upserts` METADATA TABLE serves the delta plane as SQL
+    // (the `deletes` table's round-16 sibling), version-pinnable
+    val metaRows = spark.sql(
+      s"SELECT pv, delta_rows FROM $cat.`t`.`upserts` ORDER BY pv")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(metaRows.map(_._1).toSeq === Seq("d0", "d1", "d2") &&
+      metaRows.map(_._2).sum === 6L, s"got ${metaRows.toSeq}")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.`t`.`upserts` VERSION AS OF $v2")
+      .head().getLong(0) === 0L)
 
     // SQL door: the statement's own delta rows survive its own
     // records (scoping), every other row untouched
@@ -317,5 +327,33 @@ class SnapshotMorUpdateSpec extends SparkSpec {
       assert(mn.head().getDouble(0) === -1.0)
     } finally
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  test("record-bearing scans stay VECTORIZED (round 16): columnar " +
+    "plan shape with the per-batch probe, exact rows through stacked " +
+    "delete+update state") {
+    val (root, cat) = morTable("moru_vec")
+    spark.sql(s"DELETE FROM $cat.`t` WHERE id IN (5, 6)")
+    spark.sql(s"UPDATE $cat.`t` SET v = v + 0.5 WHERE id = 7")
+    val q = spark.sql(s"SELECT SUM(v) FROM $cat.`t`")
+    val expect = (1L to 30L).map(_.toDouble).sum - 5.0 - 6.0 + 0.5
+    assert(Math.abs(q.collect()(0).getDouble(0) - expect) < 1e-9)
+    // plan inspected AFTER a full collect (AQE finalizes lazily;
+    // head()'s take path leaves the printed plan non-final)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      s"record-bearing scans must stay columnar:\n" +
+        q.queryExecution.executedPlan)
+    // the injected-key path (count prunes every column) stays exact
+    // and columnar too: the wrapper re-wraps surviving vectors
+    val c = spark.sql(s"SELECT COUNT(v) FROM $cat.`t`")
+    assert(c.collect()(0).getLong(0) === 28L)
+    assert(c.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 7")
+      .head().getDouble(0) === 7.5)
+    // DataFrame door unchanged (its V1 format filters row-wise)
+    assert(SnapshotTable.read(spark, root,
+      SnapshotManifest.head(root)).count() === 28L)
   }
 }
