@@ -2331,6 +2331,29 @@ object SourceQueries {
       pred: org.apache.spark.sql.Column): (Int, Long) =
     snapshotMorDeleteBy(s, root, _.filter(pred))
 
+  /** One delta-sized counting pass over freshly-written leaf dirs:
+    * rows per leaf, keyed by the canonicalization pair every
+    * manifest-plane consumer uses (URI-decode the `_metadata` path,
+    * fileKey the on-disk dir — escaped-value partition names must
+    * meet on one form). Shared by the MoR DELETE door and the
+    * UPDATE/MERGE delta commit, whose records both carry the counts
+    * so plan-time statistics stay exact without opening sidecars.
+    */
+  private def leafRowCounts(s: SparkSession, dirs: Seq[String])
+      : (Map[String, Long], String => Long) = {
+    val perLeaf: Map[String, Long] =
+      if (dirs.isEmpty) Map.empty
+      else s.read.parquet(dirs: _*)
+        .groupBy(col("_metadata.file_path")).count().collect()
+        .map { r =>
+          val f = new java.net.URI(r.getString(0)).getPath
+          (f.substring(0, f.lastIndexOf('/')), r.getLong(1))
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+    (perLeaf, dir => perLeaf.getOrElse(
+      graft.sources.SnapshotBloom.fileKey(new org.apache.hadoop.fs.Path(
+        new java.io.File(dir).getAbsolutePath).toString), 0L))
+  }
+
   /** Doomed-row selection generalized over both DELETE doors: the SQL
     * door dooms by predicate, the DataFrame door
     * (`commitMode=delete`) by key list — a broadcast semi-join against
@@ -2409,19 +2432,7 @@ object SourceQueries {
       // per-leaf doomed counts ride in the records so plan-time
       // statistics report exact post-delete cardinality without
       // opening the sidecars — one delta-sized counting pass
-      val perLeaf: Map[String, Long] = s.read
-        .parquet(walked.map(_._2): _*)
-        .groupBy(col("_metadata.file_path")).count().collect()
-        .map { r =>
-          val f = new java.net.URI(r.getString(0)).getPath
-          (f.substring(0, f.lastIndexOf('/')), r.getLong(1))
-        }.groupMapReduce(_._1)(_._2)(_ + _)
-      // same canonicalization pair as SnapshotFiles.collect: URI-decode
-      // the metadata path, fileKey the on-disk dir (escaped-value
-      // partition names must meet on one form)
-      def countOf(dir: String): Long = perLeaf.getOrElse(
-        graft.sources.SnapshotBloom.fileKey(new org.apache.hadoop.fs.Path(
-          new java.io.File(dir).getAbsolutePath).toString), 0L)
+      val (perLeaf, countOf) = leafRowCounts(s, walked.map(_._2))
       val doomedCount = perLeaf.valuesIterator.sum
       // a FULLY-doomed partition (this statement's doomed rows == its
       // live rows, provable from the sidecar row counts minus prior
@@ -2438,15 +2449,21 @@ object SourceQueries {
       val prior =
         graft.sources.SnapshotManifest.deleteRecordsWithCounts(root, head)
       // a partition carrying upsert-delta dirs can never prove fully
-      // doomed from the sidecar alone (delta rows aren't in it) —
-      // keep its records and let compact materialize
+      // doomed from the sidecar alone (delta rows aren't in it), and
+      // on an UNMIGRATED evolved head a leaf's doomed count can
+      // include keys whose rows live in OLD-SPEC entries (the leaf pv
+      // is the current-spec derivation) — in both cases the proof is
+      // void: keep records and let compact/migrate materialize
       val upsertPvs =
         graft.sources.SnapshotManifest.upsertRecords(root, head).keySet
+      val evolvedHead =
+        graft.sources.SnapshotTable.hasOldSpecEntries(root, head)
       def fullyDoomed(pv: String, n: Long): Boolean =
-        !upsertPvs.contains(pv) && sidecarRows.get(pv).exists { total =>
-          val pd = prior.getOrElse(pv, Nil).map(_._2)
-          pd.forall(_ >= 0) && n == total - pd.sum
-        }
+        !evolvedHead && !upsertPvs.contains(pv) &&
+          sidecarRows.get(pv).exists { total =>
+            val pd = prior.getOrElse(pv, Nil).map(_._2)
+            pd.forall(_ >= 0) && n == total - pd.sum
+          }
       val (droppedPvs, recordedPvs) = walked.partition {
         case (pv, dir) => fullyDoomed(pv, countOf(dir))
       }
@@ -2492,22 +2509,10 @@ object SourceQueries {
     val head = headVersion(root)
     if (head != fromVersion) throw new SnapshotConflictException(
       fromVersion + 1)
-    // rows-per-leaf counting pass, same canonicalization pair as the
-    // MoR DELETE door (URI-decode the metadata path, fileKey the
-    // on-disk dir) — planes counted separately (different schemas)
-    def perLeaf(dirs: Seq[String]): Map[String, Long] =
-      if (dirs.isEmpty) Map.empty
-      else s.read.parquet(dirs: _*)
-        .groupBy(col("_metadata.file_path")).count().collect()
-        .map { r =>
-          val f = new java.net.URI(r.getString(0)).getPath
-          (f.substring(0, f.lastIndexOf('/')), r.getLong(1))
-        }.groupMapReduce(_._1)(_._2)(_ + _)
+    // rows-per-leaf counting pass ([[leafRowCounts]], the MoR DELETE
+    // door's pair) — planes counted separately (different schemas)
     def records(tag: String, pvDirs: Seq[(String, String)]): Seq[String] = {
-      val counts = perLeaf(pvDirs.map(_._2).distinct)
-      def countOf(dir: String): Long = counts.getOrElse(
-        graft.sources.SnapshotBloom.fileKey(new org.apache.hadoop.fs.Path(
-          new java.io.File(dir).getAbsolutePath).toString), 0L)
+      val (_, countOf) = leafRowCounts(s, pvDirs.map(_._2).distinct)
       pvDirs.map { case (pv, dir) => s"$tag\t$pv\t${countOf(dir)}\t$dir" }
     }
     val entries = readManifest(root, fromVersion)
@@ -3254,6 +3259,17 @@ object SourceQueries {
               unioned.schema(f.name.stripSuffix("_p")).dataType)))
         .write.partitionBy(pcols: _*).parquet(out)
       val walked = walkLeafDirs(new java.io.File(out), pcols)
+      // INVARIANT, made loud: a migrated pv may never collide with an
+      // existing current-spec entry — the door migrates prefix-
+      // overlapping old entries on every touch, so coexistence is
+      // impossible through supported paths; a silent `++` overwrite
+      // here would lose the existing entry's rows
+      val clobbered = walked.map(_._1)
+        .filter((manifest -- old.map(_._1)).contains)
+      require(clobbered.isEmpty,
+        s"migration derived pv(s) ${clobbered.mkString(", ")} that " +
+          "already exist as current-spec entries — store invariant " +
+          "violated, refusing to overwrite")
       val entries = (manifest -- old.map(_._1)) ++ walked
       try {
         writeManifest(root, head + 1, entries)
@@ -3295,10 +3311,31 @@ object SourceQueries {
     // delta rows must surface as update/insert events
     val u1 = graft.sources.SnapshotManifest.upsertRecords(root, vFrom)
     val u2 = graft.sources.SnapshotManifest.upsertRecords(root, vTo)
-    val changed = (m1.keySet ++ m2.keySet ++ u1.keySet ++ u2.keySet)
+    // on an UNMIGRATED evolved head a record's pv is the CURRENT-spec
+    // derivation while its doomed rows may live in OLD-SPEC entries
+    // whose dir never moved — any record-state diff therefore pulls
+    // every old-spec entry into the diff (both sides read them under
+    // their own record state; unchanged rows cancel in the full-outer
+    // join). Costed honestly: evolved stores only, until migration
+    // converges.
+    val recordDiff = d1 != d2 || u1 != u2
+    val oldSpecPvs: Set[String] =
+      if (!recordDiff) Set.empty
+      else graft.sources.SnapshotMeta.read(root).map { m =>
+        val curLen = graft.sources.SnapshotManifest
+          .partitionSpecs(root, m.partitionSchema).last.length
+        (m1.keySet ++ m2.keySet)
+          .filter(_.split("/", -1).length < curLen)
+      }.getOrElse(Set.empty)
+    // the candidate pool includes RECORD pvs too: a record may name a
+    // pv with no manifest entry at all (an evolved-head delete whose
+    // doomed rows live in old-spec entries, or a delta-only pv) — its
+    // sidecar dirs must still reach the sides' anti-filters
+    val changed = (m1.keySet ++ m2.keySet ++ d1.keySet ++ d2.keySet ++
+        u1.keySet ++ u2.keySet)
       .toSeq.sorted
       .filter(ym => m1.get(ym) != m2.get(ym) || d1.get(ym) != d2.get(ym)
-        || u1.get(ym) != u2.get(ym))
+        || u1.get(ym) != u2.get(ym) || oldSpecPvs(ym))
     // either side may reference NO dirs (insert-only diff: brand-new
     // partitions have no old side; delete-to-empty has no new side;
     // an unchanged pair has neither) — degrade to an empty frame
@@ -4515,6 +4552,77 @@ object SourceQueries {
          |WHERE o_ym BETWEEN '1995-01' AND '1995-06'""".stripMargin)
     s.sql(s"DELETE FROM $tbl WHERE o_totalprice >= 400000.0")
     val root = base.resolve("orders_mor_cdf")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // fromVersion 2 = the INSERT (v1 is the empty CREATE)
+      s.readStream.format("graft-snapshot").option("fromVersion", "2")
+        .load(root.toString)
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(col("k")).cast("bigint").as("key_sum"),
+          graft.functions.dsum(col("price")).as("price_sum"),
+          graft.functions.dsum(col("old_price")).as("old_price_sum"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory")
+        .queryName(qName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qName)
+  }
+
+  /** The changefeed over MERGE-ON-READ UPDATEs (the `streaming_mor_cdf`
+    * sibling for the round-16 delta plane): a records-only UPDATE
+    * commit changes a partition's rows purely on the `#delete` +
+    * `#upsert` planes, and the streaming CDF source must surface each
+    * matched key as ONE `update` event with exact pre- AND post-images
+    * — `changeRows` diffs both record planes alongside the dir map,
+    * each side reading under ITS version's scoped state (base dirs
+    * anti-filtered, delta dirs stamp-scoped), so the old row and its
+    * replacement meet in the full-outer diff as a single update. The
+    * fixture is the `sql_update_mor` chain's head: CREATE
+    * merge-on-read, INSERT six months, records-only UPDATE doubling
+    * every >=400k price, streamed from version 2; the per-change-type
+    * aggregate hash-pins the insert replay and the update events'
+    * pre/post sums against the relational oracle. At 100 TB this is
+    * what keeps CDC consumers of a hot UPDATE-heavy table exact at
+    * O(matched keys) per commit, never a partition rewrite.
+    */
+  def streamingUmorCdf(s: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_streaming_umor_cdf"
+    s.streams.active.filter(q => Option(q.name).contains(qName))
+      .foreach(_.stop())
+    val key = Tables.dirKey(dir)
+    val base = java.nio.file.Paths.get(ioDir("snapshot_umor_cdf"))
+      .resolve(key)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val cat = s"snapumorcdf_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    val tbl = s"$cat.`orders_umor_cdf`"
+    ordersYmFrame(s, dir)
+      .createOrReplaceTempView("graft_umor_cdf_orders_src")
+    s.sql(
+      s"""CREATE TABLE $tbl
+         |  (o_orderkey BIGINT, o_orderstatus STRING,
+         |   o_totalprice DOUBLE, o_ym STRING, o_ym_p STRING)
+         |PARTITIONED BY (o_ym_p)
+         |TBLPROPERTIES ('key_column' = 'o_orderkey',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_ym, o_ym
+         |FROM graft_umor_cdf_orders_src
+         |WHERE o_ym BETWEEN '1995-01' AND '1995-06'""".stripMargin)
+    s.sql(
+      s"""UPDATE $tbl SET o_totalprice = o_totalprice * 2.0
+         |WHERE o_totalprice >= 400000.0""".stripMargin)
+    val root = base.resolve("orders_umor_cdf")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -6128,6 +6236,7 @@ object SourceQueries {
     "sql_merge_on_read"       -> sqlMergeOnRead _,
     "sql_update_mor"          -> sqlUpdateMor _,
     "streaming_mor_cdf"       -> streamingMorCdf _,
+    "streaming_umor_cdf"      -> streamingUmorCdf _,
     "sql_restore"             -> sqlRestore _,
     "sql_clone"               -> sqlClone _,
     "sql_wap"                 -> sqlWap _,
@@ -6849,6 +6958,28 @@ object SourceQueries {
         |  CAST(NULL AS DOUBLE),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
         |FROM del""".stripMargin,
+    // the CDF stream over the merge-on-read UPDATE chain: v2 = the
+    // INSERT (all inserts), v3 = the records-only UPDATE (update
+    // events carrying exact pre- AND post-image sums)
+    "streaming_umor_cdf" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m')
+        |    BETWEEN '1995-01' AND '1995-06'),
+        |upd AS (SELECT * FROM s WHERE o_totalprice >= 400000.0)
+        |SELECT 'insert' AS change_type, COUNT(*) AS n_changes,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  CAST(NULL AS DOUBLE) AS old_price_sum
+        |FROM s
+        |UNION ALL
+        |SELECT 'update', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+        |  CAST(SUM(CAST(o_totalprice * 2.0 AS DECIMAL(30,6)))
+        |    AS DOUBLE),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM upd""".stripMargin,
     // head (v3, the restore) must equal the pristine base; v2 (the bad
     // rewrite) must still time-travel to the upserted state
     "sql_restore" ->

@@ -1216,7 +1216,12 @@ final class SnapshotV2Table(
     // Spark's delta-based rewrites refuse nullable row IDs outright.
     // Enforcement is free on the SQL door — the analyzer plants null
     // checks on every write against non-nullable table columns; the
-    // store's own writers already refuse null partition sources.
+    // store's own writers already refuse null partition sources. A
+    // LEGACY null-key row (written through the DataFrame door before
+    // this contract) was never doomable (the probes skip null keys)
+    // and now also contradicts the declared schema — clean it with a
+    // rewrite before relying on MoR DML, the Iceberg stance for
+    // retrofitted identifier fields.
     if (!meta.mergeOnRead) visible
     else {
       val ids = (meta.keyCol.toSeq ++ sourcePartCols).toSet

@@ -116,44 +116,51 @@ object SnapshotDeletes {
   private val UpsertSeg = "u(\\d+)-[0-9a-f]{8}".r
   private val RecordSeg = "d(\\d+)-[0-9a-f]+".r
 
-  /** Publish-version stamp of a data file or dir: upsert-delta dirs
-    * live under a `u<V>-<hex8>` root segment and return V; base data
-    * dirs return -1. The stamp orders a file against the `#delete`
+  /** The PUBLISH-ROOT segment of a store path: walk up from the end
+    * past the file name and the hive leaf levels (`name=value` dirs)
+    * — the segment just above them is the dir the publishing commit
+    * minted (`d<V>-…`, `u<V>-…`, `d<V>-mig…`, a staging root, …).
+    * Anchoring on the leaf chain makes the stamp parse immune to
+    * look-alike segments ABOVE the table root (a warehouse path
+    * containing `u7-deadbeef` must not stamp every base file as an
+    * upsert delta).
+    */
+  private def publishRootSeg(path: String): Option[String] = {
+    val segs = path.split('/')
+    var i = segs.length - 1
+    // the last segment may be a file or a leaf dir; leaf dirs always
+    // carry '=' (hive `mirror=value`), files never end the walk early
+    if (i >= 0 && !segs(i).contains('=')) i -= 1
+    while (i >= 0 && segs(i).contains('=')) i -= 1
+    if (i >= 0) Some(segs(i)) else None
+  }
+
+  /** Publish-version stamp of a data file or dir: upsert-delta files
+    * live under a `u<V>-<hex8>` publish root and return V; base data
+    * files return -1. The stamp orders a file against the `#delete`
     * records: a record dooms only rows OLDER than itself, and a base
     * dir is always older than every record that names its partition
     * (any rewrite of the partition materializes the records), so -1
     * means "all records apply" without needing the base dir's own
     * version.
     */
-  def publishVersionOf(path: String): Int = {
-    var i = 0
-    val segs = path.split('/')
-    while (i < segs.length) {
-      segs(i) match {
-        case UpsertSeg(v) => return v.toInt
-        case _ => i += 1
-      }
+  def publishVersionOf(path: String): Int =
+    publishRootSeg(path) match {
+      case Some(UpsertSeg(v)) => v.toInt
+      case _ => -1
     }
-    -1
-  }
 
   /** Version stamp of a `#delete` record's sidecar dir (its
-    * `d<V>-<hex>` root segment). Unparsable dirs (never minted by this
-    * store's writers) get Int.MaxValue — the record then applies to
-    * every data file, which is exactly the pre-upsert behavior and
+    * `d<V>-<hex>` publish root). Unparsable dirs (never minted by
+    * this store's writers) get Int.MaxValue — the record then applies
+    * to every data file, which is exactly the pre-upsert behavior and
     * exact for stores without upsert deltas.
     */
-  def recordVersionOf(dir: String): Int = {
-    val segs = dir.split('/')
-    var i = segs.length - 1
-    while (i >= 0) {
-      segs(i) match {
-        case RecordSeg(v) => return v.toInt
-        case _ => i -= 1
-      }
+  def recordVersionOf(dir: String): Int =
+    publishRootSeg(dir) match {
+      case Some(RecordSeg(v)) => v.toInt
+      case _ => Int.MaxValue
     }
-    Int.MaxValue
-  }
 
   /** The record dirs that apply to `filePath`: all of them for base
     * files, only strictly-newer ones for upsert-delta files — the

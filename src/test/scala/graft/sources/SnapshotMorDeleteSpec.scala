@@ -535,6 +535,17 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, vDel).count() === 28L)
     // time travel: pre-delete evolved version intact
     assert(SnapshotTable.read(spark, root, headE).count() === 31L)
+    // changefeed: the records-only commit must surface delete events
+    // for doomed rows living in OLD-SPEC entries too (the record's pv
+    // is the current-spec derivation — a pv-scoped diff would miss
+    // them; round-16 review fix)
+    val ch = graft.operators.SourceQueries
+      .changeRows(spark, root, headE, vDel, keyCol = "id", valCol = "v")
+      .collect()
+    assert(ch.length === 3 && ch.forall(_.getString(3) === "delete"),
+      s"3 delete events expected, got ${ch.toSeq}")
+    assert(ch.map(_.getLong(0)).sorted.toSeq === Seq(29L, 30L, 100L),
+      "old-spec-resident doomed keys must surface")
 
     // compact DEFERS record-bearing pvs on an evolved head (their
     // doomed rows may live in old-spec arms)
