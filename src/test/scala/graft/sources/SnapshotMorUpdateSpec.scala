@@ -356,4 +356,45 @@ class SnapshotMorUpdateSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root,
       SnapshotManifest.head(root)).count() === 28L)
   }
+
+  test("racing MoR UPDATEs CAS-serialize: a stale-head delta write " +
+    "throws instead of rebasing, winners' state is exact, and no " +
+    "partial version or orphan record ever publishes") {
+    val (root, cat) = morTable("moru_race")
+    val v0 = SnapshotManifest.head(root)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    // disjoint key ranges: any interleaving has one consistent answer
+    val stmts = Seq(
+      s"UPDATE $cat.`t` SET v = v + 100 WHERE id <= 5",
+      s"UPDATE $cat.`t` SET v = v + 1000 WHERE id >= 26")
+    val futs = stmts.map { q => pool.submit(
+      new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = {
+          gate.await()
+          try { spark.sql(q); true }
+          catch { case _: Throwable => false } // CAS loser: loud, clean
+        }
+      })}
+    gate.countDown()
+    val won = futs.map(_.get())
+    pool.shutdown()
+    val wins = won.count(identity)
+    assert(wins >= 1, "at least one racer must win the CAS")
+    assert(SnapshotManifest.head(root) === v0 + wins,
+      "exactly one version per WINNING statement, none for losers")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 30L)
+    val expect = (1L to 30L).sum +
+      (if (won(0)) 500L else 0L) + (if (won(1)) 5000L else 0L)
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $cat.`t`")
+      .head().getLong(0) === expect,
+      s"state must be exactly the winners' effects (won=$won)")
+    // record/delta accounting matches the winners too
+    val v = SnapshotManifest.head(root)
+    val doomed = SnapshotManifest.deleteRecordsWithCounts(root, v)
+      .valuesIterator.flatten.map(_._2).sum
+    assert(doomed === 5L * wins, s"doomed=$doomed for wins=$wins")
+  }
 }
