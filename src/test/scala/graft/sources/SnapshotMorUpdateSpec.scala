@@ -397,4 +397,26 @@ class SnapshotMorUpdateSpec extends SparkSpec {
       .valuesIterator.flatten.map(_._2).sum
     assert(doomed === 5L * wins, s"doomed=$doomed for wins=$wins")
   }
+
+  test("restore rolls the UPDATE state: past the update reverts both " +
+    "record planes, forward re-applies them (whole-state rollback)") {
+    val (root, cat) = morTable("moru_restore")
+    val vBase = SnapshotManifest.head(root)
+    spark.sql(s"UPDATE $cat.`t` SET v = v + 100 WHERE id <= 10")
+    val vUpd = SnapshotManifest.head(root)
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $cat.`t`")
+      .head().getLong(0) === (1L to 30L).sum + 1000L)
+    graft.operators.SourceQueries.snapshotRestore(root, vBase)
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $cat.`t`")
+      .head().getLong(0) === (1L to 30L).sum,
+      "restore past the update reverts delta rows AND records")
+    assert(!SnapshotManifest.hasLiveMorRecords(root,
+      SnapshotManifest.head(root)))
+    graft.operators.SourceQueries.snapshotRestore(root, vUpd)
+    assert(spark.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $cat.`t`")
+      .head().getLong(0) === (1L to 30L).sum + 1000L,
+      "restore forward re-applies the whole record state")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 30L)
+  }
 }
