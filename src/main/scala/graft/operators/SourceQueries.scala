@@ -2493,6 +2493,137 @@ object SourceQueries {
     throw new IllegalStateException("unreachable")
   }
 
+  /** MERGE-ON-READ UPSERT through the DataFrame/streaming door
+    * (round 16, `commitMode=upsert-mor` — the Hudi MERGE_ON_READ
+    * ingest shape, opt-in so the copy-on-write door's materialization
+    * semantics stay the default): a key-delta commits as `#delete`
+    * records for the keys that EXIST (phantom/new keys doom nothing —
+    * their counts would corrupt statistics and their partitions would
+    * compact for nothing) plus `#upsert` delta dirs holding the
+    * batch's rows — ONE CAS version, zero partition rewrites. A
+    * streaming micro-batch into a hot 50-partition table commits
+    * O(batch) bytes instead of rewriting every touched partition;
+    * compact materializes when read-amplification warrants. The
+    * existence check is a broadcast semi-join of the head read
+    * (record-aware, delta-sized broadcast side); widening deltas
+    * refuse loudly (schema evolution stays on the copy-on-write
+    * door); spec-evolved stores refuse (no `#upsert` plane on the
+    * union read). CAS losers rebase and retry like the delete door.
+    */
+  private[graft] def snapshotMorUpsert(s: SparkSession,
+      root: java.nio.file.Path, delta: DataFrame, keyCol: String,
+      txn: Option[(String, Long)] = None): (Int, Long) = {
+    val meta = graft.sources.SnapshotMeta.read(root).getOrElse(
+      throw new UnsupportedOperationException(
+        "merge-on-read upsert needs a table.meta layout declaration"))
+    require(meta.keyCol.contains(keyCol) || meta.keyCol.isEmpty,
+      s"upsert-mor key '$keyCol' disagrees with the declared key " +
+        s"'${meta.keyCol.getOrElse("")}'")
+    val tableSchema = graft.sources.SnapshotManifest
+      .effectiveDataSchema(root, meta.dataSchema)
+    val extra = delta.columns.toSet -- tableSchema.fieldNames.toSet --
+      meta.partitionSchema.fieldNames.toSet
+    require(extra.isEmpty,
+      s"upsert-mor delta carries unknown column(s) ${extra.mkString(", ")}" +
+        " — schema widening goes through the copy-on-write door")
+    // mirrors are derivable from their sources — a door delta may
+    // legitimately omit them (the sink's frames do)
+    val missing = tableSchema.fieldNames.toSet --
+      meta.partitionSchema.fieldNames.toSet -- delta.columns.toSet
+    require(missing.isEmpty,
+      s"upsert-mor delta is missing table column(s) " +
+        s"${missing.mkString(", ")}")
+    val MaxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val head = headVersion(root)
+      require(head > 0, "upsert-mor needs a bootstrapped store")
+      require(!graft.sources.SnapshotTable.hasOldSpecEntries(root, head),
+        "merge-on-read upsert on a spec-evolved store: converge the " +
+          "layout with CALL migrate_layout first")
+      val headDf = graft.sources.SnapshotTable.read(s, root, head)
+      val keyType = headDf.schema(keyCol).dataType
+      require(graft.sources.SnapshotDeletes.supportedKeyType(keyType),
+        s"merge-on-read needs a LONG/INT/STRING key; $keyCol is " +
+          keyType.simpleString)
+      val spec = graft.sources.SnapshotManifest
+        .partitionSpecs(root, meta.partitionSchema).last
+      val mirrors = spec.fieldNames.toSeq
+      def mirrorCols(df: DataFrame) = spec.fields.toSeq.map { f =>
+        val src = f.name.stripSuffix("_p")
+        graft.sources.SnapshotTransforms
+          .deriveCol(f, col(src), df.schema(src).dataType)
+          .cast(f.dataType).as(f.name)
+      }
+      val stamp = java.util.UUID.randomUUID.toString.take(8)
+      // doomed keys = delta keys whose row EXISTS at the head, routed
+      // to the OLD row's partition (broadcast semi-join; the delta is
+      // batch-sized by contract)
+      val dOut = root.resolve(s"d${head + 1}-$stamp")
+      headDf.join(broadcast(delta.select(col(keyCol).as("__graft_uk"))
+          .distinct()),
+          col(keyCol) === col("__graft_uk"), "left_semi")
+        .transform(df => df.select(mirrorCols(df) :+ col(keyCol): _*))
+        .write.partitionBy(mirrors: _*).parquet(dOut.toString)
+      // the batch's rows land as `#upsert` delta dirs under the NEW
+      // rows' partitions (mirrors derive from sources, never trusted)
+      val uOut = root.resolve(s"u${head + 1}-$stamp")
+      delta
+        .transform(df => df.select(
+          df.columns.filterNot(mirrors.contains).map(col).toSeq ++
+            mirrorCols(df): _*))
+        .write.partitionBy(mirrors: _*).parquet(uOut.toString)
+      val dWalked = walkLeafDirs(dOut.toFile, mirrors)
+      val uWalked = walkLeafDirs(uOut.toFile, mirrors)
+      if (uWalked.isEmpty && dWalked.isEmpty) {
+        org.apache.commons.io.FileUtils.deleteQuietly(dOut.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(uOut.toFile)
+        // empty batch: streaming parity — publish the txn marker
+        txn match {
+          case Some(_) =>
+            val parent = readManifest(root, head)
+            try {
+              writeManifest(root, head + 1, parent, txn)
+              publishFilesSidecar(s, root, head + 1, Some(head), parent,
+                Set.empty, org.apache.spark.sql.types.StructType(
+                  tableSchema.fields.map(_.copy(nullable = true))))
+              return (head + 1, 0L)
+            } catch {
+              case _: SnapshotConflictException =>
+                attempt += 1
+                if (attempt >= MaxAttempts)
+                  throw new SnapshotConflictException(head + 1)
+            }
+          case None => return (head, 0L)
+        }
+      } else {
+        val (dCounts, dOf) = leafRowCounts(s, dWalked.map(_._2))
+        val (uCounts, uOf) = leafRowCounts(s, uWalked.map(_._2))
+        val records =
+          dWalked.sortBy(_._1).map { case (pv, dir) =>
+            s"#delete\t$pv\t${dOf(dir)}\t$dir" } ++
+          uWalked.sortBy(_._1).map { case (pv, dir) =>
+            s"#upsert\t$pv\t${uOf(dir)}\t$dir" }
+        val entries = readManifest(root, head)
+        try {
+          writeManifest(root, head + 1, entries, txn,
+            extraMeta = records)
+          publishFilesSidecar(s, root, head + 1, Some(head), entries,
+            Set.empty, org.apache.spark.sql.types.StructType(
+              tableSchema.fields.map(_.copy(nullable = true))))
+          return (head + 1, uCounts.valuesIterator.sum)
+        } catch {
+          case e: SnapshotConflictException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(dOut.toFile)
+            org.apache.commons.io.FileUtils.deleteQuietly(uOut.toFile)
+            attempt += 1
+            if (attempt >= MaxAttempts) throw e
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** MERGE-ON-READ UPDATE/MERGE commit half
     * ([[graft.sources.SnapshotDeltaWrite]] hands the task-written dirs
     * here): publish parent entries VERBATIM plus `#delete` records

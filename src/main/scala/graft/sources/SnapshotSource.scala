@@ -2406,11 +2406,12 @@ private[sources] object SnapshotDoor {
     val partCols = opt(parameters, "partCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq(opt(parameters, "partCol").getOrElse("o_ym")))
-    val insert = opt(parameters, "commitMode").getOrElse("upsert") match {
-      case "upsert" => true
+    val mode = opt(parameters, "commitMode").getOrElse("upsert")
+    val insert = mode match {
+      case "upsert" | "upsert-mor" => true
       case "delete" => false
       case other => throw new IllegalArgumentException(
-        s"commitMode must be upsert or delete, got $other")
+        s"commitMode must be upsert, upsert-mor or delete, got $other")
     }
     // write-side `bloomKey`: maintain the per-file Bloom index at
     // commit time (one map-side pass over the commit's new dirs), so
@@ -2450,6 +2451,24 @@ private[sources] object SnapshotDoor {
       val keys = data.select(col(keyCol)).distinct()
       graft.operators.SourceQueries.snapshotMorDeleteBy(spark, root,
         df => df.join(broadcast(keys), Seq(keyCol), "left_semi"), txn)
+      return
+    }
+    // MERGE-ON-READ UPSERT (opt-in `commitMode=upsert-mor`, round 16):
+    // the batch commits as `#delete` records (existing keys) plus
+    // `#upsert` delta dirs — O(batch) bytes, zero partition rewrites,
+    // the Hudi MERGE_ON_READ ingest shape for streaming into a hot
+    // table ([[graft.operators.SourceQueries.snapshotMorUpsert]],
+    // CAS retry inside). The copy-on-write door below remains the
+    // default: its materialize-on-touch semantics are load-bearing
+    // (records drop with rewrites), so the trade is chosen per
+    // writer, not silently.
+    if (mode == "upsert-mor") {
+      require(SnapshotManifest.head(root) > 0 &&
+          SnapshotMeta.read(root).exists(_.mergeOnRead),
+        "commitMode=upsert-mor needs a bootstrapped " +
+          "delete_mode='merge-on-read' store")
+      graft.operators.SourceQueries.snapshotMorUpsert(spark, root,
+        data, keyCol, txn)
       return
     }
     // CAS retry loop: of N racers exactly one publishes each version;

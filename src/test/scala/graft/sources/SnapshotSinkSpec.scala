@@ -300,4 +300,78 @@ class SnapshotSinkSpec extends SparkSpec {
   private def stateOf2(root: java.nio.file.Path): Set[Long] =
     SnapshotTable.read(spark, root, SnapshotManifest.head(root))
       .select("id").collect().map(_.getLong(0)).toSet
+
+  test("commitMode=upsert-mor micro-batches commit as record planes " +
+    "(round 16, the Hudi MERGE_ON_READ ingest shape): O(batch) bytes, " +
+    "zero partition rewrites, exactly-once, cross-partition updates " +
+    "route records to the OLD row's partition; compact materializes") {
+    val base = freshBase()
+    val cat = "sinkumor" + java.util.UUID.randomUUID.toString.take(6)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base.toString)
+    spark.sql(
+      s"""CREATE TABLE $cat.`t`
+         |  (id BIGINT, day STRING, v DOUBLE, day_p STRING)
+         |PARTITIONED BY (day_p)
+         |TBLPROPERTIES ('key_column' = 'id',
+         |               'delete_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.`t` SELECT id, concat('d', id % 3), " +
+      "CAST(id AS DOUBLE), concat('d', id % 3) FROM range(1, 31)")
+    val root = base.resolve("t")
+    val vPre = SnapshotManifest.head(root)
+    val entriesPre = SnapshotManifest.read(root, vPre)
+    val sink = new SnapshotSink(spark,
+      Map("path" -> root.toString, "txnAppId" -> "umor-app",
+        "keyCol" -> "id", "commitMode" -> "upsert-mor"))
+    def batch(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("id", "day", "v")
+
+    // update key 1 in place, MOVE key 2 from d2 to d0, insert key 31
+    sink.addBatch(0, batch(Seq(
+      (1L, "d1", 100.5), (2L, "d0", 200.5), (31L, "d1", 31.0))))
+    val v = SnapshotManifest.head(root)
+    assert(v === vPre + 1, "one micro-batch, one records-only version")
+    assert(SnapshotManifest.read(root, v) === entriesPre,
+      "an upsert-mor batch must not repoint any partition dir")
+    val dels = SnapshotManifest.deleteRecordsWithCounts(root, v)
+    val ups = SnapshotManifest.upsertRecordsWithCounts(root, v)
+    assert(dels.keySet === Set("d1", "d2"),
+      s"records in the OLD rows' partitions (2 lived in d2): $dels")
+    assert(dels.valuesIterator.flatten.map(_._2).sum === 2L,
+      "only EXISTING keys doom (31 is a phantom)")
+    assert(ups.keySet === Set("d0", "d1") &&
+      ups.valuesIterator.flatten.map(_._2).sum === 3L, s"got $ups")
+    assert(SnapshotManifest.lastTxnBatch(root, "umor-app") === Some(0L))
+    // reads: both doors exact
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 31L)
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 1")
+      .head().getDouble(0) === 100.5)
+    assert(spark.sql(s"SELECT day_p, v FROM $cat.`t` WHERE id = 2")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("d0", 200.5)), "the row moved partitions")
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 31")
+      .head().getDouble(0) === 31.0)
+
+    // crash-replay skips; a second batch STACKS (re-update key 1)
+    sink.addBatch(0, batch(Seq((1L, "d1", 999.0))))
+    assert(SnapshotManifest.head(root) === v, "replay must not run")
+    sink.addBatch(1, batch(Seq((1L, "d1", 300.5))))
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 1")
+      .head().getDouble(0) === 300.5, "stacked batch re-updates")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 31L)
+
+    // compact materializes both planes; reads unchanged
+    graft.operators.SourceQueries.snapshotCompact(spark, root, 2)
+    val vc = SnapshotManifest.head(root)
+    assert(!SnapshotManifest.hasLiveMorRecords(root, vc))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`t`")
+      .head().getLong(0) === 31L)
+    assert(spark.sql(s"SELECT v FROM $cat.`t` WHERE id = 1")
+      .head().getDouble(0) === 300.5)
+    assert(spark.sql(s"SELECT day_p FROM $cat.`t` WHERE id = 2")
+      .head().getString(0) === "d0")
+  }
 }
