@@ -44,6 +44,14 @@ object Bench {
       // cost. At 100 TB the default 128m is right; harness inputs are
       // ~10-250 MB, so 4m keeps all 32 cores busy on scans and file sinks.
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // Open-cost follows the SAME scaling rule as the split size: the
+      // stock pairing is 128m splits / 4m open cost (32 small files per
+      // split at most); scaling splits to 4m without scaling open cost
+      // left 1 file per split, so every ~80-leaf store version scanned
+      // as ~80 single-file tasks (the round-16 baseline measured
+      // ~800-task floods on <15 MB stores from exactly this). 4m/32 =
+      // 128k restores the stock packing ratio at harness scale.
+      .config("spark.sql.files.openCostInBytes", "128k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1056,8 +1056,8 @@ object SourceQueries {
     */
   def partitionedPrune(s: SparkSession, dir: String): DataFrame = {
     val path = ioDir("part_docs")
-    Tables.documents(s, dir).write.mode("overwrite")
-      .partitionBy("lang").parquet(path)
+    distributeByLayout(Tables.documents(s, dir), Seq("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
     s.read.parquet(path)
       .filter(col("lang") === "en")
       .groupBy(col("source"))
@@ -1116,6 +1116,32 @@ object SourceQueries {
            dsum(col("o_totalprice")).as("sum_price"))
   }
 
+  /** Hash-distribute rows on their layout columns before a dynamic-
+    * partition write (guide §6 / the Iceberg `write.distribution-mode
+    * = hash` discipline, and what the SQL door's
+    * `RequiresDistributionAndOrdering` already declares —
+    * [[graft.sources.SnapshotRowLevel]]): without it every input task
+    * opens a writer per partition value it sees, committing
+    * tasks × partitions tiny files per version. The round-16 baseline
+    * measured exactly that — ~1,250-task scan floods on the snapshot
+    * fixtures (`source_scd2_history`, `streaming_snapshot_cdf`) whose
+    * bytes are <15 MB. REBALANCE rather than a hard `repartition` so
+    * AQE both coalesces tiny layout partitions and SPLITS a skewed one
+    * by advisory size at 100 TB (file count O(data / target-size),
+    * never O(tasks × partitions)). The REBALANCE hint only RESOLVES
+    * under AQE (ResolveCoalesceHints guards on
+    * `adaptiveExecutionEnabled`; without it the hint logs
+    * "Unrecognized" and silently no-ops — observed in the AQE-off
+    * specs), so the AQE-off path takes an explicit hash repartition:
+    * same leaf-per-task clustering, no adaptive splitting.
+    */
+  private[graft] def distributeByLayout(df: DataFrame,
+      layoutCols: Seq[String]): DataFrame =
+    if (df.sparkSession.conf
+          .get("spark.sql.adaptive.enabled", "true").toBoolean)
+      df.hint("rebalance", layoutCols.map(col): _*)
+    else df.repartition(layoutCols.map(col): _*)
+
   /** Copy-on-write MERGE (upsert) into a month-partitioned parquet
     * warehouse table — the Delta-less incremental-ingest primitive:
     *
@@ -1148,7 +1174,8 @@ object SourceQueries {
         col("o_orderkey") === col("d_key"), "left_anti")
     // insertDelta = false is DELETE: drop matching keys, re-insert
     // nothing — same touched-partition scoping and commit path
-    (if (insertDelta) kept.unionByName(delta) else kept)
+    distributeByLayout(
+        if (insertDelta) kept.unionByName(delta) else kept, Seq("o_ym"))
       .write.mode("overwrite").partitionBy("o_ym").parquet(tmpPath)
     val conf = s.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
@@ -1175,7 +1202,8 @@ object SourceQueries {
     val tmpPath = root.resolve("delta_out").toString
     val orders = Tables.orders(s, dir)
       .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
-    orders.write.mode("overwrite").partitionBy("o_ym").parquet(basePath)
+    distributeByLayout(orders, Seq("o_ym"))
+      .write.mode("overwrite").partitionBy("o_ym").parquet(basePath)
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
     val inserts = orders.filter(col("o_orderkey") % 1013 === 0)
@@ -1206,7 +1234,8 @@ object SourceQueries {
     val tmpPath = root.resolve("delta_out").toString
     val orders = Tables.orders(s, dir)
       .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
-    orders.write.mode("overwrite").partitionBy("o_ym").parquet(basePath)
+    distributeByLayout(orders, Seq("o_ym"))
+      .write.mode("overwrite").partitionBy("o_ym").parquet(basePath)
     val doomed = orders.filter(col("o_orderkey") % 131 === 0)
     mergeInto(s, basePath, tmpPath, doomed, insertDelta = false)
     s.read.parquet(basePath)
@@ -2044,7 +2073,8 @@ object SourceQueries {
       insertDelta: Boolean, keyCol: String = "o_orderkey",
       partCols: Seq[String] = Seq("o_ym"),
       bloomIndexKey: Option[String] = None,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      distribute: Boolean = true): Unit = {
     val head = headVersion(root)
     if (head != fromV) throw new SnapshotConflictException(toV)
     val parent = readManifest(root, fromV)
@@ -2257,8 +2287,9 @@ object SourceQueries {
       if (insertDelta)
         kept.unionByName(delta, allowMissingColumns = keptLacks)
       else kept
-    effPartCols.foldLeft(unionedOut)(
+    val mirrored = effPartCols.foldLeft(unionedOut)(
       (df, c) => df.withColumn(s"${c}_p", mirrorExpr(unionedOut, c)))
+    (if (distribute) distributeByLayout(mirrored, pcols) else mirrored)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(out)
     // a MIGRATING commit's kept rows fan out to current-spec leafs the
     // delta alone can't predict (every value of the appended column in
@@ -2401,7 +2432,8 @@ object SourceQueries {
       }
       val out = root.resolve(
         s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
-      doom(df).select(mirrorCols :+ col(keyCol): _*)
+      distributeByLayout(
+          doom(df).select(mirrorCols :+ col(keyCol): _*), mirrors)
         .write.partitionBy(mirrors: _*).parquet(out.toString)
       val walked = walkLeafDirs(out.toFile, mirrors)
       if (walked.isEmpty) { // predicate matched nothing: legal no-op
@@ -2564,6 +2596,7 @@ object SourceQueries {
           .distinct()),
           col(keyCol) === col("__graft_uk"), "left_semi")
         .transform(df => df.select(mirrorCols(df) :+ col(keyCol): _*))
+        .transform(distributeByLayout(_, mirrors))
         .write.partitionBy(mirrors: _*).parquet(dOut.toString)
       // the batch's rows land as `#upsert` delta dirs under the NEW
       // rows' partitions (mirrors derive from sources, never trusted)
@@ -2572,6 +2605,7 @@ object SourceQueries {
         .transform(df => df.select(
           df.columns.filterNot(mirrors.contains).map(col).toSeq ++
             mirrorCols(df): _*))
+        .transform(distributeByLayout(_, mirrors))
         .write.partitionBy(mirrors: _*).parquet(uOut.toString)
       val dWalked = walkLeafDirs(dOut.toFile, mirrors)
       val uWalked = walkLeafDirs(uOut.toFile, mirrors)
@@ -3066,31 +3100,47 @@ object SourceQueries {
       val out = root.resolve(
         s"d${head + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
         .toString
-      val unioned = hot.map { pv =>
-        // re-attach the LOGICAL values: `partitionBy` re-escapes, so
-        // attaching the pv's escaped segments would double-escape and
-        // publish entries pointing at dirs that don't exist
-        val vals = graft.sources.SnapshotPartitionValues
-          .logicalValues(pv, mirrors.length)
-        // the rewrite MATERIALIZES the hot partition's merge-on-read
-        // state: base dirs anti-filtered by its `#delete` records,
-        // `#upsert` delta dirs folded in (each filtered only by
-        // records newer than its stamp) — then both record kinds
-        // legitimately drop with the dir change. readDirs maps former
-        // footer names through the rename fold — a hot pre-rename
-        // partition must not NULL its renamed column.
-        val rows = graft.sources.SnapshotDeletes.scopedUnion(s,
-          meta.keyCol.getOrElse("__graft_keyless"),
-          dirs => graft.sources.SnapshotRename.readDirs(
-            s, root, dirs, declared),
-          manifest.get(pv).toSeq, morUpserts.getOrElse(pv, Nil),
-          morRecords.getOrElse(pv, Nil)).getOrElse(
-            throw new IllegalStateException(s"hot partition $pv has " +
-              "neither a base dir nor upsert records"))
-        mirrors.zip(vals).foldLeft(rows) {
-          case (df, (m, v)) => df.withColumn(m, lit(v))
-        }
-      }.reduce(_.unionByName(_))
+      // ONE scopedUnion across every hot partition (round 16): the
+      // per-pv loop this replaces ran a broadcast anti-join — plus a
+      // schema-inference job on the record dirs — PER hot partition
+      // (~24 single-digit-task jobs on the sql_update_mor fixture),
+      // where the whole-version read (snapshotRead / the catalog scan)
+      // already applies records GLOBALLY on the table-unique key. One
+      // global composition is exactly that read's semantics restricted
+      // to the hot dirs: a base row's doomed record always lives under
+      // the row's own partition (the delete doors route records to the
+      // matched row's pv), so widening the anti-join key set cannot
+      // drop a live row, and upsert-delta stamp scoping is unchanged
+      // (scopedUnion groups delta dirs by publish version either way).
+      // The rewrite still MATERIALIZES the merge-on-read state: records
+      // anti-filter, delta rows fold in, and both record kinds drop
+      // with the dir change. readDirs maps former footer names through
+      // the rename fold — a hot pre-rename partition must not NULL its
+      // renamed column.
+      val hotBase = hot.flatMap(manifest.get)
+      val hotUps = hot.flatMap(pv => morUpserts.getOrElse(pv, Nil))
+      val allRecDirs = morRecords.valuesIterator.flatten.toSeq
+        .distinct.sorted
+      val rows = graft.sources.SnapshotDeletes.scopedUnion(s,
+        meta.keyCol.getOrElse("__graft_keyless"),
+        dirs => graft.sources.SnapshotRename.readDirs(
+          s, root, dirs, declared),
+        hotBase, hotUps, allRecDirs).getOrElse(
+          throw new IllegalStateException("hot partitions have " +
+            "neither base dirs nor upsert records"))
+      // mirrors re-derive from each row's own source columns through
+      // the current spec's transforms — the commit doors' own write
+      // discipline (snapshotCommit's mirrorExpr, the MoR delta
+      // writes), so `partitionBy` reproduces the leaf name exactly as
+      // the write that placed the row there did; hot pvs are
+      // current-spec by construction (old-spec entries migrate through
+      // the door, never compact)
+      val unioned = compactSpecs.last.fields.foldLeft(rows) { (df, f) =>
+        val src = f.name.stripSuffix("_p")
+        df.withColumn(f.name, graft.sources.SnapshotTransforms
+          .deriveCol(f, col(src), df.schema(src).dataType)
+          .cast(f.dataType))
+      }
       // clustering strategy: key-sorted (compact) or 2-D Morton
       // (zorder — both dims scaled to 16 bits from the HOT partitions'
       // own bounds, one scalar agg; files then cover compact 2-D
@@ -3163,12 +3213,15 @@ object SourceQueries {
       partCols: Seq[String] = Seq("o_ym"),
       bloomIndexKey: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      keyCol: String = "o_orderkey"): Unit = {
+      keyCol: String = "o_orderkey",
+      distribute: Boolean = true): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val pcols = partCols.map(c => s"${c}_p")
     val d1 = root.resolve(
       s"d1-${java.util.UUID.randomUUID.toString.take(8)}").toString
-    partCols.foldLeft(data)((df, c) => df.withColumn(s"${c}_p", col(c)))
+    val mirrored = partCols.foldLeft(data)(
+      (df, c) => df.withColumn(s"${c}_p", col(c)))
+    (if (distribute) distributeByLayout(mirrored, pcols) else mirrored)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(d1)
     val parts = walkLeafDirs(new java.io.File(d1), pcols)
     writeManifest(root, 1, parts.toMap, txn)
@@ -3384,10 +3437,12 @@ object SourceQueries {
       // mirrors re-derive through their declared transform (identity
       // verbatim, days/bucket compute f(source) — the door's own
       // write discipline)
-      current.fields.foldLeft(unioned)((df, f) =>
-          df.withColumn(f.name, graft.sources.SnapshotTransforms
-            .deriveCol(f, col(f.name.stripSuffix("_p")),
-              unioned.schema(f.name.stripSuffix("_p")).dataType)))
+      distributeByLayout(
+          current.fields.foldLeft(unioned)((df, f) =>
+            df.withColumn(f.name, graft.sources.SnapshotTransforms
+              .deriveCol(f, col(f.name.stripSuffix("_p")),
+                unioned.schema(f.name.stripSuffix("_p")).dataType))),
+          pcols)
         .write.partitionBy(pcols: _*).parquet(out)
       val walked = walkLeafDirs(new java.io.File(out), pcols)
       // INVARIANT, made loud: a migrated pv may never collide with an

@@ -2471,6 +2471,16 @@ private[sources] object SnapshotDoor {
         data, keyCol, txn)
       return
     }
+    // `distribution=none` opts out of the default hash distribution on
+    // the layout columns (the Iceberg write.distribution-mode spelling):
+    // a caller that deliberately pre-fragmented its input (compaction
+    // fixtures, skew demonstrations) keeps its task layout
+    val distribute = opt(parameters, "distribution") match {
+      case None | Some("hash") => true
+      case Some("none") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"distribution must be hash or none, got $other")
+    }
     // CAS retry loop: of N racers exactly one publishes each version;
     // losers rebase on the new head and re-apply the key-based delta
     val MaxAttempts = 5
@@ -2481,10 +2491,11 @@ private[sources] object SnapshotDoor {
       try {
         if (head == 0)
           graft.operators.SourceQueries.snapshotInit(spark, root, data,
-            partCols, bloomIndexKey, txn, keyCol)
+            partCols, bloomIndexKey, txn, keyCol, distribute)
         else
           graft.operators.SourceQueries.snapshotCommit(spark, root, head,
-            head + 1, data, insert, keyCol, partCols, bloomIndexKey, txn)
+            head + 1, data, insert, keyCol, partCols, bloomIndexKey, txn,
+            distribute)
         committed = true
       } catch {
         case e: graft.operators.SourceQueries.SnapshotConflictException =>

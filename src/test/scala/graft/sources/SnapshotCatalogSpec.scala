@@ -551,6 +551,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     rows.toDF("k", "price", "ym").repartition(6)
       .write.format("graft-snapshot")
       .option("keyCol", "k").option("partCol", "ym")
+      // the fixture NEEDS a fragmented leaf: opt out of the door's
+      // default hash distribution so the 6 input tasks each write
+      .option("distribution", "none")
       .mode("append").save(droot.toString)
     val v1 = SnapshotManifest.read(droot, 1)
     def filesOf(dir: String): Array[java.io.File] =
@@ -608,6 +611,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     ev.toDF("id", "d", "typ", "v").repartition(4)
       .write.format("graft-snapshot")
       .option("keyCol", "id").option("partCols", "d,typ")
+      .option("distribution", "none") // fragmented-leaf fixture
       .mode("append").save(mroot.toString)
     spark.conf.set(s"spark.sql.catalog.${c}m",
       "graft.sources.GraftSnapshotCatalog")
@@ -630,6 +634,7 @@ class SnapshotCatalogSpec extends SparkSpec {
       .toDF("k", "v", "src").repartition(4)
       .write.format("graft-snapshot")
       .option("keyCol", "k").option("partCol", "src")
+      .option("distribution", "none") // fragmented-leaf fixture
       .mode("append").save(eroot.toString)
     spark.conf.set(s"spark.sql.catalog.${c}e",
       "graft.sources.GraftSnapshotCatalog")
@@ -733,6 +738,8 @@ class SnapshotCatalogSpec extends SparkSpec {
         .toDF("k", "a", "b", "ym").repartition(8)
         .write.format("graft-snapshot")
         .option("keyCol", "k").option("partCol", "ym")
+        // fragmented-leaf fixture: keep the 8-task input layout
+        .option("distribution", "none")
         .mode("append").save(r.toString)
       r
     }

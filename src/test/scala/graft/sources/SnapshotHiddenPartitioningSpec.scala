@@ -383,7 +383,18 @@ class SnapshotHiddenPartitioningSpec extends SparkSpec {
         .toDF("id", "d", "v").createOrReplaceTempView("hp_mx_src")
       spark.sql(s"INSERT INTO $cat.`mx` SELECT * FROM hp_mx_src")
     }
-    insert(1, 20); insert(21, 40) // disjoint keys: 2 files/partition
+    insert(1, 20)
+    // second disjoint-key batch through the DataFrame door, opting out
+    // of the door's default hash distribution (round 16): the commit's
+    // touched-partition rewrite then keeps the fragmented multi-task
+    // layout, leaving every leaf ≥2 files — the hot shape compact
+    // exists to fix (the distributed default would land 1 file/leaf
+    // and compact would correctly no-op)
+    (21L to 40L).map(i =>
+        (i, JDate.valueOf(s"2024-01-0${i % 2 + 1}"), i.toDouble))
+      .toDF("id", "d", "v").repartition(4)
+      .write.format("graft-snapshot").option("distribution", "none")
+      .mode("append").save(root.toString)
     val before = SnapshotManifest.read(root,
       SnapshotManifest.head(root)).keySet
     val compacted = spark.sql(s"CALL $cat.compact('mx', 2)")
