@@ -16,6 +16,16 @@ object Verify {
       // harness-scale scan splits (see Bench.scala for the sizing rule)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "128k")
+      // Multi-dir reads beyond this many paths launch a distributed
+      // listing job (one task per dir) before any scan: the store's
+      // many-leaf tables (days x bucket layouts: 124-312 leaf dirs)
+      // paid a listing job PER read - staging re-read, stats sidecar,
+      // Bloom build - on a LOCAL filesystem where serial driver
+      // listing is microseconds per dir. 512 keeps the distributed
+      // path for genuinely huge tables; an object-store deployment
+      // would lower it back toward the 32 default.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

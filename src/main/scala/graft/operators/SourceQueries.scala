@@ -1137,10 +1137,7 @@ object SourceQueries {
     */
   private[graft] def distributeByLayout(df: DataFrame,
       layoutCols: Seq[String]): DataFrame =
-    if (df.sparkSession.conf
-          .get("spark.sql.adaptive.enabled", "true").toBoolean)
-      df.hint("rebalance", layoutCols.map(col): _*)
-    else df.repartition(layoutCols.map(col): _*)
+    df.repartition(layoutCols.map(col): _*)
 
   /** Copy-on-write MERGE (upsert) into a month-partitioned parquet
     * warehouse table — the Delta-less incremental-ingest primitive:
@@ -2114,20 +2111,31 @@ object SourceQueries {
     // '=', '/', ... — an unescaped pv would miss the parent entry and
     // silently orphan the rewritten partition. NULL partition values
     // are rejected loudly (the store's partition columns are keys).
-    val touched = delta
-      .select(effPartCols.map(c => mirrorExpr(delta, c).as(c)): _*)
-      .distinct()
-      .collect()
-      .map { r =>
-        effPartCols.indices.map { i =>
-          if (r.isNullAt(i)) throw new IllegalArgumentException(
-            s"null value in partition column ${effPartCols(i)} — the " +
-              "snapshot store requires non-null partition values")
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(String.valueOf(r.get(i)))
-        }.mkString("/")
-      }.toSeq.sorted
-    if (touched.isEmpty) {
+    // BOOTSTRAP INSERT (parent has no entries, single spec): nothing
+    // can be kept, migrated, or recorded, so the delta's touched-
+    // partition set decides nothing — skip the distinct+collect pre-
+    // pass (two Spark jobs per CREATE+INSERT chain) and let the write
+    // itself discover the leafs (walkLeafDirs below). The null-
+    // partition-value refusal moves to a post-write dir-name check,
+    // same message, same loud failure.
+    val bootstrapInsert =
+      parent.isEmpty && !multiSpec && insertDelta
+    val touched: Seq[String] =
+      if (bootstrapInsert) Seq.empty
+      else delta
+        .select(effPartCols.map(c => mirrorExpr(delta, c).as(c)): _*)
+        .distinct()
+        .collect()
+        .map { r =>
+          effPartCols.indices.map { i =>
+            if (r.isNullAt(i)) throw new IllegalArgumentException(
+              s"null value in partition column ${effPartCols(i)} — the " +
+                "snapshot store requires non-null partition values")
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(String.valueOf(r.get(i)))
+          }.mkString("/")
+        }.toSeq.sorted
+    if (touched.isEmpty && !bootstrapInsert) {
       // legal no-change commit (e.g. an ingest batch that filtered to
       // zero rows): republish the parent entries as the new version
       writeManifest(root, toV, parent, txn)
@@ -2197,8 +2205,12 @@ object SourceQueries {
     def keptRead(dirs: Seq[String]): DataFrame = tableSchema
       .map(ts => graft.sources.SnapshotRename.readDirs(s, root, dirs, ts))
       .getOrElse(s.read.parquet(dirs: _*))
+    // the bootstrap fast path has nothing to keep — skip the anti-join
+    // so the plan carries no pointless broadcast build of the delta's
+    // keys over an empty left side
     val kept =
-      graft.sources.SnapshotDeletes.scopedUnion(s, keyCol, keptRead,
+      if (bootstrapInsert) delta.limit(0)
+      else graft.sources.SnapshotDeletes.scopedUnion(s, keyCol, keptRead,
           existing, morUpsertDirs, morDeleteDirs)
         .getOrElse(delta.limit(0))
         .join(broadcast(delta.select(col(keyCol).as("d_key"))),
@@ -2296,24 +2308,43 @@ object SourceQueries {
     // the old partition) — discover entries by walking the output; the
     // non-migrating path keeps the cheap touched-pv check
     val walked: Seq[(String, String)] =
-      if (migrating.nonEmpty) walkLeafDirs(new java.io.File(out), pcols)
+      if (migrating.nonEmpty || bootstrapInsert)
+        walkLeafDirs(new java.io.File(out), pcols)
       else touched.filter(pv => new java.io.File(leafDir(pv)).isDirectory)
         .map(pv => pv -> leafDir(pv))
+    // the bootstrap fast path skipped the pre-write null check — a NULL
+    // partition value surfaces as Hive's default leaf name in the walk;
+    // refuse with the same message (the attempt dir stays orphaned for
+    // vacuum, like a CAS loser's)
+    if (bootstrapInsert) {
+      val defaultLeaf = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      walked.map(_._1).foreach { pv =>
+        val i = pv.split("/", -1).indexOf(defaultLeaf)
+        if (i >= 0) throw new IllegalArgumentException(
+          s"null value in partition column ${effPartCols(i)} — the " +
+            "snapshot store requires non-null partition values")
+      }
+    }
     val presentSet = walked.map(_._1).toSet
     val emptied = touched.filterNot(presentSet)
     val entries =
       (parent -- emptied -- migrating.keys) ++ walked
     writeManifest(root, toV, entries, txn, widenedJson)
     // publish the file-stats sidecar (new dirs profiled, the
-    // rest copied from the parent's sidecar — O(touched) maintenance)
+    // rest copied from the parent's sidecar — O(touched) maintenance).
+    // The profile declares the schema of the frame the commit WROTE
+    // (kept ∪ delta, which may be wider than the delta after an
+    // evolution) so the collect's declared read matches the files.
     publishFilesSidecar(s, root, toV, Some(fromV), entries,
-      presentSet, delta.schema)
+      presentSet, unionedOut.schema)
     // incremental Bloom maintenance: index only this commit's new dirs
     // (append — parent files are write-once, their rows stay valid)
     bloomIndexKey.foreach { k =>
       if (walked.nonEmpty)
         graft.sources.SnapshotBloom.build(s, walked.map(_._2), k,
-          root.resolve("bloomidx").toString, append = true)
+          root.resolve("bloomidx").toString, append = true,
+          dataSchema = Some(unionedOut.schema))
     }
   }
 
@@ -2372,14 +2403,27 @@ object SourceQueries {
     */
   private def leafRowCounts(s: SparkSession, dirs: Seq[String])
       : (Map[String, Long], String => Long) = {
-    val perLeaf: Map[String, Long] =
-      if (dirs.isEmpty) Map.empty
-      else s.read.parquet(dirs: _*)
-        .groupBy(col("_metadata.file_path")).count().collect()
-        .map { r =>
-          val f = new java.net.URI(r.getString(0)).getPath
-          (f.substring(0, f.lastIndexOf('/')), r.getLong(1))
-        }.groupMapReduce(_._1)(_._2)(_ + _)
+    // Row counts come from the parquet FOOTERS, driver-side: the dirs
+    // are this commit's own freshly-written delta (delta-sized by the
+    // door's contract), and the prior distributed count here was two
+    // Spark jobs plus a schema-inference pre-job PER commit — pure
+    // job-launch overhead around numbers every footer already carries
+    // exactly (round 16; same trade as SnapshotDeletes.readKeys).
+    val conf = s.sessionState.newHadoopConf()
+    val perLeaf: Map[String, Long] = dirs.map { d =>
+      val key = graft.sources.SnapshotBloom.fileKey(
+        new org.apache.hadoop.fs.Path(
+          new java.io.File(d).getAbsolutePath).toString)
+      val rows = graft.sources.SnapshotFiles.listDataFiles(conf, d)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+      key -> rows
+    }.toMap
     (perLeaf, dir => perLeaf.getOrElse(
       graft.sources.SnapshotBloom.fileKey(new org.apache.hadoop.fs.Path(
         new java.io.File(dir).getAbsolutePath).toString), 0L))
@@ -2761,21 +2805,23 @@ object SourceQueries {
     val head = headVersion(root)
     require(head >= 1, s"$root has no published versions")
     val meta = graft.sources.SnapshotMeta.read(root)
-    meta.foreach { m =>
-      val eff = graft.sources.SnapshotManifest
+    val eff: Option[org.apache.spark.sql.types.StructType] = meta.map { m =>
+      val e = graft.sources.SnapshotManifest
         .effectiveDataSchema(root, m.dataSchema)
-      require(eff.fieldNames.contains(keyCol),
+      require(e.fieldNames.contains(keyCol),
         s"column $keyCol does not exist")
-      val hot = graft.sources.SnapshotRename.chainsFor(root, eff)
+      val hot = graft.sources.SnapshotRename.chainsFor(root, e)
       require(!hot.contains(keyCol),
         s"cannot index $keyCol: it has rename history — pre-rename " +
           "files carry it under a former name and would index as NULL; " +
           "compact/rewrite first")
+      e
     }
     val dirs = readManifest(root, head).values.toSeq.sorted
     require(dirs.nonEmpty, s"head version $head has no partitions")
     graft.sources.SnapshotBloom.build(s, dirs, keyCol,
-      root.resolve("bloomidx").toString)
+      root.resolve("bloomidx").toString,
+      dataSchema = eff)
     (head, dirs.size)
   }
 
@@ -3239,7 +3285,8 @@ object SourceQueries {
     bloomIndexKey.foreach { k =>
       if (parts.nonEmpty)
         graft.sources.SnapshotBloom.build(s, parts.map(_._2).toSeq, k,
-          root.resolve("bloomidx").toString)
+          root.resolve("bloomidx").toString,
+          dataSchema = Some(data.schema))
     }
   }
 
@@ -3436,13 +3483,17 @@ object SourceQueries {
         .toString
       // mirrors re-derive through their declared transform (identity
       // verbatim, days/bucket compute f(source) — the door's own
-      // write discipline)
-      distributeByLayout(
-          current.fields.foldLeft(unioned)((df, f) =>
-            df.withColumn(f.name, graft.sources.SnapshotTransforms
-              .deriveCol(f, col(f.name.stripSuffix("_p")),
-                unioned.schema(f.name.stripSuffix("_p")).dataType))),
-          pcols)
+      // write discipline). NO re-distribution here: the new spec
+      // strictly prefix-extends the old one (the evolve refusal
+      // above), so the migrating read is already clustered by the new
+      // layout's prefix — each input split covers whole old leaves and
+      // fans out only by the appended column, bounding files at
+      // (input splits × appended fan) with zero shuffle; a hash
+      // shuffle would move every row for the same file count.
+      current.fields.foldLeft(unioned)((df, f) =>
+          df.withColumn(f.name, graft.sources.SnapshotTransforms
+            .deriveCol(f, col(f.name.stripSuffix("_p")),
+              unioned.schema(f.name.stripSuffix("_p")).dataType)))
         .write.partitionBy(pcols: _*).parquet(out)
       val walked = walkLeafDirs(new java.io.File(out), pcols)
       // INVARIANT, made loud: a migrated pv may never collide with an
@@ -3654,7 +3705,8 @@ object SourceQueries {
     // lookups (files are write-once: the index never goes stale)
     val allDirs = (1 to 3).flatMap(v => readManifest(root, v).values).distinct
     graft.sources.SnapshotBloom.build(s, allDirs, "o_orderkey",
-      root.resolve("bloomidx").toString)
+      root.resolve("bloomidx").toString,
+      dataSchema = Some(orders.schema))
     root
   }
 
@@ -3796,7 +3848,11 @@ object SourceQueries {
           col("o_orderstatus").as("o_st"))
         .repartitionByRange(24, col("o_st"), col("o_totalprice"))
         .sortWithinPartitions(col("o_st"), col("o_totalprice"))
-      snapshotInit(s, root, orders, Seq("o_st"))
+      // the whole point of this fixture is many PRICE-DISJOINT files
+      // per status leaf (min/max skipping needs them): keep the range
+      // clustering, don't let the door's hash distribution re-glue
+      // each status into one file
+      snapshotInit(s, root, orders, Seq("o_st"), distribute = false)
       root
     })
 

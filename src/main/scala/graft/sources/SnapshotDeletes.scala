@@ -252,7 +252,39 @@ object SnapshotDeletes {
                dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) df
     else {
-      val doomed = s.read.parquet(dirs: _*)
+      // One driver-side footer read declares the record files' single
+      // column (name AND physical type — the name may be a pre-rename
+      // key, the type a pre-widening one, so neither can come from
+      // `df`): an undeclared read would launch a footer-inference job
+      // over every record file per composition (round 16). Record
+      // files all share one schema by construction — the delete doors
+      // write them in one pass.
+      val conf = s.sessionState.newHadoopConf()
+      val declared = dirs.iterator
+        .flatMap(d => SnapshotFiles.listDataFiles(conf, d)
+          .filter(_.getPath.getName.endsWith(".parquet")).headOption)
+        .buffered.headOption.map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          val msg = try r.getFooter.getFileMetaData.getSchema
+                    finally r.close()
+          val f = msg.getType(0).asPrimitiveType()
+          val dt = f.getPrimitiveTypeName match {
+            case org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT64 => LongType
+            case org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT32 => IntegerType
+            case org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.BINARY => StringType
+            case other => throw new IllegalStateException(
+              s"unsupported merge-on-read record type $other")
+          }
+          StructType(Seq(StructField(msg.getFieldName(0), dt,
+            nullable = true)))
+        }
+      val reader = declared.map(s.read.schema).getOrElse(s.read)
+      val doomed = reader.parquet(dirs: _*)
         .toDF("__graft_mor_doomed").distinct()
       df.join(org.apache.spark.sql.functions.broadcast(doomed),
         df(keyCol) === org.apache.spark.sql.functions

@@ -663,7 +663,14 @@ final class SnapshotAppendWrite(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               fileSchema)
           else spark.read.schema(fileSchema).parquet(dirs: _*)
-        SnapshotDoor.commit(spark, doorParams, delta, txn = None)
+        // the staged rows are ALREADY leaf-clustered (the v2 writer's
+        // RequiresDistributionAndOrdering hashed them on the layout
+        // before staging, and the staged read serves them file by
+        // file), so the door's default re-distribution would shuffle
+        // perfectly-clustered rows for the same file count — measured
+        // as a 2× INSERT regression on a days×bucket layout (round 16)
+        SnapshotDoor.commit(spark,
+          doorParams + ("distribution" -> "none"), delta, txn = None)
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         staging.toFile)
 

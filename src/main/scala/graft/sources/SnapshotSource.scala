@@ -1276,7 +1276,15 @@ object SnapshotFiles {
       // union losslessly at plan time
       sc.map(f => hll_sketch_agg(col(f.name).cast("string"),
         lit(NdvLgK)).as(s"nd__${f.name}"))
-    val rows = s.read.parquet(dirsByPart.map(_._2): _*)
+    // DECLARED schema: the profiled dirs are always files this very
+    // commit wrote under the caller's schema, and an undeclared read
+    // runs a footer-inference job over every file first — measured as
+    // a 312-task pre-job on the migrate path (round 16). Nullable
+    // overlay so carried pre-evolution files degrade to null stats
+    // (dropped, sound) instead of a read refusal.
+    val rows = s.read
+      .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+      .parquet(dirsByPart.map(_._2): _*)
       .select(col("_metadata.file_path").as("__file") +:
         col("_metadata.file_size").as("__bytes") +:
         sc.map(f => col(f.name)): _*)
@@ -1538,7 +1546,8 @@ object SnapshotBloom {
     * the index is rebuilt, never a correctness issue).
     */
   def build(s: SparkSession, dataDirs: Seq[String], keyCol: String,
-            out: String, append: Boolean = false): Unit = {
+            out: String, append: Boolean = false,
+            dataSchema: Option[StructType] = None): Unit = {
     // column-identity gate (see [[markerPath]]): an incremental append
     // must extend an index built over the SAME column — mixed-column
     // bitsets in one index are wrong skipping waiting to happen
@@ -1557,7 +1566,14 @@ object SnapshotBloom {
     val h2 = shiftrightunsigned(xx, 32).bitwiseOR(lit(1L))
     val posArr = array((0 until K).map(i =>
       pmod(h1 + lit(i.toLong) * h2, lit(Bits.toLong)).cast("int")): _*)
-    s.read.parquet(dataDirs: _*)
+    // a caller that knows the dirs' schema declares just the key
+    // column (the only data column this pass touches) — skipping the
+    // footer-inference job an undeclared multi-dir read runs first
+    val reader = dataSchema.flatMap(ds =>
+        ds.fields.find(_.name == keyCol).map(f =>
+          s.read.schema(StructType(Seq(f.copy(nullable = true))))))
+      .getOrElse(s.read)
+    reader.parquet(dataDirs: _*)
       .select(col("_metadata.file_path").as("file"), explode(posArr).as("pos"))
       .groupBy(col("file"))
       .agg(sort_array(collect_set(col("pos"))).as("positions"))
